@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** §2.4 Event / streaming analytics, batch form. The streaming forms
+  * (Structured Streaming with watermarks / stateful sessionization)
+  * live in graft.streaming and are asserted equivalent to these in the
+  * test suite; these batch plans are what the DuckDB oracle can check.
+  * Sessionization = gap-based session_window semantics (30-min gap),
+  * expressed with lag + cumulative-sum so batch and oracle agree
+  * microsecond-exactly.
+  */
+object EventOps {
+
+  /** Tumbling 1-hour windowed aggregate per event type. */
+  def ev_window_agg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("total_value"))
+      .orderBy($"hour", $"event_type")
+  }
+
+  /** 30-minute-gap sessionization per user (session_window semantics). */
+  def ev_sessionize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val gapUs = 30L * 60 * 1000000
+    Tables.events(s, d)
+      .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when($"prev_us".isNull || unix_micros($"ts") - $"prev_us" > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum($"new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min($"ts").as("session_start"), max($"ts").as("session_end"),
+        round(sum($"value"), 2).as("session_value"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  /** Ordered conversion funnel: signup → click → purchase per user. */
+  def ev_funnel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"user_id")
+      .agg(
+        min(when($"event_type" === "signup", $"ts")).as("t_signup"),
+        min(when($"event_type" === "click", $"ts")).as("t_click"),
+        min(when($"event_type" === "purchase", $"ts")).as("t_purchase"))
+      .filter($"t_signup".isNotNull && $"t_click" > $"t_signup" && $"t_purchase" > $"t_click")
+      .orderBy($"user_id")
+  }
+
+  /** JSON property extraction + aggregation over the props column. */
+  def ev_json_props(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"event_type", get_json_object($"props", "$.k").cast("long").as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"), round(avg($"k"), 4).as("avg_k"),
+        min($"k").as("min_k"), max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
+  /** Day-over-day retention: users active on day d who return on d+1. */
+  def ev_retention(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val du = Tables.events(s, d)
+      .select(date_trunc("day", $"ts").as("day"), $"user_id").distinct()
+    val nxt = du.select($"day".as("nday"), $"user_id".as("nuser"))
+    du.join(nxt,
+        $"nuser" === $"user_id" && $"nday" === $"day" + expr("INTERVAL 1 DAY"), "left_outer")
+      .groupBy($"day")
+      .agg(countDistinct($"user_id").as("n_active"),
+        countDistinct($"nuser").as("n_retained"))
+      .orderBy($"day")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_window_agg" -> ev_window_agg _,
+    "ev_sessionize" -> ev_sessionize _,
+    "ev_funnel" -> ev_funnel _,
+    "ev_json_props" -> ev_json_props _,
+    "ev_retention" -> ev_retention _)
+
+  val oracle: Map[String, String] = Map(
+    "ev_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        | count(*) AS n_events, round(sum(value),2) AS total_value
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "ev_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |   CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        | min(ts) AS session_start, max(ts) AS session_end,
+        | round(sum(value),2) AS session_value
+        |FROM sess GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "ev_funnel" ->
+      """SELECT user_id,
+        | min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+        | min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        | min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        |FROM events GROUP BY 1
+        |HAVING t_signup IS NOT NULL AND t_click > t_signup AND t_purchase > t_click
+        |ORDER BY user_id""".stripMargin,
+    "ev_json_props" ->
+      """SELECT event_type, count(*) AS n_events,
+        | round(avg(k),4) AS avg_k, min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_retention" ->
+      """WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events)
+        |SELECT a.day, count(DISTINCT a.user_id) AS n_active,
+        | count(DISTINCT b.user_id) AS n_retained
+        |FROM du a LEFT JOIN du b
+        | ON b.user_id = a.user_id AND b.day = a.day + INTERVAL 1 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+}

@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** §2.3 HopsFS-metadata-style analytics. HopsFS's pitch is that
+  * NameNode metadata lives in an in-memory SQL database and "can now be
+  * easily accessed via a SQL API" (reference README.md:7,
+  * hadoop-hdfs-project/). These queries re-express the canonical
+  * metadata workloads — du/quota rollups, block reports, audit-log hot
+  * keys — as DataFrame aggregations, with `documents` standing in for
+  * the inode table (source = directory, n_chars = size) and `events`
+  * for the audit log. `ec_parity` mirrors hops-erasure-coding-project's
+  * XOR parity over striped blocks.
+  */
+object MetadataOps {
+
+  /** `hdfs dfs -du` — per-directory usage rollup. */
+  def fs_du(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_files"),
+        sum($"n_chars").as("bytes_used"),
+        round(avg($"n_chars"), 2).as("avg_file_size"),
+        max($"n_chars").as("max_file_size"))
+      .orderBy($"source")
+  }
+
+  /** Block report shape — file-size histogram in 64-"byte" buckets. */
+  def fs_block_histogram(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select((floor($"n_chars" / 64) * 64).as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("n_files"))
+      .orderBy($"bucket")
+  }
+
+  /** Audit-log hot keys — most active principals. */
+  def fs_hot_keys(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_ops"), round(sum($"value"), 2).as("total_value"))
+      .orderBy($"n_ops".desc, $"user_id")
+      .limit(20)
+  }
+
+  /** Quota enforcement — directories above 1.05× the mean usage. */
+  def fs_quota_check(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val usage = Tables.documents(s, d)
+      .groupBy($"source").agg(sum($"n_chars").as("bytes_used"))
+    usage
+      .withColumn("mean_used", avg($"bytes_used").over(Window.partitionBy()))
+      .filter($"bytes_used" > $"mean_used" * 1.05)
+      .select($"source", $"bytes_used", round($"mean_used", 2).as("mean_used"))
+      .orderBy($"source")
+  }
+
+  /** Erasure-coding XOR parity (hops-erasure-coding-project): stripe
+    * each document's payload into 4 blocks, XOR-fold them into one
+    * parity block, report its fingerprint. Embarrassingly parallel —
+    * no shuffle; at 100 TB this is a pure map over blocks.
+    * Oracle: rows-only (binary folding isn't ANSI-SQL-expressible).
+    */
+  def ec_parity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 4
+    Tables.documents(s, d)
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"), $"n_chars")
+      .as[(Long, Array[Byte], Long)]
+      .map { case (id, payload, n) =>
+        val stripe = math.max(1, math.ceil(payload.length.toDouble / k).toInt)
+        val parity = new Array[Byte](stripe)
+        var i = 0
+        while (i < payload.length) {
+          parity(i % stripe) = (parity(i % stripe) ^ payload(i)).toByte
+          i += 1
+        }
+        val fp = parity.foldLeft(1469598103934665603L)((h, b) => (h ^ (b & 0xff)) * 1099511628211L)
+        (id, n, stripe, fp)
+      }
+      .toDF("doc_id", "bytes", "stripe_size", "parity_fp")
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fs_du" -> fs_du _,
+    "fs_block_histogram" -> fs_block_histogram _,
+    "fs_hot_keys" -> fs_hot_keys _,
+    "fs_quota_check" -> fs_quota_check _,
+    "ec_parity" -> ec_parity _)
+
+  val oracle: Map[String, String] = Map(
+    "fs_du" ->
+      """SELECT source, count(*) AS n_files, CAST(sum(n_chars) AS BIGINT) AS bytes_used,
+        | round(avg(n_chars),2) AS avg_file_size, max(n_chars) AS max_file_size
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "fs_block_histogram" ->
+      """SELECT CAST(floor(n_chars / 64) * 64 AS BIGINT) AS bucket, count(*) AS n_files
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "fs_hot_keys" ->
+      """SELECT user_id, count(*) AS n_ops, round(sum(value),2) AS total_value
+        |FROM events GROUP BY 1 ORDER BY n_ops DESC, user_id LIMIT 20""".stripMargin,
+    "fs_quota_check" ->
+      """WITH usage AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS bytes_used FROM documents GROUP BY 1)
+        |SELECT source, bytes_used,
+        | round((SELECT avg(bytes_used) FROM usage),2) AS mean_used
+        |FROM usage WHERE bytes_used > (SELECT avg(bytes_used) FROM usage) * 1.05
+        |ORDER BY source""".stripMargin)
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.8 Multimodal columns: image/audio/video handled as opaque
+  * `binary` payloads with typed metadata. The Spark-side plumbing —
+  * schema, typed Dataset, per-partition batch processing, frame
+  * explosion — is real and tested; the actual media DECODE IS A STUB
+  * (no codec libraries in this container): `fakeDecode` derives
+  * deterministic metadata from the payload bytes where a real codec
+  * would parse headers. Swap `fakeDecode` for a JNI/FFmpeg call and
+  * nothing else changes.
+  */
+object Multimodal {
+
+  final case class MediaMeta(doc_id: Long, n_bytes: Long, format: String,
+      width: Int, height: Int, n_frames: Int)
+
+  /** STUB decode: deterministic pseudo-metadata from payload bytes. */
+  private def fakeDecode(id: Long, payload: Array[Byte]): MediaMeta = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < payload.length) { h = 31 * h + (payload(i) & 0xff); i += 1 }
+    val fmts = Array("jpeg", "png", "wav", "mp4")
+    MediaMeta(id, payload.length.toLong, fmts(math.floorMod(h, 4).toInt),
+      320 + math.floorMod(h >> 2, 8).toInt * 160,
+      240 + math.floorMod(h >> 5, 6).toInt * 120,
+      1 + math.floorMod(h >> 8, 240).toInt)
+  }
+
+  /** Binary payload column + typed metadata extraction. Per-partition
+    * iteration mirrors a real decoder's batch shape (one codec init per
+    * partition, streamed rows). Pure map — no shuffle at 100 TB. */
+  def mm_meta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // real impl: initialize codec once per partition here
+        it.map { case (id, payload) => fakeDecode(id, payload) }
+      }
+      .toDF()
+      .orderBy($"doc_id")
+  }
+
+  /** Frame sampling plumbing: every 10th frame index exploded to its
+    * own row with a deterministic frame fingerprint (stub for "decode
+    * frame, extract features"). */
+  def mm_framesample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val meta = mm_meta(s, d)
+    meta.select($"doc_id", $"n_frames",
+        explode(sequence(lit(0), $"n_frames" - 1, lit(10))).as("frame_idx"))
+      .select($"doc_id", $"frame_idx",
+        xxhash64($"doc_id", $"frame_idx").as("frame_fp"))
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_meta" -> mm_meta _,
+    "mm_framesample" -> mm_framesample _)
+
+  val oracle: Map[String, String] = Map()
+}

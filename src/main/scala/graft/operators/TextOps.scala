@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.7 Text analysis for training-data curation: quality scoring,
+  * token counting, language ID, fingerprinting. All per-row map work —
+  * no shuffles — so these pipeline at scan speed over 100 TB.
+  */
+object TextOps {
+
+  private val stopwords = Seq("the", "a", "an", "of", "and", "to", "in", "is", "it")
+
+  /** Length / punctuation / stopword / repetition heuristics + a
+    * composite quality score (C4/Gopher-style rule scoring). */
+  def text_quality(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = tokens($"text")
+    val nWords = size(t).cast("long")
+    val nStop = size(filter(t, w => w.isInCollection(stopwords))).cast("long")
+    val nUniq = size(array_distinct(t)).cast("long")
+    val nPunct = (length($"text") -
+      length(regexp_replace($"text", "[.!?,;:]", ""))).cast("long")
+    Tables.documents(s, d)
+      .select($"doc_id", length($"text").cast("long").as("n_chars_m"),
+        nWords.as("n_words"),
+        round(when(nWords === 0, 0.0).otherwise(nStop.cast("double") / nWords), 4)
+          .as("stopword_ratio"),
+        round(when(nWords === 0, 0.0).otherwise(nUniq.cast("double") / nWords), 4)
+          .as("uniq_ratio"),
+        nPunct.as("n_punct"),
+        round(when(nWords === 0, 0.0)
+          .otherwise(length(regexp_replace($"text", " ", "")).cast("double") / nWords), 4)
+          .as("avg_word_len"))
+      .withColumn("quality_score",
+        round(when($"n_words" >= 20, 1.0).otherwise(0.5) * $"uniq_ratio" *
+          when($"stopword_ratio" > 0.01, 1.0).otherwise(0.8), 4))
+      .orderBy($"doc_id")
+  }
+
+  /** Whitespace + BPE-ish regex token counts per document. */
+  def text_tokens(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id",
+        size(tokens($"text")).cast("long").as("n_ws_tokens"),
+        size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .cast("long").as("n_bpe_tokens"),
+        length($"text").cast("long").as("n_chars_m"))
+      .orderBy($"doc_id")
+  }
+
+  /** N-gram-heuristic language ID: score each language's stopword/
+    * marker profile against the token set, argmax wins. (The synthetic
+    * corpus is English-vocabulary throughout, so this reports what the
+    * heuristic actually sees — prediction + labeled lang.) */
+  def text_langid(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val profiles: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+      "fr" -> Seq("le", "la", "et", "les", "des", "un", "une"),
+      "es" -> Seq("el", "la", "y", "los", "las", "un", "una"),
+      "de" -> Seq("der", "die", "und", "das", "ein", "eine", "ist"),
+      "zh" -> Seq("de", "shi", "le", "zai", "you", "wo", "ta"))
+    val t = tokens($"text")
+    val scored = profiles.map { case (lang, words) =>
+      struct(size(filter(t, w => w.isInCollection(words))).as("score"),
+        lit(lang).as("lang"))
+    }
+    Tables.documents(s, d)
+      .select($"doc_id", $"lang".as("labeled_lang"),
+        greatest(scored: _*).getField("lang").as("pred_lang"),
+        greatest(scored: _*).getField("score").cast("long").as("pred_score"))
+      .orderBy($"doc_id")
+  }
+
+  /** Winnowing-style rolling-hash fingerprint: char-5-gram hashes,
+    * window-8 minima, fingerprint = fold of the distinct minima. */
+  def text_fingerprint(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val grams = charNgrams($"text", 5)
+    val hashes = transform(grams, g => xxhash64(g))
+    val win = 8
+    val mins = when(size(hashes) >= win,
+      array_distinct(transform(sequence(lit(0), size(hashes) - win),
+        i => array_min(slice(hashes, i + 1, lit(win))))))
+      .otherwise(array(array_min(hashes)))
+    Tables.documents(s, d)
+      .select($"doc_id", size(hashes).cast("long").as("n_grams"),
+        size(mins).cast("long").as("n_selected"),
+        aggregate(mins, lit(1469598103934665603L),
+          (acc, h) => (acc.bitwiseXOR(h)) * lit(1099511628211L)).as("fingerprint"))
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality" -> text_quality _,
+    "text_tokens" -> text_tokens _,
+    "text_langid" -> text_langid _,
+    "text_fingerprint" -> text_fingerprint _)
+
+  val oracle: Map[String, String] = Map(
+    "text_quality" ->
+      """SELECT doc_id, n_chars_m, n_words, stopword_ratio, uniq_ratio, n_punct, avg_word_len,
+        | round((CASE WHEN n_words >= 20 THEN 1.0 ELSE 0.5 END) * uniq_ratio *
+        |   (CASE WHEN stopword_ratio > 0.01 THEN 1.0 ELSE 0.8 END), 4) AS quality_score
+        |FROM (
+        | SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m,
+        |  CAST(len(words) AS BIGINT) AS n_words,
+        |  round(CASE WHEN len(words) = 0 THEN 0.0 ELSE
+        |    CAST(len(list_filter(words, w -> w IN ('the','a','an','of','and','to','in','is','it'))) AS DOUBLE)
+        |    / len(words) END, 4) AS stopword_ratio,
+        |  round(CASE WHEN len(words) = 0 THEN 0.0 ELSE
+        |    CAST(len(list_distinct(words)) AS DOUBLE) / len(words) END, 4) AS uniq_ratio,
+        |  CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS BIGINT) AS n_punct,
+        |  round(CASE WHEN len(words) = 0 THEN 0.0 ELSE
+        |    CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE) / len(words) END, 4) AS avg_word_len
+        | FROM (SELECT doc_id, text,
+        |   list_filter(string_split(lower(text), ' '), w -> w <> '') AS words
+        |  FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS BIGINT) AS n_ws_tokens,
+        | CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+        | CAST(length(text) AS BIGINT) AS n_chars_m
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}
