@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Typed loaders for the driver-generated testdata tables
   * (TESTDATA.md). One place for read options so every operator reads
@@ -17,7 +18,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame   = load(s, d, "events")
+  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
+    * vectorized parquet reader rejects outright ([PARQUET_TYPE_ILLEGAL]
+    * — this silently killed every ev_*, fs_hot_keys and
+    * mr_secondarysort query in round 1). Read nanos as long, convert to a
+    * microsecond timestamp; the generator emits micro-precision values
+    * so the truncation is lossless (verified: all ns % 1000 == 0). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -1,0 +1,217 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+/** Single-pass JVM kernels backing the custom Catalyst expressions in
+  * [[GraftExpressions]]. Each method is called from generated code
+  * (whole-stage codegen emits a static call), so the hot loops run as
+  * tight JIT'd JVM code — one pass over the input array instead of the
+  * 64 independent higher-order-function passes the r1 implementation
+  * paid. Plain JVM `Long` arithmetic wraps, so none of this is subject
+  * to Spark's ANSI overflow checking (which made the affine minhash mix
+  * `h * a + b` throw ARITHMETIC_OVERFLOW).
+  */
+object ExprKernels {
+
+  /** splitmix64 / murmur3 finalizer: a full-avalanche 64-bit mix. */
+  @inline private def fmix64(v: Long): Long = {
+    var x = v
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33; x
+  }
+
+  /** Deterministic per-permutation seeds for minhash (max 256 perms). */
+  private val Seeds: Array[Long] =
+    Array.tabulate(256)(i => fmix64(0x9e3779b97f4a7c15L * (i + 1)))
+
+  /** 64-bit SimHash over a feature-hash array, one pass: accumulate 64
+    * bit-counters, set output bit j iff a majority of features have bit
+    * j set. O(64·n) adds in a tight loop (vs r1's 64 interpreted
+    * `aggregate()` expression trees — the 580 s bench pathology).
+    */
+  def simhash64(features: ArrayData): Long = {
+    val n = features.numElements()
+    val counters = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = features.getLong(i)
+      var j = 0
+      while (j < 64) { counters(j) += ((h >>> j) & 1L).toInt; j += 1 }
+      i += 1
+    }
+    var res = 0L
+    var j = 0
+    while (j < 64) { if (counters(j) * 2 > n) res |= 1L << j; j += 1 }
+    res
+  }
+
+  /** MinHash signature: k "permutations" h_i(x) = fmix64(x ^ seed_i),
+    * all minima tracked in ONE pass over the shingle set. An empty
+    * shingle set yields an all-Long.MaxValue signature (empty docs
+    * hash together, which is the semantics we want).
+    */
+  def minhashSig(shingles: ArrayData, k: Int): ArrayData = {
+    val n = shingles.numElements()
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = shingles.getLong(i)
+      var p = 0
+      while (p < k) {
+        val v = fmix64(h ^ Seeds(p))
+        if (v < mins(p)) mins(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Distinct word-n-gram hashes of a text in ONE pass: lowercase,
+    * split on spaces (empties dropped), hash each n-gram window by
+    * chaining the word hashes, dedupe via sort+unique. Replaces a
+    * 6-deep higher-order-function tree (split/filter/sequence/slice/
+    * array_join/array_distinct/transform) that Spark evaluates
+    * interpreted (HOFs are CodegenFallback) and that dominated the
+    * dedup signature stage. Returns fewer than one hash per word; an
+    * input with < n words yields an empty array (matching the HOF
+    * `wordNgrams` guard semantics).
+    */
+  def wordNgramHashes(text: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val s = text.toString
+    val len = s.length
+    // 1) word hashes (FNV-1a over lowercased chars), empties dropped
+    var wordHashes = new Array[Long](math.max(8, len / 4))
+    var nWords = 0
+    var h = 1469598103934665603L
+    var inWord = false
+    var i = 0
+    while (i <= len) {
+      val c = if (i < len) s.charAt(i) else ' '
+      if (c == ' ') {
+        if (inWord) {
+          if (nWords == wordHashes.length)
+            wordHashes = java.util.Arrays.copyOf(wordHashes, nWords * 2)
+          wordHashes(nWords) = fmix64(h); nWords += 1
+          h = 1469598103934665603L; inWord = false
+        }
+      } else {
+        h = (h ^ Character.toLowerCase(c).toInt) * 1099511628211L
+        inWord = true
+      }
+      i += 1
+    }
+    if (nWords < n) return new GenericArrayData(Array.emptyLongArray)
+    // 2) n-gram hashes: chained fold over each window of n word hashes
+    val nGrams = nWords - n + 1
+    val grams = new Array[Long](nGrams)
+    var g = 0
+    while (g < nGrams) {
+      var acc = 0xcbf29ce484222325L
+      var j = g
+      while (j < g + n) { acc = fmix64(acc ^ wordHashes(j)); acc *= 1099511628211L; j += 1 }
+      grams(g) = fmix64(acc)
+      g += 1
+    }
+    // 3) distinct via sort+unique (minhash/simhash are order-invariant)
+    java.util.Arrays.sort(grams)
+    var uniq = 1
+    var k = 1
+    while (k < nGrams) {
+      if (grams(k) != grams(k - 1)) { grams(uniq) = grams(k); uniq += 1 }
+      k += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(grams, uniq))
+  }
+
+  /** FNV-1a-style 64-bit fold over a long array (wrapping multiply —
+    * the HOF `aggregate` form throws ARITHMETIC_OVERFLOW under ANSI). */
+  def fnv64Fold(hashes: ArrayData): Long = {
+    val n = hashes.numElements()
+    var acc = 1469598103934665603L
+    var i = 0
+    while (i < n) { acc = (acc ^ hashes.getLong(i)) * 1099511628211L; i += 1 }
+    acc
+  }
+
+  /** Fused dot product over two float arrays (each element widened to
+    * double before multiply — same result as casting to array<double>
+    * first, without materializing the cast copy). */
+  def dotFF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    dot
+  }
+
+  def dotDD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += a.getDouble(i) * b.getDouble(i); i += 1 }
+    dot
+  }
+
+  /** Fused cosine similarity: dot + both norms in a single pass. Each
+    * accumulator sums left-to-right exactly like the sequential HOF
+    * fold it replaces, so double-precision results are bit-identical
+    * to DuckDB's list_cosine_similarity over DOUBLE[]. */
+  def cosineFF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def cosineDD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Random-hyperplane LSH signature: bit i = (v · plane_i >= 0), all
+    * planes in one pass over the vector per plane (<= 64 planes). */
+  def hyperplaneSigF(v: ArrayData, planes: Array[Array[Double]]): Long = {
+    var sig = 0L
+    var i = 0
+    while (i < planes.length) {
+      val p = planes(i)
+      val n = math.min(v.numElements(), p.length)
+      var d = 0.0
+      var j = 0
+      while (j < n) { d += v.getFloat(j).toDouble * p(j); j += 1 }
+      if (d >= 0) sig |= 1L << i
+      i += 1
+    }
+    sig
+  }
+
+  def hyperplaneSigD(v: ArrayData, planes: Array[Array[Double]]): Long = {
+    var sig = 0L
+    var i = 0
+    while (i < planes.length) {
+      val p = planes(i)
+      val n = math.min(v.numElements(), p.length)
+      var d = 0.0
+      var j = 0
+      while (j < n) { d += v.getDouble(j) * p(j); j += 1 }
+      if (d >= 0) sig |= 1L << i
+      i += 1
+    }
+    sig
+  }
+}

@@ -1,0 +1,146 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the similarity/dedup hot paths
+  * (SURVEY §4: "custom Catalyst `Expression` (with doGenCode) only
+  * where built-ins can't express it"). Each one generates a single
+  * static call into [[ExprKernels]], so the work stays inside
+  * whole-stage codegen and runs as one tight JVM loop per row.
+  */
+object GraftExpressions {
+  /** Bridge between the public Column API and catalyst Expressions
+    * (Spark 4.x moved Column internals behind ColumnNode). */
+  def toColumn(e: Expression): Column = GraftColumnBridge.column(e)
+  def toExpr(c: Column): Expression = GraftColumnBridge.expression(c)
+
+  private[functions] def isFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"expected array<float> or array<double>, got $other")
+  }
+}
+
+/** simhash64(array<long>) -> long. */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    ExprKernels.simhash64(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_simhash64"
+}
+
+/** minhash_sig(array<long>, k) -> array<long> (k permutation minima). */
+case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0 && k <= 256, s"minhash k must be in [1,256], got $k")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    ExprKernels.minhashSig(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.minhashSig($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_minhash_sig"
+}
+
+/** word_ngram_hashes(string, n) -> array<long>: distinct word-n-gram
+  * hashes in one codegen'd pass (see [[ExprKernels.wordNgramHashes]]). */
+case class WordNgramHashExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, s"ngram width must be positive, got $n")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    ExprKernels.wordNgramHashes(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.wordNgramHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): WordNgramHashExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_word_ngram_hashes"
+}
+
+/** fnv64_fold(array<long>) -> long (wrapping FNV-1a-style fold). */
+case class Fnv64FoldExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    ExprKernels.fnv64Fold(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.fnv64Fold($c)")
+  override protected def withNewChildInternal(newChild: Expression): Fnv64FoldExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_fnv64_fold"
+}
+
+/** dot(arr, arr) -> double; both sides must share the element type. */
+case class DotExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  private lazy val floatKernel = {
+    val lf = GraftExpressions.isFloatArray(left)
+    require(lf == GraftExpressions.isFloatArray(right),
+      "dot() requires both arrays to have the same element type")
+    lf
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (floatKernel) ExprKernels.dotFF(x, y) else ExprKernels.dotDD(x, y)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (floatKernel) "dotFF" else "dotDD"
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ExprKernels.$m($a, $b)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_dot"
+}
+
+/** cosine(arr, arr) -> double, fused single-pass dot + norms. */
+case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  private lazy val floatKernel = {
+    val lf = GraftExpressions.isFloatArray(left)
+    require(lf == GraftExpressions.isFloatArray(right),
+      "cosine() requires both arrays to have the same element type")
+    lf
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (floatKernel) ExprKernels.cosineFF(x, y) else ExprKernels.cosineDD(x, y)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (floatKernel) "cosineFF" else "cosineDD"
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ExprKernels.$m($a, $b)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_cosine"
+}
+
+/** hyperplane_sig(arr) -> long under up to 64 fixed hyperplanes. The
+  * plane matrix rides along as a codegen reference object. */
+case class HyperplaneSigExpr(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression {
+  require(planes.nonEmpty && planes.length <= 64,
+    s"hyperplane signature supports 1..64 planes, got ${planes.length}")
+  override def dataType: DataType = LongType
+  private lazy val floatKernel = GraftExpressions.isFloatArray(child)
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (floatKernel) ExprKernels.hyperplaneSigF(v, planes)
+    else ExprKernels.hyperplaneSigD(v, planes)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[][]")
+    val m = if (floatKernel) "hyperplaneSigF" else "hyperplaneSigD"
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.$m($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSigExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_hyperplane_sig"
+}

@@ -26,9 +26,12 @@ object TextFunctions {
   /** Distinct word n-grams (set semantics, for Jaccard). */
   def wordNgramSet(text: Column, n: Int): Column = array_distinct(wordNgrams(text, n))
 
-  /** xxhash64 of each distinct n-gram — the shingle feature set. */
+  /** Distinct word-n-gram hashes — the shingle feature set. Computed by
+    * a single-pass codegen'd kernel ([[WordNgramHashExpr]]); hashes the
+    * same token n-gram set as `wordNgramSet` (lowercase, space-split,
+    * empties dropped, distinct) under an internal 64-bit hash. */
   def shingleHashes(text: Column, n: Int): Column =
-    transform(wordNgramSet(text, n), g => xxhash64(g))
+    GraftExpressions.toColumn(WordNgramHashExpr(GraftExpressions.toExpr(text), n))
 
   /** Character n-grams of a string. */
   def charNgrams(text: Column, n: Int): Column = {
@@ -39,15 +42,12 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** MinHash signature: k universal-hash "permutations" over the
-    * shingle hash set; deterministic seeded coefficients. */
-  def minhashSignature(shingles: Column, k: Int): Column = {
-    val rnd = new java.util.Random(42)
-    val coef = Array.fill(k)((rnd.nextLong() | 1L, rnd.nextLong()))
-    array(coef.map { case (a, b) =>
-      array_min(transform(shingles, h => h * lit(a) + lit(b)))
-    }: _*)
-  }
+  /** MinHash signature: k seeded-mix "permutations" over the shingle
+    * hash set, all minima in one codegen'd pass ([[MinHashSigExpr]]).
+    * (The r1 affine mix `h * a + b` threw ARITHMETIC_OVERFLOW under
+    * Spark 4's default ANSI mode; the JVM kernel wraps by design.) */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    GraftExpressions.toColumn(MinHashSigExpr(GraftExpressions.toExpr(shingles), k))
 
   /** LSH band keys from a minhash signature: bands of `r` rows, each
     * hashed to one bucket key. Equi-joinable → shuffle-friendly. */
@@ -56,16 +56,19 @@ object TextFunctions {
       struct(lit(j).as("band"), xxhash64(slice(sig, j * r + 1, r)).as("bkey"))
     }: _*)
 
-  /** 64-bit SimHash over a feature-hash array (nested HOFs, codegen'd):
-    * bit j set iff the majority of features have bit j set. */
-  def simhash64(features: Column): Column = {
-    val n = size(features).cast("long")
-    (0 until 64).map { j =>
-      val cnt = aggregate(features, lit(0L),
-        (acc, h) => acc + shiftright(h, j).bitwiseAND(lit(1L)))
-      when(cnt * 2 > n, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-  }
+  /** 64-bit SimHash over a feature-hash array: bit j set iff the
+    * majority of features have bit j set. Single-pass custom Catalyst
+    * expression ([[SimHash64Expr]]) — replaces the r1 formulation of 64
+    * independent `aggregate()` trees, which fell out of codegen and
+    * accounted for 57% of the round-1 bench. */
+  def simhash64(features: Column): Column =
+    GraftExpressions.toColumn(SimHash64Expr(GraftExpressions.toExpr(features)))
+
+  /** Wrapping FNV-1a-style 64-bit fold of a hash array (codegen'd
+    * kernel; a column-level `aggregate` multiply would throw
+    * ARITHMETIC_OVERFLOW under Spark 4's default ANSI mode). */
+  def fnvFold64(hashes: Column): Column =
+    GraftExpressions.toColumn(Fnv64FoldExpr(GraftExpressions.toExpr(hashes)))
 
   /** Exact Jaccard between two pre-distinct arrays. */
   def jaccard(a: Column, b: Column): Column = {

@@ -2,37 +2,37 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import GraftExpressions.{toColumn, toExpr}
 
-/** Vector math over array<float>/array<double> embedding columns using
-  * built-in higher-order functions (codegen'd; left-to-right fold order
-  * matches DuckDB's sequential accumulation, so double-precision
-  * results are bit-identical to the oracle).
+/** Vector math over array<float>/array<double> embedding columns.
+  * Dot/cosine/hyperplane-signature are custom Catalyst expressions
+  * (single fused pass per row, codegen'd — see [[ExprKernels]]); each
+  * accumulator sums left-to-right, so double-precision results are
+  * bit-identical to DuckDB's list_* functions over DOUBLE[], which the
+  * correctness oracle relies on. Float inputs are widened elementwise,
+  * equivalent to casting to array<double> without the copy.
   */
 object VectorFunctions {
 
-  /** Cast to array<double> — all math in double for oracle parity. */
+  /** Cast to array<double> (for callers that need a real double array). */
   def asDouble(v: Column): Column = v.cast("array<double>")
 
+  /** Fused dot product; both sides must share the element type. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    toColumn(DotExpr(toExpr(a), toExpr(b)))
 
+  /** L2 norm (HOF fold — only used outside hot paths). */
   def norm2(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
 
-  def cosine(a: Column, b: Column): Column = {
-    val ad = asDouble(a); val bd = asDouble(b)
-    dot(ad, bd) / (norm2(ad) * norm2(bd))
-  }
+  /** Fused single-pass cosine similarity. */
+  def cosine(a: Column, b: Column): Column =
+    toColumn(CosineSimExpr(toExpr(a), toExpr(b)))
 
   /** Sign-bit signature under `planes` fixed hyperplanes (random
-    * hyperplane LSH): bit i = (v · p_i >= 0). Returns a long. */
-  def hyperplaneSignature(v: Column, planes: Array[Array[Double]]): Column = {
-    val vd = asDouble(v)
-    planes.zipWithIndex.map { case (p, i) =>
-      val pc = array(p.map(lit): _*)
-      when(dot(vd, pc) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-  }
+    * hyperplane LSH): bit i = (v · p_i >= 0). One pass, <= 64 planes. */
+  def hyperplaneSignature(v: Column, planes: Array[Array[Double]]): Column =
+    toColumn(HyperplaneSigExpr(toExpr(v), planes))
 
   /** Deterministic pseudo-random hyperplanes (seeded). */
   def randomPlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {

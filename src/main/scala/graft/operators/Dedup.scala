@@ -3,14 +3,20 @@ package graft.operators
 import graft.Tables
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** §2.5 Deduplication — the LLM-training-data pipeline operators.
-  * Every candidate-generation step is an equi-join on a computed key
-  * (hash bucket, LSH band, length block), never an inequality or cross
-  * join, so each scales as a plain shuffled join at 100 TB. Pair
-  * enumeration only ever happens inside a bucket.
+  *
+  * Scale posture (100 TB): every candidate-generation step is an
+  * equi-join on a computed key (hash bucket, LSH band, simhash chunk),
+  * never an inequality or cross join. Candidate pairs are ALWAYS
+  * deduplicated (`distinct` on the bare (doc_id, doc_id2) pair) BEFORE
+  * any scoring join, so a pair that collides in many bands is scored
+  * once. dedup_simhash additionally pre-aggregates to distinct simhash
+  * values before pair enumeration, so exact-duplicate clusters of any
+  * size contribute one row to the chunk join instead of a quadratic
+  * bucket blowup — the r1 length-bucket/hot-chunk pathology.
   */
 object Dedup {
 
@@ -24,80 +30,127 @@ object Dedup {
       .orderBy($"content_hash")
   }
 
-  /** MinHash + LSH near-dup detection: word-3-gram shingles → 32-perm
-    * minhash → 8 bands × 4 rows → band-bucket equi-join → candidate
-    * pairs, scored by signature agreement (Jaccard estimate ≥ 0.5).
-    */
+  /** Generic bucketed pair generator: explode each row's bucket keys,
+    * groupBy bucket collecting ids, and enumerate ordered id pairs
+    * within each bucket via nested explode. ONE aggregation shuffle —
+    * no self-join, so the (expensive-to-recompute) upstream lineage is
+    * evaluated once, not once per join side. Buckets larger than
+    * `maxBucket` are dropped — the ADVICE-recommended hot-bucket cap: a
+    * degenerate key (e.g. the empty-document bucket) otherwise turns
+    * pair enumeration quadratic at corpus scale. Final `distinct` on
+    * the bare pair dedupes multi-bucket collisions BEFORE any scoring.
+    *
+    * Input: (id, explodedKeys: array<struct>). Output: (id, id2),
+    * id < id2, distinct. */
+  private def bucketPairs(rows: DataFrame, idCol: String, keysCol: Column,
+      maxBucket: Int = 1000): DataFrame = {
+    val id2 = s"${idCol}2"
+    rows
+      .select(col(idCol), explode(keysCol).as("bk"))
+      .groupBy(col("bk"))
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
+      .select(explode(col("ids")).as(idCol), col("ids"))
+      .select(col(idCol), explode(col("ids")).as(id2))
+      .filter(col(idCol) < col(id2))
+      .distinct()
+  }
+
+  /** LSH candidate pairs from minhash signatures via `bands`×`r`
+    * banding. */
+  private def lshCandidatePairs(sigs: DataFrame, bands: Int, r: Int): DataFrame =
+    bucketPairs(sigs, "doc_id", bandKeys(col("sig"), bands, r))
+
+  /** MinHash + LSH near-dup detection: 32-perm minhash → 8 bands × 4
+    * rows → distinct candidate pairs → signature-agreement Jaccard
+    * estimate ≥ 0.5. Signatures are joined back to the deduped pairs,
+    * so each pair is scored exactly once. */
   def dedup_minhash_lsh(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val k = 32; val bands = 8; val r = 4
     val sigs = Tables.documents(s, d)
       .select($"doc_id", minhashSignature(shingleHashes($"text", 3), k).as("sig"))
-    val buckets = sigs
-      .select($"doc_id", $"sig", explode(bandKeys($"sig", bands, r)).as("bk"))
-      .select($"doc_id", $"sig", $"bk.band", $"bk.bkey")
-    val right = buckets
-      .select($"band".as("band2"), $"bkey".as("bkey2"),
-        $"doc_id".as("doc_id2"), $"sig".as("sig2"))
-    buckets.join(right,
-        $"band" === $"band2" && $"bkey" === $"bkey2" && $"doc_id" < $"doc_id2")
+    lshCandidatePairs(sigs, bands, r)
+      .join(sigs, "doc_id")
+      .join(sigs.select($"doc_id".as("doc_id2"), $"sig".as("sig2")), "doc_id2")
       .select($"doc_id", $"doc_id2",
         (aggregate(zip_with($"sig", $"sig2",
             (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / k).as("est_jaccard"))
-      .distinct()
       .filter($"est_jaccard" >= 0.5)
       .select($"doc_id", $"doc_id2", round($"est_jaccard", 4).as("est_jaccard"))
       .orderBy($"doc_id", $"doc_id2")
   }
 
-  /** SimHash near-dup: 64-bit simhash over shingle hashes; 4×16-bit
-    * chunk blocking (pigeonhole-complete for hamming ≤ 3), then exact
-    * hamming via bit_count(a ^ b) — single codegen'd instruction. */
+  /** SimHash near-dup: 64-bit simhash (single-pass codegen'd
+    * expression); pair enumeration over DISTINCT simhash values via
+    * 4×16-bit chunk blocking (pigeonhole-complete for hamming ≤ 3),
+    * then doc pairs recovered by joining docs back to the qualifying
+    * hash pairs. Same-hash doc pairs (hamming 0) come from a direct
+    * simhash self-join. Exact-duplicate clusters therefore never
+    * inflate the chunk join — at 100 TB the chunk join's input is
+    * |distinct simhashes| × 4, and each bucket holds only distinct
+    * fingerprints. */
   def dedup_simhash(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sh = Tables.documents(s, d)
       .select($"doc_id", simhash64(shingleHashes($"text", 3)).as("simhash"))
-    val chunks = sh.select($"doc_id", $"simhash",
-        explode(array((0 until 4).map { i =>
-          struct(lit(i).as("chunk"),
-            shiftrightunsigned($"simhash", 16 * i).bitwiseAND(lit(0xFFFFL)).as("ckey"))
-        }: _*)).as("c"))
-      .select($"doc_id", $"simhash", $"c.chunk", $"c.ckey")
-    val right = chunks.select($"chunk".as("chunk2"), $"ckey".as("ckey2"),
-      $"doc_id".as("doc_id2"), $"simhash".as("simhash2"))
-    chunks.join(right,
-        $"chunk" === $"chunk2" && $"ckey" === $"ckey2" && $"doc_id" < $"doc_id2")
-      .select($"doc_id", $"doc_id2",
-        bit_count($"simhash".bitwiseXOR($"simhash2")).as("hamming"))
-      .distinct()
-      .filter($"hamming" <= 3)
-      .orderBy($"doc_id", $"doc_id2")
+    val hs = sh.select($"simhash").distinct()
+    val chunkKeys = array((0 until 4).map { i =>
+      struct(lit(i).as("chunk"),
+        shiftrightunsigned($"simhash", 16 * i).bitwiseAND(lit(0xFFFFL)).as("ckey"))
+    }: _*)
+    val hpairs = bucketPairs(hs, "simhash", chunkKeys)
+      .withColumn("hamming", bit_count($"simhash".bitwiseXOR($"simhash2")))
+      .filter($"hamming" <= 3 && $"hamming" > 0)
+    val near = hpairs
+      .join(sh, "simhash")
+      .join(sh.select($"simhash".as("simhash2"), $"doc_id".as("doc_b")), "simhash2")
+      .select(least($"doc_id", $"doc_b").as("doc_id"),
+        greatest($"doc_id", $"doc_b").as("doc_id2"), $"hamming")
+    val same = bucketPairs(sh, "doc_id", array(struct($"simhash".as("h"))))
+      .select($"doc_id", $"doc_id2", lit(0).as("hamming"))
+    near.unionByName(same).orderBy($"doc_id", $"doc_id2")
   }
 
-  /** Exact n-gram Jaccard on length-blocked candidates: docs land in
-    * size buckets (and their right neighbor), bucket equi-join, then
-    * exact set Jaccard ≥ 0.5 via array_intersect/array_union. */
+  /** Exact n-gram Jaccard on MinHash-banded candidates: the blocking
+    * key is CONTENT-based (16 bands × 2 rows over a 32-perm minhash of
+    * the same gram set that is scored), not length-based — r1's
+    * `floor(n_chars/64)` buckets had an O(1) key domain and went
+    * near-quadratic. Banding at r=2 gives ≥99% recall at Jaccard 0.5
+    * (1-(1-0.5²)¹⁶); exact set Jaccard is then computed once per
+    * distinct candidate pair. */
   def dedup_ngram_jaccard(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val k = 32; val bands = 16; val r = 2
     val docs = Tables.documents(s, d)
-      .select($"doc_id", wordNgramSet($"text", 3).as("grams"),
-        floor($"n_chars" / 64).as("bucket"))
-    val probe = docs.select($"doc_id", $"grams",
-      explode(array($"bucket", $"bucket" + 1)).as("bkey"))
-    val build = docs.select($"bucket".as("bkey2"),
-      $"doc_id".as("doc_id2"), $"grams".as("grams2"))
-    probe.join(build, $"bkey" === $"bkey2" && $"doc_id" < $"doc_id2")
+      .select($"doc_id", wordNgramSet($"text", 3).as("grams"))
+    val sigs = docs.select($"doc_id",
+      minhashSignature(transform($"grams", g => xxhash64(g)), k).as("sig"))
+    lshCandidatePairs(sigs, bands, r)
+      .join(docs, "doc_id")
+      .join(docs.select($"doc_id".as("doc_id2"), $"grams".as("grams2")), "doc_id2")
       .select($"doc_id", $"doc_id2", jaccard($"grams", $"grams2").as("j"))
-      .distinct()
       .filter($"j" >= 0.5)
       .select($"doc_id", $"doc_id2", round($"j", 4).as("jaccard"))
       .orderBy($"doc_id", $"doc_id2")
   }
 
-  /** Embedding-cosine near-dup, label-blocked; double-precision cosine
-    * matches DuckDB's list_cosine_similarity over DOUBLE[] bit-for-bit.
-    */
+  /** Embedding-cosine near-dup pairs within each label block, scored by
+    * the fused single-pass cosine expression (bit-identical to DuckDB's
+    * list_cosine_similarity over DOUBLE[]).
+    *
+    * Why the block join stays exact rather than LSH-blocked: the
+    * operator's contract (and oracle) is ALL same-label pairs with
+    * cos ≥ 0.35. At that threshold the qualifying pairs sit at angles
+    * of 61–69°, where a random-hyperplane agreement probability is only
+    * ~0.61 vs 0.50 for unrelated pairs — no banding scheme has both
+    * recall ≈ 1 and sub-quadratic candidates, so any LSH blocking would
+    * silently drop oracle rows. The label key is the semantic block;
+    * within-block enumeration is the required output size. For the
+    * production near-dup regime (cos ≥ ~0.95, where hyperplane LSH is
+    * selective AND near-complete) use [[embeddingLshPairs]], which is
+    * recall-tested in DedupSpec. */
   def dedup_embedding(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, d)
@@ -110,6 +163,32 @@ object Dedup {
       .filter($"cos" >= 0.35)
       .select($"label", $"vec_id", $"vec_id2", round($"cos", 6).as("cos_sim"))
       .orderBy($"vec_id", $"vec_id2")
+  }
+
+  /** Scale path for embedding near-dup at a true near-duplicate
+    * threshold: multi-band random-hyperplane LSH blocking + exact
+    * cosine rescoring. At cos ≥ 0.95 a hyperplane agrees w.p. ~0.90,
+    * so `bands`×`r` = 16×8 gives per-pair recall ≈ 1-(1-0.9⁸)¹⁶ ≈ 0.9996
+    * while unrelated pairs (p≈0.5) collide w.p. ≈ 16/2⁸ ≈ 6% — linear
+    * candidate volume at corpus scale. Input: (id: long, vec:
+    * array<float|double>). Output: (id, id2, cos_sim ≥ threshold). */
+  def embeddingLshPairs(vecs: DataFrame, threshold: Double,
+      bands: Int = 16, r: Int = 8, dim: Int = 64): DataFrame = {
+    require(bands * r <= 64, "bands*r must fit in one 64-bit signature")
+    val planes = VectorFunctions.randomPlanes(bands * r, dim)
+    val mask = (1L << r) - 1
+    val sigs = vecs.select(col("id"), col("vec"),
+      VectorFunctions.hyperplaneSignature(col("vec"), planes).as("sig"))
+    val bandStructs = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("sig"), b * r).bitwiseAND(lit(mask)).as("bkey"))
+    }: _*)
+    bucketPairs(sigs, "id", bandStructs)
+      .join(sigs.select(col("id"), col("vec")), "id")
+      .join(sigs.select(col("id").as("id2"), col("vec").as("vec2")), "id2")
+      .select(col("id"), col("id2"),
+        VectorFunctions.cosine(col("vec"), col("vec2")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

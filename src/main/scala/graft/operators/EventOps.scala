@@ -5,10 +5,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-/** §2.4 Event / streaming analytics, batch form. The streaming forms
-  * (Structured Streaming with watermarks / stateful sessionization)
-  * live in graft.streaming and are asserted equivalent to these in the
-  * test suite; these batch plans are what the DuckDB oracle can check.
+/** §2.4 Event / streaming analytics, batch form. The Structured
+  * Streaming forms (watermarked windowed agg, session_window, and
+  * flatMapGroupsWithState sessionization) live in
+  * [[graft.streaming.StreamingOps]] and are asserted equivalent to
+  * these batch plans in StreamingSpec (memory-stream in, memory sink
+  * out); these batch plans are what the DuckDB oracle can check.
   * Sessionization = gap-based session_window semantics (30-min gap),
   * expressed with lag + cumulative-sum so batch and oracle agree
   * microsecond-exactly.

@@ -3,7 +3,6 @@ package graft.operators
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** §2.3 HopsFS-metadata-style analytics. HopsFS's pitch is that
   * NameNode metadata lives in an in-memory SQL database and "can now be
@@ -51,10 +50,12 @@ object MetadataOps {
   /** Quota enforcement — directories above 1.05× the mean usage. */
   def fs_quota_check(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // scalar mean via agg + broadcast cross join — a global (unpartitioned)
+    // window here would funnel the whole aggregate through one task.
     val usage = Tables.documents(s, d)
       .groupBy($"source").agg(sum($"n_chars").as("bytes_used"))
     usage
-      .withColumn("mean_used", avg($"bytes_used").over(Window.partitionBy()))
+      .crossJoin(broadcast(usage.agg(avg($"bytes_used").as("mean_used"))))
       .filter($"bytes_used" > $"mean_used" * 1.05)
       .select($"source", $"bytes_used", round($"mean_used", 2).as("mean_used"))
       .orderBy($"source")

@@ -189,8 +189,10 @@ object Relational {
       .filter($"l_shipdate" >= dt("1996-01-01") && $"l_shipdate" < dt("1996-04-01"))
       .groupBy($"l_suppkey")
       .agg(sum($"l_extendedprice" * (lit(1) - $"l_discount")).as("total_revenue"))
+    // scalar max via agg + broadcast cross join — a global (unpartitioned)
+    // window here would funnel the whole aggregate through one task.
     val top = rev
-      .withColumn("mx", max($"total_revenue").over(Window.partitionBy()))
+      .crossJoin(broadcast(rev.agg(max($"total_revenue").as("mx"))))
       .filter($"total_revenue" === $"mx")
     top.join(Tables.supplier(s, d), $"l_suppkey" === $"s_suppkey")
       .select($"s_suppkey", $"s_name", round($"total_revenue", 2).as("total_revenue"))

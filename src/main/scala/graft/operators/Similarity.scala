@@ -9,10 +9,18 @@ import org.apache.spark.sql.expressions.Window
 /** §2.6 Similarity search over the embeddings table.
   *
   * Brute force: the query set is small → broadcast it and stream the
-  * corpus; ranking is a per-query window (top-k inside each partition
-  * first via AQE). LSH: random-hyperplane signatures bucket the corpus,
-  * candidates come from an equi-join on (bucket), so the 100 TB path
-  * never materializes the full cross product.
+  * corpus; scoring is the fused single-pass cosine expression; ranking
+  * is a per-query window. LSH: one 64-hyperplane signature per vector,
+  * split into 16 bands of 4 bits = 16 independent hash tables (the
+  * OR-construction). Candidates are the union of per-band bucket
+  * collisions, deduplicated BEFORE exact-cosine rescoring. r1 shipped a
+  * single 12-bit table, whose buckets were so sparse that recall was 0
+  * (empty output); the banded form trades bits-per-table for tables so
+  * each neighbor only needs to agree on one 4-bit band. Band width/count
+  * are parameters: corpora with tighter neighbor angles (real embedding
+  * near-dups) support wider bands and proportionally sparser candidate
+  * sets — at 100 TB the band join is a plain shuffled equi-join either
+  * way, and recall is asserted against brute force in SimilaritySpec.
   */
 object Similarity {
 
@@ -33,21 +41,39 @@ object Similarity {
       .orderBy($"qid", $"rank")
   }
 
-  /** LSH-bucketed approximate top-k: 12 hyperplane sign bits → bucket;
-    * neighbors ranked within the query's bucket only. */
+  /** Multi-table LSH approximate top-5: 16 bands × 4 bits over one
+    * 64-plane signature; per-band bucket equi-join → distinct (qid,
+    * nid) candidates → exact cosine → per-query top-5. */
   def ann_lsh(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val planes = randomPlanes(12, 64)
+    val bands = 16; val r = 4
+    val planes = randomPlanes(bands * r, 64)
+    val mask = (1L << r) - 1
     val e = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding",
-        hyperplaneSignature($"embedding", planes).as("bucket"))
-    val q = e.filter($"vec_id" < 16)
-      .select($"vec_id".as("qid"), $"embedding".as("qvec"), $"bucket".as("qbucket"))
-    val cand = e.join(q, $"bucket" === $"qbucket" && $"vec_id" =!= $"qid")
-    cand.select($"qid", $"vec_id".as("nid"),
-        cosine($"qvec", $"embedding").as("cos"), $"qbucket")
-      .withColumn("rank", row_number().over(Window.partitionBy($"qid")
-        .orderBy($"cos".desc, $"nid")))
+        hyperplaneSignature($"embedding", planes).as("sig"))
+    def bucketed(df: DataFrame, idCol: String): DataFrame = df
+      .select(col("vec_id").as(idCol),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("sig"), b * r).bitwiseAND(lit(mask)).as("bkey"))
+        }: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as(s"band_$idCol"),
+        col("bk.bkey").as(s"bkey_$idCol"))
+    val corpusBuckets = bucketed(e, "nid")
+    val queryBuckets = bucketed(e.filter($"vec_id" < 16), "qid")
+    val cand = corpusBuckets
+      .join(broadcast(queryBuckets),
+        $"band_nid" === $"band_qid" && $"bkey_nid" === $"bkey_qid" &&
+          $"nid" =!= $"qid")
+      .select($"qid", $"nid").distinct()
+    val scored = cand
+      .join(e.select($"vec_id".as("nid"), $"embedding"), "nid")
+      .join(broadcast(e.filter($"vec_id" < 16)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))), "qid")
+      .select($"qid", $"nid", cosine($"qvec", $"embedding").as("cos"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")))
       .filter($"rank" <= 5)
       .select($"qid", $"rank", $"nid", round($"cos", 6).as("cos_sim"))
       .orderBy($"qid", $"rank")

@@ -90,8 +90,7 @@ object TextOps {
     Tables.documents(s, d)
       .select($"doc_id", size(hashes).cast("long").as("n_grams"),
         size(mins).cast("long").as("n_selected"),
-        aggregate(mins, lit(1469598103934665603L),
-          (acc, h) => (acc.bitwiseXOR(h)) * lit(1099511628211L)).as("fingerprint"))
+        fnvFold64(mins).as("fingerprint"))
       .orderBy($"doc_id")
   }
 
