@@ -53,6 +53,7 @@ for path in sorted(glob.glob(f"{outdir}/*")):
             bad.append((name, str(ex).split("\n")[0][:200]))
 
 print(f"== OK ({len(ok)}):", " ".join(ok))
+empty = [n for n, c in rowsonly if c == 0]
 for n, c in rowsonly:
     flag = " (EMPTY!)" if c == 0 else ""
     print(f"== ROWS-ONLY: {n}: {c} rows{flag}")
@@ -60,4 +61,5 @@ for n, m in bad:
     print(f"== MISMATCH: {n}: {m}")
 for n, m in failed:
     print(f"== FAILED: {n}: {m}")
-sys.exit(1 if (bad or failed) else 0)
+# an empty rows-only result is a dead operator (the r1 ann_lsh case)
+sys.exit(1 if (bad or failed or empty) else 0)

@@ -1,5 +1,18 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark: every registered query, full materialization.
+  *
+  * Methodology (fixes the r1 mismeasurement): results are written to
+  * the `noop` format sink, which evaluates every output row — a bare
+  * `.count()` let Catalyst prune unreferenced projections and
+  * eliminate sorts (mr_sort never sorted; text_fingerprint never
+  * hashed). One untimed warmup pass absorbs JIT/codegen warmup so
+  * per-query numbers are comparable regardless of map-iteration order.
+  * Failures are reported loudly in an "errors" field (value -1), never
+  * silently recorded as a fast green time.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +20,40 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def runOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).takeWhile(_ != '\n').take(200)}")
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1")
+      ordered.foreach { case (_, fn) => runOne(fn) }
+    val results = ordered.map { case (name, fn) => name -> runOne(fn) }
+
+    results.foreach {
+      case (n, Left(err)) => System.err.println(s"[bench] FAILED $n: $err")
+      case _ =>
+    }
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "'") + "\""
+    val qs = results.map { case (k, v) =>
+      jstr(k) + ":" + v.fold(_ => "-1", t => f"$t%.3f")
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, Left(m)) => jstr(k) + ":" + jstr(m) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, Right(v)) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

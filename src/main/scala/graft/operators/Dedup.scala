@@ -168,12 +168,12 @@ object Dedup {
   /** Scale path for embedding near-dup at a true near-duplicate
     * threshold: multi-band random-hyperplane LSH blocking + exact
     * cosine rescoring. At cos ≥ 0.95 a hyperplane agrees w.p. ~0.90,
-    * so `bands`×`r` = 16×8 gives per-pair recall ≈ 1-(1-0.9⁸)¹⁶ ≈ 0.9996
-    * while unrelated pairs (p≈0.5) collide w.p. ≈ 16/2⁸ ≈ 6% — linear
+    * so `bands`×`r` = 8×8 gives per-pair recall ≈ 1-(1-0.9⁸)⁸ ≈ 0.99
+    * while unrelated pairs (p≈0.5) collide w.p. ≈ 8/2⁸ ≈ 3% — linear
     * candidate volume at corpus scale. Input: (id: long, vec:
     * array<float|double>). Output: (id, id2, cos_sim ≥ threshold). */
   def embeddingLshPairs(vecs: DataFrame, threshold: Double,
-      bands: Int = 16, r: Int = 8, dim: Int = 64): DataFrame = {
+      bands: Int = 8, r: Int = 8, dim: Int = 64): DataFrame = {
     require(bands * r <= 64, "bands*r must fit in one 64-bit signature")
     val planes = VectorFunctions.randomPlanes(bands * r, dim)
     val mask = (1L << r) - 1

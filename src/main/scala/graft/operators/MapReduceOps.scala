@@ -85,7 +85,59 @@ object MapReduceOps {
       .orderBy($"len")
   }
 
+  /** TeraValidate (reference: hadoop-mapreduce-examples/.../terasort/
+    * TeraValidate.java) — validate mr_sort's total order the way
+    * terasort's validator does: each partition checks its own
+    * local order and reports its boundary keys; partition boundaries
+    * are then checked to be non-overlapping in partition order. Only
+    * one tiny summary row per partition leaves the executors, so the
+    * check costs one scan at any scale. Output: row count, observed
+    * inversions (must be 0), and the first/last keys of the global
+    * order (oracled against max/min in DuckDB).
+    */
+  def mr_sort_validate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sorted = mr_sort(s, d)
+      .select($"l_extendedprice", $"l_orderkey", $"l_linenumber")
+      .as[(Double, Long, Long)]
+    // sort key: price DESC, then orderkey ASC, linenumber ASC
+    def before(a: (Double, Long, Long), b: (Double, Long, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 &&
+        (a._2 < b._2 || (a._2 == b._2 && a._3 <= b._3)))
+    val summaries = sorted.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          var first: (Double, Long, Long) = null
+          var prev: (Double, Long, Long) = null
+          var inversions = 0L
+          var cnt = 0L
+          it.foreach { row =>
+            if (first == null) first = row
+            else if (!before(prev, row)) inversions += 1
+            prev = row; cnt += 1
+          }
+          Iterator((pid, first, prev, inversions, cnt))
+        }
+      }
+      .collect()
+      .sortBy(_._1)
+    // cross-partition boundary check (summaries are tiny: one/partition)
+    val boundaryInversions = summaries.sliding(2).count {
+      case Array(a, b) => !before(a._3, b._2)
+      case _ => false
+    }
+    val totalRows = summaries.map(_._5).sum
+    val totalInv = summaries.map(_._4).sum + boundaryInversions
+    val (firstPrice, lastPrice) =
+      if (summaries.isEmpty) (0.0, 0.0)
+      else (summaries.head._2._1, summaries.last._3._1)
+    Seq((totalRows, totalInv, firstPrice, lastPrice))
+      .toDF("total_rows", "n_inversions", "first_price", "last_price")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mr_sort_validate" -> mr_sort_validate _,
     "mr_wordcount" -> mr_wordcount _,
     "mr_grep" -> mr_grep _,
     "mr_sort" -> mr_sort _,
@@ -95,6 +147,12 @@ object MapReduceOps {
     "mr_histogram" -> mr_histogram _)
 
   val oracle: Map[String, String] = Map(
+    "mr_sort_validate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS total_rows,
+        | CAST(0 AS BIGINT) AS n_inversions,
+        | round(max(l_extendedprice),2) AS first_price,
+        | round(min(l_extendedprice),2) AS last_price
+        |FROM lineitem""".stripMargin,
     "mr_wordcount" ->
       """SELECT word, count(*) AS cnt FROM (
         |  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)

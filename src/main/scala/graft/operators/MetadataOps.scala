@@ -88,12 +88,36 @@ object MetadataOps {
       .orderBy($"doc_id")
   }
 
+  /** Reed-Solomon parity (hops-erasure-coding-project's RS codec — see
+    * [[graft.functions.ReedSolomon]]): stripe each document's payload
+    * into k=4 data blocks, compute m=2 GF(2^8) parity blocks (any 2
+    * erasures recoverable — round-tripped in ReedSolomonSpec), report
+    * both parity fingerprints. Pure map, no shuffle at 100 TB.
+    * Oracle: rows-only (GF(256) math isn't ANSI-SQL-expressible). */
+  def ec_parity_rs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.ReedSolomon
+    val k = 4; val m = 2
+    Tables.documents(s, d)
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"), $"n_chars")
+      .as[(Long, Array[Byte], Long)]
+      .map { case (id, payload, n) =>
+        val data = ReedSolomon.stripe(payload, k)
+        val parity = ReedSolomon.encode(data, m)
+        (id, n, data(0).length,
+          ReedSolomon.fingerprint(parity(0)), ReedSolomon.fingerprint(parity(1)))
+      }
+      .toDF("doc_id", "bytes", "stripe_size", "parity_fp_0", "parity_fp_1")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fs_du" -> fs_du _,
     "fs_block_histogram" -> fs_block_histogram _,
     "fs_hot_keys" -> fs_hot_keys _,
     "fs_quota_check" -> fs_quota_check _,
-    "ec_parity" -> ec_parity _)
+    "ec_parity" -> ec_parity _,
+    "ec_parity_rs" -> ec_parity_rs _)
 
   val oracle: Map[String, String] = Map(
     "fs_du" ->

@@ -1,0 +1,82 @@
+package graft.sources
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.util.Properties
+
+/** External source/sink surface beyond parquet. The reference's canonical
+  * DB-backed workload is hadoop-mapreduce-examples/src/main/java/org/
+  * apache/hadoop/examples/DBCountPageView.java (MapReduce over a JDBC
+  * pageview table); re-expressed here as Spark JDBC read/write against
+  * embedded Derby. CSV ingest covers flat-file ETL: schema-explicit
+  * reads so malformed rows fail loudly and the scan stays columnar.
+  *
+  * At scale: `spark.read.jdbc` supports partitioned reads
+  * (partitionColumn/num-partitions) for parallel ingest; CSV reads
+  * split by file/line ranges automatically. Derby here is the
+  * zero-egress stand-in for any JDBC endpoint.
+  */
+object Sources {
+  // Keep Derby's home (derby.log) out of the repo checkout.
+  System.setProperty("derby.system.home", System.getProperty("java.io.tmpdir"))
+
+  val jdbcUrl = "jdbc:derby:memory:graftdb;create=true"
+
+  def jdbcProps: Properties = {
+    val p = new Properties()
+    p.put("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    p
+  }
+
+  /** DBCountPageView equivalent: aggregate pageviews per user from the
+    * events log, round-trip the result through a JDBC table (write →
+    * read back), exactly the reference's DB-backed reporting shape.
+    * The aggregate (not the raw log) crosses the JDBC boundary — at
+    * 100 TB the log stays columnar and only grouped results hit the
+    * row store. */
+  def src_jdbc_pageview(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val views = Tables.events(s, d)
+      .filter($"event_type" === "view")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_views"))
+    views.coalesce(1).write.mode("overwrite")
+      .jdbc(jdbcUrl, "pageviews", jdbcProps)
+    s.read.jdbc(jdbcUrl, "pageviews", jdbcProps)
+      .orderBy($"user_id")
+  }
+
+  /** CSV ingest: export a dimension to CSV once (tmp), then read it
+    * back with an explicit schema and aggregate — the flat-file ETL
+    * path. Output matches a parquet-side oracle, proving the CSV
+    * reader preserves types/values. */
+  def src_csv_agg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_csv_${d.hashCode.toHexString}")
+    val part = Tables.part(s, d)
+    part.write.mode("overwrite").option("header", "true").csv(dir.getPath)
+    s.read
+      .option("header", "true")
+      .schema(part.schema)
+      .csv(dir.getPath)
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_parts"),
+        round(avg($"p_retailprice"), 2).as("avg_price"))
+      .orderBy($"p_brand")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_jdbc_pageview" -> src_jdbc_pageview _,
+    "src_csv_agg" -> src_csv_agg _)
+
+  val oracle: Map[String, String] = Map(
+    "src_jdbc_pageview" ->
+      """SELECT user_id, count(*) AS n_views FROM events
+        |WHERE event_type = 'view' GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src_csv_agg" ->
+      """SELECT p_brand, count(*) AS n_parts,
+        | round(avg(p_retailprice),2) AS avg_price
+        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin)
+}

@@ -1,0 +1,120 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** §2.4 Structured Streaming forms of the event analytics. Each
+  * transform takes the (streaming or batch) events DataFrame and
+  * declares the plan — `readStream` source and `writeStream` sink stay
+  * with the caller, so the same code serves production streams and the
+  * StreamingSpec equivalence tests (MemoryStream in, memory sink out,
+  * asserted equal to the graft.operators.EventOps batch results).
+  *
+  * Scale posture: windowed aggregates are partial-aggregated per
+  * micro-batch and keyed-state is partitioned by (window/user) key, so
+  * state scales out with executors; watermarks bound state size.
+  */
+object StreamingOps extends Serializable {
+
+  /** Event row as fed to the stateful operators. */
+  final case class Ev(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
+
+  /** Emitted session — matches EventOps.ev_sessionize's output
+    * (session_id is the per-user ordinal; session_value is the RAW
+    * sum — callers apply presentation rounding). */
+  final case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+      session_start: Timestamp, session_end: Timestamp, session_value: Double)
+
+  /** Keyed session state (public: Spark's generated serializer code
+    * must be able to resolve the accessors). */
+  final case class SessState(sessionOrdinal: Long, startUs: Long,
+      endUs: Long, nEvents: Long, value: Double)
+
+  /** Tumbling 1-hour windowed count/sum per event type with a 2-hour
+    * watermark (the streaming form of ev_window_agg). */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Gap-based sessionization via the built-in session_window (the
+    * production streaming path for ev_sessionize): sessions close when
+    * the watermark passes start-of-gap. */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 second")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("session_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("session_value"))
+
+  /** Gap-based sessionization with explicit keyed state
+    * (flatMapGroupsWithState) — the custom-state form: one open
+    * session per user is held in state; an event past the gap closes
+    * and emits the previous session; event-time timeout flushes the
+    * final session once the watermark passes end+gap.
+    *
+    * Within a micro-batch, events are processed in event-time order;
+    * across batches ordering is guaranteed by the watermark contract
+    * (late events beyond the watermark are dropped upstream by
+    * `withWatermark` on the caller's stream).
+    */
+  /** Timestamp <-> epoch micros without precision loss (the events
+    * table carries microsecond timestamps; Timestamp.getTime alone
+    * would truncate to millis). */
+  private def tsToUs(ts: Timestamp): Long =
+    ts.getTime / 1000 * 1000000 + ts.getNanos / 1000
+  private def usToTs(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000) * 1000)
+    t.setNanos((Math.floorMod(us, 1000000) * 1000).toInt)
+    t
+  }
+
+  def sessionizeStateful(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    implicit val longEnc: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+    implicit val stateEnc: org.apache.spark.sql.Encoder[SessState] =
+      org.apache.spark.sql.Encoders.product[SessState]
+    implicit val outEnc: org.apache.spark.sql.Encoder[SessionOut] =
+      org.apache.spark.sql.Encoders.product[SessionOut]
+
+    def toOut(userId: Long, st: SessState): SessionOut =
+      SessionOut(userId, st.sessionOrdinal, st.nEvents,
+        usToTs(st.startUs), usToTs(st.endUs), st.value)
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Ev], state: GroupState[SessState]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            // watermark passed the open session's end + gap: flush it
+            val out = state.getOption.map(toOut(userId, _)).toList
+            state.remove()
+            out.iterator
+          } else {
+            val closed = List.newBuilder[SessionOut]
+            var st = state.getOption.orNull
+            batch.toSeq.sortBy(e => (tsToUs(e.ts), e.event_id)).foreach { e =>
+              val us = tsToUs(e.ts)
+              if (st == null) {
+                st = SessState(1L, us, us, 1L, e.value)
+              } else if (us - st.endUs > gapUs) {
+                closed += toOut(userId, st)
+                st = SessState(st.sessionOrdinal + 1, us, us, 1L, e.value)
+              } else {
+                st = st.copy(endUs = us, nEvents = st.nEvents + 1, value = st.value + e.value)
+              }
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st.endUs / 1000 + gapMinutes.toLong * 60 * 1000 + 1)
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import graft.functions.{ExprKernels, TextFunctions, VectorFunctions}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+
+/** The custom expression kernels against independent reference
+  * implementations (seeded-random sampling where cheap). */
+class KernelSpec extends SparkSpec {
+
+  private def refSimhash(features: Seq[Long]): Long = {
+    // independent re-derivation: majority vote per bit
+    (0 until 64).map { j =>
+      val ones = features.count(h => ((h >>> j) & 1L) == 1L)
+      if (ones * 2 > features.size) 1L << j else 0L
+    }.foldLeft(0L)(_ | _)
+  }
+
+  test("simhash64 kernel matches reference majority-vote implementation") {
+    val rnd = new scala.util.Random(7)
+    (0 until 200).foreach { _ =>
+      val hs = List.fill(rnd.nextInt(40))(rnd.nextLong())
+      val got = ExprKernels.simhash64(new GenericArrayData(hs.toArray))
+      assert(got == refSimhash(hs))
+    }
+  }
+
+  test("minhash signature: identical sets agree, disjoint sets do not") {
+    val a = new GenericArrayData(Array.tabulate(50)(i => i * 0x9e3779b97f4a7c15L))
+    val b = new GenericArrayData(Array.tabulate(50)(i => i * 0x9e3779b97f4a7c15L))
+    val c = new GenericArrayData(Array.tabulate(50)(i => (i + 1000) * 0x61c8864680b583ebL))
+    val sa = ExprKernels.minhashSig(a, 32).toLongArray()
+    val sb = ExprKernels.minhashSig(b, 32).toLongArray()
+    val sc = ExprKernels.minhashSig(c, 32).toLongArray()
+    assert(sa.sameElements(sb))
+    val agree = sa.zip(sc).count { case (x, y) => x == y }
+    assert(agree < 8, s"disjoint sets should rarely agree, got $agree/32")
+  }
+
+  test("minhash agreement estimates Jaccard for overlapping sets") {
+    // A = h(0..99), B = h(50..149): |A∩B| = 50, |A∪B| = 150, J = 1/3
+    val a = new GenericArrayData(Array.tabulate(100)(i => ExprKernels.fnv64Fold(
+      new GenericArrayData(Array(i.toLong)))))
+    val b = new GenericArrayData(Array.tabulate(100)(i => ExprKernels.fnv64Fold(
+      new GenericArrayData(Array((i + 50).toLong)))))
+    val k = 256
+    val sa = ExprKernels.minhashSig(a, k).toLongArray()
+    val sb = ExprKernels.minhashSig(b, k).toLongArray()
+    val est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / k
+    val trueJ = 50.0 / 150.0
+    assert(math.abs(est - trueJ) < 0.12, s"est $est vs true $trueJ")
+  }
+
+  test("cosine expression matches HOF formulation on real embeddings") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf0001).limit(20)
+    val a = e.select($"vec_id", $"embedding")
+    val b = e.select($"vec_id".as("vec_id2"), $"embedding".as("embedding2"))
+    // HOF reference: cast to double, fold dot and norms separately
+    def hofDot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    def hofNorm(x: org.apache.spark.sql.Column) =
+      sqrt(aggregate(x, lit(0.0), (acc, v) => acc + v * v))
+    val both = a.crossJoin(b).filter($"vec_id" < $"vec_id2")
+      .select(
+        VectorFunctions.cosine($"embedding", $"embedding2").as("fused"),
+        (hofDot($"embedding".cast("array<double>"), $"embedding2".cast("array<double>")) /
+          (hofNorm($"embedding".cast("array<double>")) *
+            hofNorm($"embedding2".cast("array<double>")))).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1),
+        s"fused ${r.getDouble(0)} != hof ${r.getDouble(1)}")
+    }
+  }
+
+  test("wordNgramHashes agrees with the HOF ngram set on count") {
+    import spark.implicits._
+    val got = Tables.documents(spark, sf0001)
+      .select(size(TextFunctions.shingleHashes($"text", 3)).as("kernel_n"),
+        size(TextFunctions.wordNgramSet($"text", 3)).as("hof_n"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getInt(0) == r.getInt(1),
+        s"kernel ${r.getInt(0)} grams != HOF ${r.getInt(1)}")
+    }
+  }
+
+  test("hyperplane signature is deterministic and discriminative") {
+    import spark.implicits._
+    val planes = VectorFunctions.randomPlanes(16, 64)
+    val sigs = Tables.embeddings(spark, sf0001)
+      .select(VectorFunctions.hyperplaneSignature($"embedding", planes).as("sig"))
+      .collect().map(_.getLong(0))
+    assert(sigs.distinct.length > 1, "signatures must vary across vectors")
+    val again = Tables.embeddings(spark, sf0001)
+      .select(VectorFunctions.hyperplaneSignature($"embedding", planes).as("sig"))
+      .collect().map(_.getLong(0))
+    assert(sigs.sameElements(again))
+  }
+}

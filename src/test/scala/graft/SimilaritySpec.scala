@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** ANN and near-dup recall guarantees — the checks that keep ann_lsh
+  * from ever regressing to the r1 empty-output state. */
+class SimilaritySpec extends SparkSpec {
+
+  test("ann_lsh recall@5 >= 0.8 vs brute force at sf0.01, and non-empty") {
+    val brute = Similarity.ann_topk_brute(spark, sf001)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.ann_lsh(spark, sf001)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.nonEmpty, "ann_lsh returned no rows (the r1 regression)")
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall@5 $recall < 0.8")
+  }
+
+  test("embeddingLshPairs finds planted near-duplicates selectively") {
+    import spark.implicits._
+    // 400 random unit-ish vectors + 40 planted near-dups (tiny noise,
+    // cos >= ~0.99) — the production near-dup regime this LSH targets.
+    val rnd = new scala.util.Random(11)
+    val dim = 64
+    val base = (0 until 400).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian()))
+    }
+    val planted = (0 until 40).map { i =>
+      val (srcId, src) = base(i * 7 % 400)
+      (1000L + i, src.map(v => v + rnd.nextGaussian() * 0.02), srcId)
+    }
+    val all = (base ++ planted.map(p => (p._1, p._2)))
+      .map { case (id, v) => (id, v) }.toDF("id", "vec")
+    val got = Dedup.embeddingLshPairs(all, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = planted.map(p => (math.min(p._3, p._1), math.max(p._3, p._1))).toSet
+    val recall = (expected & got).size.toDouble / expected.size
+    assert(recall >= 0.9, s"planted near-dup recall $recall < 0.9")
+    // selectivity: far fewer scored pairs than the all-pairs join
+    val allPairs = 440L * 439 / 2
+    assert(got.size < allPairs / 20,
+      s"LSH candidate output ${got.size} not selective vs $allPairs")
+  }
+}

@@ -1,0 +1,132 @@
+package graft
+
+import graft.operators.EventOps
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{Ev, SessionOut}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import java.sql.Timestamp
+
+/** Top-level so Spark can derive an encoder (inner classes need their
+  * defining scope at deserialization time). */
+case class EvFull(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Structured Streaming ≡ batch: the §2.4 streaming forms fed from a
+  * MemoryStream must reproduce the batch EventOps results on the same
+  * events (sf0.001). */
+class StreamingSpec extends SparkSpec {
+
+  private def loadEvents(): Seq[EvFull] = {
+    import spark.implicits._
+    Tables.events(spark, sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EvFull].collect().toSeq
+  }
+
+  private def drain(q: StreamingQuery): Unit = q.processAllAvailable()
+
+  test("windowed aggregate with watermark matches batch ev_window_agg") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[EvFull]
+    val q = StreamingOps.windowedAgg(ms.toDF())
+      .writeStream.format("memory").queryName("t_wagg")
+      .outputMode("complete").start()
+    try {
+      ms.addData(loadEvents())
+      drain(q)
+      val got = spark.table("t_wagg")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+      val exp = EventOps.ev_window_agg(spark, sf0001)
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+      assert(got.keySet == exp.keySet)
+      exp.foreach { case (k, (n, v)) =>
+        assert(got(k)._1 == n, s"$k count")
+        assert(math.abs(got(k)._2 - v) < 1e-6, s"$k sum")
+      }
+    } finally q.stop()
+  }
+
+  test("session_window streaming sessionization matches batch sessions") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = loadEvents()
+    val maxTs = events.map(_.ts.getTime).max
+    val ms = MemoryStream[EvFull]
+    val q = StreamingOps.sessionWindowAgg(ms.toDF())
+      .writeStream.format("memory").queryName("t_sesswin")
+      .outputMode("append").start()
+    try {
+      ms.addData(events)
+      drain(q)
+      // two sentinel batches push the watermark past every real session
+      // (watermark advances at end-of-batch, emission happens next batch)
+      val sentinel = EvFull(-1L, new Timestamp(maxTs + 86400000L * 2), -1L, "view", 0.0)
+      ms.addData(Seq(sentinel)); drain(q)
+      ms.addData(Seq(sentinel.copy(event_id = -2L))); drain(q)
+      val got = spark.table("t_sesswin")
+        .filter($"user_id" >= 0)
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+      // batch columns: user_id, session_id, n_events, session_start,
+      // session_end, session_value
+      val exp = EventOps.ev_sessionize(spark, sf0001)
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(3)) -> (r.getLong(2), r.getDouble(5)))
+        .toMap
+      assert(got.keySet == exp.keySet,
+        s"sessions differ: missing=${(exp.keySet -- got.keySet).take(3)} extra=${(got.keySet -- exp.keySet).take(3)}")
+      exp.foreach { case (k, (n, v)) =>
+        assert(got(k)._1 == n, s"$k n_events")
+        assert(math.abs(got(k)._2 - v) < 0.011, s"$k session_value")
+      }
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization equals batch ev_sessionize") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = loadEvents()
+    val maxTs = events.map(_.ts.getTime).max
+    val ms = MemoryStream[Ev]
+    val withWm = ms.toDS().withWatermark("ts", "0 seconds").as[Ev]
+    val q = StreamingOps.sessionizeStateful(withWm)
+      .writeStream.format("memory").queryName("t_fmgws")
+      .outputMode("append").start()
+    try {
+      ms.addData(events.map(e => Ev(e.event_id, e.ts, e.user_id, e.value)))
+      drain(q)
+      val sentinel = Ev(-1L, new Timestamp(maxTs + 86400000L * 2), -1L, 0.0)
+      ms.addData(Seq(sentinel)); drain(q)
+      ms.addData(Seq(sentinel.copy(event_id = -2L))); drain(q)
+      val got = spark.table("t_fmgws")
+        .filter($"user_id" >= 0)
+        .withColumn("session_value", round($"session_value", 2))
+        .as[SessionOut].collect()
+        .map(s => (s.user_id, s.session_id) ->
+          (s.n_events, s.session_start, s.session_end, s.session_value))
+        .toMap
+      val exp = EventOps.ev_sessionize(spark, sf0001)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getTimestamp(3), r.getTimestamp(4), r.getDouble(5)))
+        .toMap
+      assert(got.keySet == exp.keySet,
+        s"sessions differ: missing=${(exp.keySet -- got.keySet).take(3)} extra=${(got.keySet -- exp.keySet).take(3)}")
+      exp.foreach { case (k, (n, st, en, v)) =>
+        val (gn, gst, gen, gv) = got(k)
+        assert(gn == n, s"$k n_events")
+        assert(gst == st, s"$k start")
+        assert(gen == en, s"$k end")
+        assert(math.abs(gv - v) < 0.011, s"$k value $gv vs $v")
+      }
+    } finally q.stop()
+  }
+}
