@@ -37,9 +37,14 @@ object Bench {
     }
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1")
-      ordered.foreach { case (_, fn) => runOne(fn) }
-    val results = ordered.map { case (name, fn) => name -> runOne(fn) }
+    def pass(label: String): Seq[(String, Either[String, Double])] =
+      ordered.map { case (name, fn) =>
+        val r = runOne(fn)
+        System.err.println(f"[bench:$label] $name ${r.fold(e => s"ERR $e", t => f"$t%.2f s")}")
+        name -> r
+      }
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1") pass("warmup")
+    val results = pass("measured")
 
     results.foreach {
       case (n, Left(err)) => System.err.println(s"[bench] FAILED $n: $err")

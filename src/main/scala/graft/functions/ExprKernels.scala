@@ -126,6 +126,52 @@ object ExprKernels {
     new GenericArrayData(java.util.Arrays.copyOf(grams, uniq))
   }
 
+  /** Winnowing fingerprint stats over character n-grams, one pass:
+    * hash every n-gram (FNV-1a over lowercased chars), take the min of
+    * each w-wide window, dedupe the minima in first-occurrence order,
+    * and fold them into one FNV fingerprint. Returns
+    * [n_grams, n_selected, fingerprint]. The column-level formulation
+    * (`transform(sequence, i -> array_min(slice(hashes, i, w)))`)
+    * re-evaluates the whole `hashes` subexpression per window position
+    * in interpreted mode — O(n_grams²) per row, which hung the sf0.1
+    * bench once the sink actually materialized the column.
+    */
+  def winnowStats(text: org.apache.spark.unsafe.types.UTF8String, n: Int, w: Int): Array[Long] = {
+    val s = text.toString
+    val len = s.length
+    val nGrams = math.max(0, len - n + 1)
+    if (nGrams == 0) return Array(0L, 0L, 1469598103934665603L)
+    val hashes = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      var h = 1469598103934665603L
+      var j = i
+      while (j < i + n) {
+        h = (h ^ Character.toLowerCase(s.charAt(j)).toInt) * 1099511628211L
+        j += 1
+      }
+      hashes(i) = fmix64(h)
+      i += 1
+    }
+    val nWins = math.max(1, nGrams - w + 1)
+    val effW = math.min(w, nGrams)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    var fp = 1469598103934665603L
+    var selected = 0L
+    var p = 0
+    while (p < nWins) {
+      var mn = Long.MaxValue
+      var q = p
+      while (q < p + effW) { if (hashes(q) < mn) mn = hashes(q); q += 1 }
+      if (seen.add(mn)) {
+        fp = (fp ^ mn) * 1099511628211L
+        selected += 1
+      }
+      p += 1
+    }
+    Array(nGrams.toLong, selected, fp)
+  }
+
   /** FNV-1a-style 64-bit fold over a long array (wrapping multiply —
     * the HOF `aggregate` form throws ARITHMETIC_OVERFLOW under ANSI). */
   def fnv64Fold(hashes: ArrayData): Long = {

@@ -66,6 +66,22 @@ case class WordNgramHashExpr(child: Expression, n: Int) extends UnaryExpression 
   override def prettyName: String = "graft_word_ngram_hashes"
 }
 
+/** winnow_stats(string, n, w) -> array<long> [n_grams, n_selected,
+  * fingerprint] (single-pass winnowing fingerprint). */
+case class WinnowStatsExpr(child: Expression, n: Int, w: Int) extends UnaryExpression {
+  require(n > 0 && w > 0, "ngram width and window must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      ExprKernels.winnowStats(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, w))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.functions.ExprKernels.winnowStats($c, $n, $w))")
+  override protected def withNewChildInternal(newChild: Expression): WinnowStatsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_winnow_stats"
+}
+
 /** fnv64_fold(array<long>) -> long (wrapping FNV-1a-style fold). */
 case class Fnv64FoldExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType

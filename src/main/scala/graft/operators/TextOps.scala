@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.TextFunctions._
+import graft.functions.{GraftExpressions, WinnowStatsExpr}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -77,20 +78,18 @@ object TextOps {
   }
 
   /** Winnowing-style rolling-hash fingerprint: char-5-gram hashes,
-    * window-8 minima, fingerprint = fold of the distinct minima. */
+    * window-8 minima, fingerprint = FNV fold of the distinct minima —
+    * all in one codegen'd pass ([[WinnowStatsExpr]]; the column-level
+    * slice/array_min formulation was O(grams²) interpreted and hung the
+    * sf0.1 bench once the sink materialized it). */
   def text_fingerprint(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val grams = charNgrams($"text", 5)
-    val hashes = transform(grams, g => xxhash64(g))
-    val win = 8
-    val mins = when(size(hashes) >= win,
-      array_distinct(transform(sequence(lit(0), size(hashes) - win),
-        i => array_min(slice(hashes, i + 1, lit(win))))))
-      .otherwise(array(array_min(hashes)))
+    val stats = GraftExpressions.toColumn(
+      WinnowStatsExpr(GraftExpressions.toExpr($"text"), 5, 8))
     Tables.documents(s, d)
-      .select($"doc_id", size(hashes).cast("long").as("n_grams"),
-        size(mins).cast("long").as("n_selected"),
-        fnvFold64(mins).as("fingerprint"))
+      .select($"doc_id", stats.as("st"))
+      .select($"doc_id", $"st".getItem(0).as("n_grams"),
+        $"st".getItem(1).as("n_selected"), $"st".getItem(2).as("fingerprint"))
       .orderBy($"doc_id")
   }
 
@@ -125,5 +124,22 @@ object TextOps {
         | CAST(len(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS BIGINT) AS n_ws_tokens,
         | CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
         | CAST(length(text) AS BIGINT) AS n_chars_m
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // list_sort(structs,'DESC')[1] = max by (score, lang) lexicographic,
+    // the same tie-break as Spark's greatest(struct(score, lang))
+    "text_langid" ->
+      """SELECT doc_id, labeled_lang, best.lang AS pred_lang,
+        | CAST(best.score AS BIGINT) AS pred_score
+        |FROM (
+        | SELECT doc_id, lang AS labeled_lang, list_sort([
+        |  {'score': len(list_filter(words, w -> w IN ('the','a','of','and','is','to','in'))), 'lang': 'en'},
+        |  {'score': len(list_filter(words, w -> w IN ('le','la','et','les','des','un','une'))), 'lang': 'fr'},
+        |  {'score': len(list_filter(words, w -> w IN ('el','la','y','los','las','un','una'))), 'lang': 'es'},
+        |  {'score': len(list_filter(words, w -> w IN ('der','die','und','das','ein','eine','ist'))), 'lang': 'de'},
+        |  {'score': len(list_filter(words, w -> w IN ('de','shi','le','zai','you','wo','ta'))), 'lang': 'zh'}
+        |  ], 'DESC')[1] AS best
+        | FROM (SELECT doc_id, lang,
+        |   list_filter(string_split(lower(text), ' '), w -> w <> '') AS words
+        |  FROM documents))
+        |ORDER BY doc_id""".stripMargin)
 }
