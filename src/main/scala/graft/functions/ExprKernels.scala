@@ -182,6 +182,24 @@ object ExprKernels {
     acc
   }
 
+  /** Jaccard similarity of two SORTED distinct long arrays via linear
+    * merge — the scoring kernel for hash-shingled documents (the
+    * array_intersect/array_union built-ins hash-build per row and box
+    * elements). */
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na == 0 && nb == 0) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    inter.toDouble / union
+  }
+
   /** Fused dot product over two float arrays (each element widened to
     * double before multiply — same result as casting to array<double>
     * first, without materializing the cast copy). */

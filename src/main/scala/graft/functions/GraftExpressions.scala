@@ -94,6 +94,19 @@ case class Fnv64FoldExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_fnv64_fold"
 }
 
+/** jaccard_sorted(array<long>, array<long>) -> double; inputs must be
+  * sorted distinct (as produced by [[WordNgramHashExpr]]). */
+case class JaccardSortedExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ExprKernels.jaccardSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ExprKernels.jaccardSorted($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSortedExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_jaccard_sorted"
+}
+
 /** dot(arr, arr) -> double; both sides must share the element type. */
 case class DotExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType

@@ -76,4 +76,10 @@ object TextFunctions {
     val uni = size(array_union(a, b)).cast("double")
     when(uni === 0, lit(0.0)).otherwise(inter / uni)
   }
+
+  /** Exact Jaccard between two SORTED distinct long arrays (one-pass
+    * merge kernel — pairs-scoring hot path). */
+  def jaccardSorted(a: Column, b: Column): Column =
+    GraftExpressions.toColumn(
+      JaccardSortedExpr(GraftExpressions.toExpr(a), GraftExpressions.toExpr(b)))
 }

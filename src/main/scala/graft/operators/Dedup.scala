@@ -118,19 +118,20 @@ object Dedup {
     * the same gram set that is scored), not length-based — r1's
     * `floor(n_chars/64)` buckets had an O(1) key domain and went
     * near-quadratic. Banding at r=2 gives ≥99% recall at Jaccard 0.5
-    * (1-(1-0.5²)¹⁶); exact set Jaccard is then computed once per
-    * distinct candidate pair. */
+    * (1-(1-0.5²)¹⁶). Scoring runs once per distinct candidate pair on
+    * the SORTED distinct gram-hash arrays via a linear merge kernel
+    * (equivalent to string-set Jaccard up to 64-bit hash collisions;
+    * shuffles ~8-byte hashes instead of gram strings). */
   def dedup_ngram_jaccard(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val k = 32; val bands = 16; val r = 2
     val docs = Tables.documents(s, d)
-      .select($"doc_id", wordNgramSet($"text", 3).as("grams"))
-    val sigs = docs.select($"doc_id",
-      minhashSignature(transform($"grams", g => xxhash64(g)), k).as("sig"))
+      .select($"doc_id", shingleHashes($"text", 3).as("grams"))
+    val sigs = docs.select($"doc_id", minhashSignature($"grams", k).as("sig"))
     lshCandidatePairs(sigs, bands, r)
       .join(docs, "doc_id")
       .join(docs.select($"doc_id".as("doc_id2"), $"grams".as("grams2")), "doc_id2")
-      .select($"doc_id", $"doc_id2", jaccard($"grams", $"grams2").as("j"))
+      .select($"doc_id", $"doc_id2", jaccardSorted($"grams", $"grams2").as("j"))
       .filter($"j" >= 0.5)
       .select($"doc_id", $"doc_id2", round($"j", 4).as("jaccard"))
       .orderBy($"doc_id", $"doc_id2")

@@ -87,6 +87,20 @@ class KernelSpec extends SparkSpec {
     }
   }
 
+  test("jaccardSorted kernel matches the array_intersect/union formulation") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", TextFunctions.shingleHashes($"text", 3).as("g"))
+    val a = docs.limit(30)
+    val b = docs.limit(30).select($"doc_id".as("doc_id2"), $"g".as("g2"))
+    val rows = a.crossJoin(b).filter($"doc_id" < $"doc_id2")
+      .select(TextFunctions.jaccardSorted($"g", $"g2").as("kernel"),
+        TextFunctions.jaccard($"g", $"g2").as("hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
   test("hyperplane signature is deterministic and discriminative") {
     import spark.implicits._
     val planes = VectorFunctions.randomPlanes(16, 64)
