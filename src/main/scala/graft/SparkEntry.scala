@@ -15,13 +15,15 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ MapReduceOps.queries ++ MetadataOps.queries ++
-      EventOps.queries ++ Dedup.queries ++ Similarity.queries ++
-      TextOps.queries ++ Multimodal.queries ++ graft.sources.Sources.queries
+    Relational.queries ++ SqlSurface.queries ++ MapReduceOps.queries ++
+      MetadataOps.queries ++ EventOps.queries ++ Dedup.queries ++
+      Similarity.queries ++ TextOps.queries ++ Multimodal.queries ++
+      graft.sources.Sources.queries
 
   /** DuckDB-equivalent SQL per query (omitted → rows-only check). */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ MapReduceOps.oracle ++ MetadataOps.oracle ++
-      EventOps.oracle ++ Dedup.oracle ++ Similarity.oracle ++
-      TextOps.oracle ++ Multimodal.oracle ++ graft.sources.Sources.oracle
+    Relational.oracle ++ SqlSurface.oracle ++ MapReduceOps.oracle ++
+      MetadataOps.oracle ++ EventOps.oracle ++ Dedup.oracle ++
+      Similarity.oracle ++ TextOps.oracle ++ Multimodal.oracle ++
+      graft.sources.Sources.oracle
 }

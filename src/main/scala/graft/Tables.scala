@@ -23,9 +23,18 @@ object Tables {
     * — this silently killed every ev_*, fs_hot_keys and
     * mr_secondarysort query in round 1). Read nanos as long, convert to a
     * microsecond timestamp; the generator emits micro-precision values
-    * so the truncation is lossless (verified: all ns % 1000 == 0). */
+    * so the truncation is lossless (verified: all ns % 1000 == 0).
+    *
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, which every
+    * graft entry point (Bench / Verify / Scratch / the test harness)
+    * sets at SparkSession BUILD time — the loader deliberately does not
+    * mutate the shared session's conf as a side effect of one read. A
+    * session without the flag fails loudly on the first events read
+    * with the conf named in the error below. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "reading events.parquet (TIMESTAMP(NANOS)) requires " +
+        "spark.sql.legacy.parquet.nanosAsLong=true set when the SparkSession is built")
     load(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

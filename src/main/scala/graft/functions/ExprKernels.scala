@@ -200,6 +200,14 @@ object ExprKernels {
     inter.toDouble / union
   }
 
+  /** Vector-kernel null contract: parquet array columns default to
+    * containsNull=true, so the embedding kernels below check isNullAt
+    * and SKIP null slots (a null element contributes nothing to dot /
+    * norm / signature) instead of reading garbage. Null-free inputs —
+    * all real embedding data — take the same accumulation path in the
+    * same order, so results stay bit-identical to the sequential HOF
+    * folds (and DuckDB's list_cosine_similarity over DOUBLE[]). */
+
   /** Fused dot product over two float arrays (each element widened to
     * double before multiply — same result as casting to array<double>
     * first, without materializing the cast copy). */
@@ -207,7 +215,11 @@ object ExprKernels {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0
     var i = 0
-    while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i))
+        dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
     dot
   }
 
@@ -215,7 +227,10 @@ object ExprKernels {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0
     var i = 0
-    while (i < n) { dot += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) dot += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
     dot
   }
 
@@ -228,8 +243,10 @@ object ExprKernels {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
-      dot += x * y; na += x * x; nb += y * y
+      if (!a.isNullAt(i) && !b.isNullAt(i)) {
+        val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+      }
       i += 1
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
@@ -240,8 +257,10 @@ object ExprKernels {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = a.getDouble(i); val y = b.getDouble(i)
-      dot += x * y; na += x * x; nb += y * y
+      if (!a.isNullAt(i) && !b.isNullAt(i)) {
+        val x = a.getDouble(i); val y = b.getDouble(i)
+        dot += x * y; na += x * x; nb += y * y
+      }
       i += 1
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
@@ -257,7 +276,10 @@ object ExprKernels {
       val n = math.min(v.numElements(), p.length)
       var d = 0.0
       var j = 0
-      while (j < n) { d += v.getFloat(j).toDouble * p(j); j += 1 }
+      while (j < n) {
+        if (!v.isNullAt(j)) d += v.getFloat(j).toDouble * p(j)
+        j += 1
+      }
       if (d >= 0) sig |= 1L << i
       i += 1
     }
@@ -272,7 +294,10 @@ object ExprKernels {
       val n = math.min(v.numElements(), p.length)
       var d = 0.0
       var j = 0
-      while (j < n) { d += v.getDouble(j) * p(j); j += 1 }
+      while (j < n) {
+        if (!v.isNullAt(j)) d += v.getDouble(j) * p(j)
+        j += 1
+      }
       if (d >= 0) sig |= 1L << i
       i += 1
     }

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -12,6 +13,11 @@ import org.apache.spark.sql.types._
   * where built-ins can't express it"). Each one generates a single
   * static call into [[ExprKernels]], so the work stays inside
   * whole-stage codegen and runs as one tight JVM loop per row.
+  *
+  * All expressions implement `checkInputDataTypes`, so a mis-typed
+  * column fails at ANALYSIS time with the expression name in the
+  * message, not as an IllegalArgumentException thrown from generated
+  * code mid-job.
   */
 object GraftExpressions {
   /** Bridge between the public Column API and catalyst Expressions
@@ -25,11 +31,50 @@ object GraftExpressions {
     case other => throw new IllegalArgumentException(
       s"expected array<float> or array<double>, got $other")
   }
+
+  /** array<long> with containsNull=false — the shingle/signature shape
+    * produced by the graft kernels. The long-array kernels index with
+    * getLong (no per-element null slot check in the hot loop), so a
+    * nullable-element array is rejected at analysis time rather than
+    * silently read as 0. */
+  private[functions] def checkLongArray(name: String, es: Expression*): TypeCheckResult = {
+    es.zipWithIndex.foreach { case (e, i) =>
+      e.dataType match {
+        case ArrayType(LongType, false) => ()
+        case ArrayType(LongType, true) => return TypeCheckResult.TypeCheckFailure(
+          s"$name argument ${i + 1} must be array<bigint> with non-nullable " +
+            "elements (containsNull=false); wrap with a null-free producer")
+        case other => return TypeCheckResult.TypeCheckFailure(
+          s"$name argument ${i + 1} must be array<bigint>, got ${other.catalogString}")
+      }
+    }
+    TypeCheckResult.TypeCheckSuccess
+  }
+
+  /** Both sides array<float> or both array<double> (nullable elements
+    * allowed — the vector kernels skip null slots). */
+  private[functions] def checkVectorPair(name: String, l: Expression, r: Expression): TypeCheckResult =
+    (l.dataType, r.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"$name requires both arguments to be array<float> or both array<double>, " +
+          s"got ${a.catalogString} and ${b.catalogString}")
+    }
+
+  private[functions] def checkString(name: String, e: Expression): TypeCheckResult =
+    e.dataType match {
+      case _: StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$name requires a string argument, got ${other.catalogString}")
+    }
 }
 
 /** simhash64(array<long>) -> long. */
 case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftExpressions.checkLongArray(prettyName, child)
   override protected def nullSafeEval(input: Any): Any =
     ExprKernels.simhash64(input.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -43,6 +88,8 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
 case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression {
   require(k > 0 && k <= 256, s"minhash k must be in [1,256], got $k")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftExpressions.checkLongArray(prettyName, child)
   override protected def nullSafeEval(input: Any): Any =
     ExprKernels.minhashSig(input.asInstanceOf[ArrayData], k)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -57,6 +104,8 @@ case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression {
 case class WordNgramHashExpr(child: Expression, n: Int) extends UnaryExpression {
   require(n > 0, s"ngram width must be positive, got $n")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftExpressions.checkString(prettyName, child)
   override protected def nullSafeEval(input: Any): Any =
     ExprKernels.wordNgramHashes(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -71,6 +120,8 @@ case class WordNgramHashExpr(child: Expression, n: Int) extends UnaryExpression 
 case class WinnowStatsExpr(child: Expression, n: Int, w: Int) extends UnaryExpression {
   require(n > 0 && w > 0, "ngram width and window must be positive")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftExpressions.checkString(prettyName, child)
   override protected def nullSafeEval(input: Any): Any =
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       ExprKernels.winnowStats(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, w))
@@ -85,6 +136,8 @@ case class WinnowStatsExpr(child: Expression, n: Int, w: Int) extends UnaryExpre
 /** fnv64_fold(array<long>) -> long (wrapping FNV-1a-style fold). */
 case class Fnv64FoldExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftExpressions.checkLongArray(prettyName, child)
   override protected def nullSafeEval(input: Any): Any =
     ExprKernels.fnv64Fold(input.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -98,6 +151,8 @@ case class Fnv64FoldExpr(child: Expression) extends UnaryExpression {
   * sorted distinct (as produced by [[WordNgramHashExpr]]). */
 case class JaccardSortedExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftExpressions.checkLongArray(prettyName, left, right)
   override protected def nullSafeEval(a: Any, b: Any): Any =
     ExprKernels.jaccardSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -107,15 +162,15 @@ case class JaccardSortedExpr(left: Expression, right: Expression) extends Binary
   override def prettyName: String = "graft_jaccard_sorted"
 }
 
-/** dot(arr, arr) -> double; both sides must share the element type. */
+/** dot(arr, arr) -> double; both sides must share the element type
+  * (checked at analysis time). Ragged inputs fold over the common
+  * prefix min(len(a), len(b)); null elements are skipped — see the
+  * [[ExprKernels]] vector-kernel contract. */
 case class DotExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
-  private lazy val floatKernel = {
-    val lf = GraftExpressions.isFloatArray(left)
-    require(lf == GraftExpressions.isFloatArray(right),
-      "dot() requires both arrays to have the same element type")
-    lf
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftExpressions.checkVectorPair(prettyName, left, right)
+  private lazy val floatKernel = GraftExpressions.isFloatArray(left)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     if (floatKernel) ExprKernels.dotFF(x, y) else ExprKernels.dotDD(x, y)
@@ -129,15 +184,14 @@ case class DotExpr(left: Expression, right: Expression) extends BinaryExpression
   override def prettyName: String = "graft_dot"
 }
 
-/** cosine(arr, arr) -> double, fused single-pass dot + norms. */
+/** cosine(arr, arr) -> double, fused single-pass dot + norms. Both
+  * sides must share the element type (checked at analysis time);
+  * ragged inputs fold over the common prefix; null elements skipped. */
 case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
-  private lazy val floatKernel = {
-    val lf = GraftExpressions.isFloatArray(left)
-    require(lf == GraftExpressions.isFloatArray(right),
-      "cosine() requires both arrays to have the same element type")
-    lf
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftExpressions.checkVectorPair(prettyName, left, right)
+  private lazy val floatKernel = GraftExpressions.isFloatArray(left)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     if (floatKernel) ExprKernels.cosineFF(x, y) else ExprKernels.cosineDD(x, y)
@@ -158,6 +212,12 @@ case class HyperplaneSigExpr(child: Expression, planes: Array[Array[Double]])
   require(planes.nonEmpty && planes.length <= 64,
     s"hyperplane signature supports 1..64 planes, got ${planes.length}")
   override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> or array<double>, got ${other.catalogString}")
+  }
   private lazy val floatKernel = GraftExpressions.isFloatArray(child)
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]

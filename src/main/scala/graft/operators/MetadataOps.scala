@@ -111,13 +111,81 @@ object MetadataOps {
       .orderBy($"doc_id")
   }
 
+  /** Distributed erasure-coding reconstruction — the reference's block
+    * REPAIR workload (hops-erasure-coding-project: ReedSolomonDecoder
+    * .java drives decode over striped blocks; MapReduceBlockRepair
+    * Manager.java / BlockReconstructor.java schedule it as a
+    * distributed job). Per document: stripe into k=4 data blocks,
+    * encode m=2 RS parity blocks, erase TWO of the six blocks
+    * (deterministically chosen from doc_id so every erasure pattern —
+    * data/data, data/parity, parity/parity — is exercised across the
+    * corpus), reconstruct both from the four survivors, and verify the
+    * rebuilt bytes fingerprint-match the originals. `recovered` must be
+    * true on every row (asserted in ReedSolomonSpec).
+    *
+    * Scale: encode+erase+decode+verify all happen inside one typed map
+    * — no shuffle, pipelines at scan speed over 100 TB exactly like the
+    * reference's per-block repair tasks. Oracle: rows-only (GF(256)
+    * algebra is not ANSI-SQL-expressible). */
+  def ec_reconstruct(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.ReedSolomon
+    val k = 4; val m = 2
+    Tables.documents(s, d)
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"), $"n_chars")
+      .as[(Long, Array[Byte], Long)]
+      .map { case (id, payload, n) =>
+        val data = ReedSolomon.stripe(payload, k)
+        val blocks = data ++ ReedSolomon.encode(data, m)
+        // erase points: e1 cycles 0..5 with doc_id; e2 = e1 + offset
+        // with offset cycling 1..5, so all C(6,2) patterns occur.
+        val e1 = (id % (k + m)).toInt
+        val e2 = ((e1 + 1 + (id / (k + m)) % (k + m - 1)) % (k + m)).toInt
+        val survivors = blocks.zipWithIndex.collect {
+          case (b, pt) if pt != e1 && pt != e2 => pt -> b
+        }.toMap
+        val ok = java.util.Arrays.equals(ReedSolomon.decode(survivors, e1, k), blocks(e1)) &&
+          java.util.Arrays.equals(ReedSolomon.decode(survivors, e2, k), blocks(e2))
+        (id, n, e1, e2, ok)
+      }
+      .toDF("doc_id", "bytes", "erased_1", "erased_2", "recovered")
+      .orderBy($"doc_id")
+  }
+
+  /** Recursive directory rollup — HDFS content-summary / `hdfs dfs -du`
+    * semantics where every directory aggregates its WHOLE subtree
+    * (hadoop-hdfs-project; HopsFS's pitch is exactly this query over
+    * the metadata DB, reference README.md:7). Each file at path
+    * /source/lang/doc contributes to all three ancestors: `/`,
+    * /source, and /source/lang — expressed by exploding the ancestor
+    * prefixes and aggregating once, NOT by iterating a join per tree
+    * level. Row growth is bounded by path depth (here 3; real
+    * filesystems ~10–20), partial aggregation collapses per-prefix
+    * counts map-side, and the single shuffle is on the prefix key —
+    * at 100 TB this is one pass over the inode table. */
+  def fs_du_tree(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(explode(array(lit("/"),
+        concat(lit("/"), $"source"),
+        concat(lit("/"), $"source", lit("/"), $"lang"))).as("dir"),
+        $"n_chars")
+      .groupBy($"dir")
+      .agg(count(lit(1)).as("n_files"),
+        sum($"n_chars").as("bytes_used"),
+        round(avg($"n_chars"), 2).as("avg_file_size"))
+      .orderBy($"dir")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fs_du" -> fs_du _,
+    "fs_du_tree" -> fs_du_tree _,
     "fs_block_histogram" -> fs_block_histogram _,
     "fs_hot_keys" -> fs_hot_keys _,
     "fs_quota_check" -> fs_quota_check _,
     "ec_parity" -> ec_parity _,
-    "ec_parity_rs" -> ec_parity_rs _)
+    "ec_parity_rs" -> ec_parity_rs _,
+    "ec_reconstruct" -> ec_reconstruct _)
 
   val oracle: Map[String, String] = Map(
     "fs_du" ->
@@ -127,6 +195,14 @@ object MetadataOps {
     "fs_block_histogram" ->
       """SELECT CAST(floor(n_chars / 64) * 64 AS BIGINT) AS bucket, count(*) AS n_files
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "fs_du_tree" ->
+      """SELECT dir, count(*) AS n_files, CAST(sum(n_chars) AS BIGINT) AS bytes_used,
+        | round(avg(n_chars),2) AS avg_file_size
+        |FROM (
+        |  SELECT '/' AS dir, n_chars FROM documents
+        |  UNION ALL SELECT '/' || source, n_chars FROM documents
+        |  UNION ALL SELECT '/' || source || '/' || lang, n_chars FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "fs_hot_keys" ->
       """SELECT user_id, count(*) AS n_ops, round(sum(value),2) AS total_value
         |FROM events GROUP BY 1 ORDER BY n_ops DESC, user_id LIMIT 20""".stripMargin,

@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** §2.1b SQL-string surface. The reference's users reach Hops through
+  * Hive/Spark SQL ("Spark runs on it just like standard Hadoop" —
+  * reference README.md:7), so the engine must accept SQL text, not just
+  * the Scala DataFrame API. Each query here registers the testdata
+  * tables as temp views and runs the SAME ANSI SQL string that the
+  * driver's DuckDB oracle executes — one dialect-neutral statement,
+  * two engines, hash-compared results. That makes the SQL surface a
+  * verified interface rather than a claim: parsing, analysis (views →
+  * parquet scans with pushdown/pruning), and execution all go through
+  * `spark.sql`, and SqlParitySpec additionally asserts each SQL form
+  * returns exactly the DataFrame form's rows.
+  *
+  * Scale: `createOrReplaceTempView` is metadata-only (no
+  * materialization); the SQL plans optimize through the same Catalyst
+  * pipeline as the DataFrame forms — same pushdown, same broadcast
+  * choices, same AQE.
+  */
+object SqlSurface {
+
+  private val parquetTables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "documents", "embeddings")
+
+  /** Register every testdata table as a temp view on this session
+    * (idempotent; events goes through Tables.events for the
+    * nanos-timestamp conversion). */
+  def registerViews(s: SparkSession, d: String): Unit = {
+    parquetTables.foreach(t => Tables.load(s, d, t).createOrReplaceTempView(t))
+    Tables.events(s, d).createOrReplaceTempView("events")
+  }
+
+  /** The §2.1 queries whose oracle SQL is dialect-neutral enough to run
+    * verbatim on Spark: aggregate (q1), EXISTS semijoin (q4), 6-way
+    * star join (q5), ROLLUP (q11), HAVING + derived table (q18). */
+  private val shared = Seq("q1_agg", "q4_semijoin", "q5_multijoin",
+    "q11_rollup", "q18_having")
+
+  private def viaSql(relationalKey: String)(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql(Relational.oracle(relationalKey))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    shared.map(k => s"sql_$k" -> viaSql(k) _).toMap
+
+  val oracle: Map[String, String] =
+    shared.map(k => s"sql_$k" -> Relational.oracle(k)).toMap
+}

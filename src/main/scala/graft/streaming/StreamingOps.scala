@@ -59,10 +59,14 @@ object StreamingOps extends Serializable {
     * and emits the previous session; event-time timeout flushes the
     * final session once the watermark passes end+gap.
     *
-    * Within a micro-batch, events are processed in event-time order;
-    * across batches ordering is guaranteed by the watermark contract
-    * (late events beyond the watermark are dropped upstream by
-    * `withWatermark` on the caller's stream).
+    * Within a micro-batch, events are processed in event-time order.
+    * Across batches the watermark bounds LATENESS, not ordering: an
+    * event may arrive in a later batch with a timestamp inside (or
+    * before) the open session's span, so the fold below extends the
+    * session with min/max rather than assuming monotonic arrival —
+    * otherwise an in-gap out-of-order event would move the session end
+    * backwards and corrupt both the gap comparison and the event-time
+    * timeout.
     */
   /** Timestamp <-> epoch micros without precision loss (the events
     * table carries microsecond timestamps; Timestamp.getTime alone
@@ -108,7 +112,9 @@ object StreamingOps extends Serializable {
                 closed += toOut(userId, st)
                 st = SessState(st.sessionOrdinal + 1, us, us, 1L, e.value)
               } else {
-                st = st.copy(endUs = us, nEvents = st.nEvents + 1, value = st.value + e.value)
+                st = st.copy(startUs = math.min(st.startUs, us),
+                  endUs = math.max(st.endUs, us),
+                  nEvents = st.nEvents + 1, value = st.value + e.value)
               }
             }
             state.update(st)

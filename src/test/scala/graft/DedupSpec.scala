@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.Dedup
+
+/** Ground-truth gates for the END-TO-END dedup queries (the kernels
+  * have their own KernelSpec reference checks; these verify the query
+  * COMPOSITIONS — blocking, pair-gen, scoring — recover planted
+  * near-duplicates from a synthetic corpus, and that exact-duplicate
+  * clusters far beyond the hot-bucket cap keep complete pairs).
+  */
+class DedupSpec extends SparkSpec {
+
+  /** Write a documents.parquet with the testdata schema into a tmp dir
+    * usable as a query sfDir. */
+  private def writeDocs(rows: Seq[(Long, String)], tag: String): String = {
+    import spark.implicits._
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"), s"graft_dedupspec_$tag")
+    rows.map { case (id, text) => (id, text, "en", "test", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(dir.getPath + "/documents.parquet")
+    dir.getPath
+  }
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("doc_id", "doc_id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  // Corpus A: 300 random 100-word docs + 30 plants, each a copy of a
+  // base doc with 2 words replaced (word-3-gram Jaccard ~ 0.88) — the
+  // regime dedup_minhash_lsh / dedup_ngram_jaccard must catch at their
+  // J >= 0.5 threshold.
+  private lazy val (corpusA, plantedA) = {
+    val rnd = new scala.util.Random(17)
+    val vocab = Array.tabulate(800)(i => s"tok$i")
+    def doc(len: Int) = Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val base = (0 until 300).map(i => (i.toLong, doc(100)))
+    val plants = (0 until 30).map { j =>
+      val (srcId, text) = base((j * 9) % 300)
+      val words = text.split(" ")
+      (0 until 2).foreach(_ => words(rnd.nextInt(words.length)) = vocab(rnd.nextInt(vocab.length)))
+      (1000L + j, words.mkString(" "), srcId)
+    }
+    val dir = writeDocs(base ++ plants.map(p => (p._1, p._2)), "a")
+    (dir, plants.map(p => (p._3, p._1)).toSet) // srcId < 1000 <= plantId
+  }
+
+  test("dedup_minhash_lsh recovers planted near-duplicates (recall >= 0.9)") {
+    val got = pairs(Dedup.dedup_minhash_lsh(spark, corpusA))
+    val recall = (plantedA & got).size.toDouble / plantedA.size
+    assert(recall >= 0.9, s"minhash_lsh planted recall $recall < 0.9 (got ${got.size} pairs)")
+  }
+
+  test("dedup_ngram_jaccard recovers planted near-duplicates (recall >= 0.9)") {
+    val got = pairs(Dedup.dedup_ngram_jaccard(spark, corpusA))
+    val recall = (plantedA & got).size.toDouble / plantedA.size
+    assert(recall >= 0.9, s"ngram_jaccard planted recall $recall < 0.9 (got ${got.size} pairs)")
+  }
+
+  test("dedup_simhash recovers planted hamming-near duplicates (recall >= 0.8)") {
+    // simhash hamming <= 3 is a very-near-dup detector: plants replace
+    // 1 word in 400, so ~6 of ~1200 shingles differ and the expected
+    // fingerprint distance stays within the threshold.
+    val rnd = new scala.util.Random(23)
+    val vocab = Array.tabulate(800)(i => s"tok$i")
+    def doc(len: Int) = Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val base = (0 until 200).map(i => (i.toLong, doc(400)))
+    val plants = (0 until 25).map { j =>
+      val (srcId, text) = base((j * 11) % 200)
+      val words = text.split(" ")
+      words(rnd.nextInt(words.length)) = vocab(rnd.nextInt(vocab.length))
+      (1000L + j, words.mkString(" "), srcId)
+    }
+    val dir = writeDocs(base ++ plants.map(p => (p._1, p._2)), "b")
+    val expected = plants.map(p => (p._3, p._1)).toSet
+    val got = pairs(Dedup.dedup_simhash(spark, dir))
+    val recall = (expected & got).size.toDouble / expected.size
+    assert(recall >= 0.8, s"simhash planted recall $recall < 0.8 (got ${got.size} pairs)")
+  }
+
+  test("dedup_simhash keeps complete pairs for exact-dup clusters beyond the bucket cap") {
+    // 1200 identical docs (> maxBucket = 1000) + 100 distinct: the r2
+    // capped all-pairs path silently lost these; the keeper->member
+    // star must emit all 1199 pairs.
+    val rnd = new scala.util.Random(29)
+    val vocab = Array.tabulate(800)(i => s"tok$i")
+    val boiler = Seq.fill(80)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val dupes = (0 until 1200).map(i => (i.toLong, boiler))
+    val distinct = (0 until 100).map(i =>
+      ((5000 + i).toLong, Seq.fill(80)(vocab(rnd.nextInt(vocab.length))).mkString(" ")))
+    val dir = writeDocs(dupes ++ distinct, "c")
+    val zero = Dedup.dedup_simhash(spark, dir)
+      .filter("hamming = 0").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val fromCluster = zero.filter(_._2 < 5000)
+    assert(fromCluster.length == 1199,
+      s"expected 1199 keeper->member pairs for the 1200-doc cluster, got ${fromCluster.length}")
+    assert(fromCluster.forall(_._1 == 0L), "every cluster pair must anchor at the keeper (min doc_id)")
+  }
+}

@@ -101,6 +101,52 @@ class KernelSpec extends SparkSpec {
     rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
   }
 
+  // --- winnowing reference implementation (independent, brute-force):
+  // hash every char n-gram, take each w-window's min by scanning the
+  // whole window, dedupe minima in first-occurrence order, FNV-fold.
+  private def refFmix(v: Long): Long = {
+    var x = v
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33; x
+  }
+  private def refWinnowStats(s: String, n: Int, w: Int): Seq[Long] = {
+    val fnvInit = 1469598103934665603L; val fnvPrime = 1099511628211L
+    val nGrams = math.max(0, s.length - n + 1)
+    if (nGrams == 0) return Seq(0L, 0L, fnvInit)
+    val hashes = (0 until nGrams).map { i =>
+      refFmix(s.substring(i, i + n).map(Character.toLowerCase)
+        .foldLeft(fnvInit)((h, c) => (h ^ c.toInt) * fnvPrime))
+    }
+    val effW = math.min(w, nGrams)
+    val minima = (0 until math.max(1, nGrams - w + 1))
+      .map(p => hashes.slice(p, p + effW).min)
+    val selected = minima.distinct
+    val fp = selected.foldLeft(fnvInit)((h, m) => (h ^ m) * fnvPrime)
+    Seq(nGrams.toLong, selected.size.toLong, fp)
+  }
+
+  test("winnowStats kernel matches brute-force winnowing reference") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(13)
+    // low-entropy alphabet forces duplicate grams / repeated minima
+    def randText(len: Int) = (0 until len).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    val cases = Seq("", "ab", "abcd", "aaaaaaaaaa") ++
+      (0 until 60).map(_ => randText(rnd.nextInt(200))) ++
+      Tables.documents(spark, sf0001).select("text").limit(40)
+        .collect().map(_.getString(0)).toSeq
+    cases.foreach { s =>
+      val got = ExprKernels.winnowStats(UTF8String.fromString(s), 5, 8).toSeq
+      val want = refWinnowStats(s, 5, 8)
+      assert(got == want, s"winnow mismatch on len=${s.length}: $got vs $want")
+    }
+    // a second (n, w) parameterization
+    cases.take(30).foreach { s =>
+      assert(ExprKernels.winnowStats(UTF8String.fromString(s), 3, 4).toSeq ==
+        refWinnowStats(s, 3, 4))
+    }
+  }
+
   test("hyperplane signature is deterministic and discriminative") {
     import spark.implicits._
     val planes = VectorFunctions.randomPlanes(16, 64)

@@ -40,6 +40,17 @@ class ReedSolomonSpec extends SparkSpec {
     }
   }
 
+  test("ec_reconstruct repairs every 2-erasure pattern across the corpus") {
+    val rows = graft.operators.MetadataOps.ec_reconstruct(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(4)),
+      s"${rows.count(!_.getBoolean(4))} documents failed block reconstruction")
+    // the deterministic erasure choice must exercise data/data,
+    // data/parity and parity/parity patterns
+    val patterns = rows.map(r => (r.getInt(2) < 4, r.getInt(3) < 4)).toSet
+    assert(patterns.size >= 3, s"erasure patterns not diverse: $patterns")
+  }
+
   test("ec_parity_rs query emits one row per document with parity fingerprints") {
     val df = graft.operators.MetadataOps.ec_parity_rs(spark, sf0001)
     val n = Tables.documents(spark, sf0001).count()

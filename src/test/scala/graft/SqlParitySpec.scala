@@ -1,0 +1,31 @@
+package graft
+
+import graft.operators.{Relational, SqlSurface}
+
+/** The SQL-string surface must return exactly what the DataFrame API
+  * returns: same columns, same rows, for every query that SqlSurface
+  * shares with Relational. Proves `spark.sql` over the registered temp
+  * views is a first-class interface, not a parallel implementation.
+  */
+class SqlParitySpec extends SparkSpec {
+
+  private val pairs = Seq(
+    "q1_agg" -> Relational.q1_agg _,
+    "q4_semijoin" -> Relational.q4_semijoin _,
+    "q5_multijoin" -> Relational.q5_multijoin _,
+    "q11_rollup" -> Relational.q11_rollup _,
+    "q18_having" -> Relational.q18_having _)
+
+  pairs.foreach { case (key, dfForm) =>
+    test(s"spark.sql($key) == DataFrame $key") {
+      val sqlDf = SqlSurface.queries(s"sql_$key")(spark, sf001)
+      val apiDf = dfForm(spark, sf001)
+      assert(sqlDf.columns.toSeq == apiDf.columns.toSeq,
+        s"column mismatch: ${sqlDf.columns.toSeq} vs ${apiDf.columns.toSeq}")
+      val sqlRows = sqlDf.collect().toSeq
+      val apiRows = apiDf.collect().toSeq
+      assert(sqlRows == apiRows,
+        s"row mismatch: sql ${sqlRows.size} rows vs api ${apiRows.size} rows")
+    }
+  }
+}
