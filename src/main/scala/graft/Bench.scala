@@ -63,7 +63,14 @@ object Bench {
     val errs = results.collect { case (k, Left(m)) => jstr(k) + ":" + jstr(m) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, Right(v)) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(json)
+    // Also drop the line in a file: harness log capture tends to prefix
+    // stdout (e.g. sbt's "[info] "), which breaks parse-the-last-line
+    // consumers — the file is always the bare JSON.
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_result.json"), json + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -109,16 +109,18 @@ object Dedup {
     * combinatorial chunk blocking, then doc pairs recovered by joining
     * docs back to the qualifying hash pairs.
     *
-    * Blocking key (scale-aware): the 64-bit hash is split into 8 byte
-    * chunks; each distinct hash emits one key per 5-of-8 chunk
-    * combination (C(8,5) = 56 keys). Two hashes at hamming ≤ 3 differ
-    * in ≤ 3 chunks, so ≥ 5 chunks agree and both sides emit the key of
-    * that untouched 5-combo — pigeonhole-complete, like the r2 4×16-bit
-    * scheme, but over a 56·2⁴⁰ key space instead of 4·2¹⁶: at corpus
-    * scale buckets hold hashes sharing 40 concrete bits (genuinely
-    * similar fingerprints), not 1/65536th of the corpus. Each key packs
-    * comboId(6 bits) | 5 chunk bytes(40 bits) into one long — an
-    * 8-byte shuffle key.
+    * Blocking key (scale-aware): the 64-bit hash is split into 6
+    * chunks (11/11/11/11/10/10 bits); each distinct hash emits one key
+    * per 3-of-6 chunk combination (C(6,3) = 20 keys). Two hashes at
+    * hamming ≤ 3 differ in ≤ 3 chunks, so ≥ 3 chunks agree and both
+    * sides emit the key of an untouched 3-combo — pigeonhole-complete,
+    * like the r2 4×16-bit scheme, but over a 20·2³³ key space instead
+    * of 4·2¹⁶: at corpus scale buckets hold hashes sharing ≥ 32
+    * concrete bits (genuinely similar fingerprints), not 1/65536th of
+    * the corpus. Each key packs comboId(5 bits) | 3 chunks(≤ 33 bits)
+    * into one long — an 8-byte shuffle key, 20 of them per DISTINCT
+    * hash (chunk count trades key volume against per-combo key width;
+    * 3-of-6 × 33 bits keeps both comfortable at 10¹¹ documents).
     *
     * Hamming-0 (exact-duplicate clusters) is handled separately as a
     * keeper→member star via groupBy(min) + join-back: linear in cluster
@@ -133,11 +135,19 @@ object Dedup {
       .select($"doc_id", simhash64(shingleHashes($"text", 3)).as("simhash"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val hs = sh.select($"simhash").distinct()
-    val chunkKeys = array((0 until 8).combinations(5).toArray.zipWithIndex.map {
+    val widths = Array(11, 11, 11, 11, 10, 10)
+    val offsets = widths.scanLeft(0)(_ + _)
+    val chunkKeys = array(widths.indices.combinations(3).toArray.zipWithIndex.map {
       case (chunks, ci) =>
-        chunks.zipWithIndex.map { case (chunk, j) =>
-          shiftleft(shiftrightunsigned($"simhash", 8 * chunk).bitwiseAND(lit(0xFFL)), 8 * j)
-        }.reduce(_.bitwiseOR(_)).bitwiseOR(lit(ci.toLong << 40))
+        var shift = 0
+        val parts = chunks.map { c =>
+          val p = shiftleft(
+            shiftrightunsigned($"simhash", offsets(c))
+              .bitwiseAND(lit((1L << widths(c)) - 1)), shift)
+          shift += widths(c)
+          p
+        }
+        parts.reduce(_.bitwiseOR(_)).bitwiseOR(lit(ci.toLong << 33))
     }: _*)
     val hpairs = bucketPairs(hs, "simhash", chunkKeys)
       .withColumn("hamming", bit_count($"simhash".bitwiseXOR($"simhash2")))
@@ -213,6 +223,77 @@ object Dedup {
       .orderBy($"vec_id", $"vec_id2")
   }
 
+  /** Connected components over an undirected pair list via iterative
+    * min-label propagation: every node starts labeled with its own id;
+    * each round every node takes the min of its own and its neighbors'
+    * labels; converged when no label changes. Rounds needed = graph
+    * diameter — near-dup graphs are clique-ish (LSH emits most pairs
+    * within a cluster), so 2–4 rounds in practice; `maxIter` bounds
+    * pathological chains. Each round is one equi-join + one aggregate,
+    * all shuffles on node id; the label frontier is persisted per round
+    * and the previous round unpersisted, so lineage never re-executes.
+    * The per-round convergence check is a count() — one scalar to the
+    * driver, not data (the standard Pregel-style loop shape). For
+    * graphs with giant diameters at extreme scale, swap in the
+    * large-star/small-star alternation (O(log n) rounds, same
+    * join/agg building blocks).
+    *
+    * Input: 2-column pair DataFrame (id, id2). Output: (node, label)
+    * where label = min node id of the component. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val Array(a, b) = pairs.columns.take(2)
+    val fwd = pairs.select(col(a).as("src"), col(b).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      val prev = labels
+      labels = prev.join(nbrMin, prev("node") === nbrMin("src"), "left")
+        .select(prev("node"),
+          least(prev("label"), coalesce(col("nlabel"), prev("label"))).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = labels.join(prev.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).count()
+      prev.unpersist()
+      i += 1
+    }
+    labels
+  }
+
+  /** Dedup RESOLUTION — the step a training-data pipeline runs after
+    * pair generation: fold exact-duplicate clusters (md5 star,
+    * linear and complete at any cluster size) and MinHash-LSH near-dup
+    * pairs into one graph, take connected components, and emit each
+    * clustered document with its cluster id and a keep/drop decision
+    * (keeper = min doc_id of the component). Transitively-linked docs
+    * (A≈B, B≈C, A̸≈C) land in ONE cluster — pairwise output alone
+    * cannot express that. Oracle: rows-only (minhash pair generation
+    * is not SQL-expressible); DedupSpec checks the component assignment
+    * against an independent driver-side union-find on the same pairs,
+    * and transitive-chain merging on planted corpora. */
+  def dedup_clusters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", md5($"text".cast("binary")).as("h"))
+    val groups = docs.groupBy($"h")
+      .agg(min($"doc_id").as("keeper"), count(lit(1)).as("csize"))
+      .filter($"csize" >= 2)
+    val exactPairs = docs.join(groups, "h")
+      .filter($"doc_id" > $"keeper")
+      .select($"keeper".as("doc_id"), $"doc_id".as("doc_id2"))
+    val nearPairs = dedup_minhash_lsh(s, d).select($"doc_id", $"doc_id2")
+    connectedComponents(exactPairs.unionByName(nearPairs))
+      .select($"label".as("cluster_id"), $"node".as("doc_id"),
+        ($"node" === $"label").as("is_keeper"))
+      .orderBy($"cluster_id", $"doc_id")
+  }
+
   /** Scale path for embedding near-dup at a true near-duplicate
     * threshold: multi-band random-hyperplane LSH blocking + exact
     * cosine rescoring. At cos ≥ 0.95 a hyperplane agrees w.p. ~0.90,
@@ -244,7 +325,8 @@ object Dedup {
     "dedup_minhash_lsh" -> dedup_minhash_lsh _,
     "dedup_simhash" -> dedup_simhash _,
     "dedup_ngram_jaccard" -> dedup_ngram_jaccard _,
-    "dedup_embedding" -> dedup_embedding _)
+    "dedup_embedding" -> dedup_embedding _,
+    "dedup_clusters" -> dedup_clusters _)
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->

@@ -19,6 +19,10 @@ object Scratch {
     names.foreach { n =>
       spark.catalog.clearCache()
       val df = graft.SparkEntry.queries(n)(spark, d)
+      if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")) {
+        println(s"===== $n =====")
+        df.explain("formatted")
+      }
       val rows = time(n)(df.count())
       println(s"[scratch] $n rows=$rows")
     }

@@ -77,6 +77,54 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, s"simhash planted recall $recall < 0.8 (got ${got.size} pairs)")
   }
 
+  test("dedup_clusters matches an independent union-find on the same pair graph") {
+    // corpus A has no exact dups, so the cluster graph is exactly the
+    // minhash pair set — union-find over the collected pairs is the
+    // ground truth for the distributed min-label propagation.
+    val pairSet = pairs(Dedup.dedup_minhash_lsh(spark, corpusA))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairSet.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    val want = parent.keys.map(n => n -> find(n)).toMap
+    val got = Dedup.dedup_clusters(spark, corpusA).collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(got == want,
+      s"component mismatch: ${(got.toSet diff want.toSet).take(5)} vs ${(want.toSet diff got.toSet).take(5)}")
+    assert(got.nonEmpty)
+  }
+
+  test("dedup_clusters merges transitive chains and folds exact dups") {
+    // chain: base doc X0; X1 = X0 with 1 word changed; X2 = X1 with a
+    // DIFFERENT word changed. X0~X1 and X1~X2 must pair; X0 and X2 may
+    // or may not — either way all three belong to one cluster. Plus an
+    // exact-dup pair that only the md5 star contributes.
+    val rnd = new scala.util.Random(31)
+    val vocab = Array.tabulate(800)(i => s"tok$i")
+    def doc(len: Int) = Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val filler = (0 until 100).map(i => (i.toLong, doc(100)))
+    val x0 = doc(100).split(" ")
+    val x1 = x0.clone(); x1(10) = "chained1"
+    val x2 = x1.clone(); x2(80) = "chained2"
+    val chain = Seq((500L, x0.mkString(" ")), (501L, x1.mkString(" ")), (502L, x2.mkString(" ")))
+    val exactDup = Seq((600L, filler(3)._2), (601L, filler(3)._2))
+    val dir = writeDocs(filler ++ chain ++ exactDup, "d")
+    val rows = Dedup.dedup_clusters(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getBoolean(2)))
+    val byDoc = rows.map(r => r._1 -> r._2).toMap
+    assert(byDoc.get(500L).contains(500L) && byDoc.get(501L).contains(500L) &&
+      byDoc.get(502L).contains(500L),
+      s"chain not merged into one cluster: ${rows.filter(r => r._1 >= 500 && r._1 < 503).toSeq}")
+    assert(byDoc(3L) == 3L && byDoc(600L) == 3L && byDoc(601L) == 3L,
+      "exact-dup docs must fold into the original's cluster")
+    assert(rows.filter(_._2 == 500L).count(_._3) == 1, "exactly one keeper per cluster")
+  }
+
   test("dedup_simhash keeps complete pairs for exact-dup clusters beyond the bucket cap") {
     // 1200 identical docs (> maxBucket = 1000) + 100 distinct: the r2
     // capped all-pairs path silently lost these; the keeper->member

@@ -90,6 +90,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful sessionization tolerates out-of-order in-gap events across batches") {
+    // The watermark bounds LATENESS, not ordering: an event from a
+    // later micro-batch may land inside the open session's span. The
+    // state fold must extend with min/max — the regression here is a
+    // session end moving BACKWARD (end 00:05 instead of 00:10).
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Int) = new Timestamp(3600_000L * 24 + min * 60_000L)
+    val ms = MemoryStream[Ev]
+    val withWm = ms.toDS().withWatermark("ts", "1 hour").as[Ev]
+    val q = StreamingOps.sessionizeStateful(withWm)
+      .writeStream.format("memory").queryName("t_ooo")
+      .outputMode("append").start()
+    try {
+      ms.addData(Seq(Ev(1, ts(0), 7L, 1.0), Ev(2, ts(10), 7L, 1.0)))
+      drain(q)
+      // out-of-order arrival INSIDE the open session (allowed by the
+      // 1 h watermark delay)
+      ms.addData(Seq(Ev(3, ts(5), 7L, 1.0)))
+      drain(q)
+      val sentinel = Ev(-1L, ts(60 * 48), -1L, 0.0)
+      ms.addData(Seq(sentinel)); drain(q)
+      ms.addData(Seq(sentinel.copy(event_id = -2L))); drain(q)
+      val got = spark.table("t_ooo").filter($"user_id" === 7L)
+        .as[SessionOut].collect()
+      assert(got.length == 1, s"expected one session, got ${got.toSeq}")
+      assert(got(0).n_events == 3L)
+      assert(got(0).session_start == ts(0), s"start ${got(0).session_start}")
+      assert(got(0).session_end == ts(10),
+        s"session end moved backwards: ${got(0).session_end}")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization equals batch ev_sessionize") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
