@@ -82,12 +82,48 @@ object EventOps {
       .orderBy($"day")
   }
 
+  /** AS-OF join — attribute each purchase to the user's most recent
+    * preceding-or-simultaneous click. Spark has no native as-of join;
+    * the scalable formulation is NOT a range join (which explodes into
+    * an inequality join) but a single window pass over the two event
+    * streams INTERLEAVED: union clicks+purchases, sort within each
+    * user by (ts, clicks-first), and carry the last seen click forward
+    * with last(..., ignoreNulls). One shuffle on user_id, no join, no
+    * per-row range probe — at 100 TB this is exactly one sort-based
+    * window over the merged stream. Clicks are pre-deduplicated to one
+    * per (user, ts) (max event_id) so attribution at equal timestamps
+    * is deterministic in both engines; the DuckDB oracle is its native
+    * ASOF JOIN over the same deduplicated click stream. */
+  def ev_asof(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts").agg(max($"event_id").as("event_id"))
+      .withColumn("is_purchase", lit(0))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id")
+      .withColumn("is_purchase", lit(1))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts", $"is_purchase", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    clicks.unionByName(purchases)
+      .withColumn("click_ts",
+        last(when($"is_purchase" === 0, $"ts"), ignoreNulls = true).over(w))
+      .withColumn("click_id",
+        last(when($"is_purchase" === 0, $"event_id"), ignoreNulls = true).over(w))
+      .filter($"is_purchase" === 1 && $"click_ts".isNotNull)
+      .select($"user_id", $"event_id".as("purchase_id"), $"ts".as("purchase_ts"),
+        $"click_id", $"click_ts")
+      .orderBy($"user_id", $"purchase_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_window_agg" -> ev_window_agg _,
     "ev_sessionize" -> ev_sessionize _,
     "ev_funnel" -> ev_funnel _,
     "ev_json_props" -> ev_json_props _,
-    "ev_retention" -> ev_retention _)
+    "ev_retention" -> ev_retention _,
+    "ev_asof" -> ev_asof _)
 
   val oracle: Map[String, String] = Map(
     "ev_window_agg" ->
@@ -122,6 +158,15 @@ object EventOps {
         | round(avg(k),4) AS avg_k, min(k) AS min_k, max(k) AS max_k
         |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_asof" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+        | c.click_id, c.ts AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.user_id, purchase_id""".stripMargin,
     "ev_retention" ->
       """WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events)
         |SELECT a.day, count(DISTINCT a.user_id) AS n_active,

@@ -44,24 +44,44 @@ object Similarity {
   /** Multi-table LSH approximate top-5: 16 bands × 4 bits over one
     * 64-plane signature; per-band bucket equi-join → distinct (qid,
     * nid) candidates → exact cosine → per-query top-5. */
-  def ann_lsh(s: SparkSession, d: String): DataFrame = {
+  def ann_lsh(s: SparkSession, d: String): DataFrame =
+    annLsh(s, d, bands = 16, r = 4, probes = 0)
+
+  /** Parameterized LSH ANN. `probes` enables MULTI-PROBE on the QUERY
+    * side only: besides its exact band key, each query also looks up
+    * every bucket within `probes` bit flips of it (probes=1 → r extra
+    * keys per band). The trade-off at 100 TB: band count multiplies the
+    * CORPUS-side key volume (the dominant shuffle/storage cost — one
+    * key per vector per band), while probing multiplies only the
+    * broadcast query keys. Per-band neighbor hit probability goes from
+    * p^r (exact) to P(≥ r-probes of r bits agree) = p^r + r·p^(r-1)(1-p)
+    * + … — e.g. at p = 0.7, r = 4: 0.24 exact vs 0.53 probed — so
+    * halving the bands and probing 1 bit keeps recall while halving
+    * corpus keys. SimilaritySpec gates recall for both the registered
+    * exact config and the 8-band probed config. */
+  def annLsh(s: SparkSession, d: String, bands: Int, r: Int,
+      probes: Int): DataFrame = {
     import s.implicits._
-    val bands = 16; val r = 4
+    require(probes >= 0 && probes <= 1, "supported probe depths: 0 (exact), 1 (single-bit)")
     val planes = randomPlanes(bands * r, 64)
     val mask = (1L << r) - 1
     val e = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding",
         hyperplaneSignature($"embedding", planes).as("sig"))
-    def bucketed(df: DataFrame, idCol: String): DataFrame = df
-      .select(col("vec_id").as(idCol),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            shiftrightunsigned(col("sig"), b * r).bitwiseAND(lit(mask)).as("bkey"))
-        }: _*)).as("bk"))
-      .select(col(idCol), col("bk.band").as(s"band_$idCol"),
-        col("bk.bkey").as(s"bkey_$idCol"))
-    val corpusBuckets = bucketed(e, "nid")
-    val queryBuckets = bucketed(e.filter($"vec_id" < 16), "qid")
+    def bucketed(df: DataFrame, idCol: String, probe: Boolean): DataFrame = {
+      val keys = (0 until bands).flatMap { b =>
+        val exact = shiftrightunsigned(col("sig"), b * r).bitwiseAND(lit(mask))
+        val variants =
+          if (!probe) Seq(exact)
+          else exact +: (0 until r).map(bit => exact.bitwiseXOR(lit(1L << bit)))
+        variants.map(k => struct(lit(b).as("band"), k.as("bkey")))
+      }
+      df.select(col("vec_id").as(idCol), explode(array(keys: _*)).as("bk"))
+        .select(col(idCol), col("bk.band").as(s"band_$idCol"),
+          col("bk.bkey").as(s"bkey_$idCol"))
+    }
+    val corpusBuckets = bucketed(e, "nid", probe = false)
+    val queryBuckets = bucketed(e.filter($"vec_id" < 16), "qid", probe = probes > 0)
     val cand = corpusBuckets
       .join(broadcast(queryBuckets),
         $"band_nid" === $"band_qid" && $"bkey_nid" === $"bkey_qid" &&

@@ -42,6 +42,16 @@ object StreamingOps extends Serializable {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming exact deduplication: drop replayed events by id, with
+    * state BOUNDED by the watermark — an id is held only until the
+    * watermark passes its event time plus the delay, so state size
+    * tracks the lateness window, not the stream length (the standard
+    * at-least-once-source → exactly-once-pipeline repair). Keyed state
+    * partitions by event_id across executors. */
+  def dedupStream(events: DataFrame, delay: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Gap-based sessionization via the built-in session_window (the
     * production streaming path for ev_sessionize): sessions close when
     * the watermark passes start-of-gap. */

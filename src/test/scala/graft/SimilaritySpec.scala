@@ -17,6 +17,18 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall@5 $recall < 0.8")
   }
 
+  test("multi-probe ann_lsh holds recall with half the corpus-side keys") {
+    val brute = Similarity.ann_topk_brute(spark, sf001)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 8 bands (half the corpus key volume of the registered 16-band
+    // config) + 1-bit query-side probing
+    val probed = Similarity.annLsh(spark, sf001, bands = 8, r = 4, probes = 1)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probed.nonEmpty)
+    val recall = (brute & probed).size.toDouble / brute.size
+    assert(recall >= 0.8, s"multi-probe recall@5 $recall < 0.8")
+  }
+
   test("embeddingLshPairs finds planted near-duplicates selectively") {
     import spark.implicits._
     // 400 random unit-ish vectors + 40 planted near-dups (tiny noise,

@@ -90,6 +90,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops cross-batch replays within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // time-ordered feed; a generous delay keeps every replay inside
+    // the watermark so the test exercises the dedup state, not the
+    // late-drop path
+    val events = loadEvents().sortBy(_.ts.getTime).take(500)
+    val ms = MemoryStream[EvFull]
+    val q = StreamingOps.dedupStream(ms.toDF(), delay = "30 days")
+      .writeStream.format("memory").queryName("t_dedup")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = events.splitAt(250)
+      ms.addData(b1); drain(q)
+      // replay a slice of batch 1 alongside batch 2 — an at-least-once
+      // source redelivering after a failure
+      ms.addData(b2 ++ b1.takeRight(50)); drain(q)
+      ms.addData(b2.take(25)); drain(q)
+      val got = spark.table("t_dedup").select($"event_id").collect().map(_.getLong(0))
+      assert(got.length == got.distinct.length, "duplicates survived the stream")
+      assert(got.toSet == events.map(_.event_id).toSet,
+        s"expected ${events.size} unique events, got ${got.length}")
+    } finally q.stop()
+  }
+
   test("stateful sessionization tolerates out-of-order in-gap events across batches") {
     // The watermark bounds LATENESS, not ordering: an event from a
     // later micro-batch may land inside the open session's span. The
