@@ -90,9 +90,59 @@ object Sources {
       .orderBy($"p_brand")
   }
 
+  /** Bucketed-table names for a source dir (content-addressed so
+    * different sf dirs coexist in one warehouse). */
+  private val bucketed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def bucketedTables(s: SparkSession, d: String): (String, String) = {
+    val tag = Integer.toHexString(d.hashCode)
+    val (ot, ct) = (s"orders_bkt_$tag", s"customer_bkt_$tag")
+    if (bucketed.add(d)) {
+      // a previous JVM may have left table FILES in the warehouse that
+      // this session's (in-memory) catalog doesn't know about — clear
+      // both catalog entry and location before re-creating
+      Seq(ot, ct).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+        val loc = java.nio.file.Paths.get(wh, t)
+        if (java.nio.file.Files.exists(loc)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      }
+      Tables.orders(s, d).write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .format("parquet").saveAsTable(ot)
+      Tables.customer(s, d).write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .format("parquet").saveAsTable(ct)
+    }
+    (ot, ct)
+  }
+
+  /** CO-LOCATED join via bucketing — the §5 scale posture made
+    * concrete: both tables are written bucketed (8 buckets) and sorted
+    * on the join key, so the fact-fact join needs NO Exchange on
+    * either side (asserted at the physical-plan level in SourcesSpec).
+    * At 100 TB this is the difference between re-shuffling the fact
+    * table on every join and paying the partitioning once at write
+    * time — the same reason warehouses bucket their largest tables.
+    * Table setup happens once per JVM (like the JDBC source); the
+    * query body is the bucketed scan + join + aggregate. */
+  def src_bucketed_join(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (ot, ct) = bucketedTables(s, d)
+    s.table(ot).join(s.table(ct), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice"), 2).as("total_price"))
+      .orderBy($"c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_jdbc_pageview" -> src_jdbc_pageview _,
-    "src_csv_agg" -> src_csv_agg _)
+    "src_csv_agg" -> src_csv_agg _,
+    "src_bucketed_join" -> src_bucketed_join _)
 
   val oracle: Map[String, String] = Map(
     "src_jdbc_pageview" ->
@@ -101,5 +151,10 @@ object Sources {
     "src_csv_agg" ->
       """SELECT p_brand, count(*) AS n_parts,
         | round(avg(p_retailprice),2) AS avg_price
-        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        | round(sum(o_totalprice),2) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -20,6 +20,33 @@ class SourcesSpec extends SparkSpec {
     assert(viaJdbc == direct)
   }
 
+  test("bucketed join runs shuffle-free below the join") {
+    import spark.implicits._
+    // force the sort-merge path (at test scale Spark would broadcast
+    // and hide the property under test)
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Sources.src_bucketed_join(spark, sf0001)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+      // the ONLY exchange allowed is the one above the join feeding the
+      // groupBy; the bucketed scans must reach the join unshuffled
+      val joinPart = plan.substring(plan.indexOf("SortMergeJoin"))
+      assert(!joinPart.contains("Exchange"),
+        s"bucketed join sides must not shuffle:\n$joinPart")
+      val got = df.collect()
+      val direct = Tables.orders(spark, sf0001)
+        .join(Tables.customer(spark, sf0001), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum($"o_totalprice"), 2).as("total_price"))
+        .orderBy($"c_mktsegment")
+        .collect()
+      assert(got.toSeq == direct.toSeq)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   test("CSV round-trip preserves types and aggregates") {
     import spark.implicits._
     val viaCsv = Sources.src_csv_agg(spark, sf0001).collect()
