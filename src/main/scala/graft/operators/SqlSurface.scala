@@ -25,13 +25,21 @@ object SqlSurface {
   private val parquetTables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "documents", "embeddings")
 
+  /** Last directory registered per session — view registration reads
+    * ten parquet footers for schemas, so repeated queries against the
+    * same dir skip it; a dir switch re-registers (views are
+    * session-global names). */
+  private val lastDir =
+    java.util.Collections.synchronizedMap(new java.util.WeakHashMap[SparkSession, String]())
+
   /** Register every testdata table as a temp view on this session
     * (idempotent; events goes through Tables.events for the
     * nanos-timestamp conversion). */
-  def registerViews(s: SparkSession, d: String): Unit = {
-    parquetTables.foreach(t => Tables.load(s, d, t).createOrReplaceTempView(t))
-    Tables.events(s, d).createOrReplaceTempView("events")
-  }
+  def registerViews(s: SparkSession, d: String): Unit =
+    if (lastDir.put(s, d) != d) {
+      parquetTables.foreach(t => Tables.load(s, d, t).createOrReplaceTempView(t))
+      Tables.events(s, d).createOrReplaceTempView("events")
+    }
 
   /** The §2.1 queries whose oracle SQL is dialect-neutral enough to run
     * verbatim on Spark: aggregate (q1), EXISTS semijoin (q4), 6-way

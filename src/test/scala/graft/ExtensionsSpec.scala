@@ -1,0 +1,49 @@
+package graft
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.operators.SqlSurface
+
+/** The SQL functions injected by [[GraftExtensions]] must plan the
+  * same expressions as the Column API — asserted by running both forms
+  * over real testdata and comparing results exactly.
+  */
+class ExtensionsSpec extends SparkSpec {
+
+  test("graft_simhash64/graft_word_ngram_hashes SQL == Column API") {
+    import spark.implicits._
+    SqlSurface.registerViews(spark, sf0001)
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_simhash64(graft_word_ngram_hashes(text, 3)) AS sh
+        |FROM documents ORDER BY doc_id""".stripMargin).collect()
+    val viaApi = Tables.documents(spark, sf0001)
+      .select($"doc_id",
+        TextFunctions.simhash64(TextFunctions.shingleHashes($"text", 3)).as("sh"))
+      .orderBy($"doc_id").collect()
+    assert(viaSql.nonEmpty && viaSql.toSeq == viaApi.toSeq)
+  }
+
+  test("graft_cosine SQL == Column API on embeddings") {
+    import spark.implicits._
+    SqlSurface.registerViews(spark, sf0001)
+    val viaSql = spark.sql(
+      """SELECT a.vec_id, b.vec_id AS vec_id2,
+        | graft_cosine(a.embedding, b.embedding) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id + 1 = b.vec_id
+        |ORDER BY a.vec_id""".stripMargin).collect()
+    val e = Tables.embeddings(spark, sf0001)
+    val viaApi = e.alias("a").join(e.alias("b"),
+        $"a.vec_id" + 1 === $"b.vec_id")
+      .select($"a.vec_id", $"b.vec_id".as("vec_id2"),
+        VectorFunctions.cosine($"a.embedding", $"b.embedding").as("cos"))
+      .orderBy($"a.vec_id").collect()
+    assert(viaSql.nonEmpty && viaSql.toSeq == viaApi.toSeq)
+  }
+
+  test("graft SQL functions reject bad argument types at analysis time") {
+    SqlSurface.registerViews(spark, sf0001)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_simhash64(text) FROM documents").collect()
+    }
+    assert(e.getMessage.contains("graft_simhash64"), e.getMessage)
+  }
+}
