@@ -28,12 +28,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    BucketCapMetrics.register(spark)
 
     def runOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Either[String, Double] = {
       // Queries that persist an intermediate stage (dedup signatures)
       // would otherwise serve the measured pass from the warmup pass's
       // cache — clear first so every timed run pays its real cost.
+      // releaseAll additionally drops the registry's bookkeeping so
+      // tracked entries don't accumulate across 130+ query runs.
+      CacheRegistry.releaseAll()
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try {

@@ -29,21 +29,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    def register(name: String, builder: Seq[Expression] => Expression): Unit =
+    // Arity is validated BEFORE the builder indexes into args, so a
+    // mis-called SQL function fails at analysis time with the function
+    // name and expected count — not a raw IndexOutOfBoundsException
+    // from inside the builder.
+    def register(name: String, arity: Int,
+        builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        args => {
+          if (args.length != arity) throw new IllegalArgumentException(
+            s"$name expects exactly $arity argument${if (arity == 1) "" else "s"}, " +
+              s"got ${args.length}")
+          builder(args)
+        }))
 
-    register("graft_simhash64", args => SimHash64Expr(args.head))
-    register("graft_minhash_sig",
+    register("graft_simhash64", 1, args => SimHash64Expr(args.head))
+    register("graft_minhash_sig", 2,
       args => MinHashSigExpr(args.head, intArg(args, 1, "graft_minhash_sig")))
-    register("graft_word_ngram_hashes",
+    register("graft_word_ngram_hashes", 2,
       args => WordNgramHashExpr(args.head, intArg(args, 1, "graft_word_ngram_hashes")))
-    register("graft_winnow_stats",
+    register("graft_winnow_stats", 3,
       args => WinnowStatsExpr(args.head, intArg(args, 1, "graft_winnow_stats"),
         intArg(args, 2, "graft_winnow_stats")))
-    register("graft_fnv64_fold", args => Fnv64FoldExpr(args.head))
-    register("graft_jaccard_sorted", args => JaccardSortedExpr(args(0), args(1)))
-    register("graft_dot", args => DotExpr(args(0), args(1)))
-    register("graft_cosine", args => CosineSimExpr(args(0), args(1)))
+    register("graft_fnv64_fold", 1, args => Fnv64FoldExpr(args.head))
+    register("graft_jaccard_sorted", 2, args => JaccardSortedExpr(args(0), args(1)))
+    register("graft_dot", 2, args => DotExpr(args(0), args(1)))
+    register("graft_cosine", 2, args => CosineSimExpr(args(0), args(1)))
   }
 }

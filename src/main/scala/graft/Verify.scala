@@ -18,6 +18,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    BucketCapMetrics.register(spark)
     new java.io.File(outDir).mkdirs()
     val failed = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
@@ -27,6 +28,10 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         Some(name)
+      } finally {
+        // Dedup queries persist signature stages; without a release the
+        // session accumulates one strong CacheManager entry per query.
+        CacheRegistry.releaseAll()
       }
     }
     if (failed.nonEmpty)

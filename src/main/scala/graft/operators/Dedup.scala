@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Tables
+import graft.{CacheRegistry, Tables}
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -83,15 +83,16 @@ object Dedup {
     * dominant cost at corpus scale — one shingle+minhash pass over
     * every document) is referenced three times (pair-gen + both score
     * joins), so it is persisted: one scan of `documents` per query,
-    * not three. Spark's ContextCleaner reclaims the cache once the
-    * DataFrame is unreferenced; Bench additionally clears the cache
-    * between timed passes so measured times stay cold-start honest. */
+    * not three. The cache entry is tracked in [[graft.CacheRegistry]]
+    * and released by the consumer after materialization (CacheManager
+    * holds strong references — an untracked persist would leak an
+    * entry per call); Bench additionally clears the cache between
+    * timed passes so measured times stay cold-start honest. */
   def dedup_minhash_lsh(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val k = 32; val bands = 8; val r = 4
-    val sigs = Tables.documents(s, d)
-      .select($"doc_id", minhashSignature(shingleHashes($"text", 3), k).as("sig"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = CacheRegistry.cache(Tables.documents(s, d)
+      .select($"doc_id", minhashSignature(shingleHashes($"text", 3), k).as("sig")))
     lshCandidatePairs(sigs, bands, r)
       .join(sigs, "doc_id")
       .join(sigs.select($"doc_id".as("doc_id2"), $"sig".as("sig2")), "doc_id2")
@@ -106,8 +107,8 @@ object Dedup {
 
   /** SimHash near-dup: 64-bit simhash (single-pass codegen'd
     * expression); pair enumeration over DISTINCT simhash values via
-    * combinatorial chunk blocking, then doc pairs recovered by joining
-    * docs back to the qualifying hash pairs.
+    * combinatorial chunk blocking, then qualifying hash pairs mapped to
+    * per-hash representative (keeper) doc pairs.
     *
     * Blocking key (scale-aware): the 64-bit hash is split into 6
     * chunks (11/11/11/11/10/10 bits); each distinct hash emits one key
@@ -128,12 +129,14 @@ object Dedup {
     * cluster can no longer silently lose its pairs (the r2 flaw), and
     * the all-pairs clique (quadratic in cluster size) is never
     * materialized. The clique is recoverable: members of one cluster
-    * share a keeper. */
+    * share a keeper. Hamming 1–3 pairs are likewise keeper-to-keeper
+    * (one row per distinct-hash pair), so two near boilerplate clusters
+    * contribute one edge instead of a c1×c2 product — the r3 residual
+    * quadratic path. */
   def dedup_simhash(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sh = Tables.documents(s, d)
-      .select($"doc_id", simhash64(shingleHashes($"text", 3)).as("simhash"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = CacheRegistry.cache(Tables.documents(s, d)
+      .select($"doc_id", simhash64(shingleHashes($"text", 3)).as("simhash")))
     val hs = sh.select($"simhash").distinct()
     val widths = Array(11, 11, 11, 11, 10, 10)
     val offsets = widths.scanLeft(0)(_ + _)
@@ -152,15 +155,21 @@ object Dedup {
     val hpairs = bucketPairs(hs, "simhash", chunkKeys)
       .withColumn("hamming", bit_count($"simhash".bitwiseXOR($"simhash2")))
       .filter($"hamming" <= 3 && $"hamming" > 0)
-    val near = hpairs
-      .join(sh, "simhash")
-      .join(sh.select($"simhash".as("simhash2"), $"doc_id".as("doc_b")), "simhash2")
-      .select(least($"doc_id", $"doc_b").as("doc_id"),
-        greatest($"doc_id", $"doc_b").as("doc_id2"), $"hamming")
-    val clusters = sh.groupBy($"simhash")
+    // One representative (keeper = min doc_id) per distinct hash: near
+    // pairs are emitted keeper-to-keeper, ONE row per qualifying hash
+    // pair — never the c1×c2 member product two exact-dup clusters at
+    // hamming 1–3 would otherwise produce. Member→keeper edges come
+    // from the hamming-0 star below, so the full near-dup relation is
+    // recoverable by following keeper links (exactly how the cluster
+    // resolution in [[dedup_clusters]] consumes pair lists).
+    val reps = sh.groupBy($"simhash")
       .agg(min($"doc_id").as("keeper"), count(lit(1)).as("csize"))
-      .filter($"csize" >= 2)
-    val same = sh.join(clusters, "simhash")
+    val near = hpairs
+      .join(reps.select($"simhash", $"keeper".as("doc_a")), "simhash")
+      .join(reps.select($"simhash".as("simhash2"), $"keeper".as("doc_b")), "simhash2")
+      .select(least($"doc_a", $"doc_b").as("doc_id"),
+        greatest($"doc_a", $"doc_b").as("doc_id2"), $"hamming")
+    val same = sh.join(reps.filter($"csize" >= 2), "simhash")
       .filter($"doc_id" > $"keeper")
       .select($"keeper".as("doc_id"), $"doc_id".as("doc_id2"),
         lit(0).as("hamming"))
@@ -180,10 +189,10 @@ object Dedup {
     import s.implicits._
     val k = 32; val bands = 16; val r = 2
     // grams are referenced by the signature derivation and both score
-    // joins — persist so the shingle kernel runs once per document.
-    val docs = Tables.documents(s, d)
-      .select($"doc_id", shingleHashes($"text", 3).as("grams"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // joins — persist (registry-tracked) so the shingle kernel runs
+    // once per document.
+    val docs = CacheRegistry.cache(Tables.documents(s, d)
+      .select($"doc_id", shingleHashes($"text", 3).as("grams")))
     val sigs = docs.select($"doc_id", minhashSignature($"grams", k).as("sig"))
     lshCandidatePairs(sigs, bands, r)
       .join(docs, "doc_id")
@@ -238,6 +247,16 @@ object Dedup {
     * large-star/small-star alternation (O(log n) rounds, same
     * join/agg building blocks).
     *
+    * If `maxIter` is exhausted before convergence the result would
+    * contain SPLIT components, so the loop fails loudly rather than
+    * returning silently-wrong labels (a near-dup graph needs diameter
+    * rounds; hitting 20 means the input is pathological, not clique-ish
+    * — raise `maxIter` or switch to star alternation).
+    *
+    * `edges` is unpersisted on exit; the returned frontier stays
+    * persisted and registry-tracked — the consumer releases it via
+    * [[graft.CacheRegistry.releaseAll]] after materializing.
+    *
     * Input: 2-column pair DataFrame (id, id2). Output: (node, label)
     * where label = min node id of the component. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
@@ -245,25 +264,45 @@ object Dedup {
     val fwd = pairs.select(col(a).as("src"), col(b).as("dst"))
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var changed = 1L
-    var i = 0
-    while (changed > 0 && i < maxIter) {
-      val nbrMin = edges.join(labels, edges("dst") === labels("node"))
-        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-      val prev = labels
-      labels = prev.join(nbrMin, prev("node") === nbrMin("src"), "left")
-        .select(prev("node"),
-          least(prev("label"), coalesce(col("nlabel"), prev("label"))).as("label"))
+    try {
+      var labels = edges.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = labels.join(prev.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).count()
-      prev.unpersist()
-      i += 1
-    }
-    labels
+      var changed = 1L
+      var i = 0
+      while (changed > 0 && i < maxIter) {
+        val nbrMin = edges.join(labels, edges("dst") === labels("node"))
+          .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+        val prev = labels
+        // The convergence check rides the SAME action that materializes
+        // the new frontier (an `observe` metric counting changed
+        // labels), instead of a second frontier-vs-frontier join +
+        // count per round — at scale that halves the per-round work.
+        val obs = new org.apache.spark.sql.Observation(s"graft_cc_${obsId.incrementAndGet()}")
+        val upd = prev.join(nbrMin, prev("node") === nbrMin("src"), "left")
+          .select(prev("node"), prev("label").as("old"),
+            least(prev("label"), coalesce(col("nlabel"), prev("label"))).as("label"))
+          .observe(obs, sum(when(col("label") =!= col("old"), 1L).otherwise(0L)).as("changed"))
+        labels = upd.select(col("node"), col("label"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        labels.count() // materialize frontier + fire the observation
+        changed = obs.get("changed") match {
+          case null => 0L
+          case n: java.lang.Long => n.longValue()
+          case n: Number => n.longValue()
+        }
+        prev.unpersist()
+        i += 1
+      }
+      if (changed > 0) {
+        labels.unpersist(blocking = false)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter rounds " +
+            s"($changed labels still changing) — labels would be split; " +
+            "raise maxIter or use large-star/small-star alternation")
+      }
+      CacheRegistry.track(labels)
+    } finally edges.unpersist(blocking = false)
   }
 
   /** Dedup RESOLUTION — the step a training-data pipeline runs after

@@ -34,12 +34,17 @@ object SqlSurface {
 
   /** Register every testdata table as a temp view on this session
     * (idempotent; events goes through Tables.events for the
-    * nanos-timestamp conversion). */
-  def registerViews(s: SparkSession, d: String): Unit =
-    if (lastDir.put(s, d) != d) {
+    * nanos-timestamp conversion). The memo is updated only AFTER all
+    * views register — a failure mid-registration must not leave the
+    * session marked done with half its views missing — and the block is
+    * serialized so a concurrent caller can't read a partial catalog. */
+  def registerViews(s: SparkSession, d: String): Unit = lastDir.synchronized {
+    if (lastDir.get(s) != d) {
       parquetTables.foreach(t => Tables.load(s, d, t).createOrReplaceTempView(t))
       Tables.events(s, d).createOrReplaceTempView("events")
+      lastDir.put(s, d)
     }
+  }
 
   /** The §2.1 queries whose oracle SQL is dialect-neutral enough to run
     * verbatim on Spark: aggregate (q1), EXISTS semijoin (q4), 6-way

@@ -29,21 +29,35 @@ object Sources {
     p
   }
 
+  /** Collision-resistant per-dir table tag: 64-bit SHA-256 prefix of
+    * the FULL path (a 32-bit String.hashCode collision would make two
+    * dirs silently share one table while the memo is keyed on the full
+    * path). */
+  private def dirTag(d: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(d.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+
   /** One JDBC table per source dir, populated once per JVM: the write
     * is table SETUP, not part of the query, so Bench's measured pass
     * (and any repeated materialization in Verify) times the READ path
-    * only. */
-  private val populated = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    * only. The memo records a dir only AFTER its setup succeeds (a
+    * failed first call must not poison later calls into reading a
+    * missing table), and setup is serialized so a racing second caller
+    * waits for the write instead of reading a partial table. */
+  private val populated = new java.util.HashSet[String]()
   private def pageviewTable(s: SparkSession, d: String): String = {
-    val table = s"pageviews_${Integer.toHexString(d.hashCode)}"
-    if (populated.add(d)) {
-      import s.implicits._
-      Tables.events(s, d)
-        .filter($"event_type" === "view")
-        .groupBy($"user_id")
-        .agg(count(lit(1)).as("n_views"))
-        .coalesce(1).write.mode("overwrite")
-        .jdbc(jdbcUrl, table, jdbcProps)
+    val table = s"pageviews_${dirTag(d)}"
+    populated.synchronized {
+      if (!populated.contains(d)) {
+        import s.implicits._
+        Tables.events(s, d)
+          .filter($"event_type" === "view")
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_views"))
+          .coalesce(1).write.mode("overwrite")
+          .jdbc(jdbcUrl, table, jdbcProps)
+        populated.add(d)
+      }
     }
     table
   }
@@ -90,13 +104,14 @@ object Sources {
       .orderBy($"p_brand")
   }
 
-  /** Bucketed-table names for a source dir (content-addressed so
-    * different sf dirs coexist in one warehouse). */
-  private val bucketed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** Bucketed-table names for a source dir (path-addressed so
+    * different sf dirs coexist in one warehouse); memoized on SUCCESS
+    * only and serialized, like [[pageviewTable]]. */
+  private val bucketed = new java.util.HashSet[String]()
   private def bucketedTables(s: SparkSession, d: String): (String, String) = {
-    val tag = Integer.toHexString(d.hashCode)
+    val tag = dirTag(d)
     val (ot, ct) = (s"orders_bkt_$tag", s"customer_bkt_$tag")
-    if (bucketed.add(d)) {
+    bucketed.synchronized { if (!bucketed.contains(d)) {
       // a previous JVM may have left table FILES in the warehouse that
       // this session's (in-memory) catalog doesn't know about — clear
       // both catalog entry and location before re-creating
@@ -116,7 +131,8 @@ object Sources {
       Tables.customer(s, d).write.mode("overwrite")
         .bucketBy(8, "c_custkey").sortBy("c_custkey")
         .format("parquet").saveAsTable(ct)
-    }
+      bucketed.add(d)
+    } }
     (ot, ct)
   }
 

@@ -125,6 +125,67 @@ class DedupSpec extends SparkSpec {
     assert(rows.filter(_._2 == 500L).count(_._3) == 1, "exactly one keeper per cluster")
   }
 
+  test("dedup_simhash routes near pairs through cluster keepers (no member products)") {
+    // 20 plant groups: each is a base doc duplicated 3x plus a 1-word
+    // variant duplicated 3x. Near (hamming 1-3) pairs must surface as
+    // ONE keeper-to-keeper row per hash pair — never the 3x3 member
+    // product — with members reachable via their hamming-0 star.
+    val rnd = new scala.util.Random(41)
+    val vocab = Array.tabulate(800)(i => s"tok$i")
+    def doc(len: Int) = Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val rows = (0 until 20).flatMap { g =>
+      val base = doc(400)
+      val words = base.split(" ")
+      words(rnd.nextInt(words.length)) = vocab(rnd.nextInt(vocab.length))
+      val variant = words.mkString(" ")
+      val ids = (0 until 3).map(i => ((g * 10 + i).toLong, base)) ++
+        (0 until 3).map(i => ((1000 + g * 10 + i).toLong, variant))
+      ids
+    }
+    val dir = writeDocs(rows, "e")
+    val out = Dedup.dedup_simhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue))
+    // keepers are the min ids of each identical-text group
+    val keepers = rows.groupBy(_._2).values.map(_.map(_._1).min).toSet
+    val near = out.filter(_._3 > 0)
+    assert(near.nonEmpty, "expected some hamming 1-3 keeper pairs across 20 plant groups")
+    assert(near.forall(p => keepers.contains(p._1) && keepers.contains(p._2)),
+      s"near pairs must be keeper-to-keeper; offenders: ${near.filterNot(p => keepers.contains(p._1) && keepers.contains(p._2)).take(5).toSeq}")
+    // one row per hash pair: no (base-group x variant-group) member product
+    assert(near.map(p => (p._1, p._2)).distinct.length == near.length)
+    val starMembers = out.filter(_._3 == 0).map(_._2).toSet
+    assert(rows.map(_._1).toSet.diff(keepers).subsetOf(starMembers),
+      "every non-keeper member must appear in a hamming-0 star")
+  }
+
+  test("hot-bucket cap drops are observable via BucketCapMetrics") {
+    // 1100 identical docs put > maxBucket ids in every minhash band
+    // bucket; the cap drops them and the observe metric must surface
+    // the drop to a registered listener (the Bench/Verify wiring). A
+    // planted near-dup pair keeps the pair set non-empty — with NO
+    // surviving pairs AQE propagates the empty relation and the
+    // CollectMetrics node never executes (the truly-all-capped case is
+    // caught by the empty-output gate instead).
+    BucketCapMetrics.register(spark)
+    BucketCapMetrics.drained() // clear anything earlier tests left
+    val rnd2 = new scala.util.Random(43)
+    val vocab2 = Array.tabulate(800)(i => s"tok$i")
+    val baseDoc = Seq.fill(120)(vocab2(rnd2.nextInt(vocab2.length))).mkString(" ")
+    val w2 = baseDoc.split(" "); w2(5) = "variantword"
+    val rows = (0 until 1100).map(i => (i.toLong, "same text for every doc in this corpus")) ++
+      Seq((2000L, baseDoc), (2001L, w2.mkString(" ")))
+    val dir = writeDocs(rows, "f")
+    Dedup.dedup_minhash_lsh(spark, dir).collect()
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    var caps = BucketCapMetrics.drained()
+    while (caps.isEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(200); caps = BucketCapMetrics.drained()
+    }
+    assert(caps.nonEmpty, "capped buckets must be reported to the listener")
+    val c = caps.values.head
+    assert(c.droppedBuckets > 0 && c.maxBucket >= 1100 && c.cappedIds >= 1100, s"$c")
+  }
+
   test("dedup_simhash keeps complete pairs for exact-dup clusters beyond the bucket cap") {
     // 1200 identical docs (> maxBucket = 1000) + 100 distinct: the r2
     // capped all-pairs path silently lost these; the keeper->member
