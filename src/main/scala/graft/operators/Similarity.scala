@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -99,9 +99,101 @@ object Similarity {
       .orderBy($"qid", $"rank")
   }
 
+  /** IVF (inverted-file) ANN — the coarse-quantizer scale path: K
+    * centroids partition the corpus into cells (inverted lists); a
+    * query probes only its `nprobe` nearest cells and brute-forces
+    * within them, so scored candidates shrink ~K/nprobe-fold vs brute
+    * force.
+    *
+    * Spark-first shape, 100 TB posture:
+    * - TRAIN: deterministic seed sample (k smallest xxhash64(vec_id))
+    *   + Lloyd refinement rounds. The element-wise cell means use
+    *   posexplode → groupBy(cell, pos) → avg: partial aggregation
+    *   combines map-side, so the shuffle carries one partial sum per
+    *   (cell, dim, partition), never the corpus. Only K×dim doubles
+    *   ever reach the driver.
+    * - ASSIGN: centroids are literal arrays baked into a codegen'd
+    *   argmin expression (array_min over struct(dist, cid)) — a pure
+    *   map over the corpus, no shuffle, no join.
+    * - SEARCH: candidate generation is an equi-join on the cell id
+    *   with the probed query set broadcast; exact cosine rescoring
+    *   and a per-query window top-k (WindowGroupLimit pushes the
+    *   partial top-k below the shuffle).
+    *
+    * Operating point: the synthetic embeddings are near-uniform on the
+    * sphere (by construction — see dedup_embedding's scaladoc), so
+    * top-5 neighbors spread across cells and recall tracks the probe
+    * fraction (measured: 4/16 cells → 0.56, 8/32 → 0.76). Real
+    * embedding corpora cluster, which is what makes IVF's
+    * probe-few-cells bet pay; on this corpus the registered config
+    * scores 25% of the corpus per query for recall ≈ 0.76, gated ≥ 0.7
+    * in SimilaritySpec alongside an nprobe=k sanity check (probing all
+    * cells must reproduce brute force). */
+  def ann_ivf(s: SparkSession, d: String): DataFrame =
+    annIvf(s, d, k = 32, nprobe = 8, iters = 1)
+
+  /** Argmin / sorted-probe helpers: one struct(dist, cid) per centroid,
+    * compared lexicographically (distance first). Cosine distance on
+    * the double-cast vector; the cast column is shared across the K
+    * kernel calls. */
+  private def centroidDists(cents: Array[Array[Double]], v: Column): Column =
+    array(cents.zipWithIndex.map { case (c, i) =>
+      struct((lit(1.0) - cosine(v, typedLit(c.toSeq))).as("dist"),
+        lit(i).as("cid"))
+    }: _*)
+
+  def annIvf(s: SparkSession, d: String, k: Int, nprobe: Int,
+      iters: Int): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .select($"vec_id", asDouble($"embedding").as("vec"))
+
+    // deterministic seed centroids: k corpus vectors with the smallest
+    // vec_id hash (stable across runs/partitionings; k×dim is tiny)
+    var cents: Array[Array[Double]] = e
+      .orderBy(xxhash64($"vec_id"), $"vec_id").limit(k)
+      .select($"vec_id", $"vec").collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+
+    for (_ <- 0 until iters) {
+      val means = e
+        .select(array_min(centroidDists(cents, $"vec")).getField("cid").as("cell"),
+          posexplode($"vec").as(Seq("pos", "x")))
+        .groupBy($"cell", $"pos").agg(avg($"x").as("m"))
+        .collect()
+      val byCell = means.groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (old, cid) =>
+        byCell.get(cid) match {
+          case Some(rows) =>
+            val m = old.clone()
+            rows.foreach(r => m(r.getInt(1)) = r.getDouble(2))
+            m
+          case None => old // empty cell keeps its seed centroid
+        }
+      }
+    }
+
+    val corpus = e.select($"vec_id".as("nid"), $"vec".as("nvec"),
+      array_min(centroidDists(cents, $"vec")).getField("cid").as("cell"))
+    val probes = e.filter($"vec_id" < 16)
+      .select($"vec_id".as("qid"), $"vec".as("qvec"),
+        explode(slice(array_sort(centroidDists(cents, $"vec")), 1, nprobe)).as("probe"))
+      .select($"qid", $"qvec", $"probe.cid".as("cell"))
+    val scored = corpus.join(broadcast(probes), "cell")
+      .filter($"nid" =!= $"qid")
+      .select($"qid", $"nid", cosine($"qvec", $"nvec").as("cos"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")))
+      .filter($"rank" <= 5)
+      .select($"qid", $"rank", $"nid", round($"cos", 6).as("cos_sim"))
+      .orderBy($"qid", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_brute" -> ann_topk_brute _,
-    "ann_lsh" -> ann_lsh _)
+    "ann_lsh" -> ann_lsh _,
+    "ann_ivf" -> ann_ivf _)
 
   val oracle: Map[String, String] = Map(
     "ann_topk_brute" ->

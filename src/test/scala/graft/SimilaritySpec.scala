@@ -29,6 +29,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"multi-probe recall@5 $recall < 0.8")
   }
 
+  test("ann_ivf recall@5 vs brute force, and probes a strict cell subset") {
+    val brute = Similarity.ann_topk_brute(spark, sf001)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ann_ivf(spark, sf001)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty, "ann_ivf returned no rows")
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.7, s"IVF recall@5 $recall < 0.7 (nprobe=8 of k=32 cells)")
+    // widening the probe set must recover (near-)exact recall: probing
+    // all cells IS brute force up to tie-breaks
+    val full = Similarity.annIvf(spark, sf001, k = 16, nprobe = 16, iters = 1)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullRecall = (brute & full).size.toDouble / brute.size
+    assert(fullRecall >= 0.99, s"nprobe=k recall $fullRecall should be exact")
+  }
+
   test("embeddingLshPairs finds planted near-duplicates selectively") {
     import spark.implicits._
     // 400 random unit-ish vectors + 40 planted near-dups (tiny noise,
