@@ -56,7 +56,22 @@ object Bench {
         name -> r
       }
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1") pass("warmup")
-    val results = pass("measured")
+    // Min over N measured passes: a GC pause or host-load blip on a
+    // single pass otherwise lands in the round's recorded numbers
+    // (observed: one 1.3 s query measuring 8 s on a loaded host). Min,
+    // not mean — the floor is the reproducible steady-state cost; noise
+    // is strictly additive.
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+    val results = (1 to nPasses).map(i => pass(s"measured$i"))
+      .reduce { (a, b) =>
+        a.zip(b).map { case ((n, ra), (_, rb)) =>
+          n -> ((ra, rb) match {
+            case (Right(x), Right(y)) => Right(math.min(x, y))
+            case (Left(e), _) => Left(e)
+            case (_, Left(e)) => Left(e)
+          })
+        }
+      }
 
     results.foreach {
       case (n, Left(err)) => System.err.println(s"[bench] FAILED $n: $err")

@@ -177,8 +177,34 @@ object MetadataOps {
       .orderBy($"dir")
   }
 
+  /** Small-files report + compaction plan — THE HopsFS workload: the
+    * reference's headline deviation from stock HDFS is storing
+    * small-file data in the metadata DB because small files dominate
+    * real namespaces and overwhelm block-based storage (reference
+    * README.md:7 "Small files stored in the database"). The operator
+    * every such system needs: per directory, how many files are small,
+    * how many bytes they hold, and how many fixed-size bins a
+    * compaction pass would pack them into (ceil of small bytes over the
+    * bin size — the number of merged blobs a compactor would write).
+    * One groupBy with conditional aggregates — map-side combined, one
+    * shuffle on the directory key at any scale. */
+  def fs_small_files(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val threshold = 256L; val bin = 1024L
+    Tables.documents(s, d)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_files"),
+        sum(when($"n_chars" < threshold, 1L).otherwise(0L)).as("n_small"),
+        sum(when($"n_chars" < threshold, $"n_chars").otherwise(0L)).as("small_bytes"))
+      .select($"source", $"n_files", $"n_small", $"small_bytes",
+        round($"n_small" * 100.0 / $"n_files", 2).as("pct_small"),
+        ceil($"small_bytes" / lit(bin.toDouble)).cast("long").as("n_compaction_bins"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fs_du" -> fs_du _,
+    "fs_small_files" -> fs_small_files _,
     "fs_du_tree" -> fs_du_tree _,
     "fs_block_histogram" -> fs_block_histogram _,
     "fs_hot_keys" -> fs_hot_keys _,
@@ -188,6 +214,13 @@ object MetadataOps {
     "ec_reconstruct" -> ec_reconstruct _)
 
   val oracle: Map[String, String] = Map(
+    "fs_small_files" ->
+      """SELECT source, count(*) AS n_files,
+        | CAST(sum(CASE WHEN n_chars < 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_small,
+        | CAST(sum(CASE WHEN n_chars < 256 THEN n_chars ELSE 0 END) AS BIGINT) AS small_bytes,
+        | round(sum(CASE WHEN n_chars < 256 THEN 1 ELSE 0 END) * 100.0 / count(*), 2) AS pct_small,
+        | CAST(ceil(sum(CASE WHEN n_chars < 256 THEN n_chars ELSE 0 END) / 1024.0) AS BIGINT) AS n_compaction_bins
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "fs_du" ->
       """SELECT source, count(*) AS n_files, CAST(sum(n_chars) AS BIGINT) AS bytes_used,
         | round(avg(n_chars),2) AS avg_file_size, max(n_chars) AS max_file_size
