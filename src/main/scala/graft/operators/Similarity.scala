@@ -106,12 +106,14 @@ object Similarity {
     * force.
     *
     * Spark-first shape, 100 TB posture:
-    * - TRAIN: deterministic seed sample (k smallest xxhash64(vec_id))
-    *   + Lloyd refinement rounds. The element-wise cell means use
-    *   posexplode → groupBy(cell, pos) → avg: partial aggregation
-    *   combines map-side, so the shuffle carries one partial sum per
-    *   (cell, dim, partition), never the corpus. Only K×dim doubles
-    *   ever reach the driver.
+    * - TRAIN: on a deterministic hash-mod SAMPLE (capped ~100k rows —
+    *   quantizer quality saturates at ~100s of vectors per centroid,
+    *   so full-corpus Lloyd is pure waste at 100 TB); seed = k
+    *   smallest-hash sample vectors, then Lloyd refinement rounds. The
+    *   element-wise cell means use posexplode → groupBy(cell, pos) →
+    *   avg: partial aggregation combines map-side, so the shuffle
+    *   carries one partial sum per (cell, dim, partition), never the
+    *   sample. Only K×dim doubles ever reach the driver.
     * - ASSIGN: centroids are literal arrays baked into a codegen'd
     *   argmin expression (array_min over struct(dist, cid)) — a pure
     *   map over the corpus, no shuffle, no join.
@@ -148,16 +150,30 @@ object Similarity {
     val e = Tables.embeddings(s, d)
       .select($"vec_id", asDouble($"embedding").as("vec"))
 
-    // deterministic seed centroids: k corpus vectors with the smallest
+    // TRAIN ON A SAMPLE, not the corpus: coarse-quantizer quality needs
+    // ~100s of vectors per centroid, so Lloyd over the full corpus is
+    // wasted work at scale (100 TB of embeddings would re-scan
+    // everything per round for centroids a 100k-row sample determines
+    // just as well). Deterministic hash-mod sample, ~trainCap rows;
+    // corpora at or under the cap train on everything. The row count
+    // comes from parquet metadata (count aggregates footer stats — no
+    // data scan).
+    val trainCap = 100000L
+    val n = e.count()
+    val train =
+      if (n <= trainCap) e
+      else e.filter(pmod(xxhash64($"vec_id"), lit(n / trainCap + 1)) === 0)
+
+    // deterministic seed centroids: k sample vectors with the smallest
     // vec_id hash (stable across runs/partitionings; k×dim is tiny)
-    var cents: Array[Array[Double]] = e
+    var cents: Array[Array[Double]] = train
       .orderBy(xxhash64($"vec_id"), $"vec_id").limit(k)
       .select($"vec_id", $"vec").collect()
       .sortBy(_.getLong(0))
       .map(_.getSeq[Double](1).toArray)
 
     for (_ <- 0 until iters) {
-      val means = e
+      val means = train
         .select(array_min(centroidDists(cents, $"vec")).getField("cid").as("cell"),
           posexplode($"vec").as(Seq("pos", "x")))
         .groupBy($"cell", $"pos").agg(avg($"x").as("m"))

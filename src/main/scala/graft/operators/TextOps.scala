@@ -93,11 +93,44 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** END-TO-END curation pipeline — the composition a training-data
+    * run actually executes: score quality → drop short/low-quality
+    * docs → drop exact-duplicate non-keepers → emit the curated set.
+    * The quality stage is the same per-row scoring as [[text_quality]]
+    * (scan-speed map); the dedup stage is the [[Dedup.dedup_exact]]
+    * shape (hash groupBy for keepers + equi-join back), so the whole
+    * pipeline is one scan + one shuffle on the content hash at any
+    * scale. Hash-oracled end to end — this is the one dedup-involving
+    * query whose FULL composition the DuckDB oracle can verify. */
+  def text_pipeline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = tokens($"text")
+    val nWords = size(t).cast("long")
+    val nStop = size(filter(t, w => w.isInCollection(stopwords))).cast("long")
+    val nUniq = size(array_distinct(t)).cast("long")
+    val scored = Tables.documents(s, d)
+      .select($"doc_id", md5($"text".cast("binary")).as("h"),
+        nWords.as("n_words"),
+        round(when(nWords === 0, 0.0).otherwise(nStop.cast("double") / nWords), 4)
+          .as("stopword_ratio"),
+        round(when(nWords === 0, 0.0).otherwise(nUniq.cast("double") / nWords), 4)
+          .as("uniq_ratio"))
+      .withColumn("quality_score",
+        round(when($"n_words" >= 20, 1.0).otherwise(0.5) * $"uniq_ratio" *
+          when($"stopword_ratio" > 0.01, 1.0).otherwise(0.8), 4))
+      .filter($"n_words" >= 10 && $"quality_score" >= 0.5)
+    val keepers = scored.groupBy($"h").agg(min($"doc_id").as("doc_id"))
+    scored.join(keepers, Seq("h", "doc_id"))
+      .select($"doc_id", $"n_words", $"quality_score")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality" -> text_quality _,
     "text_tokens" -> text_tokens _,
     "text_langid" -> text_langid _,
-    "text_fingerprint" -> text_fingerprint _)
+    "text_fingerprint" -> text_fingerprint _,
+    "text_pipeline" -> text_pipeline _)
 
   val oracle: Map[String, String] = Map(
     "text_quality" ->
@@ -125,6 +158,24 @@ object TextOps {
         | CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
         | CAST(length(text) AS BIGINT) AS n_chars_m
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_pipeline" ->
+      """WITH scored AS (
+        | SELECT doc_id, md5(text) AS h,
+        |  CAST(len(words) AS BIGINT) AS n_words,
+        |  round((CASE WHEN len(words) >= 20 THEN 1.0 ELSE 0.5 END)
+        |   * round(CASE WHEN len(words) = 0 THEN 0.0 ELSE
+        |      CAST(len(list_distinct(words)) AS DOUBLE) / len(words) END, 4)
+        |   * (CASE WHEN round(CASE WHEN len(words) = 0 THEN 0.0 ELSE
+        |      CAST(len(list_filter(words, w -> w IN ('the','a','an','of','and','to','in','is','it'))) AS DOUBLE)
+        |      / len(words) END, 4) > 0.01 THEN 1.0 ELSE 0.8 END), 4) AS quality_score
+        | FROM (SELECT doc_id, text,
+        |   list_filter(string_split(lower(text), ' '), w -> w <> '') AS words
+        |  FROM documents)),
+        |kept AS (SELECT * FROM scored WHERE n_words >= 10 AND quality_score >= 0.5)
+        |SELECT k.doc_id, k.n_words, k.quality_score
+        |FROM kept k JOIN (SELECT h, min(doc_id) AS doc_id FROM kept GROUP BY 1) m
+        | ON k.h = m.h AND k.doc_id = m.doc_id
+        |ORDER BY k.doc_id""".stripMargin,
     // list_sort(structs,'DESC')[1] = max by (score, lang) lexicographic,
     // the same tie-break as Spark's greatest(struct(score, lang))
     "text_langid" ->
