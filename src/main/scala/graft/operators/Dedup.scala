@@ -239,7 +239,10 @@ object Dedup {
     * diameter — near-dup graphs are clique-ish (LSH emits most pairs
     * within a cluster), so 2–4 rounds in practice; `maxIter` bounds
     * pathological chains. Each round is one equi-join + one aggregate,
-    * all shuffles on node id; the label frontier is persisted per round
+    * all shuffles on node id; the initial frontier folds the first
+    * propagation round into one edge aggregation (min neighbor per
+    * node — no join needed while labels are identity); the label
+    * frontier is persisted per round
     * and the previous round unpersisted, so lineage never re-executes.
     * The per-round convergence check is a count() — one scalar to the
     * driver, not data (the standard Pregel-style loop shape). For
@@ -265,8 +268,14 @@ object Dedup {
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      var labels = edges.select(col("src").as("node")).distinct()
-        .select(col("node"), col("node").as("label"))
+      // Initial frontier = the FIRST propagation round computed without
+      // a join: with identity labels, round 1's neighbor-min is just
+      // min(dst) per src, so label₀ = least(node, min neighbor) comes
+      // straight off the edge list — one aggregation replaces the
+      // identity init PLUS a full join round.
+      var labels = edges.groupBy(col("src"))
+        .agg(least(col("src"), min(col("dst"))).as("label"))
+        .select(col("src").as("node"), col("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       var changed = 1L
       var i = 0

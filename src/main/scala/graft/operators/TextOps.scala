@@ -97,11 +97,12 @@ object TextOps {
     * run actually executes: score quality → drop short/low-quality
     * docs → drop exact-duplicate non-keepers → emit the curated set.
     * The quality stage is the same per-row scoring as [[text_quality]]
-    * (scan-speed map); the dedup stage is the [[Dedup.dedup_exact]]
-    * shape (hash groupBy for keepers + equi-join back), so the whole
-    * pipeline is one scan + one shuffle on the content hash at any
-    * scale. Hash-oracled end to end — this is the one dedup-involving
-    * query whose FULL composition the DuckDB oracle can verify. */
+    * (scan-speed map); the dedup stage keeps each content hash's min
+    * doc_id via a window min — ONE scan and ONE shuffle on the content
+    * hash (a groupBy-keepers + join-back self-join would recompute the
+    * scoring lineage once per join side). Hash-oracled end to end —
+    * this is the one dedup-involving query whose FULL composition the
+    * DuckDB oracle can verify. */
   def text_pipeline(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val t = tokens($"text")
@@ -119,8 +120,10 @@ object TextOps {
         round(when($"n_words" >= 20, 1.0).otherwise(0.5) * $"uniq_ratio" *
           when($"stopword_ratio" > 0.01, 1.0).otherwise(0.8), 4))
       .filter($"n_words" >= 10 && $"quality_score" >= 0.5)
-    val keepers = scored.groupBy($"h").agg(min($"doc_id").as("doc_id"))
-    scored.join(keepers, Seq("h", "doc_id"))
+    scored
+      .withColumn("keeper",
+        min($"doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy($"h")))
+      .filter($"doc_id" === $"keeper")
       .select($"doc_id", $"n_words", $"quality_score")
       .orderBy($"doc_id")
   }
