@@ -89,6 +89,91 @@ object StreamingOps extends Serializable {
     t
   }
 
+  /** Click/purchase row for the streaming as-of join. */
+  final case class AsofEv(event_id: Long, ts: Timestamp, user_id: Long,
+      is_purchase: Boolean)
+
+  /** Attribution emitted once the watermark seals it. */
+  final case class AsofOut(user_id: Long, purchase_id: Long,
+      purchase_ts: Timestamp, click_id: Long, click_ts: Timestamp)
+
+  /** Keyed as-of state: buffered (ts, id) clicks and not-yet-sealed
+    * purchases. */
+  final case class AsofState(clicks: Seq[(Long, Long)],
+      pending: Seq[(Long, Long)])
+
+  /** Streaming AS-OF join (the streaming form of ev_asof): attribute
+    * each purchase to the user's most recent preceding-or-simultaneous
+    * click, with custom keyed state per user.
+    *
+    * Correctness under out-of-order arrival is the whole problem: a
+    * click CAN still arrive after the purchase it should win (anywhere
+    * within the watermark delay), so attributing a purchase on arrival
+    * would emit results a later batch invalidates — and Append-mode
+    * emissions are final. Purchases are therefore BUFFERED and sealed
+    * only once the watermark passes their event time (no click at or
+    * before that instant can arrive anymore; Spark drops sub-watermark
+    * rows before the stateful operator). Clicks at identical (user,
+    * ts) dedup to the max event_id, matching the batch query and its
+    * DuckDB ASOF-JOIN oracle.
+    *
+    * State is watermark-bounded on both sides: sealed purchases leave
+    * the buffer when emitted, and of the clicks at or before the
+    * watermark only the LATEST survives (every still-unsealed purchase
+    * has ts above the watermark, so earlier clicks can never win
+    * again). An event-time timeout flushes purchases that arrive with
+    * no follow-on batch. Keyed state shards by user across executors —
+    * the same one-shuffle shape as the batch window formulation. */
+  def asofStateful(events: Dataset[AsofEv]): Dataset[AsofOut] = {
+    implicit val longEnc: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+    implicit val stateEnc: org.apache.spark.sql.Encoder[AsofState] =
+      org.apache.spark.sql.Encoders.product[AsofState]
+    implicit val outEnc: org.apache.spark.sql.Encoder[AsofOut] =
+      org.apache.spark.sql.Encoders.product[AsofOut]
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, AsofOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[AsofEv], state: GroupState[AsofState]) =>
+          var st = state.getOption.getOrElse(AsofState(Nil, Nil))
+          batch.foreach { e =>
+            val us = tsToUs(e.ts)
+            st =
+              if (e.is_purchase) st.copy(pending = st.pending :+ (us, e.event_id))
+              else st.clicks.indexWhere(_._1 == us) match {
+                // same-(user, ts) click dedup: keep max event_id
+                case -1 => st.copy(clicks = st.clicks :+ (us, e.event_id))
+                case i if st.clicks(i)._2 < e.event_id =>
+                  st.copy(clicks = st.clicks.updated(i, (us, e.event_id)))
+                case _ => st
+              }
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000
+          val (ripe, open) = st.pending.partition(_._1 <= wmUs)
+          val out = ripe.sorted.flatMap { case (pUs, pId) =>
+            val wins = st.clicks.filter(_._1 <= pUs)
+            if (wins.isEmpty) Nil
+            else {
+              val (cUs, cId) = wins.maxBy(c => (c._1, c._2))
+              List(AsofOut(userId, pId, usToTs(pUs), cId, usToTs(cUs)))
+            }
+          }
+          // prune clicks: of those at/under the watermark only the
+          // latest can still win a future (above-watermark) purchase
+          val (old, fresh) = st.clicks.partition(_._1 <= wmUs)
+          val kept = (if (old.isEmpty) Nil
+                      else List(old.maxBy(c => (c._1, c._2)))) ++ fresh
+          if (open.isEmpty && kept.isEmpty) state.remove()
+          else {
+            state.update(AsofState(kept, open))
+            if (open.nonEmpty)
+              state.setTimeoutTimestamp(open.map(_._1).min / 1000 + 1)
+          }
+          out.iterator
+      }
+  }
+
   def sessionizeStateful(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[SessionOut] = {
     val gapUs = gapMinutes.toLong * 60 * 1000000
     implicit val longEnc: org.apache.spark.sql.Encoder[Long] =

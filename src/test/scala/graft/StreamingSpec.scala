@@ -148,6 +148,72 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of attributes a purchase to a click arriving in a LATER batch") {
+    // The case that breaks attribute-on-arrival implementations: the
+    // purchase shows up first; its winning click arrives out-of-order
+    // in the next micro-batch (inside the watermark delay). Sealing on
+    // watermark must credit the late click.
+    import graft.streaming.StreamingOps.{AsofEv, AsofOut}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Int) = new Timestamp(3600_000L * 24 + min * 60_000L)
+    val ms = MemoryStream[AsofEv]
+    val withWm = ms.toDS().withWatermark("ts", "1 hour").as[AsofEv]
+    val q = StreamingOps.asofStateful(withWm)
+      .writeStream.format("memory").queryName("t_asof_ooo")
+      .outputMode("append").start()
+    try {
+      // batch 1: an early click and the purchase at minute 10
+      ms.addData(Seq(AsofEv(1L, ts(0), 7L, is_purchase = false),
+        AsofEv(9L, ts(10), 7L, is_purchase = true)))
+      drain(q)
+      // batch 2: the out-of-order click at minute 5 — must win
+      ms.addData(Seq(AsofEv(2L, ts(5), 7L, is_purchase = false)))
+      drain(q)
+      val sentinel = AsofEv(-1L, ts(60 * 48), -1L, is_purchase = false)
+      ms.addData(Seq(sentinel)); drain(q)
+      ms.addData(Seq(sentinel.copy(event_id = -2L))); drain(q)
+      val got = spark.table("t_asof_ooo").filter($"user_id" === 7L)
+        .as[AsofOut].collect()
+      assert(got.length == 1, s"expected one attribution, got ${got.toSeq}")
+      assert(got(0).click_id == 2L && got(0).click_ts == ts(5),
+        s"late out-of-order click must win: ${got(0)}")
+    } finally q.stop()
+  }
+
+  test("streaming as-of equals batch ev_asof on the full event log") {
+    import graft.streaming.StreamingOps.{AsofEv, AsofOut}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = loadEvents().filter(e => e.event_type == "click" || e.event_type == "purchase")
+    val maxTs = events.map(_.ts.getTime).max
+    val ms = MemoryStream[AsofEv]
+    val withWm = ms.toDS().withWatermark("ts", "0 seconds").as[AsofEv]
+    val q = StreamingOps.asofStateful(withWm)
+      .writeStream.format("memory").queryName("t_asof")
+      .outputMode("append").start()
+    try {
+      ms.addData(events.map(e =>
+        AsofEv(e.event_id, e.ts, e.user_id, e.event_type == "purchase")))
+      drain(q)
+      val sentinel = AsofEv(-1L, new Timestamp(maxTs + 86400000L * 2), -1L, is_purchase = false)
+      ms.addData(Seq(sentinel)); drain(q)
+      ms.addData(Seq(sentinel.copy(event_id = -2L))); drain(q)
+      val got = spark.table("t_asof").filter($"user_id" >= 0)
+        .as[AsofOut].collect()
+        .map(a => a.purchase_id -> (a.user_id, a.purchase_ts, a.click_id, a.click_ts))
+        .toMap
+      // batch columns: user_id, purchase_id, purchase_ts, click_id, click_ts
+      val exp = EventOps.ev_asof(spark, sf0001)
+        .collect()
+        .map(r => r.getLong(1) -> (r.getLong(0), r.getTimestamp(2), r.getLong(3), r.getTimestamp(4)))
+        .toMap
+      assert(got.keySet == exp.keySet,
+        s"attributions differ: missing=${(exp.keySet -- got.keySet).take(3)} extra=${(got.keySet -- exp.keySet).take(3)}")
+      exp.foreach { case (k, v) => assert(got(k) == v, s"purchase $k: ${got(k)} vs $v") }
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization equals batch ev_sessionize") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
