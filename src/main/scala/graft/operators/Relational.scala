@@ -259,7 +259,31 @@ object Relational {
       .orderBy($"r_name", $"n_name")
   }
 
+  /** Grouped TOP-K via a typed bounded [[graft.functions.TopKAggregator]]
+    * instead of a window: the partial-aggregate phase caps every group
+    * at k rows PER MAP TASK, so the shuffle carries ≤ k·tasks rows per
+    * group no matter the group size — a row_number window must first
+    * co-locate every row of the group (see the Aggregator scaladoc;
+    * the two-phase plan + window equivalence are asserted in
+    * TopKAggSpec). Top-3 orders by price per order priority. */
+  def q22_grouptopk(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val topk = udaf(new graft.functions.TopKAggregator(3),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong))
+    Tables.orders(s, d)
+      .groupBy($"o_orderpriority")
+      .agg(topk($"o_totalprice", $"o_orderkey").as("tk"))
+      .select($"o_orderpriority",
+        posexplode(arrays_zip($"tk.values", $"tk.keys")).as(Seq("pos", "e")))
+      .select($"o_orderpriority", ($"pos" + 1).cast("long").as("rank"),
+        $"e.keys".as("o_orderkey"), round($"e.values", 2).as("price"))
+      .orderBy($"o_orderpriority", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_grouptopk" -> q22_grouptopk _,
     "q1_agg" -> q1_agg _,
     "q2_filter_project" -> q2_filter_project _,
     "q3_join_agg" -> q3_join_agg _,
@@ -282,6 +306,14 @@ object Relational {
     "q21_crossjoin_small" -> q21_crossjoin_small _)
 
   val oracle: Map[String, String] = Map(
+    "q22_grouptopk" ->
+      """SELECT o_orderpriority, rank, o_orderkey, price FROM (
+        | SELECT o_orderpriority,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rank,
+        |  o_orderkey, round(o_totalprice, 2) AS price
+        | FROM orders)
+        |WHERE rank <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,
