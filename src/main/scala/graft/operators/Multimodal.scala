@@ -59,9 +59,48 @@ object Multimodal {
       .orderBy($"doc_id", $"frame_idx")
   }
 
+  /** Per-frame feature extraction + per-doc pooling — the
+    * feature-extract/resize stage of the multimodal pipeline: each
+    * sampled frame yields a STUB 16-dim feature vector (a real impl
+    * decodes + resizes the frame and runs a vision tower here; the
+    * deterministic fake keeps the Spark-side shape honest), then
+    * frames mean-pool into one document embedding, the shape a
+    * multimodal training pipeline feeds to the §2.6 similarity
+    * operators. Frame explode and feature map are shuffle-free; the
+    * only shuffle is the per-doc pooling groupBy — map-side combined,
+    * one pass at 100 TB. */
+  def mm_features(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dim = 16
+    val frames = mm_framesample(s, d)
+      .select($"doc_id", $"frame_idx", $"frame_fp")
+      .as[(Long, Int, Long)]
+      .mapPartitions { it =>
+        // real impl: load the vision tower once per partition here
+        it.map { case (docId, frameIdx, fp) =>
+          val feat = Array.tabulate(dim) { i =>
+            // stub feature: deterministic hash-mix per (frame, channel),
+            // bounded to [-1, 1] where a real extractor emits activations
+            val h = fp * 6364136223846793005L + (i + 1) * 1442695040888963407L
+            (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+          }
+          (docId, frameIdx, feat)
+        }
+      }
+      .toDF("doc_id", "frame_idx", "feat")
+    // fixed dim → pool as dim scalar avgs (ONE map-side-combined
+    // shuffle), not posexplode + per-(doc, pos) aggregation
+    frames
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_frames_pooled"),
+        array((0 until dim).map(i => round(avg($"feat"(i)), 6)): _*).as("doc_embedding"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> mm_meta _,
-    "mm_framesample" -> mm_framesample _)
+    "mm_framesample" -> mm_framesample _,
+    "mm_features" -> mm_features _)
 
   val oracle: Map[String, String] = Map()
 }
