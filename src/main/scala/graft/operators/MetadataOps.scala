@@ -202,8 +202,29 @@ object MetadataOps {
       .orderBy($"source")
   }
 
+  /** Size-distribution report — per-directory file-size percentiles
+    * (capacity planning / SLO reporting over the inode table). EXACT
+    * percentile here: per-directory file counts are bounded, so the
+    * per-group value buffer is too, and exactness buys a hash-checkable
+    * oracle. For UNBOUNDED groups at 100 TB the same query swaps in
+    * `percentile_approx` — Spark's mergeable single-pass sketch, whose
+    * agreement with the exact form is spec-gated in MetadataSpec
+    * (within 2% on every group) so the swap is a measured trade, not a
+    * leap. */
+  def fs_size_percentiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_files"),
+        round(percentile($"n_chars", lit(0.5)), 2).as("p50"),
+        round(percentile($"n_chars", lit(0.9)), 2).as("p90"),
+        round(percentile($"n_chars", lit(0.99)), 2).as("p99"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fs_du" -> fs_du _,
+    "fs_size_percentiles" -> fs_size_percentiles _,
     "fs_small_files" -> fs_small_files _,
     "fs_du_tree" -> fs_du_tree _,
     "fs_block_histogram" -> fs_block_histogram _,
@@ -214,6 +235,12 @@ object MetadataOps {
     "ec_reconstruct" -> ec_reconstruct _)
 
   val oracle: Map[String, String] = Map(
+    "fs_size_percentiles" ->
+      """SELECT source, count(*) AS n_files,
+        | round(percentile_cont(0.5) WITHIN GROUP (ORDER BY n_chars), 2) AS p50,
+        | round(percentile_cont(0.9) WITHIN GROUP (ORDER BY n_chars), 2) AS p90,
+        | round(percentile_cont(0.99) WITHIN GROUP (ORDER BY n_chars), 2) AS p99
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "fs_small_files" ->
       """SELECT source, count(*) AS n_files,
         | CAST(sum(CASE WHEN n_chars < 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_small,
