@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.Multimodal
+
+/** Ground-truth checks for the multimodal plumbing (these queries are
+  * rows-only in the oracle, so the spec carries their correctness):
+  * metadata determinism, frame-sampling arithmetic against the decoded
+  * frame counts, and mean-pooling against a driver-side reference. */
+class MultimodalSpec extends SparkSpec {
+
+  test("mm_meta is deterministic and consistent with payload size") {
+    val a = Multimodal.mm_meta(spark, sf0001).collect()
+    val b = Multimodal.mm_meta(spark, sf0001).collect()
+    assert(a.sameElements(b), "decode metadata must be deterministic")
+    // synthetic docs are ASCII, so UTF-8 payload bytes == n_chars
+    val chars = Tables.documents(spark, sf0001)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    a.foreach { r =>
+      assert(r.getLong(1) == chars(r.getLong(0)),
+        s"doc ${r.getLong(0)}: n_bytes ${r.getLong(1)} != n_chars")
+      assert(r.getInt(5) >= 1, "n_frames must be positive")
+    }
+  }
+
+  test("mm_framesample emits every 10th frame index below n_frames") {
+    val frames = Multimodal.mm_framesample(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).intValue))
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).sorted.toSeq }
+    val nFrames = Multimodal.mm_meta(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getInt(5)).toMap
+    assert(frames.keySet == nFrames.keySet.filter(nFrames(_) > 0))
+    frames.foreach { case (doc, idxs) =>
+      val expect = 0 until nFrames(doc) by 10
+      assert(idxs == expect.toSeq, s"doc $doc: $idxs vs $expect")
+    }
+  }
+
+  test("mm_features pooling matches a driver-side reference") {
+    // reference: recompute the stub per-frame features from frame_fp
+    // and mean-pool — the query's groupBy(avg) must agree
+    val dim = 16
+    def feat(fp: Long): Array[Double] = Array.tabulate(dim) { i =>
+      val h = fp * 6364136223846793005L + (i + 1) * 1442695040888963407L
+      (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+    val byDoc = Multimodal.mm_framesample(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(x => feat(x._2)) }
+    val got = Multimodal.mm_features(spark, sf0001).collect()
+    assert(got.map(_.getLong(0)).toSet == byDoc.keySet)
+    got.take(50).foreach { r =>
+      val doc = r.getLong(0)
+      val feats = byDoc(doc)
+      assert(r.getLong(1) == feats.length, s"doc $doc frame count")
+      val expect = Array.tabulate(dim)(i => feats.map(_(i)).sum / feats.length)
+      val emb = r.getSeq[Double](2)
+      expect.zip(emb).zipWithIndex.foreach { case ((e, g), i) =>
+        assert(math.abs(e - g) < 1e-5, s"doc $doc dim $i: $g vs $e")
+      }
+    }
+  }
+}
