@@ -232,29 +232,33 @@ object Dedup {
       .orderBy($"vec_id", $"vec_id2")
   }
 
-  /** Connected components over an undirected pair list via iterative
-    * min-label propagation: every node starts labeled with its own id;
-    * each round every node takes the min of its own and its neighbors'
-    * labels; converged when no label changes. Rounds needed = graph
-    * diameter — near-dup graphs are clique-ish (LSH emits most pairs
-    * within a cluster), so 2–4 rounds in practice; `maxIter` bounds
-    * pathological chains. Each round is one equi-join + one aggregate,
-    * all shuffles on node id; the initial frontier folds the first
-    * propagation round into one edge aggregation (min neighbor per
-    * node — no join needed while labels are identity); the label
-    * frontier is persisted per round
-    * and the previous round unpersisted, so lineage never re-executes.
-    * The per-round convergence check is a count() — one scalar to the
-    * driver, not data (the standard Pregel-style loop shape). For
-    * graphs with giant diameters at extreme scale, swap in the
-    * large-star/small-star alternation (O(log n) rounds, same
-    * join/agg building blocks).
+  /** Connected components over an undirected pair list via min-label
+    * propagation WITH pointer jumping (hook + shortcut, the classic
+    * PRAM connectivity recipe): each round every node (a) hooks to the
+    * min of its own and its neighbors' labels, then (b) jumps by
+    * replacing its label with its LABEL'S label. Hooking alone needs
+    * diameter rounds; the jump roughly doubles how far a label has
+    * travelled each round, so convergence is O(log diameter) — a
+    * 3000-node chain converges in ~a dozen rounds instead of 3000
+    * (spec-gated in DedupSpec). Near-dup graphs are clique-ish (LSH
+    * emits most pairs within a cluster), so 2–3 rounds in practice.
+    *
+    * Each round is one edge⋈frontier join + aggregate (hook) and one
+    * frontier⋈frontier join (jump), all shuffles on node id; the
+    * initial frontier folds the first hook into one edge aggregation
+    * (min neighbor per node — no join needed while labels are
+    * identity); the hooked frontier is persisted per round (it feeds
+    * both the jump lookup and the jump probe — unpersisted, the
+    * self-join would recompute the hook twice) and the previous round
+    * unpersisted, so lineage never re-executes. The per-round
+    * convergence check rides the materializing action as an observe
+    * metric.
     *
     * If `maxIter` is exhausted before convergence the result would
     * contain SPLIT components, so the loop fails loudly rather than
-    * returning silently-wrong labels (a near-dup graph needs diameter
-    * rounds; hitting 20 means the input is pathological, not clique-ish
-    * — raise `maxIter` or switch to star alternation).
+    * returning silently-wrong labels (with jumping, the default cap
+    * covers diameters beyond 2^25 — hitting it means something is
+    * genuinely wrong, not merely a long chain).
     *
     * `edges` is unpersisted on exit; the returned frontier stays
     * persisted and registry-tracked — the consumer releases it via
@@ -262,7 +266,7 @@ object Dedup {
     *
     * Input: 2-column pair DataFrame (id, id2). Output: (node, label)
     * where label = min node id of the component. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
     val Array(a, b) = pairs.columns.take(2)
     val fwd = pairs.select(col(a).as("src"), col(b).as("dst"))
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
@@ -279,38 +283,62 @@ object Dedup {
         .persist(StorageLevel.MEMORY_AND_DISK)
       var changed = 1L
       var i = 0
+      // the round's materialized cache entry (the `labels` var itself
+      // is rebound to a plain LogicalRDD view of it — see below)
+      var prevCached: Option[DataFrame] = None
       while (changed > 0 && i < maxIter) {
         val nbrMin = edges.join(labels, edges("dst") === labels("node"))
           .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
         val prev = labels
+        // HOOK: take the min of own and neighbors' labels. Persisted:
+        // the jump below reads it from two sides.
+        val hooked = prev.join(nbrMin, prev("node") === nbrMin("src"), "left")
+          .select(prev("node"), prev("label").as("old"),
+            least(prev("label"), coalesce(col("nlabel"), prev("label"))).as("lab"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        // JUMP (pointer doubling): label := label's label. Labels only
+        // decrease and always name a node of the same component, so the
+        // shortcut is safe and strictly accelerating.
+        val lut = hooked.select(col("node").as("jnode"), col("lab").as("jlab"))
         // The convergence check rides the SAME action that materializes
         // the new frontier (an `observe` metric counting changed
         // labels), instead of a second frontier-vs-frontier join +
         // count per round — at scale that halves the per-round work.
         val obs = new org.apache.spark.sql.Observation(s"graft_cc_${obsId.incrementAndGet()}")
-        val upd = prev.join(nbrMin, prev("node") === nbrMin("src"), "left")
-          .select(prev("node"), prev("label").as("old"),
-            least(prev("label"), coalesce(col("nlabel"), prev("label"))).as("label"))
+        val upd = hooked.join(lut, hooked("lab") === col("jnode"), "left")
+          .select(hooked("node"), hooked("old"),
+            least(hooked("lab"), coalesce(col("jlab"), hooked("lab"))).as("label"))
           .observe(obs, sum(when(col("label") =!= col("old"), 1L).otherwise(0L)).as("changed"))
-        labels = upd.select(col("node"), col("label"))
+        val cached = upd.select(col("node"), col("label"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        labels.count() // materialize frontier + fire the observation
+        cached.count() // materialize frontier + fire the observation
         changed = obs.get("changed") match {
           case null => 0L
           case n: java.lang.Long => n.longValue()
           case n: Number => n.longValue()
         }
+        // Rebind the frontier to its MATERIALIZED rows (LogicalRDD):
+        // the jump self-join otherwise doubles the logical-plan TREE
+        // every round — RDD lineage is a shared DAG, but plan trees
+        // are not, and by round ~10 plan stringification alone OOMs.
+        labels = pairs.sparkSession.createDataFrame(cached.rdd, cached.schema)
+        hooked.unpersist()
         prev.unpersist()
+        prevCached.foreach(_.unpersist())
+        prevCached = Some(cached)
         i += 1
       }
       if (changed > 0) {
-        labels.unpersist(blocking = false)
+        prevCached.foreach(_.unpersist(blocking = false))
         throw new IllegalStateException(
           s"connectedComponents did not converge in $maxIter rounds " +
             s"($changed labels still changing) — labels would be split; " +
-            "raise maxIter or use large-star/small-star alternation")
+            "with pointer jumping this means a genuine defect, not depth")
       }
-      CacheRegistry.track(labels)
+      // the returned view reads from the final round's cache entry;
+      // register THAT entry so releaseAll frees it
+      prevCached.foreach(CacheRegistry.track)
+      labels
     } finally edges.unpersist(blocking = false)
   }
 

@@ -125,6 +125,20 @@ class DedupSpec extends SparkSpec {
     assert(rows.filter(_._2 == 500L).count(_._3) == 1, "exactly one keeper per cluster")
   }
 
+  test("connectedComponents converges on a 3000-node chain (pointer jumping)") {
+    // Diameter-3000 path: hook-only min propagation needs 3000 rounds
+    // and would blow the maxIter cap; hook+jump must converge in
+    // O(log d) rounds and label every node with the chain's min.
+    import spark.implicits._
+    val chain = (0L until 2999L).map(i => (i, i + 1)).toDF("doc_id", "doc_id2")
+    val labels = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 3000)
+    assert(labels.values.forall(_ == 0L),
+      s"chain not fully labeled: ${labels.filter(_._2 != 0L).take(5)}")
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("dedup_simhash routes near pairs through cluster keepers (no member products)") {
     // 20 plant groups: each is a base doc duplicated 3x plus a 1-word
     // variant duplicated 3x. Near (hamming 1-3) pairs must surface as
