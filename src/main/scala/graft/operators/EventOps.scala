@@ -68,17 +68,24 @@ object EventOps {
       .orderBy($"event_type")
   }
 
-  /** Day-over-day retention: users active on day d who return on d+1. */
+  /** Day-over-day retention: users active on day d who return on d+1.
+    * Formulated as a per-user lead window over the distinct
+    * (day, user) grid rather than a grid self-join: the join form
+    * recomputes the distinct once per join side and pays a shuffle on
+    * user PLUS the join, and its countDistinct aggregates expand —
+    * here the rows are already distinct, so after the lead the final
+    * aggregate is a plain map-side-combined count. One distinct
+    * shuffle, one user-partitioned window, one small agg. */
   def ev_retention(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val du = Tables.events(s, d)
       .select(date_trunc("day", $"ts").as("day"), $"user_id").distinct()
-    val nxt = du.select($"day".as("nday"), $"user_id".as("nuser"))
-    du.join(nxt,
-        $"nuser" === $"user_id" && $"nday" === $"day" + expr("INTERVAL 1 DAY"), "left_outer")
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    du.withColumn("next_day", lead($"day", 1).over(w))
       .groupBy($"day")
-      .agg(countDistinct($"user_id").as("n_active"),
-        countDistinct($"nuser").as("n_retained"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when($"next_day" === $"day" + expr("INTERVAL 1 DAY"), 1L)
+          .otherwise(0L)).as("n_retained"))
       .orderBy($"day")
   }
 
