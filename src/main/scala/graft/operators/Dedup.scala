@@ -50,10 +50,19 @@ object Dedup {
     * `distinct` on the bare pair dedupes multi-bucket collisions
     * BEFORE any scoring.
     *
+    * The cap is operator-tunable without a code change via the session
+    * conf `graft.dedup.maxBucket` (explicit `maxBucket` argument wins;
+    * default 1000) — at 100 TB the right cap depends on corpus
+    * boilerplate rates, and the BucketCapMetrics numbers are exactly
+    * what an operator reads before raising it.
+    *
     * Input: (id, explodedKeys: array<struct>). Output: (id, id2),
     * id < id2, distinct. */
   private[operators] def bucketPairs(rows: DataFrame, idCol: String, keysCol: Column,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = -1): DataFrame = {
+    val cap =
+      if (maxBucket > 0) maxBucket
+      else rows.sparkSession.conf.get("graft.dedup.maxBucket", "1000").toInt
     val id2 = s"${idCol}2"
     rows
       .select(col(idCol), explode(keysCol).as("bk"))
@@ -61,10 +70,10 @@ object Dedup {
       .agg(collect_list(col(idCol)).as("ids"))
       .filter(size(col("ids")) >= 2)
       .observe(s"graft_bucket_pairs_${obsId.incrementAndGet()}",
-        sum(when(size(col("ids")) > maxBucket, 1).otherwise(0)).as("dropped_buckets"),
+        sum(when(size(col("ids")) > cap, 1).otherwise(0)).as("dropped_buckets"),
         max(size(col("ids"))).as("max_bucket"),
-        sum(when(size(col("ids")) > maxBucket, size(col("ids"))).otherwise(0)).as("capped_ids"))
-      .filter(size(col("ids")) <= maxBucket)
+        sum(when(size(col("ids")) > cap, size(col("ids"))).otherwise(0)).as("capped_ids"))
+      .filter(size(col("ids")) <= cap)
       .select(explode(col("ids")).as(idCol), col("ids"))
       .select(col(idCol), explode(col("ids")).as(id2))
       .filter(col(idCol) < col(id2))

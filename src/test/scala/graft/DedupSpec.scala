@@ -125,6 +125,17 @@ class DedupSpec extends SparkSpec {
     assert(rows.filter(_._2 == 500L).count(_._3) == 1, "exactly one keeper per cluster")
   }
 
+  test("graft.dedup.maxBucket session conf reaches the pair generator") {
+    // cap = 1 drops every >= 2-id bucket, so the pair set must collapse
+    // to empty; restoring the default brings the pairs back
+    try {
+      spark.conf.set("graft.dedup.maxBucket", "1")
+      assert(Dedup.dedup_minhash_lsh(spark, corpusA).count() == 0L,
+        "cap=1 must drop every candidate bucket")
+    } finally spark.conf.unset("graft.dedup.maxBucket")
+    assert(Dedup.dedup_minhash_lsh(spark, corpusA).count() > 0L)
+  }
+
   test("connectedComponents converges on a 3000-node chain (pointer jumping)") {
     // Diameter-3000 path: hook-only min propagation needs 3000 rounds
     // and would blow the maxIter cap; hook+jump must converge in
