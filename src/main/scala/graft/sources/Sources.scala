@@ -104,6 +104,29 @@ object Sources {
       .orderBy($"p_brand")
   }
 
+  /** JSON-lines ingest — the other flat-file shape next to CSV (log
+    * shippers and export jobs emit JSONL): export a projection once to
+    * tmp, read it back with an EXPLICIT schema (a schema-inferred JSON
+    * read would scan the data twice and silently widen types), and
+    * aggregate. The oracle runs the same aggregate over the parquet
+    * table, proving the JSONL round-trip preserved values. JSON reads
+    * split by file/line ranges like CSV — parallel at any scale. */
+  def src_jsonl_agg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_jsonl_${dirTag(d)}")
+    val orders = Tables.orders(s, d)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    orders.write.mode("overwrite").json(dir.getPath)
+    s.read
+      .schema(orders.schema)
+      .json(dir.getPath)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice"), 2).as("total_price"))
+      .orderBy($"o_orderstatus")
+  }
+
   /** Bucketed-table names for a source dir (path-addressed so
     * different sf dirs coexist in one warehouse); memoized on SUCCESS
     * only and serialized, like [[pageviewTable]]. */
@@ -158,6 +181,7 @@ object Sources {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_jdbc_pageview" -> src_jdbc_pageview _,
     "src_csv_agg" -> src_csv_agg _,
+    "src_jsonl_agg" -> src_jsonl_agg _,
     "src_bucketed_join" -> src_bucketed_join _)
 
   val oracle: Map[String, String] = Map(
@@ -168,6 +192,10 @@ object Sources {
       """SELECT p_brand, count(*) AS n_parts,
         | round(avg(p_retailprice),2) AS avg_price
         |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src_jsonl_agg" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        | round(sum(o_totalprice),2) AS total_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "src_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
         | round(sum(o_totalprice),2) AS total_price

@@ -46,4 +46,18 @@ class ExtensionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("graft_simhash64"), e.getMessage)
   }
+
+  test("graft SQL functions reject wrong arity with a named analysis error") {
+    SqlSurface.registerViews(spark, sf0001)
+    val none = intercept[Exception] {
+      spark.sql("SELECT graft_simhash64() FROM documents").collect()
+    }
+    assert(none.getMessage.contains("graft_simhash64") &&
+      none.getMessage.contains("expects exactly 1"), none.getMessage)
+    val extra = intercept[Exception] {
+      spark.sql("SELECT graft_cosine(embedding, embedding, embedding) FROM embeddings").collect()
+    }
+    assert(extra.getMessage.contains("graft_cosine") &&
+      extra.getMessage.contains("expects exactly 2"), extra.getMessage)
+  }
 }
