@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Mechanical plan-quality gates. The scale posture in SURVEY §5 was
+  * originally verified by reading `.explain` output by hand; these
+  * specs pin the load-bearing properties so a regression (a filter
+  * that stops pushing down, a broadcast that silently becomes a
+  * cartesian product) fails CI instead of surfacing at 100 TB.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def physical(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.sparkPlan.toString
+
+  test("no cartesian products anywhere; nested-loop joins only where intended") {
+    // BroadcastNestedLoopJoin is legitimate exactly where a broadcast
+    // cross join is the design: tiny-dim cross (q21), broadcast scalar
+    // (q15, fs_quota_check), broadcast query-set x corpus (ann brute).
+    val intendedNestedLoop =
+      Set("q21_crossjoin_small", "q15_groupby_topk", "fs_quota_check",
+        "ann_topk_brute")
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val plan = physical(name)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+      if (!intendedNestedLoop(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans an unintended BroadcastNestedLoopJoin")
+    }
+  }
+
+  test("q2_filter_project pushes its filter and prunes its columns at the scan") {
+    val plan = physical("q2_filter_project")
+    assert(plan.contains("PushedFilters: [IsNotNull"),
+      s"no pushed filters in:\n${plan.take(1500)}")
+    val readSchema = "ReadSchema: ([^\\n]+)".r.findFirstMatchIn(plan).map(_.group(1))
+    assert(readSchema.exists(s => !s.contains("l_comment")),
+      s"scan reads unprojected columns: $readSchema")
+  }
+
+  test("global top-k compiles to TakeOrderedAndProject (q9_topk)") {
+    assert(physical("q9_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q5_multijoin broadcasts its dimension tables") {
+    val plan = physical("q5_multijoin")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 3,
+      s"expected >= 3 broadcast dim joins, found $broadcasts")
+  }
+
+  test("per-group rank queries get partial top-k pushdown (WindowGroupLimit)") {
+    assert(physical("ann_topk_brute").contains("WindowGroupLimit"))
+  }
+
+  test("grouped aggregates keep map-side partial aggregation (q1_agg)") {
+    val plan = physical("q1_agg")
+    assert("partial".r.findFirstIn(plan.toLowerCase).isDefined,
+      s"no partial aggregation phase in:\n${plan.take(1500)}")
+  }
+}
