@@ -21,11 +21,16 @@ object BucketCapMetrics extends QueryExecutionListener {
   final case class Cap(droppedBuckets: Long, maxBucket: Long, cappedIds: Long)
 
   private val seen = new java.util.concurrent.ConcurrentHashMap[String, Cap]()
-  private val registered = java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+  // weak keys: the idempotence set must not pin stopped SparkSessions
+  // in memory for the JVM lifetime (sessions churn in long-lived
+  // pipelines; the listener registration dies with the session anyway)
+  private val registered = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
   /** Attach to a session (idempotent per session). */
   def register(s: SparkSession): Unit =
-    if (registered.add(s)) s.listenerManager.register(this)
+    if (registered.put(s, java.lang.Boolean.TRUE) == null)
+      s.listenerManager.register(this)
 
   /** Snapshot and clear the capped-bucket observations recorded so far.
     * Listener delivery is async (Spark's listener bus) — callers that

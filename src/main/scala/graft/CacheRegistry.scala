@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
 /** Deterministic lifecycle for the persisted intermediates inside graft
@@ -12,7 +12,7 @@ import org.apache.spark.storage.StorageLevel
   * owners are garbage-collected, and cached Datasets never are. A query
   * that persists an intermediate and hands back a lazy DataFrame
   * therefore leaks a MEMORY_AND_DISK entry per call in any long-lived
-  * session (Verify materializes 60+ queries in one session; at cluster
+  * session (Verify materializes 70+ queries in one session; at cluster
   * scale the leak evicts useful cache and spills shuffles).
   *
   * The contract: query builders register intermediates via [[cache]];
@@ -22,24 +22,57 @@ import org.apache.spark.storage.StorageLevel
   * boundaries). After release, the returned DataFrame is still valid —
   * re-executing it just recomputes the intermediate instead of reading
   * cache.
+  *
+  * Concurrency: entries are keyed by SparkSession, so two sessions in
+  * one JVM (e.g. a pipeline embedding graft queries while a Verify run
+  * is live) cannot release each other's intermediates —
+  * `releaseAll(session)` frees only that session's entries. WITHIN one
+  * session the registry is single-consumer by design: interleaving two
+  * query batches on the same session and calling the no-arg
+  * [[releaseAll]] mid-flight degrades the other batch's persisted
+  * stages to recompute-per-reference (correct, slower). Run batches
+  * sequentially per session or use separate sessions.
   */
 object CacheRegistry {
-  private val live = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private val live = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]()
 
   /** Persist (MEMORY_AND_DISK) and track for later [[releaseAll]]. */
   def cache(df: DataFrame): DataFrame =
     track(df.persist(StorageLevel.MEMORY_AND_DISK))
 
   /** Track an already-persisted DataFrame for later [[releaseAll]]. */
-  def track(df: DataFrame): DataFrame = { live.add(df); df }
+  def track(df: DataFrame): DataFrame = {
+    live.computeIfAbsent(df.sparkSession,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()).add(df)
+    df
+  }
 
-  /** Unpersist every tracked intermediate (non-blocking). */
-  def releaseAll(): Unit = {
-    var d = live.poll()
+  private def drain(q: java.util.concurrent.ConcurrentLinkedQueue[DataFrame]): Unit = {
+    var d = q.poll()
     while (d != null) {
       try d.unpersist(blocking = false)
       catch { case _: Throwable => () } // session may already be stopped
-      d = live.poll()
+      d = q.poll()
+    }
+  }
+
+  /** Unpersist every intermediate tracked for `session` (non-blocking);
+    * other sessions' entries are untouched. */
+  def releaseAll(session: SparkSession): Unit = {
+    val q = live.remove(session)
+    if (q != null) drain(q)
+  }
+
+  /** Unpersist every tracked intermediate across ALL sessions. Single-
+    * consumer convenience (Bench/Verify own their whole JVM); prefer
+    * [[releaseAll(session*]] when other sessions may be mid-query. */
+  def releaseAll(): Unit = {
+    val it = live.entrySet().iterator()
+    while (it.hasNext) {
+      val q = it.next().getValue
+      it.remove()
+      drain(q)
     }
   }
 }

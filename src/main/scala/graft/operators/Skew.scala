@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation — the §5 salting posture as a concrete operator.
@@ -25,6 +25,15 @@ import org.apache.spark.sql.functions._
   * skew would be moot; salting covers the middle ground where the dim
   * side is too big to broadcast but far smaller than the fact side.
   *
+  * The salt is DETERMINISTIC per row content. The tempting alternative
+  * — `monotonically_increasing_id`, which spreads even exact-duplicate
+  * rows — is a fault-recovery hazard at cluster scale: its value
+  * depends on row position within a task, so a map task recomputed
+  * after a shuffle-fetch failure can assign a row a different salt than
+  * the one reducers already fetched, silently losing or duplicating
+  * join rows in exactly the long-job regime salting targets. A
+  * content-derived hash re-executes identically on any retry.
+  *
   * Correctness (inner equi-join): every skewed-side row carries exactly
   * one salt s and joins the replica of its partner row tagged s, which
   * exists for all s in [0, salt) — a bijection with the unsalted join's
@@ -34,17 +43,22 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Inner equi-join on `key` with the LEFT side treated as skewed:
-    * left rows scatter over `salt` sub-keys (row-position based, so
-    * duplicate rows of one hot key still spread), the right side
-    * replicates `salt`-fold. Output columns = the plain join's. */
+    * left rows scatter over `salt` sub-keys, the right side replicates
+    * `salt`-fold. Output columns = the plain join's.
+    *
+    * `rowId` names the left-side columns the salt is hashed from —
+    * pass a unique row identifier so EXACT-DUPLICATE rows of the hot
+    * key spread too (the common skew case is one hot key repeated).
+    * With the default (all left columns), identical rows share a salt:
+    * still correct and deterministic, but a corpus of byte-identical
+    * hot rows levels no further than its distinct-row count. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
-      salt: Int): DataFrame = {
+      salt: Int, rowId: Seq[String] = Nil): DataFrame = {
     require(salt >= 2, "salt must be >= 2 to spread anything")
-    // monotonically_increasing_id is per-row-position, not per-content:
-    // content-derived salts would re-concentrate exact-duplicate rows,
-    // which is precisely the common skew case (one hot key repeated).
+    val hashCols: Seq[Column] =
+      if (rowId.nonEmpty) rowId.map(left(_)) else left.columns.toSeq.map(left(_))
     val l = left.withColumn("__graft_salt",
-      pmod(monotonically_increasing_id(), lit(salt.toLong)))
+      pmod(xxhash64(hashCols: _*), lit(salt.toLong)))
     val r = right.withColumn("__graft_salt",
       explode(sequence(lit(0L), lit(salt.toLong - 1))))
     l.join(r, Seq(key, "__graft_salt")).drop("__graft_salt")

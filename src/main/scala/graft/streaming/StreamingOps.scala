@@ -123,8 +123,24 @@ object StreamingOps extends Serializable {
     * has ts above the watermark, so earlier clicks can never win
     * again). An event-time timeout flushes purchases that arrive with
     * no follow-on batch. Keyed state shards by user across executors —
-    * the same one-shuffle shape as the batch window formulation. */
-  def asofStateful(events: Dataset[AsofEv]): Dataset[AsofOut] = {
+    * the same one-shuffle shape as the batch window formulation.
+    *
+    * `clickRetentionHours` bounds the OTHER state dimension: a user who
+    * clicks but never purchases would otherwise retain their latest
+    * click forever (no purchase pending → no timeout registered → the
+    * remove path unreachable), so keyed state grows with user
+    * cardinality over a long-running stream. Clicks older than the
+    * retention horizon behind the watermark are dropped and a timeout
+    * reclaims the emptied state. This is a deliberate, bounded
+    * divergence from the batch query (which attributes clicks of ANY
+    * age): a purchase only loses its click if it trails it by more
+    * than the retention window — size the horizon to the attribution
+    * policy. Sealing happens BEFORE pruning in each invocation, so a
+    * purchase never loses to pruning within its own batch. */
+  def asofStateful(events: Dataset[AsofEv],
+      clickRetentionHours: Int = 168): Dataset[AsofOut] = {
+    require(clickRetentionHours >= 1, "clickRetentionHours must be >= 1")
+    val retentionUs = clickRetentionHours.toLong * 3600L * 1000000L
     implicit val longEnc: org.apache.spark.sql.Encoder[Long] =
       org.apache.spark.sql.Encoders.scalaLong
     implicit val stateEnc: org.apache.spark.sql.Encoder[AsofState] =
@@ -160,15 +176,24 @@ object StreamingOps extends Serializable {
             }
           }
           // prune clicks: of those at/under the watermark only the
-          // latest can still win a future (above-watermark) purchase
+          // latest can still win a future (above-watermark) purchase,
+          // and any click past the retention horizon is dropped
+          // outright — state must not outlive the attribution window
           val (old, fresh) = st.clicks.partition(_._1 <= wmUs)
-          val kept = (if (old.isEmpty) Nil
-                      else List(old.maxBy(c => (c._1, c._2)))) ++ fresh
+          val kept = ((if (old.isEmpty) Nil
+                       else List(old.maxBy(c => (c._1, c._2)))) ++ fresh)
+            .filter(_._1 > wmUs - retentionUs)
           if (open.isEmpty && kept.isEmpty) state.remove()
           else {
             state.update(AsofState(kept, open))
             if (open.nonEmpty)
               state.setTimeoutTimestamp(open.map(_._1).min / 1000 + 1)
+            else
+              // click-only state: wake when the horizon passes the
+              // newest kept click so the remove path above is reached
+              // (kept ts > wm - retention, so this is > the watermark)
+              state.setTimeoutTimestamp(
+                (kept.map(_._1).max + retentionUs) / 1000 + 1)
           }
           out.iterator
       }

@@ -47,7 +47,7 @@ class MultimodalSpec extends SparkSpec {
     val byDoc = Multimodal.mm_framesample(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(2)))
       .groupBy(_._1).map { case (d, xs) => d -> xs.map(x => feat(x._2)) }
-    val got = Multimodal.mm_features(spark, sf0001).collect()
+    val got = Multimodal.featureVectors(spark, sf0001).collect()
     assert(got.map(_.getLong(0)).toSet == byDoc.keySet)
     got.take(50).foreach { r =>
       val doc = r.getLong(0)
@@ -58,6 +58,17 @@ class MultimodalSpec extends SparkSpec {
       expect.zip(emb).zipWithIndex.foreach { case ((e, g), i) =>
         assert(math.abs(e - g) < 1e-5, s"doc $doc dim $i: $g vs $e")
       }
+    }
+  }
+
+  test("mm_features string form carries the same embeddings as featureVectors") {
+    val typed = Multimodal.featureVectors(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
+    val flat = Multimodal.mm_features(spark, sf0001).collect()
+    assert(flat.map(_.getLong(0)).toSet == typed.keySet)
+    flat.take(50).foreach { r =>
+      val emb = r.getString(2).split(",").map(_.toDouble).toSeq
+      assert(emb == typed(r.getLong(0)), s"doc ${r.getLong(0)} string form diverged")
     }
   }
 }
