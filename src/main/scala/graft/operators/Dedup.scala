@@ -300,15 +300,26 @@ object Dedup {
       // min(dst) per src, so label₀ = least(node, min neighbor) comes
       // straight off the edge list — one aggregation replaces the
       // identity init PLUS a full join round.
+      // Materialize `edges` BEFORE anything consumes it: the round-1
+      // job otherwise contains several independent branches (initial
+      // frontier, neighbor-min, hook) that all scan the still-lazy
+      // cache concurrently — each racing branch re-executes the full
+      // upstream pair-generation lineage (minhash signatures at corpus
+      // scale) before any partition lands in cache. One count pays the
+      // lineage exactly once.
+      edges.count()
       var labels = persistRound(edges.groupBy(col("src"))
         .agg(least(col("src"), min(col("dst"))).as("label"))
         .select(col("src").as("node"), col("label")))
+      // same reasoning: the hook reads `labels` from two sides
+      labels.count()
       var changed = 1L
       var i = 0
       // the round's materialized cache entry (the `labels` var itself
       // is rebound to a plain LogicalRDD view of it — see below)
       var prevCached: Option[DataFrame] = None
       while (changed > 0 && i < maxIter) {
+        val roundT0 = System.nanoTime()
         val nbrMin = edges.join(labels, edges("dst") === labels("node"))
           .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
         val prev = labels
@@ -323,31 +334,37 @@ object Dedup {
         // shortcut is safe and strictly accelerating.
         val lut = hooked.select(col("node").as("jnode"), col("lab").as("jlab"))
         // The convergence check rides the SAME action that materializes
-        // the new frontier (an `observe` metric counting changed
-        // labels), instead of a second frontier-vs-frontier join +
-        // count per round — at scale that halves the per-round work.
-        val obs = new org.apache.spark.sql.Observation(s"graft_cc_${obsId.incrementAndGet()}")
+        // the new frontier: the round persists (node, old, label) and
+        // the materializing action IS the changed-count aggregate over
+        // it — one job populates the cache and returns the count, with
+        // no second frontier-vs-frontier join and no `Observation`
+        // (whose .get blocks on the async listener bus — measured at
+        // a large fraction of each round's wall time on small rounds).
         val upd = hooked.join(lut, hooked("lab") === col("jnode"), "left")
           .select(hooked("node"), hooked("old"),
             least(hooked("lab"), coalesce(col("jlab"), hooked("lab"))).as("label"))
-          .observe(obs, sum(when(col("label") =!= col("old"), 1L).otherwise(0L)).as("changed"))
-        val cached = persistRound(upd.select(col("node"), col("label")))
-        cached.count() // materialize frontier + fire the observation
-        changed = obs.get("changed") match {
-          case null => 0L
-          case n: java.lang.Long => n.longValue()
-          case n: Number => n.longValue()
-        }
+        val cached = persistRound(upd)
+        changed = cached
+          .agg(sum(when(col("label") =!= col("old"), 1L).otherwise(0L)))
+          .collect()(0) match {
+            case r if r.isNullAt(0) => 0L
+            case r => r.getLong(0)
+          }
         // Rebind the frontier to its MATERIALIZED rows (LogicalRDD):
         // the jump self-join otherwise doubles the logical-plan TREE
         // every round — RDD lineage is a shared DAG, but plan trees
         // are not, and by round ~10 plan stringification alone OOMs.
         labels = pairs.sparkSession.createDataFrame(cached.rdd, cached.schema)
+          .select(col("node"), col("label"))
         dropRound(hooked)
         dropRound(prev)
         prevCached.foreach(dropRound)
         prevCached = Some(cached)
         i += 1
+        // round visibility: at corpus scale an operator watches round
+        // progress/convergence here instead of a silent multi-hour job
+        System.err.println(f"[graft:cc] round $i changed=$changed " +
+          f"${(System.nanoTime() - roundT0) / 1e9}%.2f s")
       }
       if (changed > 0)
         // in-flight persists (incl. the last frontier) are reclaimed

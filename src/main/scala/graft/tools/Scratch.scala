@@ -4,8 +4,9 @@ import org.apache.spark.sql.SparkSession
 /** Dev scratch runner (not part of the library surface). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -20,13 +21,18 @@ object Scratch {
       println(f"[scratch] $label: ${(System.nanoTime()-t0)/1e9}%.2f s"); r
     }
     names.foreach { n =>
+      graft.CacheRegistry.releaseAll()
       spark.catalog.clearCache()
-      val df = graft.SparkEntry.queries(n)(spark, d)
-      if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")) {
-        println(s"===== $n =====")
-        df.explain("formatted")
+      // time build + materialization together: iterative operators
+      // (connected components) run actions during query CONSTRUCTION
+      val rows = time(n) {
+        val df = graft.SparkEntry.queries(n)(spark, d)
+        if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")) {
+          println(s"===== $n =====")
+          df.explain("formatted")
+        }
+        df.count()
       }
-      val rows = time(n)(df.count())
       println(s"[scratch] $n rows=$rows")
     }
     spark.stop()
