@@ -124,13 +124,74 @@ object EventOps {
       .orderBy($"user_id", $"purchase_id")
   }
 
+  /** Bounded-INTERVAL join (range join): for every purchase, the count
+    * of the user's clicks in the preceding hour (click_ts ∈
+    * (purchase_ts − 1h, purchase_ts]). The naive formulation is an
+    * inequality theta join — at corpus scale that is a broadcast
+    * nested loop over every (purchase, click) pair of a user. This
+    * plan makes it an EQUI-join: time is bucketed at the window width,
+    * each click is emitted to its own bucket and the next (a window of
+    * exactly one bucket width can only straddle two), purchases join
+    * on (user, bucket), and the exact bound is a residual filter.
+    * Shuffle volume is 2× clicks + purchases, hash-partitioned —
+    * linear, skew-handled by AQE like any equi-join. Purchases with no
+    * preceding click are kept with count 0 via the left join back. */
+  def ev_range_join(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val winUs = 3600L * 1000000L
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"ts".as("purchase_ts"),
+        unix_micros($"ts").as("pus"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", unix_micros($"ts").as("cus"))
+    val cexp = clicks.withColumn("bucket",
+      explode(array(expr(s"cus div $winUs"), expr(s"cus div $winUs") + 1)))
+    val counted = purchases.withColumn("bucket", expr(s"pus div $winUs"))
+      .join(cexp, Seq("user_id", "bucket"))
+      .filter($"cus" <= $"pus" && $"cus" > $"pus" - winUs)
+      .groupBy($"purchase_id")
+      .agg(count(lit(1)).as("n_clicks_1h"))
+    purchases.select($"user_id", $"purchase_id", $"purchase_ts")
+      .join(counted, Seq("purchase_id"), "left")
+      .select($"user_id", $"purchase_id", $"purchase_ts",
+        coalesce($"n_clicks_1h", lit(0L)).as("n_clicks_1h"))
+      .orderBy($"user_id", $"purchase_id")
+  }
+
+  /** Approximate distinct users per event type, two ways that matter
+    * at 100 TB: `approx_count_distinct` (HyperLogLog++, one pass, no
+    * distinct shuffle) and MERGEABLE DataSketches HLL — per-day
+    * sketches aggregated first, then unioned across days. The second
+    * shape is the production pattern: a pipeline persists small daily
+    * sketch blobs and answers any date-range uniques query by sketch
+    * union, never rescanning raw events. Both estimates are
+    * deterministic (register maxima are arrival-order independent);
+    * EventOpsSpec gates both within 5% of the exact distinct count —
+    * the oracle is rows-only because DuckDB's HLL internals differ. */
+  def ev_approx_uniques(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val daily = ev
+      .groupBy($"event_type", date_trunc("day", $"ts").as("day"))
+      .agg(hll_sketch_agg($"user_id", lit(14)).as("sk"))
+    val merged = daily.groupBy($"event_type")
+      .agg(hll_sketch_estimate(hll_union_agg($"sk", lit(false))).as("merged_users"))
+    val direct = ev.groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id", 0.02).as("approx_users"))
+    direct.join(merged, Seq("event_type"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_window_agg" -> ev_window_agg _,
     "ev_sessionize" -> ev_sessionize _,
     "ev_funnel" -> ev_funnel _,
     "ev_json_props" -> ev_json_props _,
     "ev_retention" -> ev_retention _,
-    "ev_asof" -> ev_asof _)
+    "ev_asof" -> ev_asof _,
+    "ev_range_join" -> ev_range_join _,
+    "ev_approx_uniques" -> ev_approx_uniques _)
 
   val oracle: Map[String, String] = Map(
     "ev_window_agg" ->
@@ -174,6 +235,14 @@ object EventOps {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.user_id, purchase_id""".stripMargin,
+    "ev_range_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+        | count(c.user_id) AS n_clicks_1h
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+        | ON c.user_id = p.user_id AND c.ts <= p.ts
+        |  AND c.ts > p.ts - INTERVAL 1 HOUR
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
     "ev_retention" ->
       """WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events)
         |SELECT a.day, count(DISTINCT a.user_id) AS n_active,

@@ -199,6 +199,22 @@ object Relational {
       .orderBy($"s_suppkey")
   }
 
+  /** Q16 shape: grouped COUNT(DISTINCT) — supplier variety per part
+    * brand/type over the lineitem⋈part join. Catalyst plans the
+    * distinct aggregate in two phases (partial distinct on
+    * (group, suppkey) map-side, then the count), so the shuffle
+    * carries distinct combinations rather than raw lineitems; part is
+    * broadcast at dim ratio. */
+  def q16_distinct_agg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d).select($"l_partkey", $"l_suppkey")
+      .join(broadcast(Tables.part(s, d).select($"p_partkey", $"p_brand", $"p_type")),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand", $"p_type")
+      .agg(count_distinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"p_brand", $"p_type")
+  }
+
   def q17_subquery_avg(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val p = Tables.part(s, d).filter($"p_brand" === "Brand#3" && $"p_type" === "MEDIUM")
@@ -299,6 +315,7 @@ object Relational {
     "q13_outerjoin_agg" -> q13_outerjoin_agg _,
     "q14_conditional_agg" -> q14_conditional_agg _,
     "q15_groupby_topk" -> q15_groupby_topk _,
+    "q16_distinct_agg" -> q16_distinct_agg _,
     "q17_subquery_avg" -> q17_subquery_avg _,
     "q18_having" -> q18_having _,
     "q19_complex_pred" -> q19_complex_pred _,
@@ -421,6 +438,10 @@ object Relational {
         |WHERE s_suppkey = supplier_no
         | AND total_revenue = (SELECT max(total_revenue) FROM revenue)
         |ORDER BY s_suppkey""".stripMargin,
+    "q16_distinct_agg" ->
+      """SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q17_subquery_avg" ->
       """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly, count(*) AS n_lines
         |FROM lineitem, part

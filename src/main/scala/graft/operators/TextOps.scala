@@ -128,12 +128,34 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Deterministic hash-based train/validation/test split — the
+    * assignment step every training-data pipeline runs last. The
+    * bucket is a pure function of doc_id (first 8 hex digits of
+    * md5 → mod 100: train < 90, validation < 95, else test), so the
+    * split is stable across runs, machines, and engines — no seeded
+    * RNG whose draw order depends on partitioning. Per-row map work,
+    * scan speed at 100 TB; the same expression is SQL-expressible in
+    * DuckDB, so the assignment itself is hash-oracled. */
+  def text_split(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", $"lang",
+        (conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100).as("bucket"))
+      .withColumn("split",
+        when($"bucket" < 90, "train")
+          .when($"bucket" < 95, "validation")
+          .otherwise("test"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality" -> text_quality _,
     "text_tokens" -> text_tokens _,
     "text_langid" -> text_langid _,
     "text_fingerprint" -> text_fingerprint _,
-    "text_pipeline" -> text_pipeline _)
+    "text_pipeline" -> text_pipeline _,
+    "text_split" -> text_split _)
 
   val oracle: Map[String, String] = Map(
     "text_quality" ->
@@ -179,6 +201,17 @@ object TextOps {
         |FROM kept k JOIN (SELECT h, min(doc_id) AS doc_id FROM kept GROUP BY 1) m
         | ON k.h = m.h AND k.doc_id = m.doc_id
         |ORDER BY k.doc_id""".stripMargin,
+    "text_split" ->
+      """WITH b AS (
+        | SELECT doc_id, lang,
+        |  CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+        |    % 100 AS BIGINT) AS bucket
+        | FROM documents)
+        |SELECT doc_id, lang, bucket,
+        | CASE WHEN bucket < 90 THEN 'train'
+        |      WHEN bucket < 95 THEN 'validation'
+        |      ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
     // list_sort(structs,'DESC')[1] = max by (score, lang) lexicographic,
     // the same tie-break as Spark's greatest(struct(score, lang))
     "text_langid" ->
