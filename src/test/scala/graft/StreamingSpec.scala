@@ -181,6 +181,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("as-of click retention drops attributions past the horizon (state stays bounded)") {
+    // A user who clicks but never purchases must not hold state
+    // forever; the retention horizon trades that for a bounded
+    // attribution window. Semantics check: with a 1-hour horizon, a
+    // purchase trailing the only click by 3 hours (click already
+    // 1h+ behind the watermark when the purchase seals) gets NO
+    // attribution, while the same stream under the default horizon
+    // attributes it.
+    import graft.streaming.StreamingOps.{AsofEv, AsofOut}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Int) = new Timestamp(3600_000L * 24 + min * 60_000L)
+    def run(name: String, retentionHours: Int): Seq[AsofOut] = {
+      val ms = MemoryStream[AsofEv]
+      val withWm = ms.toDS().withWatermark("ts", "0 seconds").as[AsofEv]
+      val q = StreamingOps.asofStateful(withWm, retentionHours)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        // click at t=0; batch boundary advances the watermark past it
+        ms.addData(Seq(AsofEv(1L, ts(0), 7L, is_purchase = false)))
+        drain(q)
+        // watermark moves to t=120 via another user, aging the click
+        ms.addData(Seq(AsofEv(2L, ts(120), 99L, is_purchase = false)))
+        drain(q)
+        // purchase at t=180, then a sentinel to seal it
+        ms.addData(Seq(AsofEv(3L, ts(180), 7L, is_purchase = true)))
+        drain(q)
+        ms.addData(Seq(AsofEv(-1L, ts(600), -1L, is_purchase = false)))
+        drain(q)
+        ms.addData(Seq(AsofEv(-2L, ts(660), -1L, is_purchase = false)))
+        drain(q)
+        spark.table(name).filter($"user_id" === 7L).as[AsofOut].collect().toSeq
+      } finally q.stop()
+    }
+    val bounded = run("t_asof_ret1", retentionHours = 1)
+    assert(bounded.isEmpty,
+      s"click aged past a 1h horizon must not attribute: $bounded")
+    val unbounded = run("t_asof_ret168", retentionHours = 168)
+    assert(unbounded.map(a => (a.purchase_id, a.click_id)) == Seq((3L, 1L)),
+      s"default horizon must attribute the click: $unbounded")
+  }
+
   test("streaming as-of equals batch ev_asof on the full event log") {
     import graft.streaming.StreamingOps.{AsofEv, AsofOut}
     import spark.implicits._
