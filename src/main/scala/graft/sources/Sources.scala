@@ -191,11 +191,37 @@ object Sources {
       .orderBy($"c_mktsegment")
   }
 
+  /** PARTITION-PRUNED scan — the other half of the pay-at-write-time
+    * posture next to bucketing: the event log is laid out
+    * `partitionBy(event_type)` once (setup, like the other exports),
+    * and a query filtering one type reads ONLY that directory — the
+    * filter becomes a PartitionFilter resolved against file listings,
+    * never touching the other partitions' bytes (asserted at the
+    * physical-plan level in SourcesSpec). At 100 TB this is the
+    * standard date/tenant layout: a day's query scans a day, not the
+    * decade. */
+  def src_partitioned_prune(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_evpart_${dirTag(d)}")
+    exportOnce(s"evpart:$d") {
+      Tables.events(s, d).write.mode("overwrite")
+        .partitionBy("event_type").parquet(dir.getPath)
+    }
+    s.read.parquet(dir.getPath)
+      .filter($"event_type" === "purchase")
+      .groupBy(date_trunc("day", $"ts").as("day"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum($"value"), 2).as("total_value"))
+      .orderBy($"day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_jdbc_pageview" -> src_jdbc_pageview _,
     "src_csv_agg" -> src_csv_agg _,
     "src_jsonl_agg" -> src_jsonl_agg _,
-    "src_bucketed_join" -> src_bucketed_join _)
+    "src_bucketed_join" -> src_bucketed_join _,
+    "src_partitioned_prune" -> src_partitioned_prune _)
 
   val oracle: Map[String, String] = Map(
     "src_jdbc_pageview" ->
@@ -213,5 +239,10 @@ object Sources {
       """SELECT c_mktsegment, count(*) AS n_orders,
         | round(sum(o_totalprice),2) AS total_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src_partitioned_prune" ->
+      """SELECT date_trunc('day', ts) AS day, count(*) AS n_purchases,
+        | round(sum(value),2) AS total_value
+        |FROM events WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -42,6 +42,20 @@ object StreamingOps extends Serializable {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Watermarked daily approximate distinct users per event type — the
+    * streaming form of the batch sketch estimator: HyperLogLog++
+    * partials merge across micro-batches inside the aggregation state,
+    * so per-(window, type) state is ONE fixed-size sketch rather than
+    * a distinct user-id set that grows with cardinality. Register
+    * merge is order-independent, so the streamed estimate equals the
+    * batch estimate exactly (asserted in StreamingSpec). */
+  def windowedApproxUniques(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .select(col("window.start").as("day"), col("event_type"), col("approx_users"))
+
   /** Streaming exact deduplication: drop replayed events by id, with
     * state BOUNDED by the watermark — an id is held only until the
     * watermark passes its event time plus the delay, so state size

@@ -47,6 +47,27 @@ class SourcesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
+  test("partitioned layout prunes to the filtered partition at the scan") {
+    import spark.implicits._
+    val df = Sources.src_partitioned_prune(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    // the event_type predicate must be resolved against the partition
+    // LAYOUT (directory listing), not pushed as a data filter — other
+    // partitions' bytes are never opened
+    assert(plan.contains("PartitionFilters: ["),
+      s"no partition filters in:\n${plan.take(2000)}")
+    val pf = "PartitionFilters: \\[[^\\]]*event_type[^\\]]*\\]".r.findFirstIn(plan)
+    assert(pf.isDefined, s"event_type not a partition filter:\n${plan.take(2000)}")
+    val direct = Tables.events(spark, sf0001)
+      .filter($"event_type" === "purchase")
+      .groupBy(date_trunc("day", $"ts").as("day"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum($"value"), 2).as("total_value"))
+      .orderBy($"day")
+      .collect()
+    assert(df.collect().toSeq == direct.toSeq)
+  }
+
   test("CSV round-trip preserves types and aggregates") {
     import spark.implicits._
     val viaCsv = Sources.src_csv_agg(spark, sf0001).collect()

@@ -53,6 +53,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming windowed approx-uniques equals the batch sketch estimate") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[EvFull]
+    val q = StreamingOps.windowedApproxUniques(ms.toDF())
+      .writeStream.format("memory").queryName("t_approx")
+      .outputMode("complete").start()
+    try {
+      // two batches: HLL partials must merge across micro-batches to
+      // the same registers one batch pass produces
+      val (a, b) = loadEvents().partition(_.event_id % 2 == 0)
+      ms.addData(a); drain(q)
+      ms.addData(b); drain(q)
+      val got = spark.table("t_approx").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+      val exp = Tables.events(spark, sf0001)
+        .groupBy(date_trunc("day", $"ts").as("day"), $"event_type")
+        .agg(approx_count_distinct($"user_id", 0.02).as("approx_users"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got == exp, s"sketch estimates diverged: ${
+        (exp.toSet -- got.toSet).take(3)} vs ${(got.toSet -- exp.toSet).take(3)}")
+    } finally q.stop()
+  }
+
   test("session_window streaming sessionization matches batch sessions") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
