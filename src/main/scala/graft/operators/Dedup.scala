@@ -414,6 +414,29 @@ object Dedup {
       .orderBy($"cluster_id", $"doc_id")
   }
 
+  /** Cluster resolution with a QUALITY keep policy — what a curation
+    * pipeline actually ships: within each near-duplicate cluster keep
+    * the highest-quality document, not the lowest id. Composition of
+    * [[dedup_clusters]] (exact ∪ LSH pairs → connected components)
+    * with the [[TextOps.text_quality]] score; the keeper is
+    * `max_by(doc_id, (quality, −doc_id))` — one map-side-combined
+    * aggregate per cluster, deterministic under ties (lower doc_id
+    * wins). Oracle is rows-only (cluster ids come from LSH pair
+    * generation); DedupSpec asserts exactly one keeper per cluster
+    * and that no member out-scores its keeper. */
+  def dedup_resolve_best(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val clusters = dedup_clusters(s, d).select($"cluster_id", $"doc_id")
+    val quality = TextOps.text_quality(s, d).select($"doc_id", $"quality_score")
+    val joined = clusters.join(quality, "doc_id")
+    val keepers = joined.groupBy($"cluster_id")
+      .agg(max_by($"doc_id", struct($"quality_score", -$"doc_id")).as("keeper"))
+    joined.join(keepers, "cluster_id")
+      .select($"cluster_id", $"doc_id", $"quality_score",
+        ($"doc_id" === $"keeper").as("is_keeper"))
+      .orderBy($"cluster_id", $"doc_id")
+  }
+
   /** Scale path for embedding near-dup at a true near-duplicate
     * threshold: multi-band random-hyperplane LSH blocking + exact
     * cosine rescoring. At cos ≥ 0.95 a hyperplane agrees w.p. ~0.90,
@@ -446,7 +469,8 @@ object Dedup {
     "dedup_simhash" -> dedup_simhash _,
     "dedup_ngram_jaccard" -> dedup_ngram_jaccard _,
     "dedup_embedding" -> dedup_embedding _,
-    "dedup_clusters" -> dedup_clusters _)
+    "dedup_clusters" -> dedup_clusters _,
+    "dedup_resolve_best" -> dedup_resolve_best _)
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->

@@ -128,6 +128,29 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Corpus token accounting — the first question any training run
+    * asks of a dataset: how many tokens, and how are they distributed
+    * over documents? Output is a 50-token-wide histogram of per-doc
+    * BPE-ish token counts carrying doc counts, bucket token totals,
+    * and each bucket's share of the corpus total (via a broadcast
+    * scalar, not an unpartitioned window). One scan + one tiny agg at
+    * 100 TB; the tokenizer is the same codegen'd regex as
+    * [[text_tokens]], so the histogram is hash-oracled. */
+  def text_token_hist(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val perDoc = Tables.documents(s, d)
+      .select(size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+        .cast("long").as("n_tokens"))
+    val hist = perDoc
+      .groupBy(($"n_tokens" - pmod($"n_tokens", lit(50L))).as("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("bucket_tokens"))
+    hist
+      .crossJoin(broadcast(hist.agg(sum($"bucket_tokens").as("corpus_tokens"))))
+      .select($"bucket_lo", $"n_docs", $"bucket_tokens",
+        round($"bucket_tokens" / $"corpus_tokens", 6).as("token_share"))
+      .orderBy($"bucket_lo")
+  }
+
   /** Deterministic hash-based train/validation/test split — the
     * assignment step every training-data pipeline runs last. The
     * bucket is a pure function of doc_id (first 8 hex digits of
@@ -155,7 +178,8 @@ object TextOps {
     "text_langid" -> text_langid _,
     "text_fingerprint" -> text_fingerprint _,
     "text_pipeline" -> text_pipeline _,
-    "text_split" -> text_split _)
+    "text_split" -> text_split _,
+    "text_token_hist" -> text_token_hist _)
 
   val oracle: Map[String, String] = Map(
     "text_quality" ->
@@ -201,6 +225,17 @@ object TextOps {
         |FROM kept k JOIN (SELECT h, min(doc_id) AS doc_id FROM kept GROUP BY 1) m
         | ON k.h = m.h AND k.doc_id = m.doc_id
         |ORDER BY k.doc_id""".stripMargin,
+    "text_token_hist" ->
+      """WITH perdoc AS (
+        | SELECT CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |hist AS (
+        | SELECT n_tokens - (n_tokens % 50) AS bucket_lo,
+        |  count(*) AS n_docs, sum(n_tokens) AS bucket_tokens
+        | FROM perdoc GROUP BY 1)
+        |SELECT bucket_lo, n_docs, bucket_tokens,
+        | round(bucket_tokens / (SELECT sum(bucket_tokens) FROM hist), 6) AS token_share
+        |FROM hist ORDER BY bucket_lo""".stripMargin,
     "text_split" ->
       """WITH b AS (
         | SELECT doc_id, lang,

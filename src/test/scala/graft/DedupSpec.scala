@@ -99,6 +99,25 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("dedup_resolve_best keeps exactly the highest-quality doc per cluster") {
+    val rows = Dedup.dedup_resolve_best(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (cid, members) =>
+      val keepers = members.filter(_._4)
+      assert(keepers.length == 1, s"cluster $cid has ${keepers.length} keepers")
+      val (_, kid, kq, _) = keepers.head
+      members.foreach { case (_, did, q, _) =>
+        assert(q < kq || (q == kq && did >= kid),
+          s"cluster $cid: member $did (q=$q) out-scores keeper $kid (q=$kq)")
+      }
+    }
+    // membership must be exactly dedup_clusters'
+    val want = Dedup.dedup_clusters(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(r => (r._1, r._2)).toSet == want)
+  }
+
   test("dedup_clusters merges transitive chains and folds exact dups") {
     // chain: base doc X0; X1 = X0 with 1 word changed; X2 = X1 with a
     // DIFFERENT word changed. X0~X1 and X1~X2 must pair; X0 and X2 may
