@@ -16,10 +16,11 @@ class PlanSpec extends SparkSpec {
   test("no cartesian products anywhere; nested-loop joins only where intended") {
     // BroadcastNestedLoopJoin is legitimate exactly where a broadcast
     // cross join is the design: tiny-dim cross (q21), broadcast scalar
-    // (q15, fs_quota_check), broadcast query-set x corpus (ann brute).
+    // (q15, fs_quota_check, text_token_hist), broadcast query-set x
+    // corpus (ann brute).
     val intendedNestedLoop =
       Set("q21_crossjoin_small", "q15_groupby_topk", "fs_quota_check",
-        "ann_topk_brute")
+        "ann_topk_brute", "text_token_hist")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val plan = physical(name)
       assert(!plan.contains("CartesianProduct"),
