@@ -183,7 +183,44 @@ object EventOps {
       .orderBy($"event_type")
   }
 
+  /** FULL OUTER join shape — the one join type §2.1 didn't cover:
+    * per-user click activity against purchase activity, keeping users
+    * who only ever did one of the two (both sides' non-matches
+    * survive with zero-filled counts). Two map-side-combined
+    * aggregates then one shuffled full-outer equi-join on user_id. */
+  def ev_fullouter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"user_id".as("c_user")).agg(count(lit(1)).as("n_clicks"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id".as("p_user")).agg(count(lit(1)).as("n_purchases"))
+    clicks.join(purchases, $"c_user" === $"p_user", "full_outer")
+      .select(coalesce($"c_user", $"p_user").as("user_id"),
+        coalesce($"n_clicks", lit(0L)).as("n_clicks"),
+        coalesce($"n_purchases", lit(0L)).as("n_purchases"))
+      .orderBy($"user_id")
+  }
+
+  /** PIVOT (crosstab): events per day × event type as columns. The
+    * pivot values are DECLARED (not discovered), so the plan is one
+    * pass — Spark otherwise runs an extra distinct job to find the
+    * columns, and an unbounded value domain at 100 TB would make the
+    * row width data-dependent. Compiles to a single conditional
+    * aggregate per column, map-side combined. */
+  def ev_pivot(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy(date_trunc("day", $"ts").as("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy($"day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_fullouter" -> ev_fullouter _,
+    "ev_pivot" -> ev_pivot _,
     "ev_window_agg" -> ev_window_agg _,
     "ev_sessionize" -> ev_sessionize _,
     "ev_funnel" -> ev_funnel _,
@@ -235,6 +272,24 @@ object EventOps {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.user_id, purchase_id""".stripMargin,
+    "ev_fullouter" ->
+      """SELECT coalesce(c.c_user, p.p_user) AS user_id,
+        | coalesce(n_clicks, 0) AS n_clicks,
+        | coalesce(n_purchases, 0) AS n_purchases
+        |FROM (SELECT user_id AS c_user, count(*) AS n_clicks FROM events
+        |      WHERE event_type = 'click' GROUP BY 1) c
+        |FULL JOIN (SELECT user_id AS p_user, count(*) AS n_purchases FROM events
+        |      WHERE event_type = 'purchase' GROUP BY 1) p
+        | ON c.c_user = p.p_user
+        |ORDER BY 1""".stripMargin,
+    "ev_pivot" ->
+      """SELECT date_trunc('day', ts) AS day,
+        | count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        | count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        | count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        | count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        | count(CASE WHEN event_type = 'view' THEN 1 END) AS "view"
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_range_join" ->
       """SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
         | count(c.user_id) AS n_clicks_1h

@@ -30,6 +30,24 @@ object MapReduceOps {
       .orderBy($"cnt".desc, $"word").limit(50)
   }
 
+  /** Inverted-index construction — the canonical MapReduce-on-text
+    * workload beyond counting: token → posting-list statistics
+    * (document frequency + total occurrences). The distinct-doc count
+    * is a two-phase aggregate like q16; no posting ARRAYS in the
+    * registered output (scalar columns only for the oracle harness) —
+    * a real index materializes collect_list(doc_id) in the same
+    * single-shuffle plan. */
+  def mr_inverted_index(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"token")
+      .agg(count_distinct($"doc_id").as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .orderBy($"token")
+  }
+
   /** Grep.java — regex match extraction + per-match counts. */
   def mr_grep(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -139,6 +157,7 @@ object MapReduceOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mr_sort_validate" -> mr_sort_validate _,
     "mr_wordcount" -> mr_wordcount _,
+    "mr_inverted_index" -> mr_inverted_index _,
     "mr_grep" -> mr_grep _,
     "mr_sort" -> mr_sort _,
     "mr_secondarysort" -> mr_secondarysort _,
@@ -157,6 +176,11 @@ object MapReduceOps {
       """SELECT word, count(*) AS cnt FROM (
         |  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
         |WHERE word <> '' GROUP BY 1 ORDER BY cnt DESC, word LIMIT 50""".stripMargin,
+    "mr_inverted_index" ->
+      """SELECT token, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+        |FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        |      FROM documents)
+        |WHERE token <> '' GROUP BY 1 ORDER BY 1""".stripMargin,
     "mr_grep" ->
       """SELECT m, count(*) AS cnt FROM (
         |  SELECT unnest(regexp_extract_all(text, '(spark|hash)[a-z]*')) AS m FROM documents)

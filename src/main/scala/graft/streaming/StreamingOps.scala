@@ -56,6 +56,34 @@ object StreamingOps extends Serializable {
       .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
       .select(col("window.start").as("day"), col("event_type"), col("approx_users"))
 
+  /** Native STREAM-STREAM interval join (the streaming form of the
+    * batch ev_range_join): purchases joined to the same user's clicks
+    * within the preceding hour. Spark plans this as a symmetric hash
+    * join whose buffered state is bounded by the two watermarks PLUS
+    * the interval condition — a click can be dropped from state once
+    * the watermark guarantees no qualifying purchase can still arrive
+    * (purchase_ts ≤ click_ts + 1 h), which is exactly why the time
+    * bound must be part of the JOIN condition, not a post-filter: an
+    * unbounded equi-join on user_id would buffer both streams forever.
+    * Emits matched pairs in append mode as the watermark seals them. */
+  def rangeJoinStream(clicks: DataFrame, purchases: DataFrame,
+      delay: String = "2 hours"): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", delay)
+    val p = purchases
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", delay)
+    p.join(c, expr(
+        """c_user = user_id AND
+          |click_ts <= purchase_ts AND
+          |click_ts > purchase_ts - INTERVAL 1 HOUR""".stripMargin))
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
   /** Streaming exact deduplication: drop replayed events by id, with
     * state BOUNDED by the watermark — an id is held only until the
     * watermark passes its event time plus the delay, so state size

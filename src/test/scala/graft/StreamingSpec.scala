@@ -173,6 +173,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join emits exactly the batch join's pairs") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = loadEvents()
+    val maxTs = events.map(_.ts.getTime).max
+    val msC = MemoryStream[EvFull]
+    val msP = MemoryStream[EvFull]
+    val q = StreamingOps.rangeJoinStream(msC.toDF(), msP.toDF())
+      .writeStream.format("memory").queryName("t_ssj")
+      .outputMode("append").start()
+    try {
+      // split across two batches so matches must cross buffered state
+      val clicks = events.filter(_.event_type == "click")
+      val purchases = events.filter(_.event_type == "purchase")
+      msC.addData(clicks.filter(_.event_id % 2 == 0))
+      msP.addData(purchases.filter(_.event_id % 2 == 0))
+      drain(q)
+      msC.addData(clicks.filter(_.event_id % 2 == 1))
+      msP.addData(purchases.filter(_.event_id % 2 == 1))
+      drain(q)
+      val sentinel = EvFull(-1L, new Timestamp(maxTs + 86400000L * 2), -1L, "click", 0.0)
+      msC.addData(Seq(sentinel)); msP.addData(Seq(sentinel.copy(event_type = "purchase")))
+      drain(q)
+      msC.addData(Seq(sentinel.copy(event_id = -2L)))
+      msP.addData(Seq(sentinel.copy(event_id = -2L, event_type = "purchase")))
+      drain(q)
+      val got = spark.table("t_ssj").filter($"user_id" >= 0)
+        .collect().map(r => (r.getLong(1), r.getLong(3))).toSet
+      val exp = Tables.events(spark, sf0001).filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("purchase_id"), $"ts".as("purchase_ts"))
+        .join(Tables.events(spark, sf0001).filter($"event_type" === "click")
+            .select($"user_id".as("c_user"), $"event_id".as("click_id"), $"ts".as("click_ts")),
+          $"c_user" === $"user_id" && $"click_ts" <= $"purchase_ts" &&
+            $"click_ts" > $"purchase_ts" - expr("INTERVAL 1 HOUR"))
+        .collect().map(r => (r.getLong(1), r.getLong(3))).toSet
+      assert(exp.nonEmpty, "test premise: the batch interval join matches pairs")
+      assert(got == exp, s"pair sets differ: missing=${(exp -- got).take(3)} extra=${(got -- exp).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming as-of attributes a purchase to a click arriving in a LATER batch") {
     // The case that breaks attribute-on-arrival implementations: the
     // purchase shows up first; its winning click arrives out-of-order
