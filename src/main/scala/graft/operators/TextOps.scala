@@ -135,7 +135,12 @@ object TextOps {
     * and each bucket's share of the corpus total (via a broadcast
     * scalar, not an unpartitioned window). One scan + one tiny agg at
     * 100 TB; the tokenizer is the same codegen'd regex as
-    * [[text_tokens]], so the histogram is hash-oracled. */
+    * [[text_tokens]], so the histogram is hash-oracled. The share is
+    * EXACT integer parts-per-million (decimal widening + integral
+    * division — truncation on both engines), not `round(double, 6)`:
+    * Spark rounds through BigDecimal HALF_UP while DuckDB computes
+    * `round(x*1e6)/1e6` in floating point, and the two can differ by
+    * one ULP — the r5 hash mismatch on this query. */
   def text_token_hist(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val perDoc = Tables.documents(s, d)
@@ -147,7 +152,8 @@ object TextOps {
     hist
       .crossJoin(broadcast(hist.agg(sum($"bucket_tokens").as("corpus_tokens"))))
       .select($"bucket_lo", $"n_docs", $"bucket_tokens",
-        round($"bucket_tokens" / $"corpus_tokens", 6).as("token_share"))
+        expr("CAST((CAST(bucket_tokens AS DECIMAL(38,0)) * 1000000) DIV corpus_tokens AS BIGINT)")
+          .as("share_ppm"))
       .orderBy($"bucket_lo")
   }
 
@@ -234,7 +240,8 @@ object TextOps {
         |  count(*) AS n_docs, sum(n_tokens) AS bucket_tokens
         | FROM perdoc GROUP BY 1)
         |SELECT bucket_lo, n_docs, bucket_tokens,
-        | round(bucket_tokens / (SELECT sum(bucket_tokens) FROM hist), 6) AS token_share
+        | CAST((CAST(bucket_tokens AS HUGEINT) * 1000000)
+        |   // (SELECT sum(bucket_tokens) FROM hist) AS BIGINT) AS share_ppm
         |FROM hist ORDER BY bucket_lo""".stripMargin,
     "text_split" ->
       """WITH b AS (

@@ -184,14 +184,33 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("t_ssj")
       .outputMode("append").start()
     try {
-      // split across two batches so matches must cross buffered state
+      val expRows = Tables.events(spark, sf0001).filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("purchase_id"), $"ts".as("purchase_ts"))
+        .join(Tables.events(spark, sf0001).filter($"event_type" === "click")
+            .select($"user_id".as("c_user"), $"event_id".as("click_id"), $"ts".as("click_ts")),
+          $"c_user" === $"user_id" && $"click_ts" <= $"purchase_ts" &&
+            $"click_ts" > $"purchase_ts" - expr("INTERVAL 1 HOUR"))
+        .select($"purchase_id", $"click_id", $"purchase_ts", $"click_ts")
+        .collect()
+      val exp = expRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(exp.nonEmpty, "test premise: the batch interval join matches pairs")
+      // Split the two batches along the TIMELINE, not by id parity:
+      // watermarks advance with event time, so a batch-2 row older than
+      // batch 1's max ts minus the delay is LATE and a watermark-correct
+      // join must drop it. Cut at a matched pair's purchase ts so that
+      // pair's click arrives a batch before its purchase — the match
+      // must cross buffered state.
+      val cut = expRows.map(_.getTimestamp(2).getTime).max
+      assert(expRows.exists(r =>
+          r.getTimestamp(3).getTime < cut && r.getTimestamp(2).getTime >= cut),
+        "test premise: at least one pair straddles the batch boundary")
       val clicks = events.filter(_.event_type == "click")
       val purchases = events.filter(_.event_type == "purchase")
-      msC.addData(clicks.filter(_.event_id % 2 == 0))
-      msP.addData(purchases.filter(_.event_id % 2 == 0))
+      msC.addData(clicks.filter(_.ts.getTime < cut))
+      msP.addData(purchases.filter(_.ts.getTime < cut))
       drain(q)
-      msC.addData(clicks.filter(_.event_id % 2 == 1))
-      msP.addData(purchases.filter(_.event_id % 2 == 1))
+      msC.addData(clicks.filter(_.ts.getTime >= cut))
+      msP.addData(purchases.filter(_.ts.getTime >= cut))
       drain(q)
       val sentinel = EvFull(-1L, new Timestamp(maxTs + 86400000L * 2), -1L, "click", 0.0)
       msC.addData(Seq(sentinel)); msP.addData(Seq(sentinel.copy(event_type = "purchase")))
@@ -200,15 +219,8 @@ class StreamingSpec extends SparkSpec {
       msP.addData(Seq(sentinel.copy(event_id = -2L, event_type = "purchase")))
       drain(q)
       val got = spark.table("t_ssj").filter($"user_id" >= 0)
-        .collect().map(r => (r.getLong(1), r.getLong(3))).toSet
-      val exp = Tables.events(spark, sf0001).filter($"event_type" === "purchase")
-        .select($"user_id", $"event_id".as("purchase_id"), $"ts".as("purchase_ts"))
-        .join(Tables.events(spark, sf0001).filter($"event_type" === "click")
-            .select($"user_id".as("c_user"), $"event_id".as("click_id"), $"ts".as("click_ts")),
-          $"c_user" === $"user_id" && $"click_ts" <= $"purchase_ts" &&
-            $"click_ts" > $"purchase_ts" - expr("INTERVAL 1 HOUR"))
-        .collect().map(r => (r.getLong(1), r.getLong(3))).toSet
-      assert(exp.nonEmpty, "test premise: the batch interval join matches pairs")
+        .select($"purchase_id", $"click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got == exp, s"pair sets differ: missing=${(exp -- got).take(3)} extra=${(got -- exp).take(3)}")
     } finally q.stop()
   }
