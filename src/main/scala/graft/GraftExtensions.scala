@@ -54,6 +54,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         intArg(args, 2, "graft_winnow_stats")))
     register("graft_fnv64_fold", 1, args => Fnv64FoldExpr(args.head))
     register("graft_jaccard_sorted", 2, args => JaccardSortedExpr(args(0), args(1)))
+    register("graft_containment_sorted", 2,
+      args => ContainmentSortedExpr(args(0), args(1)))
+    register("graft_word_ngrams", 2,
+      args => WordNgramsExpr(args.head, intArg(args, 1, "graft_word_ngrams")))
     register("graft_dot", 2, args => DotExpr(args(0), args(1)))
     register("graft_cosine", 2, args => CosineSimExpr(args(0), args(1)))
   }

@@ -126,6 +126,48 @@ object ExprKernels {
     new GenericArrayData(java.util.Arrays.copyOf(grams, uniq))
   }
 
+  /** ALL word n-grams of a text as space-joined strings, in document
+    * order, duplicates KEPT (the counting form — [[wordNgramHashes]]
+    * is the set form for signatures). Tokenization matches the SQL
+    * `string_split(lower(text), ' ')` + drop-empties convention used
+    * by every text oracle. One codegen'd pass; the column-level HOF
+    * formulation (`transform(sequence(...), slice/array_join)`) is
+    * CodegenFallback and runs interpreted over every window. An input
+    * with < n words yields an empty array. */
+  def wordNgrams(text: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val s = text.toLowerCase.toString // UTF8String lowercase = SQL lower()
+    // word boundaries (empties dropped)
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    var i = 0; var inWord = false
+    val len = s.length
+    while (i <= len) {
+      val c = if (i < len) s.charAt(i) else ' '
+      if (c == ' ') {
+        if (inWord) { ends.add(i); inWord = false }
+      } else if (!inWord) { starts.add(i); inWord = true }
+      i += 1
+    }
+    val nWords = starts.size()
+    if (nWords < n)
+      return new GenericArrayData(Array.empty[org.apache.spark.unsafe.types.UTF8String])
+    val out = new Array[org.apache.spark.unsafe.types.UTF8String](nWords - n + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var g = 0
+    while (g < out.length) {
+      sb.setLength(0)
+      var j = g
+      while (j < g + n) {
+        if (j > g) sb.append(' ')
+        sb.append(s, starts.get(j), ends.get(j))
+        j += 1
+      }
+      out(g) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Winnowing fingerprint stats over character n-grams, one pass:
     * hash every n-gram (FNV-1a over lowercased chars), take the min of
     * each w-wide window, dedupe the minima in first-occurrence order,
@@ -198,6 +240,25 @@ object ExprKernels {
     }
     val union = na + nb - inter
     inter.toDouble / union
+  }
+
+  /** Containment of the SMALLER of two SORTED distinct long arrays in
+    * the larger: |A∩B| / min(|A|,|B|) via the same linear merge as
+    * [[jaccardSorted]]. This is Broder's containment coefficient — the
+    * right score when one document may be embedded in another:
+    * a prefix half has containment 1.0 but Jaccard only ~0.5, so a
+    * resemblance threshold misses it. 0.0 when either side is empty. */
+  def containmentSorted(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na == 0 || nb == 0) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / math.min(na, nb)
   }
 
   /** Vector-kernel null contract: parquet array columns default to

@@ -162,6 +162,39 @@ case class JaccardSortedExpr(left: Expression, right: Expression) extends Binary
   override def prettyName: String = "graft_jaccard_sorted"
 }
 
+/** containment_sorted(array<long>, array<long>) -> double:
+  * |A∩B| / min(|A|,|B|) over sorted distinct arrays — the embedded-
+  * document score a Jaccard threshold misses. */
+case class ContainmentSortedExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftExpressions.checkLongArray(prettyName, left, right)
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ExprKernels.containmentSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ExprKernels.containmentSorted($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ContainmentSortedExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_containment_sorted"
+}
+
+/** word_ngrams(string, n) -> array<string>: ALL word n-grams (order
+  * kept, duplicates kept — the counting form; [[WordNgramHashExpr]] is
+  * the set form). */
+case class WordNgramsExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, s"ngram width must be positive, got $n")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftExpressions.checkString(prettyName, child)
+  override protected def nullSafeEval(input: Any): Any =
+    ExprKernels.wordNgrams(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.wordNgrams($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): WordNgramsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_word_ngrams"
+}
+
 /** dot(arr, arr) -> double; both sides must share the element type
   * (checked at analysis time). Ragged inputs fold over the common
   * prefix min(len(a), len(b)); null elements are skipped — see the

@@ -82,4 +82,16 @@ object TextFunctions {
   def jaccardSorted(a: Column, b: Column): Column =
     GraftExpressions.toColumn(
       JaccardSortedExpr(GraftExpressions.toExpr(a), GraftExpressions.toExpr(b)))
+
+  /** Exact containment |A∩B| / min(|A|,|B|) between two SORTED distinct
+    * long arrays (one-pass merge kernel). */
+  def containmentSorted(a: Column, b: Column): Column =
+    GraftExpressions.toColumn(
+      ContainmentSortedExpr(GraftExpressions.toExpr(a), GraftExpressions.toExpr(b)))
+
+  /** ALL word n-grams as space-joined strings (duplicates kept, doc
+    * order — the counting form used by corpus n-gram stats). Codegen'd
+    * single pass; same tokenization as [[tokens]]. */
+  def wordNgramsAll(text: Column, n: Int): Column =
+    GraftExpressions.toColumn(WordNgramsExpr(GraftExpressions.toExpr(text), n))
 }

@@ -241,6 +241,45 @@ object Dedup {
       .orderBy($"vec_id", $"vec_id2")
   }
 
+  /** CONTAINMENT near-dup detection — the embedded-document case
+    * resemblance dedup misses: a short doc fully contained in a long
+    * one (a quoted article, a boilerplate-wrapped page) has
+    * containment |A∩B|/min ≈ 1 but Jaccard |A∩B|/union = |A|/|B|,
+    * which drops below any resemblance threshold once the size ratio
+    * does — minhash banding keyed on Jaccard never surfaces the pair.
+    *
+    * Blocking is a BOTTOM-m sketch join (Broder): each doc emits its m
+    * smallest shingle hashes as bucket keys. If A ⊆ B, any of B's m
+    * corpus-smallest grams that lands in A is automatically among A's
+    * m smallest too (A's grams are a subset, so ranks only shrink), so
+    * the pair collides with probability 1-(1-ratio)^m — ≥ 0.93 at
+    * ratio 0.15 with m=16, ≈ 1 at ratio ≥ 0.3. Keys are single longs
+    * (8-byte shuffle), m per doc — linear candidate volume; degenerate
+    * corpus-common grams concentrate in hot buckets, which the
+    * bucketPairs cap drops OBSERVABLY (BucketCapMetrics), exactly like
+    * the LSH band paths. Scoring is one linear merge over the sorted
+    * gram arrays per distinct candidate pair ([[ExprKernels
+    * .containmentSorted]]); the gram stage is persisted so the shingle
+    * kernel runs once per doc (pair-gen + two score joins). */
+  def dedup_containment(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = 16
+    val docs = CacheRegistry.cache(Tables.documents(s, d)
+      .select($"doc_id", shingleHashes($"text", 3).as("grams")))
+    // grams are sorted ascending (kernel contract) → bottom-m = prefix
+    val keyed = docs.select($"doc_id", slice($"grams", 1, m).as("keys"))
+    bucketPairs(keyed, "doc_id", $"keys")
+      .join(docs, "doc_id")
+      .join(docs.select($"doc_id".as("doc_id2"), $"grams".as("grams2")), "doc_id2")
+      .select($"doc_id", $"doc_id2",
+        containmentSorted($"grams", $"grams2").as("c"),
+        jaccardSorted($"grams", $"grams2").as("j"))
+      .filter($"c" >= 0.8)
+      .select($"doc_id", $"doc_id2",
+        round($"c", 4).as("containment"), round($"j", 4).as("jaccard"))
+      .orderBy($"doc_id", $"doc_id2")
+  }
+
   /** Connected components over an undirected pair list via min-label
     * propagation WITH pointer jumping (hook + shortcut, the classic
     * PRAM connectivity recipe): each round every node (a) hooks to the
@@ -468,6 +507,7 @@ object Dedup {
     "dedup_minhash_lsh" -> dedup_minhash_lsh _,
     "dedup_simhash" -> dedup_simhash _,
     "dedup_ngram_jaccard" -> dedup_ngram_jaccard _,
+    "dedup_containment" -> dedup_containment _,
     "dedup_embedding" -> dedup_embedding _,
     "dedup_clusters" -> dedup_clusters _,
     "dedup_resolve_best" -> dedup_resolve_best _)

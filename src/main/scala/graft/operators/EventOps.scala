@@ -218,7 +218,33 @@ object EventOps {
       .orderBy($"day")
   }
 
+  /** Heavy hitters — most-active users by event volume via a
+    * SpaceSaving sketch ([[graft.functions.SpaceSavingAggregator]]),
+    * the frequent-items companion to ev_approx_uniques' HLL. Unlike
+    * the exact fs_hot_keys groupBy-count (which shuffles the full user
+    * cardinality), the typed Aggregator runs as a two-phase
+    * ObjectHashAggregate: each map task folds its partition into one
+    * fixed-size summary and the shuffle carries capacity·tasks rows
+    * total — at a billion distinct keys, kilobytes instead of the key
+    * space. Guarantees (spec-gated): every user with > N/capacity
+    * events is present; true ≤ est ≤ true + max_overcount; exact when
+    * distinct keys ≤ capacity. rows-only oracle: merge order is
+    * nondeterministic, so estimates (not membership guarantees) can
+    * vary across runs. */
+  def ev_heavy_hitters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val agg = new graft.functions.SpaceSavingAggregator(64).toColumn
+    Tables.events(s, d)
+      .select($"user_id").as[Long]
+      .select(agg)
+      .flatMap(b => (0 until b.n).map(i => (b.items(i), b.counts(i), b.errs(i))))
+      .toDF("user_id", "est_count", "max_overcount")
+      .orderBy($"est_count".desc, $"user_id")
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_heavy_hitters" -> ev_heavy_hitters _,
     "ev_fullouter" -> ev_fullouter _,
     "ev_pivot" -> ev_pivot _,
     "ev_window_agg" -> ev_window_agg _,

@@ -3,7 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.TextFunctions._
 import graft.functions.{GraftExpressions, WinnowStatsExpr}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** §2.7 Text analysis for training-data curation: quality scoring,
@@ -178,7 +178,83 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Whitespace/case normalization — the first transform of any text
+    * pipeline. The raw form is constructed deterministically from the
+    * doc (an upper-cased head, an injected tab, trailing space runs)
+    * because the synthetic corpus arrives pre-normalized; the
+    * normalize step itself — lowercase, collapse whitespace runs,
+    * trim — is the production kernel and is hash-verified against
+    * DuckDB applying the identical expression. Pure per-row map work:
+    * scan speed at 100 TB, stays in whole-stage codegen. */
+  def text_normalize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val messed = concat(upper(expr("substring(text, 1, 40)")), lit("\t "),
+      expr("substring(text, 41)"), lit("   tail   "))
+    Tables.documents(s, d)
+      .select($"doc_id", messed.as("raw"))
+      .select($"doc_id", length($"raw").as("raw_len"),
+        trim(regexp_replace(lower($"raw"), "[ \\t]+", " ")).as("clean_text"))
+      .select($"doc_id", $"raw_len", length($"clean_text").as("clean_len"),
+        $"clean_text")
+      .orderBy($"doc_id")
+  }
+
+  /** PII redaction — scrub emails / phone-shaped numbers / IPv4s and
+    * count what was found, the compliance gate before any corpus
+    * ships. The PII-bearing raw text is constructed deterministically
+    * from doc_id (the corpus itself is PII-free), so the regex scrub
+    * path — find, count, replace-all, in one pass over every byte —
+    * is exercised with real matches and hash-verified against DuckDB
+    * running the identical patterns. Conservative regex subset (no
+    * lookaround, no \b) so Java and RE2 semantics agree. Per-row map
+    * work at scan speed; patterns anchor on literal prefixes so the
+    * regex engine skips fast. */
+  def text_pii_scrub(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    val phone = "[0-9]{3}-[0-9]{4}"
+    val raw = concat($"text", lit(" contact user"), $"doc_id".cast("string"),
+      lit("@mail.example.com or 555-"),
+      lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+      lit(" from 10."), ($"doc_id" % 256).cast("string"),
+      lit(".0."), ($"doc_id" % 100).cast("string"))
+    // patterns go through lit()/String-API overloads, NOT expr(): a
+    // SQL string literal would eat the single backslash in `\.`
+    def nMatches(c: Column, p: String): Column =
+      size(regexp_extract_all(c, lit(p), lit(0))).cast("long")
+    Tables.documents(s, d)
+      .select($"doc_id", raw.as("raw"))
+      .select($"doc_id",
+        nMatches($"raw", email).as("n_emails"),
+        nMatches($"raw", ip).as("n_ips"),
+        nMatches($"raw", phone).as("n_phones"),
+        regexp_replace(regexp_replace(regexp_replace($"raw",
+          email, "<EMAIL>"), ip, "<IP>"), phone, "<PHONE>").as("scrubbed"))
+      .orderBy($"doc_id")
+  }
+
+  /** Corpus bigram statistics — the n-gram frequency table behind
+    * contamination checks and LM data audits. The bigram column is a
+    * single-pass codegen'd kernel ([[graft.functions.WordNgramsExpr]]
+    * — the HOF transform/slice formulation falls out of codegen);
+    * counting is one map-side-combined aggregation on the bigram
+    * string, and the top-k compiles to TakeOrderedAndProject. Ties
+    * break on the bigram text so the cut is deterministic. */
+  def text_bigrams(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(explode(wordNgramsAll($"text", 2)).as("bigram"))
+      .groupBy($"bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"bigram")
+      .limit(25)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_normalize" -> text_normalize _,
+    "text_pii_scrub" -> text_pii_scrub _,
+    "text_bigrams" -> text_bigrams _,
     "text_quality" -> text_quality _,
     "text_tokens" -> text_tokens _,
     "text_langid" -> text_langid _,
@@ -188,6 +264,49 @@ object TextOps {
     "text_token_hist" -> text_token_hist _)
 
   val oracle: Map[String, String] = Map(
+    "text_normalize" ->
+      """WITH raw AS (
+        | SELECT doc_id,
+        |  upper(substr(text, 1, 40)) || chr(9) || ' ' || substr(text, 41)
+        |    || '   tail   ' AS raw
+        | FROM documents),
+        |clean AS (
+        | SELECT doc_id, CAST(length(raw) AS BIGINT) AS raw_len,
+        |  trim(regexp_replace(lower(raw), '[ \t]+', ' ', 'g')) AS clean_text
+        | FROM raw)
+        |SELECT doc_id, raw_len, CAST(length(clean_text) AS BIGINT) AS clean_len,
+        | clean_text
+        |FROM clean ORDER BY doc_id""".stripMargin,
+    "text_pii_scrub" ->
+      """WITH raw AS (
+        | SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |  || '@mail.example.com or 555-'
+        |  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |  || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+        |  || '.0.' || CAST(doc_id % 100 AS VARCHAR) AS raw
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(raw, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
+        | CAST(len(regexp_extract_all(raw, '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        | regexp_replace(regexp_replace(regexp_replace(raw,
+        |   '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |   '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+        |   '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+        |FROM raw ORDER BY doc_id""".stripMargin,
+    "text_bigrams" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+        | FROM documents),
+        |u AS (
+        | SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS i
+        | FROM t),
+        |b AS (
+        | SELECT a.word || ' ' || c.word AS bigram
+        | FROM u a JOIN u c ON a.doc_id = c.doc_id AND c.i = a.i + 1)
+        |SELECT bigram, count(*) AS n FROM b
+        |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 25""".stripMargin,
     "text_quality" ->
       """SELECT doc_id, n_chars_m, n_words, stopword_ratio, uniq_ratio, n_punct, avg_word_len,
         | round((CASE WHEN n_words >= 20 THEN 1.0 ELSE 0.5 END) * uniq_ratio *

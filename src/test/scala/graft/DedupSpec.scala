@@ -77,6 +77,43 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, s"simhash planted recall $recall < 0.8 (got ${got.size} pairs)")
   }
 
+  test("dedup_containment recovers planted embedded documents that Jaccard misses") {
+    // Plants: prefix halves (size ratio 0.5, containment 1.0, Jaccard
+    // ~0.5) and SHORT 15%-ratio excerpts (Jaccard ~0.15 — far below
+    // every resemblance threshold; the bottom-16 sketch still collides
+    // with p ≈ 1-(1-0.15)^16 ≈ 0.93, so demand recall >= 0.8).
+    val rnd = new scala.util.Random(31)
+    val vocab = Array.tabulate(3000)(i => s"tok$i")
+    def doc(len: Int) = Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val base = (0 until 200).map(i => (i.toLong, doc(200)))
+    val halves = (0 until 15).map { j =>
+      val (srcId, text) = base((j * 13) % 200)
+      (1000L + j, text.split(" ").take(100).mkString(" "), srcId)
+    }
+    val excerpts = (0 until 15).map { j =>
+      val (srcId, text) = base((j * 7 + 3) % 200)
+      (2000L + j, text.split(" ").slice(40, 72).mkString(" "), srcId)
+    }
+    val dir = writeDocs(base ++ (halves ++ excerpts).map(p => (p._1, p._2)), "c")
+    val got = Dedup.dedup_containment(spark, dir)
+    val gotPairs = pairs(got)
+    val expHalves = halves.map(p => (p._3, p._1)).toSet
+    val expExcerpts = excerpts.map(p => (p._3, p._1)).toSet
+    assert((expHalves & gotPairs).size == expHalves.size,
+      s"missed prefix-half plants: ${expHalves -- gotPairs}")
+    val exRecall = (expExcerpts & gotPairs).size.toDouble / expExcerpts.size
+    assert(exRecall >= 0.8, s"excerpt recall $exRecall < 0.8")
+    // the planted pairs must be exactly the containment-not-resemblance
+    // regime: containment ~1 while jaccard stays at the size ratio
+    val scored = got.collect().map(r =>
+      (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+    (expHalves ++ expExcerpts).intersect(gotPairs).foreach { p =>
+      val (c, j) = scored(p)
+      assert(c >= 0.95, s"$p containment $c")
+      assert(j <= 0.6, s"$p jaccard $j should be ratio-bounded")
+    }
+  }
+
   test("dedup_clusters matches an independent union-find on the same pair graph") {
     // corpus A has no exact dups, so the cluster graph is exactly the
     // minhash pair set — union-find over the collected pairs is the

@@ -62,4 +62,46 @@ class EventOpsSpec extends SparkSpec {
     val b = EventOps.ev_approx_uniques(spark, sf0001).collect().toSeq
     assert(a == b, "sketch estimates must not depend on execution order")
   }
+
+  test("ev_heavy_hitters is exact when distinct keys fit the capacity") {
+    // sf0.001 has far fewer distinct users than the query's capacity
+    // (64): no eviction ever fires, so the sketch must equal the exact
+    // top-10 with zero overcount.
+    val got = EventOps.ev_heavy_hitters(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val exact = Tables.events(spark, sf0001)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("user_id"))
+      .limit(10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), 0L))
+    assert(got.toSeq == exact.toSeq,
+      s"sketch ${got.toSeq} != exact ${exact.toSeq}")
+  }
+
+  test("SpaceSaving keeps every item above N/capacity under heavy eviction") {
+    import spark.implicits._
+    // 60 distinct keys through a capacity-8 summary, skewed: keys 0-3
+    // carry ~70% of N and MUST survive (freq > N/8); the long tail
+    // forces constant eviction. Bounds: true <= est <= true + err.
+    val rnd = new scala.util.Random(7)
+    val items: Seq[Long] =
+      (0 until 4).flatMap(k => Seq.fill(700)(k.toLong)) ++
+        Seq.fill(1200)(4L + rnd.nextInt(56).toLong)
+    val n = items.size.toLong
+    val trueCounts = items.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val agg = new graft.functions.SpaceSavingAggregator(8).toColumn
+    val buf = spark.createDataset(rnd.shuffle(items)).repartition(8)
+      .select(agg).head()
+    val entries = (0 until buf.n)
+      .map(i => (buf.items(i), buf.counts(i), buf.errs(i)))
+    val present = entries.map(_._1).toSet
+    (0L until 4L).foreach { k =>
+      assert(present.contains(k), s"guaranteed heavy hitter $k evicted")
+    }
+    entries.foreach { case (item, est, err) =>
+      val t = trueCounts(item)
+      assert(est >= t, s"item $item est $est < true $t")
+      assert(est - err <= t, s"item $item lower bound ${est - err} > true $t")
+    }
+  }
 }

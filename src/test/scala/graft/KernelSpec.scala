@@ -101,6 +101,53 @@ class KernelSpec extends SparkSpec {
     rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
   }
 
+  test("containmentSorted kernel matches the array_intersect/min formulation") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", TextFunctions.shingleHashes($"text", 3).as("g"))
+    val a = docs.limit(30)
+    val b = docs.limit(30).select($"doc_id".as("doc_id2"), $"g".as("g2"))
+    val rows = a.crossJoin(b).filter($"doc_id" < $"doc_id2")
+      .select(TextFunctions.containmentSorted($"g", $"g2").as("kernel"),
+        (size(array_intersect($"g", $"g2")).cast("double") /
+          least(size($"g"), size($"g2"))).as("hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("containmentSorted is 1.0 for a subset and >= jaccard always") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val sub = new GenericArrayData(Array(2L, 5L, 9L))
+    val sup = new GenericArrayData(Array(1L, 2L, 5L, 7L, 9L, 11L))
+    assert(graft.functions.ExprKernels.containmentSorted(sub, sup) == 1.0)
+    assert(graft.functions.ExprKernels.containmentSorted(sup, sub) == 1.0)
+    val other = new GenericArrayData(Array(2L, 3L, 9L, 20L))
+    val c = graft.functions.ExprKernels.containmentSorted(sub, other)
+    val j = graft.functions.ExprKernels.jaccardSorted(sub, other)
+    assert(c >= j && math.abs(c - 2.0 / 3) < 1e-12)
+    val empty = new GenericArrayData(Array.emptyLongArray)
+    assert(graft.functions.ExprKernels.containmentSorted(empty, sup) == 0.0)
+  }
+
+  test("wordNgrams kernel matches the HOF formulation exactly") {
+    import spark.implicits._
+    val rows = Tables.documents(spark, sf0001)
+      .select(TextFunctions.wordNgramsAll($"text", 2).as("kernel"),
+        TextFunctions.wordNgrams($"text", 2).as("hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+    // degenerate inputs: fewer words than n, mixed whitespace runs, case
+    val edge = Seq("", "one", "one two", "  A  b ", "x Y z").toDF("text")
+      .select(TextFunctions.wordNgramsAll($"text", 2).as("kernel"),
+        TextFunctions.wordNgrams($"text", 2).as("hof"))
+      .collect()
+    edge.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
   // --- winnowing reference implementation (independent, brute-force):
   // hash every char n-gram, take each w-window's min by scanning the
   // whole window, dedupe minima in first-occurrence order, FNV-fold.

@@ -11,7 +11,7 @@ class OperatorSmokeSpec extends SparkSpec {
   private val mayBeEmpty = Set(
     "q7_antijoin", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_embedding", "dedup_clusters",
-    "ev_funnel", "mr_grep")
+    "dedup_containment", "ev_funnel", "mr_grep")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
