@@ -243,7 +243,49 @@ object EventOps {
       .limit(10)
   }
 
+  /** Time-series anomaly detection: z-score of each hour's event count
+    * per type against its TRAILING 24-hour window (never the current
+    * row — an anomaly must not dilute its own baseline). The windowed
+    * moments are exact INTEGER sums (count, sum, sum of squares) and
+    * the z-score is derived from them in one closed-form double
+    * expression, so both engines compute bit-identical doubles and the
+    * output can be floored to basis points — no cross-engine rounding
+    * hazard (round(double, k) differs between BigDecimal HALF_UP and
+    * float round — the text_token_hist lesson). One shuffle on
+    * event_type + an ordered window scan; at 100 TB the grid is
+    * hours × types, tiny regardless of event volume. */
+  def ev_anomaly(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hourly = Tables.events(s, d)
+      .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy($"event_type").orderBy($"hour")
+      .rowsBetween(-24, -1)
+    // The windowed moments stay INTEGER (order-independent: DuckDB's
+    // segment-tree windowed sum and Spark's frame scan would disagree
+    // in ULPs on doubles); every double op below is a scalar closed
+    // form on those exact integers, identical in both engines. Bound:
+    // sum(n²) fits i64 while hourly counts stay under ~6×10⁸ per type
+    // — past that, bucket finer or widen to decimal.
+    hourly
+      .withColumn("cnt", count($"n_events").over(w))
+      .withColumn("s", sum($"n_events").over(w))
+      .withColumn("sq", sum($"n_events" * $"n_events").over(w))
+      .filter($"cnt" >= 12)
+      .withColumn("cd", $"cnt".cast("double"))
+      .withColumn("sd", $"s".cast("double"))
+      .withColumn("variance",
+        ($"sq".cast("double") - $"sd" * $"sd" / $"cd") / ($"cd" - 1))
+      .select($"hour", $"event_type", $"n_events", $"s".as("trailing_total"),
+        when($"variance" > 0,
+          floor(($"n_events".cast("double") - $"sd" / $"cd")
+            / sqrt($"variance") * 10000).cast("long"))
+          .as("z_bp"))
+      .orderBy($"hour", $"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_anomaly" -> ev_anomaly _,
     "ev_heavy_hitters" -> ev_heavy_hitters _,
     "ev_fullouter" -> ev_fullouter _,
     "ev_pivot" -> ev_pivot _,
@@ -257,6 +299,30 @@ object EventOps {
     "ev_approx_uniques" -> ev_approx_uniques _)
 
   val oracle: Map[String, String] = Map(
+    "ev_anomaly" ->
+      """WITH hourly AS (
+        | SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  count(*) AS n_events
+        | FROM events GROUP BY 1, 2),
+        |m AS (
+        | SELECT hour, event_type, n_events,
+        |  count(n_events) OVER w AS cnt,
+        |  sum(n_events) OVER w AS s,
+        |  sum(n_events * n_events) OVER w AS sq
+        | FROM hourly
+        | WINDOW w AS (PARTITION BY event_type ORDER BY hour
+        |   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |v AS (
+        | SELECT hour, event_type, n_events, cnt, s,
+        |  (CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |     / CAST(cnt AS DOUBLE)) / (CAST(cnt AS DOUBLE) - 1) AS variance
+        | FROM m WHERE cnt >= 12)
+        |SELECT hour, event_type, n_events, CAST(s AS BIGINT) AS trailing_total,
+        | CASE WHEN variance > 0 THEN
+        |  CAST(floor((CAST(n_events AS DOUBLE) - CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE))
+        |    / sqrt(variance) * 10000) AS BIGINT)
+        | END AS z_bp
+        |FROM v ORDER BY hour, event_type""".stripMargin,
     "ev_window_agg" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         | count(*) AS n_events, round(sum(value),2) AS total_value

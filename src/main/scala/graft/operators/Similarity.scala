@@ -206,8 +206,31 @@ object Similarity {
       .orderBy($"qid", $"rank")
   }
 
+  /** RANGE similarity search — all corpus vectors within a cosine
+    * radius of each query (the retrieval-filter form: "everything at
+    * least this similar", vs top-k's "the k best"). Same plan shape as
+    * brute top-k — broadcast query set, stream the corpus, fused
+    * single-pass cosine, no window needed since there is no ranking —
+    * so the scan is one pass and the output is the selectivity the
+    * threshold buys. Exact, so the oracle hash-verifies it (the one
+    * ANN-family query besides brute top-k that SQL can express). */
+  def ann_cos_range(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val q = e.filter($"vec_id" < 16)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    e.select($"vec_id".as("nid"), $"embedding")
+      .crossJoin(broadcast(q))
+      .filter($"nid" =!= $"qid")
+      .select($"qid", $"nid", cosine($"qvec", $"embedding").as("cos"))
+      .filter($"cos" >= 0.3)
+      .select($"qid", $"nid", round($"cos", 6).as("cos_sim"))
+      .orderBy($"qid", $"nid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_brute" -> ann_topk_brute _,
+    "ann_cos_range" -> ann_cos_range _,
     "ann_lsh" -> ann_lsh _,
     "ann_ivf" -> ann_ivf _)
 
@@ -222,5 +245,14 @@ object Similarity {
         |       CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
         |  FROM embeddings q, embeddings c
         |  WHERE q.vec_id < 16 AND c.vec_id <> q.vec_id)
-        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "ann_cos_range" ->
+      """SELECT q.vec_id AS qid, c.vec_id AS nid,
+        | round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |   CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim
+        |FROM embeddings q, embeddings c
+        |WHERE q.vec_id < 16 AND c.vec_id <> q.vec_id
+        | AND list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |   CAST(c.embedding AS DOUBLE[])) >= 0.3
+        |ORDER BY qid, nid""".stripMargin)
 }

@@ -56,6 +56,16 @@ object StreamingOps extends Serializable {
       .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
       .select(col("window.start").as("day"), col("event_type"), col("approx_users"))
 
+  /** STREAM-STATIC enrichment join — the dimension-lookup every event
+    * pipeline runs: each micro-batch joins against the static (batch)
+    * dimension with no state at all (the static side re-resolves per
+    * batch, so a dim refresh is picked up without restarting). Small
+    * dims broadcast — per-batch map-side hash lookups, no shuffle of
+    * the stream. The stream keeps its event-time column, so windowing/
+    * watermarking compose downstream. */
+  def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Native STREAM-STREAM interval join (the streaming form of the
     * batch ev_range_join): purchases joined to the same user's clicks
     * within the preceding hour. Spark plans this as a symmetric hash

@@ -20,7 +20,7 @@ class PlanSpec extends SparkSpec {
     // corpus (ann brute).
     val intendedNestedLoop =
       Set("q21_crossjoin_small", "q15_groupby_topk", "fs_quota_check",
-        "ann_topk_brute", "text_token_hist")
+        "ann_topk_brute", "ann_cos_range", "text_token_hist")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val plan = physical(name)
       assert(!plan.contains("CartesianProduct"),

@@ -173,6 +173,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join equals the batch join per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = loadEvents()
+    // static dim: user_id -> a nation name via the driver's nation table
+    val dim = Tables.nation(spark, sf0001)
+      .select(($"n_nationkey" % 25).as("user_mod"), $"n_name")
+    val ms = MemoryStream[EvFull]
+    val enriched = StreamingOps.enrichStream(
+      ms.toDF().withColumn("user_mod", $"user_id" % 25), dim, "user_mod")
+    val q = enriched.writeStream.format("memory").queryName("t_enrich")
+      .outputMode("append").start()
+    try {
+      val (a, b) = events.partition(_.event_id % 2 == 0)
+      ms.addData(a); drain(q)
+      ms.addData(b); drain(q)
+      val got = spark.table("t_enrich")
+        .select($"event_id", $"n_name").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val exp = Tables.events(spark, sf0001)
+        .withColumn("user_mod", $"user_id" % 25)
+        .join(dim, Seq("user_mod"), "left")
+        .select($"event_id", $"n_name").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(exp.nonEmpty && got == exp)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join emits exactly the batch join's pairs") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
