@@ -244,8 +244,12 @@ object EventOps {
   }
 
   /** Time-series anomaly detection: z-score of each hour's event count
-    * per type against its TRAILING 24-hour window (never the current
-    * row — an anomaly must not dilute its own baseline). The windowed
+    * per type against its TRAILING 24-wall-clock-hour window (never the
+    * current row — an anomaly must not dilute its own baseline). The
+    * frame is a RANGE over integer epoch-hours, not 24 ROWS: an hour
+    * with zero events for a type has no row, and a ROWS frame would
+    * silently stretch the baseline over a longer wall-clock span for
+    * sparse event types. The windowed
     * moments are exact INTEGER sums (count, sum, sum of squares) and
     * the z-score is derived from them in one closed-form double
     * expression, so both engines compute bit-identical doubles and the
@@ -259,8 +263,9 @@ object EventOps {
     val hourly = Tables.events(s, d)
       .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
       .agg(count(lit(1)).as("n_events"))
-    val w = Window.partitionBy($"event_type").orderBy($"hour")
-      .rowsBetween(-24, -1)
+      .withColumn("hour_epoch", expr("unix_timestamp(hour) div 3600"))
+    val w = Window.partitionBy($"event_type").orderBy($"hour_epoch")
+      .rangeBetween(-24, -1)
     // The windowed moments stay INTEGER (order-independent: DuckDB's
     // segment-tree windowed sum and Spark's frame scan would disagree
     // in ULPs on doubles); every double op below is a scalar closed
@@ -302,16 +307,17 @@ object EventOps {
     "ev_anomaly" ->
       """WITH hourly AS (
         | SELECT date_trunc('hour', ts) AS hour, event_type,
-        |  count(*) AS n_events
-        | FROM events GROUP BY 1, 2),
+        |  count(*) AS n_events,
+        |  epoch_us(date_trunc('hour', ts)) // 3600000000 AS hour_epoch
+        | FROM events GROUP BY 1, 2, 4),
         |m AS (
         | SELECT hour, event_type, n_events,
         |  count(n_events) OVER w AS cnt,
         |  sum(n_events) OVER w AS s,
         |  sum(n_events * n_events) OVER w AS sq
         | FROM hourly
-        | WINDOW w AS (PARTITION BY event_type ORDER BY hour
-        |   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        | WINDOW w AS (PARTITION BY event_type ORDER BY hour_epoch
+        |   RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)),
         |v AS (
         | SELECT hour, event_type, n_events, cnt, s,
         |  (CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)

@@ -213,7 +213,13 @@ object Similarity {
     * single-pass cosine, no window needed since there is no ranking —
     * so the scan is one pass and the output is the selectivity the
     * threshold buys. Exact, so the oracle hash-verifies it (the one
-    * ANN-family query besides brute top-k that SQL can express). */
+    * ANN-family query besides brute top-k that SQL can express).
+    * Both the membership test and the emitted score are the INTEGER
+    * floor(cos·1e6): a `cos >= 0.3` filter plus `round(cos, 6)` output
+    * would hinge row membership and hash on the 1-ULP cross-engine
+    * hazards this family documents elsewhere (Spark rounds via
+    * BigDecimal HALF_UP, DuckDB in float; a boundary cosine flips
+    * rows) — flooring a shared exact double once removes both. */
   def ann_cos_range(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, d)
@@ -222,9 +228,9 @@ object Similarity {
     e.select($"vec_id".as("nid"), $"embedding")
       .crossJoin(broadcast(q))
       .filter($"nid" =!= $"qid")
-      .select($"qid", $"nid", cosine($"qvec", $"embedding").as("cos"))
-      .filter($"cos" >= 0.3)
-      .select($"qid", $"nid", round($"cos", 6).as("cos_sim"))
+      .select($"qid", $"nid",
+        floor(cosine($"qvec", $"embedding") * 1e6).cast("long").as("cos_ppm"))
+      .filter($"cos_ppm" >= 300000L)
       .orderBy($"qid", $"nid")
   }
 
@@ -247,12 +253,12 @@ object Similarity {
         |  WHERE q.vec_id < 16 AND c.vec_id <> q.vec_id)
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "ann_cos_range" ->
-      """SELECT q.vec_id AS qid, c.vec_id AS nid,
-        | round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-        |   CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim
-        |FROM embeddings q, embeddings c
-        |WHERE q.vec_id < 16 AND c.vec_id <> q.vec_id
-        | AND list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-        |   CAST(c.embedding AS DOUBLE[])) >= 0.3
+      """SELECT qid, nid, cos_ppm FROM (
+        | SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |  CAST(floor(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |    CAST(c.embedding AS DOUBLE[])) * 1e6) AS BIGINT) AS cos_ppm
+        | FROM embeddings q, embeddings c
+        | WHERE q.vec_id < 16 AND c.vec_id <> q.vec_id)
+        |WHERE cos_ppm >= 300000
         |ORDER BY qid, nid""".stripMargin)
 }

@@ -356,7 +356,7 @@ object TextOps {
         | FROM documents),
         |hist AS (
         | SELECT n_tokens - (n_tokens % 50) AS bucket_lo,
-        |  count(*) AS n_docs, sum(n_tokens) AS bucket_tokens
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bucket_tokens
         | FROM perdoc GROUP BY 1)
         |SELECT bucket_lo, n_docs, bucket_tokens,
         | CAST((CAST(bucket_tokens AS HUGEINT) * 1000000)
