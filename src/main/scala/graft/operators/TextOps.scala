@@ -4,6 +4,7 @@ import graft.Tables
 import graft.functions.TextFunctions._
 import graft.functions.{GraftExpressions, WinnowStatsExpr}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** §2.7 Text analysis for training-data curation: quality scoring,
@@ -251,7 +252,106 @@ object TextOps {
       .limit(25)
   }
 
+  /** Sequence PACKING — map each document onto its token offsets in
+    * the concatenate-and-chunk layout every LM training run feeds its
+    * dataloader (docs joined in doc_id order, the token stream cut
+    * into fixed 2048-token contexts): per doc, the global token start
+    * offset, its first/last context ids, and how many contexts it
+    * spans.
+    *
+    * The global running sum is a DISTRIBUTED TWO-PHASE PREFIX SUM,
+    * not one unpartitioned window (which would funnel the corpus
+    * through a single task at 100 TB): docs are range-bucketed by
+    * doc_id, each bucket computes its local prefix sums in a
+    * partitioned window, bucket subtotals (one row per bucket — at
+    * 100 TB with 1M-doc buckets that is ~10⁵ tiny rows) are
+    * prefix-summed in a window of their own, and each doc's offset is
+    * local_before + its bucket's offset via a broadcast equi-join.
+    * The DuckDB oracle computes the same offsets as one flat global
+    * cumsum, so the hash gate proves the decomposition exact. */
+  def text_pack(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val perDoc = Tables.documents(s, d)
+      .select($"doc_id",
+        size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .cast("long").as("n_tokens"))
+      .withColumn("bucket", expr("doc_id div 100"))
+    val local = perDoc.withColumn("local_before",
+      coalesce(sum($"n_tokens").over(
+        Window.partitionBy($"bucket").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val offsets = perDoc.groupBy($"bucket").agg(sum($"n_tokens").as("btot"))
+      .withColumn("bucket_off",
+        coalesce(sum($"btot").over(
+          Window.orderBy($"bucket").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select($"bucket", $"bucket_off")
+    local.join(broadcast(offsets), "bucket")
+      .withColumn("start_off", $"bucket_off" + $"local_before")
+      .select($"doc_id", $"n_tokens", $"start_off",
+        expr("start_off div 2048").as("start_ctx"),
+        expr("(start_off + greatest(n_tokens, 1) - 1) div 2048").as("end_ctx"))
+      .withColumn("n_ctx", $"end_ctx" - $"start_ctx" + lit(1L))
+      .orderBy($"doc_id")
+  }
+
+  /** Deterministic MIXTURE SAMPLING — reweight the corpus by language
+    * at fixed per-language keep rates (the source-mixing step between
+    * curation and training: upsample/downsample each slice to the
+    * target mixture). Membership is a pure function of doc_id through
+    * a salted md5 bucket (salt "mix:" keeps the draw independent of
+    * [[text_split]]'s buckets — the same doc must not correlate across
+    * policies), so the sample is stable across runs, partitionings,
+    * and engines — no seeded RNG. Per-row map work at scan speed;
+    * hash-oracled because DuckDB computes the identical bucket. */
+  def text_sample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rate = when($"lang" === "en", 900L)
+      .when($"lang" === "fr" || $"lang" === "es", 500L)
+      .when($"lang" === "de", 250L)
+      .otherwise(100L)
+    Tables.documents(s, d)
+      .select($"doc_id", $"lang",
+        (conv(substring(md5(concat(lit("mix:"), $"doc_id".cast("string"))), 1, 8),
+          16, 10).cast("long") % 1000).as("bucket"),
+        rate.as("rate_pm"))
+      .filter($"bucket" < $"rate_pm")
+      .orderBy($"doc_id")
+  }
+
+  /** Per-language SALIENT TERMS (tf-idf family) — the vocabulary
+    * audit behind contamination and domain-shift checks: for each
+    * language slice, the terms most over-represented relative to how
+    * many slices share them. Weighting is the INTEGER
+    * tf·1e6 div df (df = #slices containing the term) — a monotone
+    * rational transform of tf·(N/df) computed entirely in int64, so
+    * ranking and hashing are immune to the cross-engine log/double
+    * ULP hazards this file documents elsewhere (a tf·ln(N/df) double
+    * score can differ in the last bit and flip a rank-10 boundary).
+    * Plan: one explode + map-side-combined (lang, word) count, a
+    * word-keyed count for df, one linear equi-join on word, and a
+    * per-lang window top-10 (WindowGroupLimit pushes the partial
+    * top-k below the shuffle). All shuffles are on computed keys —
+    * linear at 100 TB. */
+  def text_tfidf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, d)
+      .select($"lang", explode(tokens($"text")).as("word"))
+    val tf = words.groupBy($"lang", $"word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"word").agg(count(lit(1)).as("df"))
+    tf.join(df, "word")
+      .withColumn("score_ppm", expr("tf * 1000000 div df"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"lang").orderBy($"score_ppm".desc, $"word")))
+      .filter($"rank" <= 10)
+      .select($"lang", $"rank", $"word", $"tf", $"df", $"score_ppm")
+      .orderBy($"lang", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pack" -> text_pack _,
+    "text_sample" -> text_sample _,
+    "text_tfidf" -> text_tfidf _,
     "text_normalize" -> text_normalize _,
     "text_pii_scrub" -> text_pii_scrub _,
     "text_bigrams" -> text_bigrams _,
@@ -264,6 +364,51 @@ object TextOps {
     "text_token_hist" -> text_token_hist _)
 
   val oracle: Map[String, String] = Map(
+    // One flat global cumsum — deliberately NOT the two-phase
+    // decomposition the Spark side runs; the hash gate proves the
+    // distributed prefix sum exactly reproduces the sequential one.
+    "text_pack" ->
+      """WITH perdoc AS (
+        | SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, n_tokens,
+        |  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+        | FROM perdoc)
+        |SELECT doc_id, n_tokens, start_off,
+        | start_off // 2048 AS start_ctx,
+        | (start_off + greatest(n_tokens, 1) - 1) // 2048 AS end_ctx,
+        | (start_off + greatest(n_tokens, 1) - 1) // 2048
+        |   - start_off // 2048 + 1 AS n_ctx
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "text_sample" ->
+      """WITH b AS (
+        | SELECT doc_id, lang,
+        |  CAST(CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+        |    % 1000 AS BIGINT) AS bucket,
+        |  CASE WHEN lang = 'en' THEN 900
+        |       WHEN lang IN ('fr', 'es') THEN 500
+        |       WHEN lang = 'de' THEN 250
+        |       ELSE 100 END AS rate_pm
+        | FROM documents)
+        |SELECT doc_id, lang, bucket, CAST(rate_pm AS BIGINT) AS rate_pm
+        |FROM b WHERE bucket < rate_pm ORDER BY doc_id""".stripMargin,
+    "text_tfidf" ->
+      """WITH words AS (
+        | SELECT lang, unnest(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS word
+        | FROM documents),
+        |tf AS (SELECT lang, word, count(*) AS tf FROM words GROUP BY 1, 2),
+        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+        |r AS (
+        | SELECT lang, word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |  CAST(tf * 1000000 // df AS BIGINT) AS score_ppm,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY tf * 1000000 // df DESC, word) AS rank
+        | FROM tf JOIN df USING (word))
+        |SELECT lang, rank, word, tf, df, score_ppm
+        |FROM r WHERE rank <= 10 ORDER BY lang, rank""".stripMargin,
     "text_normalize" ->
       """WITH raw AS (
         | SELECT doc_id,

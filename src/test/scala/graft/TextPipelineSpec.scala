@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.TextOps
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gates for the round-7 training-pipeline text operators: packing
+  * (distributed prefix sum ≡ sequential cumsum), mixture sampling
+  * (membership exactly the declared hash policy), and salient terms
+  * (integer scoring invariants).
+  */
+class TextPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("text_pack's two-phase prefix sum equals the flat global cumsum") {
+    val packed = TextOps.text_pack(spark, sf001)
+      .select($"doc_id", $"start_off", $"n_ctx")
+    // Naive form: one unpartitioned window over the whole corpus —
+    // the thing the two-phase decomposition exists to avoid at scale.
+    val naive = Tables.documents(spark, sf001)
+      .select($"doc_id",
+        size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .cast("long").as("n_tokens"))
+      .withColumn("start_off",
+        coalesce(sum($"n_tokens").over(
+          Window.orderBy($"doc_id").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select($"doc_id", $"start_off")
+    assert(packed.join(naive, "doc_id")
+      .filter(packed("start_off") =!= naive("start_off")).count() === 0)
+    // Contexts are contiguous and 1-based-span-consistent: a doc spans
+    // ceil over the 2048 boundary it straddles, never zero contexts.
+    assert(packed.filter($"n_ctx" < 1).count() === 0)
+  }
+
+  test("text_sample keeps exactly the docs whose salted bucket clears the lang rate") {
+    val kept = TextOps.text_sample(spark, sf001)
+    // Re-derive the policy over the full corpus and compare sets.
+    val rate = when($"lang" === "en", 900L)
+      .when($"lang" === "fr" || $"lang" === "es", 500L)
+      .when($"lang" === "de", 250L)
+      .otherwise(100L)
+    val expected = Tables.documents(spark, sf001)
+      .select($"doc_id",
+        (conv(substring(md5(concat(lit("mix:"), $"doc_id".cast("string"))), 1, 8),
+          16, 10).cast("long") % 1000).as("bucket"),
+        rate.as("rate_pm"))
+      .filter($"bucket" < $"rate_pm")
+      .select($"doc_id")
+    assert(kept.count() === expected.count())
+    assert(kept.join(expected, Seq("doc_id"), "left_anti").count() === 0)
+    // The draw must be independent of text_split's buckets: the same
+    // unsalted hash would make every validation/test doc correlate
+    // across policies.
+    val splitBuckets = TextOps.text_split(spark, sf001).select($"doc_id", $"bucket")
+    val both = kept.select($"doc_id", $"bucket".as("mix_bucket"))
+      .join(splitBuckets, "doc_id")
+    assert(both.filter($"mix_bucket" =!= $"bucket").count() > 0)
+  }
+
+  test("text_tfidf emits 10 ranked terms per lang with exact integer scores") {
+    val t = TextOps.text_tfidf(spark, sf001).cache()
+    try {
+      val perLang = t.groupBy($"lang").agg(count(lit(1)).as("n"),
+        min($"rank").as("lo"), max($"rank").as("hi")).collect()
+      assert(perLang.length === 5)
+      perLang.foreach { r =>
+        assert(r.getAs[Long]("n") === 10L)
+        assert(r.getAs[Int]("lo") === 1 && r.getAs[Int]("hi") === 10)
+      }
+      // score is the exact integral tf*1e6 div df — no doubles anywhere
+      assert(t.filter($"score_ppm" =!= expr("tf * 1000000 div df")).count() === 0)
+      // df is a real cross-slice count: bounded by the number of langs
+      assert(t.filter($"df" < 1 || $"df" > 5).count() === 0)
+    } finally t.unpersist()
+  }
+}
