@@ -263,7 +263,14 @@ object EventOps {
     val hourly = Tables.events(s, d)
       .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
       .agg(count(lit(1)).as("n_events"))
-      .withColumn("hour_epoch", expr("unix_timestamp(hour) div 3600"))
+      // FLOOR division (pmod is non-negative, so subtracting it then
+      // dividing is exact floor in pure i64): Spark's `div` truncates
+      // toward zero while the DuckDB oracle's `//` floors, and the two
+      // disagree on pre-1970 hours — truncated hours land on 3600 s
+      // multiples in UTC so the hazard is latent here, but the epoch
+      // grid must not depend on that.
+      .withColumn("hour_epoch",
+        expr("(unix_timestamp(hour) - pmod(unix_timestamp(hour), 3600)) div 3600"))
     val w = Window.partitionBy($"event_type").orderBy($"hour_epoch")
       .rangeBetween(-24, -1)
     // The windowed moments stay INTEGER (order-independent: DuckDB's

@@ -262,20 +262,26 @@ object TextOps {
     * The global running sum is a DISTRIBUTED TWO-PHASE PREFIX SUM,
     * not one unpartitioned window (which would funnel the corpus
     * through a single task at 100 TB): docs are range-bucketed by
-    * doc_id, each bucket computes its local prefix sums in a
-    * partitioned window, bucket subtotals (one row per bucket — at
-    * 100 TB with 1M-doc buckets that is ~10⁵ tiny rows) are
+    * doc_id in `bucketWidth`-doc buckets (default 10⁶ — at 100 TB
+    * (~10¹¹ docs) the subtotal table is ~10⁵ tiny rows, small enough
+    * for its own single window AND the broadcast below; a narrower
+    * width re-creates the very driver bottleneck this decomposition
+    * avoids), each bucket computes its local prefix sums in a
+    * partitioned window, bucket subtotals (one row per bucket) are
     * prefix-summed in a window of their own, and each doc's offset is
     * local_before + its bucket's offset via a broadcast equi-join.
     * The DuckDB oracle computes the same offsets as one flat global
-    * cumsum, so the hash gate proves the decomposition exact. */
-  def text_pack(s: SparkSession, d: String): DataFrame = {
+    * cumsum, so the hash gate proves the decomposition exact for the
+    * default width; TextPipelineSpec re-proves it at width 100, where
+    * the test corpus genuinely spans multiple buckets. */
+  def text_pack(s: SparkSession, d: String,
+                bucketWidth: Long = 1000000L): DataFrame = {
     import s.implicits._
     val perDoc = Tables.documents(s, d)
       .select($"doc_id",
         size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
           .cast("long").as("n_tokens"))
-      .withColumn("bucket", expr("doc_id div 100"))
+      .withColumn("bucket", expr(s"doc_id div ${bucketWidth}L"))
     val local = perDoc.withColumn("local_before",
       coalesce(sum($"n_tokens").over(
         Window.partitionBy($"bucket").orderBy($"doc_id")
@@ -339,8 +345,16 @@ object TextOps {
       .select($"lang", explode(tokens($"text")).as("word"))
     val tf = words.groupBy($"lang", $"word").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy($"word").agg(count(lit(1)).as("df"))
+    // Split Euclidean form of tf·1e6 div df: the direct product
+    // overflows i64 once a term's corpus tf passes ~9.2e12 (a top
+    // stopword at 100 TB is ~1e12 — only 9× headroom, and ANSI mode
+    // makes the overflow a runtime throw). (tf div df)·1e6 +
+    // ((tf mod df)·1e6) div df is identical for non-negative tf/df
+    // (write tf = q·df + r: both reduce to q·1e6 + r·1e6 div df) and
+    // the largest intermediate is max(tf, df·1e6).
     tf.join(df, "word")
-      .withColumn("score_ppm", expr("tf * 1000000 div df"))
+      .withColumn("score_ppm",
+        expr("(tf div df) * 1000000 + ((tf % df) * 1000000) div df"))
       .withColumn("rank", row_number().over(
         Window.partitionBy($"lang").orderBy($"score_ppm".desc, $"word")))
       .filter($"rank" <= 10)
@@ -349,7 +363,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_pack" -> text_pack _,
+    "text_pack" -> ((s, d) => text_pack(s, d)),
     "text_sample" -> text_sample _,
     "text_tfidf" -> text_tfidf _,
     "text_normalize" -> text_normalize _,
@@ -403,9 +417,9 @@ object TextOps {
         |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
         |r AS (
         | SELECT lang, word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
-        |  CAST(tf * 1000000 // df AS BIGINT) AS score_ppm,
+        |  CAST((tf // df) * 1000000 + ((tf % df) * 1000000) // df AS BIGINT) AS score_ppm,
         |  row_number() OVER (PARTITION BY lang
-        |    ORDER BY tf * 1000000 // df DESC, word) AS rank
+        |    ORDER BY (tf // df) * 1000000 + ((tf % df) * 1000000) // df DESC, word) AS rank
         | FROM tf JOIN df USING (word))
         |SELECT lang, rank, word, tf, df, score_ppm
         |FROM r WHERE rank <= 10 ORDER BY lang, rank""".stripMargin,

@@ -104,4 +104,19 @@ class EventOpsSpec extends SparkSpec {
       assert(est - err <= t, s"item $item lower bound ${est - err} > true $t")
     }
   }
+
+  test("ev_anomaly's integer moments stay far inside the i64 sum-of-squares bound") {
+    import spark.implicits._
+    // The windowed sum(n²) fits i64 only while hourly per-type counts
+    // stay under ~6.2e8 (24·n² ≤ 2⁶³). Turn the scaladoc bound into a
+    // contract: the corpus must sit ≥4 orders of magnitude inside it,
+    // so growth toward the design point is visible long before wrap.
+    val maxHourly = Tables.events(spark, sf001)
+      .groupBy(date_trunc("hour", $"ts"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .agg(max($"n")).as[Long].head()
+    assert(maxHourly < 62000L,
+      s"max hourly count $maxHourly is within 10^4 of the i64 z-score bound " +
+        "(~6.2e8/hour/type) — bucket finer or widen ev_anomaly to decimal")
+  }
 }
