@@ -222,7 +222,59 @@ object MetadataOps {
       .orderBy($"source")
   }
 
+  /** Order-independent content fingerprints of a table, bucketed by a
+    * row-content hash: per bucket, the row count, the XOR fold of the
+    * 64-bit row hashes, and a wrap-safe hash sum. Used by
+    * [[fs_copy_verify]] on both sides of a copy. XOR alone is blind to
+    * a row duplicated an even number of times (x⊕x=0) and count alone
+    * to swaps, so the triple is what makes single-row corruption,
+    * loss, duplication, and cross-bucket swaps all detectable —
+    * deliberately NOT the order-dependent fnv64Fold kernel, because a
+    * copy re-writes the physical layout and row order is the one thing
+    * the fingerprint must ignore. One map-side-combined aggregation
+    * per side; at 100 TB raise `buckets` so each bucket stays a sane
+    * audit unit (the summary is 3 longs per bucket regardless). */
+  def copyFingerprints(df: DataFrame, side: String,
+                       buckets: Int = 64): DataFrame = {
+    val rowFp = xxhash64(df.columns.sorted.map(col).toIndexedSeq: _*)
+    df.select(pmod(rowFp, lit(buckets.toLong)).as("bucket"), rowFp.as("fp"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as(s"${side}_rows"),
+        expr("bit_xor(fp)").as(s"${side}_xor"),
+        sum(pmod(col("fp"), lit(1L << 40))).as(s"${side}_sum"))
+  }
+
+  /** DistCp-shape bulk copy + checksum verify (reference:
+    * hadoop-tools/hadoop-distcp/src/main/java/org/apache/hadoop/tools/
+    * DistCp.java, mapred/CopyMapper.java — distributed copy where
+    * every mapper re-verifies its file's checksum). Spark-native: the
+    * copy is an embarrassingly-parallel re-write of the table into a
+    * DIFFERENT physical layout (repartitioned parquet — same rows, new
+    * files), and verification compares order-independent bucketed
+    * fingerprints of source and copy through a full-outer join, so a
+    * bucket missing entirely on either side surfaces as verified=false
+    * rather than vanishing. Two scans + a 64-row join; the copy write
+    * and both summary scans parallelize linearly. oracle=rows (the
+    * copy artifact lives outside the oracle's view); the all-true
+    * `verified` column plus a corrupted-copy negative test are gated
+    * in MetadataSpec. */
+  def fs_copy_verify(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val src = Tables.lineitem(s, d)
+    val copyDir = s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft_distcp_${Integer.toHexString(d.hashCode)}"
+    src.repartition(16).write.mode("overwrite").parquet(copyDir)
+    val copy = s.read.parquet(copyDir)
+    copyFingerprints(src, "src")
+      .join(copyFingerprints(copy, "dst"), Seq("bucket"), "full_outer")
+      .withColumn("verified",
+        $"src_rows" <=> $"dst_rows" && $"src_xor" <=> $"dst_xor" &&
+          $"src_sum" <=> $"dst_sum")
+      .orderBy($"bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fs_copy_verify" -> fs_copy_verify _,
     "fs_du" -> fs_du _,
     "fs_size_percentiles" -> fs_size_percentiles _,
     "fs_small_files" -> fs_small_files _,

@@ -1,0 +1,151 @@
+package graft.operators
+
+import java.io.{BufferedWriter, OutputStreamWriter}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Subprocess PIPE transform — the Hadoop Streaming capability
+  * (reference: hadoop-tools/hadoop-streaming/src/main/java/org/apache/
+  * hadoop/streaming/PipeMapper.java, PipeMapRed.java): stream each
+  * partition's records through an external command's stdin and read
+  * the transformed records back from its stdout.
+  *
+  * Spark-native shape: one subprocess per PARTITION (not per record —
+  * process spawn is milliseconds, a partition is millions of rows at
+  * 100 TB), a dedicated writer thread feeding stdin while the task
+  * thread consumes stdout (single-threaded write-then-read deadlocks
+  * on any pipe buffer once a partition outgrows 64 KiB), and the
+  * process lifecycle tied to the task via a completion listener so a
+  * failed/cancelled task cannot leak children.
+  *
+  * FAILURE IS LOUD, NEVER TRUNCATION — the PipeMapRed contract: after
+  * stdout drains, the task (a) fails on non-zero exit with the stderr
+  * tail, (b) fails on any stdin write error other than the EPIPE that
+  * follows a clean early exit, and (c) for 1:1 record transforms
+  * fails when out-count != in-count, which catches the
+  * exits-0-after-consuming-half-the-input class (e.g. `head`) that an
+  * exit-code check alone would bless. Gated in PipeOpsSpec.
+  */
+object PipeOps {
+
+  /** Pipe every line of `lines` through `cmd` (spawned once per
+    * partition with LC_ALL=C for byte-deterministic text handling).
+    * `oneToOne = true` enforces the record-transform parity contract. */
+  def pipePartitions(lines: Dataset[String], cmd: Seq[String],
+                     oneToOne: Boolean = true): Dataset[String] = {
+    import lines.sparkSession.implicits._
+    lines.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val pb = new ProcessBuilder(cmd: _*)
+        pb.environment().put("LC_ALL", "C")
+        val proc = pb.start()
+        Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+          if (proc.isAlive) proc.destroyForcibly()
+        })
+
+        val inCount = new AtomicLong(0L)
+        val writerEx = new AtomicReference[Throwable](null)
+        val writer = new Thread(() => {
+          try {
+            val w = new BufferedWriter(
+              new OutputStreamWriter(proc.getOutputStream, UTF_8), 1 << 16)
+            while (it.hasNext) {
+              w.write(it.next()); w.write('\n'); inCount.incrementAndGet()
+            }
+            w.close()
+          } catch {
+            case t: Throwable =>
+              // EPIPE here just means the child stopped reading; the
+              // exit-code/parity checks below decide whether that was
+              // a clean early exit or a failure.
+              writerEx.compareAndSet(null, t)
+              try proc.getOutputStream.close() catch { case _: Throwable => }
+          }
+        }, "graft-pipe-stdin")
+        writer.setDaemon(true)
+        writer.start()
+
+        val stderrTail = new AtomicReference[String]("")
+        val errDrain = new Thread(() => {
+          try {
+            val s = scala.io.Source.fromInputStream(proc.getErrorStream, "UTF-8")
+            stderrTail.set(s.mkString.takeRight(4096))
+          } catch { case _: Throwable => }
+        }, "graft-pipe-stderr")
+        errDrain.setDaemon(true)
+        errDrain.start()
+
+        val out = scala.io.Source.fromInputStream(proc.getInputStream, "UTF-8")
+          .getLines()
+        new Iterator[String] {
+          private var outCount = 0L
+          private var finished = false
+          def hasNext: Boolean =
+            if (out.hasNext) true
+            else { if (!finished) { finished = true; finish() }; false }
+          def next(): String = { val l = out.next(); outCount += 1; l }
+          private def finish(): Unit = {
+            val exit = proc.waitFor()
+            writer.join(); errDrain.join()
+            if (exit != 0)
+              throw new IllegalStateException(
+                s"pipe command ${cmd.mkString(" ")} exited $exit " +
+                  s"after $outCount records; stderr: ${stderrTail.get}")
+            val we = writerEx.get
+            val cleanEarlyEof = we != null && we.isInstanceOf[java.io.IOException]
+            if (we != null && !cleanEarlyEof)
+              throw new IllegalStateException(
+                s"pipe stdin writer failed for ${cmd.mkString(" ")}", we)
+            if (oneToOne && (outCount != inCount.get || we != null))
+              throw new IllegalStateException(
+                s"pipe command ${cmd.mkString(" ")} broke 1:1 parity: " +
+                  s"${inCount.get} records in, $outCount out" +
+                  (if (we != null) s" (stdin closed early: ${we.getMessage})" else ""))
+          }
+        }
+      }
+    }
+  }
+
+  /** Registered query: the canonical streaming-wordcount-era transform
+    * — doc_id TAB ascii-text piped through one awk process per
+    * partition that uppercases and measures each record. The piped
+    * field is restricted to [a-z0-9 ] BEFORE the pipe because the
+    * subprocess is byte/C-locale (awk's toupper/length disagree with
+    * any unicode-aware engine on accented text); on that alphabet the
+    * awk transform is exactly DuckDB's upper()/length(), which is what
+    * lets an external-process operator carry a full SQL hash oracle. */
+  def text_pipe_transform(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lines = Tables.documents(s, d)
+      .select(concat_ws("\t", $"doc_id",
+        regexp_replace(lower($"text"), "[^a-z0-9 ]", "")).as("line"))
+      .as[String]
+    val awk = Seq("awk", "-F\t",
+      "{ print $1 \"\\t\" toupper($2) \"\\t\" length($2) }")
+    pipePartitions(lines, awk)
+      .map { l =>
+        val f = l.split("\t", -1)
+        (f(0).toLong, f(1), f(2).toLong)
+      }
+      .toDF("doc_id", "shout", "n_ascii")
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pipe_transform" -> text_pipe_transform _)
+
+  val oracle: Map[String, String] = Map(
+    "text_pipe_transform" ->
+      """SELECT doc_id,
+        | upper(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS shout,
+        | length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS n_ascii
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

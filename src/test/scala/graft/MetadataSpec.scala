@@ -38,4 +38,39 @@ class MetadataSpec extends SparkSpec {
       }
     }
   }
+
+  test("fs_copy_verify verifies a faithful copy end to end") {
+    import spark.implicits._
+    val v = MetadataOps.fs_copy_verify(spark, sf0001)
+    assert(v.count() > 0)
+    assert(v.filter(!$"verified").count() === 0)
+  }
+
+  test("fs_copy_verify's fingerprints catch corruption, loss, and duplication") {
+    import spark.implicits._
+    val src = Tables.lineitem(spark, sf0001)
+    def bad(dst: org.apache.spark.sql.DataFrame): Long =
+      MetadataOps.copyFingerprints(src, "src")
+        .join(MetadataOps.copyFingerprints(dst, "dst"), Seq("bucket"), "full_outer")
+        .filter(!($"src_rows" <=> $"dst_rows" && $"src_xor" <=> $"dst_xor" &&
+          $"src_sum" <=> $"dst_sum"))
+        .count()
+    // Target a row that actually exists at this SF.
+    val k = src.orderBy($"l_orderkey", $"l_linenumber")
+      .select($"l_orderkey", $"l_linenumber").as[(Long, Int)].head()
+    val isTarget = $"l_orderkey" === k._1 && $"l_linenumber" === k._2
+    // One flipped value in one row — the CopyMapper checksum case.
+    val corrupted = src.withColumn("l_returnflag",
+      when(isTarget, concat($"l_returnflag", lit("X")))
+        .otherwise($"l_returnflag"))
+    assert(bad(corrupted) >= 1)
+    // One row silently dropped.
+    assert(bad(src.filter(!isTarget)) >= 1)
+    // One row duplicated an even number of times — invisible to the
+    // XOR fold alone (x⊕x⊕x = x); the count leg must catch it.
+    val twice = src.filter(isTarget)
+    assert(bad(src.union(twice).union(twice)) >= 1)
+    // And the faithful identity copy stays clean.
+    assert(bad(src) === 0)
+  }
 }

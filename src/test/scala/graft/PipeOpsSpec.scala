@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.PipeOps
+import org.apache.spark.SparkException
+import org.apache.spark.sql.functions._
+
+/** Gates for the subprocess pipe transform (hadoop-streaming
+  * PipeMapper shape): the transform itself, and — the contract the
+  * reference's PipeMapRed enforces — that every failure path is LOUD.
+  * A pipe that truncates silently corrupts a training corpus in a way
+  * no downstream check catches.
+  */
+class PipeOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def lines(n: Int) =
+    spark.range(n).select(concat(lit("rec"), $"id").as("l")).as[String]
+      .repartition(2)
+
+  test("text_pipe_transform equals the in-engine transform") {
+    val piped = PipeOps.text_pipe_transform(spark, sf0001)
+    val native = Tables.documents(spark, sf0001)
+      .select($"doc_id",
+        upper(regexp_replace(lower($"text"), "[^a-z0-9 ]", "")).as("shout"),
+        length(regexp_replace(lower($"text"), "[^a-z0-9 ]", ""))
+          .cast("long").as("n_ascii"))
+    assert(piped.count() === native.count())
+    assert(piped.join(native, Seq("doc_id", "shout", "n_ascii"), "left_anti")
+      .count() === 0)
+  }
+
+  test("pipePartitions runs one process per partition, not per record") {
+    // cat is 1:1; with 2 partitions a per-record spawn would be 1000
+    // processes — this just proves the partition path works end to end
+    // and preserves every record byte-for-byte.
+    val out = PipeOps.pipePartitions(lines(1000), Seq("cat")).collect().sorted
+    assert(out.toSeq === (0 until 1000).map(i => s"rec$i").sorted)
+  }
+
+  test("non-zero exit fails the task loudly with the stderr tail") {
+    val ex = intercept[SparkException] {
+      PipeOps.pipePartitions(lines(100),
+        Seq("sh", "-c", "head -n 2; echo boom >&2; exit 3")).count()
+    }
+    val msg = ex.getCause.getMessage
+    assert(msg.contains("exited 3"))
+    assert(msg.contains("boom"))
+  }
+
+  test("clean exit after consuming half the input is truncation, not success") {
+    // `head -n 2` exits 0 — an exit-code check alone would bless a
+    // half-processed partition. The 1:1 parity contract must fail it.
+    val ex = intercept[SparkException] {
+      PipeOps.pipePartitions(lines(100), Seq("head", "-n", "2")).count()
+    }
+    assert(ex.getCause.getMessage.contains("1:1 parity"))
+  }
+
+  test("a filtering command is allowed when the 1:1 contract is waived") {
+    val kept = PipeOps.pipePartitions(lines(100),
+      Seq("grep", "rec1"), oneToOne = false).collect()
+    // rec1 and rec10..rec19 — 11 of rec0..rec99 start with "rec1"
+    assert(kept.length === 11 && kept.forall(_.startsWith("rec1")))
+  }
+}
