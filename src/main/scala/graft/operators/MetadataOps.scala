@@ -253,16 +253,36 @@ object MetadataOps {
     * files), and verification compares order-independent bucketed
     * fingerprints of source and copy through a full-outer join, so a
     * bucket missing entirely on either side surfaces as verified=false
-    * rather than vanishing. Two scans + a 64-row join; the copy write
-    * and both summary scans parallelize linearly. oracle=rows (the
-    * copy artifact lives outside the oracle's view); the all-true
-    * `verified` column plus a corrupted-copy negative test are gated
-    * in MetadataSpec. */
-  def fs_copy_verify(s: SparkSession, d: String): DataFrame = {
+    * rather than vanishing (the whole-bucket-loss case is negative-
+    * tested in MetadataSpec alongside corruption/loss/duplication).
+    * Two scans + a 64-row join; the copy write and both summary scans
+    * parallelize linearly.
+    *
+    * DESTINATION: `destDir` argument, else the `graft.distcp.dest`
+    * session conf, else `<spark.sql.warehouse.dir>/graft_distcp/
+    * <applicationId>/<dataset>` — the warehouse is a SHARED filesystem
+    * path on a real cluster (a node-local tmpdir would scatter task
+    * files across executors and verify nothing), the applicationId
+    * keys concurrent runs apart, and the sanitized dataset name keys
+    * datasets apart, so overwrite-mode re-runs within one app reuse
+    * one directory instead of accumulating copies. NOTE the copy is an
+    * EAGER side effect of constructing the query — DistCp *is* a copy
+    * job; the returned DataFrame is the verification report over the
+    * artifact just written. oracle=rows (the copy artifact lives
+    * outside the oracle's view); the all-true `verified` column is
+    * gated in MetadataSpec. */
+  def fs_copy_verify(s: SparkSession, d: String,
+                     destDir: Option[String] = None): DataFrame = {
     import s.implicits._
     val src = Tables.lineitem(s, d)
-    val copyDir = s"${System.getProperty("java.io.tmpdir")}" +
-      s"/graft_distcp_${Integer.toHexString(d.hashCode)}"
+    val copyDir = destDir
+      .orElse(s.conf.getOption("graft.distcp.dest"))
+      .getOrElse {
+        val wh = s.conf.get("spark.sql.warehouse.dir")
+        val app = s.sparkContext.applicationId
+        val name = d.replaceAll("[^A-Za-z0-9._-]", "_")
+        s"$wh/graft_distcp/$app/$name"
+      }
     src.repartition(16).write.mode("overwrite").parquet(copyDir)
     val copy = s.read.parquet(copyDir)
     copyFingerprints(src, "src")
@@ -274,7 +294,7 @@ object MetadataOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "fs_copy_verify" -> fs_copy_verify _,
+    "fs_copy_verify" -> ((s, d) => fs_copy_verify(s, d)),
     "fs_du" -> fs_du _,
     "fs_size_percentiles" -> fs_size_percentiles _,
     "fs_small_files" -> fs_small_files _,

@@ -110,10 +110,46 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** §2.8 → §2.6 COMPOSITION, registered: multimodal near-duplicate
+    * detection. [[featureVectors]]' pooled document embeddings feed
+    * [[Dedup.embeddingLshPairs]] — hyperplane-banded LSH blocking +
+    * exact cosine rescoring, the production near-dup regime — closing
+    * the loop the mm_features scaladoc promises ("the feature-extract
+    * stage feeding §2.6 similarity").
+    *
+    * The synthetic corpus has no re-encoded media (every doc's payload
+    * is unique, so every stub embedding is), which would make the
+    * composition an always-empty query; so the pipeline PLANTS the
+    * real-world case it exists to catch — for every 10th doc a
+    * RE-ENCODED VARIANT (id + 1e9) whose features carry a deterministic
+    * ±1e-3 per-dim jitter, exactly what a codec re-encode does to a
+    * vision tower's activations. Planted-pair recall through the LSH
+    * path (NOT an exact-signature shortcut — the jitter perturbs every
+    * dimension) is gated in MultimodalSpec. Plan shape: the variant
+    * union is a per-row map over the filtered base (no extra shuffle);
+    * candidate generation inherits embeddingLshPairs' banded equi-join
+    * — linear at 100 TB, no all-pairs anywhere. */
+  def mm_near_dups(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = featureVectors(s, d)
+      .select($"doc_id".as("id"), $"doc_embedding".as("vec"))
+    val variants = base.filter($"id" % 10 === 0)
+      .select(($"id" + 1000000000L).as("id"),
+        transform($"vec", (x, i) =>
+          x + (pmod(xxhash64($"id", i), lit(2001)) - 1000)
+            .cast("double") / 1000000.0).as("vec"))
+    val pairs = Dedup.embeddingLshPairs(
+      base.unionByName(variants), threshold = 0.995, bands = 8, r = 8, dim = 16)
+    pairs
+      .select($"id", $"id2", round($"cos_sim", 6).as("cos_sim"))
+      .orderBy($"id", $"id2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> mm_meta _,
     "mm_framesample" -> mm_framesample _,
-    "mm_features" -> mm_features _)
+    "mm_features" -> mm_features _,
+    "mm_near_dups" -> mm_near_dups _)
 
   val oracle: Map[String, String] = Map()
 }

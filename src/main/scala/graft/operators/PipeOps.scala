@@ -1,10 +1,11 @@
 package graft.operators
 
-import java.io.{BufferedWriter, OutputStreamWriter}
+import java.io.{BufferedWriter, IOException, OutputStreamWriter}
 import java.nio.charset.StandardCharsets.UTF_8
 import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
 
 import org.apache.spark.TaskContext
+import org.apache.spark.graft.TaskContextBridge
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -26,13 +27,24 @@ import graft.Tables
   *
   * FAILURE IS LOUD, NEVER TRUNCATION — the PipeMapRed contract: after
   * stdout drains, the task (a) fails on non-zero exit with the stderr
-  * tail, (b) fails on any stdin write error other than the EPIPE that
-  * follows a clean early exit, and (c) for 1:1 record transforms
-  * fails when out-count != in-count, which catches the
-  * exits-0-after-consuming-half-the-input class (e.g. `head`) that an
-  * exit-code check alone would bless. Gated in PipeOpsSpec.
+  * tail, (b) fails on any stdin-side error other than the EPIPE that
+  * follows a clean early exit — and an UPSTREAM iterator failure is
+  * never classified as EPIPE (the child saw truncated input; blessing
+  * its exit-0 output would be silent truncation), and (c) for 1:1
+  * record transforms fails when out-count != in-count, which catches
+  * the exits-0-after-consuming-half-the-input class (e.g. `head`)
+  * that an exit-code check alone would bless. Gated in PipeOpsSpec.
   */
 object PipeOps {
+
+  /** Marks an IOException raised by the pipe's own write/flush/close —
+    * the only failure class that may be waived as a clean early EOF
+    * (child closed stdin and exited 0, e.g. `grep -m`). An exception
+    * from the UPSTREAM partition iterator is deliberately NOT wrapped:
+    * the child received truncated input, so its output is never
+    * trustworthy regardless of exit code. */
+  private final class PipeWriteFailure(cause: IOException)
+    extends RuntimeException(cause)
 
   /** Pipe every line of `lines` through `cmd` (spawned once per
     * partition with LC_ALL=C for byte-deterministic text handling).
@@ -46,25 +58,38 @@ object PipeOps {
         val pb = new ProcessBuilder(cmd: _*)
         pb.environment().put("LC_ALL", "C")
         val proc = pb.start()
-        Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+        val ctx = TaskContext.get()
+        Option(ctx).foreach(_.addTaskCompletionListener[Unit] { _ =>
           if (proc.isAlive) proc.destroyForcibly()
         })
 
         val inCount = new AtomicLong(0L)
         val writerEx = new AtomicReference[Throwable](null)
         val writer = new Thread(() => {
+          // Propagate the task context: it's a thread-local, and the
+          // upstream iterator (shuffle reader, SQL metrics, unsafe
+          // memory) calls TaskContext.get() — null here would NPE or
+          // corrupt memory accounting. Mirrors Spark's PipedRDD.
+          if (ctx != null) TaskContextBridge.set(ctx)
           try {
             val w = new BufferedWriter(
               new OutputStreamWriter(proc.getOutputStream, UTF_8), 1 << 16)
             while (it.hasNext) {
-              w.write(it.next()); w.write('\n'); inCount.incrementAndGet()
+              // upstream read OUTSIDE the pipe-write try: a failure
+              // here must surface as an upstream error, never EPIPE
+              val rec = it.next()
+              try { w.write(rec); w.write('\n') }
+              catch { case io: IOException => throw new PipeWriteFailure(io) }
+              inCount.incrementAndGet()
             }
-            w.close()
+            try w.close()
+            catch { case io: IOException => throw new PipeWriteFailure(io) }
           } catch {
             case t: Throwable =>
-              // EPIPE here just means the child stopped reading; the
-              // exit-code/parity checks below decide whether that was
-              // a clean early exit or a failure.
+              // A PipeWriteFailure may just mean the child stopped
+              // reading; the exit-code/parity checks below decide
+              // whether that was a clean early exit. Anything else
+              // (upstream failure) is always fatal.
               writerEx.compareAndSet(null, t)
               try proc.getOutputStream.close() catch { case _: Throwable => }
           }
@@ -74,9 +99,31 @@ object PipeOps {
 
         val stderrTail = new AtomicReference[String]("")
         val errDrain = new Thread(() => {
+          // Bounded ring buffer: keep only the LAST 4 KiB as bytes
+          // stream in — a chatty/looping child must not balloon task
+          // memory by materializing its whole stderr.
           try {
-            val s = scala.io.Source.fromInputStream(proc.getErrorStream, "UTF-8")
-            stderrTail.set(s.mkString.takeRight(4096))
+            val in = proc.getErrorStream
+            val cap = 4096
+            val ring = new Array[Byte](cap)
+            val buf = new Array[Byte](cap)
+            var total = 0L
+            var n = in.read(buf)
+            while (n > 0) {
+              var i = 0
+              while (i < n) {
+                ring(((total + i) % cap).toInt) = buf(i); i += 1
+              }
+              total += n
+              n = in.read(buf)
+            }
+            val len = math.min(total, cap.toLong).toInt
+            val bytes = new Array[Byte](len)
+            var j = 0
+            while (j < len) {
+              bytes(j) = ring(((total - len + j) % cap).toInt); j += 1
+            }
+            stderrTail.set(new String(bytes, UTF_8))
           } catch { case _: Throwable => }
         }, "graft-pipe-stderr")
         errDrain.setDaemon(true)
@@ -99,10 +146,12 @@ object PipeOps {
                 s"pipe command ${cmd.mkString(" ")} exited $exit " +
                   s"after $outCount records; stderr: ${stderrTail.get}")
             val we = writerEx.get
-            val cleanEarlyEof = we != null && we.isInstanceOf[java.io.IOException]
+            val cleanEarlyEof = we != null && we.isInstanceOf[PipeWriteFailure]
             if (we != null && !cleanEarlyEof)
               throw new IllegalStateException(
-                s"pipe stdin writer failed for ${cmd.mkString(" ")}", we)
+                s"pipe upstream/stdin failed for ${cmd.mkString(" ")} " +
+                  s"after ${inCount.get} records — child input truncated, " +
+                  "output discarded", we)
             if (oneToOne && (outCount != inCount.get || we != null))
               throw new IllegalStateException(
                 s"pipe command ${cmd.mkString(" ")} broke 1:1 parity: " +
@@ -136,16 +185,53 @@ object PipeOps {
         (f(0).toLong, f(1), f(2).toLong)
       }
       .toDF("doc_id", "shout", "n_ascii")
+      // harness-side determinism only (the driver hashes rows in
+      // order); the pipe stage is a pure per-partition map — a
+      // pipeline consumer drops this global sort
+      .orderBy($"doc_id")
+  }
+
+  /** Registered query: the FILTER-shaped pipe (hadoop-streaming's
+    * grep-style mapper, `oneToOne = false` — the subprocess DROPS
+    * non-matching records, exercising the waived-parity path end to
+    * end). The filter is a fixed-substring match (`index()` in awk ==
+    * `position()` in SQL — no regex-dialect hazard) over the same
+    * [a-z0-9 ]-restricted field as [[text_pipe_transform]], so the
+    * filtering subprocess still carries a full SQL hash oracle. awk
+    * rather than grep: grep exits 1 on a match-free partition, which
+    * the loud-failure contract would (correctly) refuse to bless. */
+  def text_pipe_grep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val needle = "hash join"
+    val lines = Tables.documents(s, d)
+      .select(concat_ws("\t", $"doc_id",
+        regexp_replace(lower($"text"), "[^a-z0-9 ]", "")).as("line"))
+      .as[String]
+    val awk = Seq("awk", "-F\t", s"index($$2, \"$needle\") { print }")
+    pipePartitions(lines, awk, oneToOne = false)
+      .map { l =>
+        val f = l.split("\t", -1)
+        (f(0).toLong, f(1))
+      }
+      .toDF("doc_id", "clean")
+      // harness-side determinism only — see text_pipe_transform
       .orderBy($"doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_pipe_transform" -> text_pipe_transform _)
+    "text_pipe_transform" -> text_pipe_transform _,
+    "text_pipe_grep" -> text_pipe_grep _)
 
   val oracle: Map[String, String] = Map(
     "text_pipe_transform" ->
       """SELECT doc_id,
         | upper(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS shout,
         | length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS n_ascii
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_pipe_grep" ->
+      """SELECT doc_id,
+        | regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS clean
+        |FROM documents
+        |WHERE position('hash join' IN regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) > 0
+        |ORDER BY doc_id""".stripMargin)
 }

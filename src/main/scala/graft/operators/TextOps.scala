@@ -350,8 +350,11 @@ object TextOps {
     // stopword at 100 TB is ~1e12 — only 9× headroom, and ANSI mode
     // makes the overflow a runtime throw). (tf div df)·1e6 +
     // ((tf mod df)·1e6) div df is identical for non-negative tf/df
-    // (write tf = q·df + r: both reduce to q·1e6 + r·1e6 div df) and
-    // the largest intermediate is max(tf, df·1e6).
+    // (write tf = q·df + r: both reduce to q·1e6 + r·1e6 div df).
+    // The rewrite's largest intermediate is (tf div df)·1e6 ≈ the
+    // score itself, so it overflows iff score_ppm cannot fit i64 —
+    // safety extends from tf ≤ ~9.2e12 to tf ≤ ~9.2e12·df, i.e. the
+    // df× headroom that matters for corpus-wide stopwords.
     tf.join(df, "word")
       .withColumn("score_ppm",
         expr("(tf div df) * 1000000 + ((tf % df) * 1000000) div df"))

@@ -73,4 +73,47 @@ class MetadataSpec extends SparkSpec {
     // And the faithful identity copy stays clean.
     assert(bad(src) === 0)
   }
+
+  test("fs_copy_verify's full-outer join surfaces a WHOLE missing bucket") {
+    import spark.implicits._
+    // The reason the verify join is full-outer rather than inner: if
+    // every row of one fingerprint bucket vanishes from the copy, an
+    // inner join would drop that bucket from the report entirely and
+    // the loss would grade as verified. Kill the most populous bucket
+    // and demand it appears, null-sided and unverified.
+    val src = Tables.lineitem(spark, sf0001)
+    val fp = xxhash64(src.columns.sorted.map(col).toIndexedSeq: _*)
+    val b = src.select(pmod(fp, lit(64L)).as("b"))
+      .groupBy($"b").count().orderBy($"count".desc, $"b")
+      .select($"b").as[Long].head()
+    val bucketGone = src.filter(pmod(fp, lit(64L)) =!= b)
+    val report = MetadataOps.copyFingerprints(src, "src")
+      .join(MetadataOps.copyFingerprints(bucketGone, "dst"),
+        Seq("bucket"), "full_outer")
+      .withColumn("verified",
+        $"src_rows" <=> $"dst_rows" && $"src_xor" <=> $"dst_xor" &&
+          $"src_sum" <=> $"dst_sum")
+    val missing = report.filter($"bucket" === b).collect()
+    assert(missing.length === 1)
+    assert(missing.head.getAs[Boolean]("verified") === false)
+    assert(missing.head.isNullAt(missing.head.fieldIndex("dst_rows")))
+  }
+
+  test("fs_copy_verify honors an explicit destination and keys the default by app+dataset") {
+    import spark.implicits._
+    val dest = java.nio.file.Files.createTempDirectory("graft_distcp_spec")
+      .resolve("copy").toString
+    val v = MetadataOps.fs_copy_verify(spark, sf0001, Some(dest))
+    assert(v.filter(!$"verified").count() === 0)
+    assert(new java.io.File(dest).listFiles().exists(_.getName.endsWith(".parquet")))
+    // Default destination: under the shared warehouse dir, keyed by
+    // applicationId (concurrent runs) and dataset name (no hashCode
+    // collisions) — never a node-local java.io.tmpdir.
+    MetadataOps.fs_copy_verify(spark, sf0001).count()
+    val wh = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    val appDir = new java.io.File(new java.io.File(wh, "graft_distcp"),
+      spark.sparkContext.applicationId)
+    assert(appDir.isDirectory && appDir.listFiles().nonEmpty)
+  }
 }

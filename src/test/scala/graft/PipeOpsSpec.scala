@@ -62,4 +62,50 @@ class PipeOpsSpec extends SparkSpec {
     // rec1 and rec10..rec19 — 11 of rec0..rec99 start with "rec1"
     assert(kept.length === 11 && kept.forall(_.startsWith("rec1")))
   }
+
+  test("an UPSTREAM read failure is never waived as a clean early EOF") {
+    // The upstream iterator throws IOException mid-partition — the
+    // child saw truncated input and exits 0. With oneToOne=false an
+    // EPIPE-style waiver would silently bless the truncated output;
+    // the classification must distinguish upstream failures from the
+    // pipe's own EPIPE and fail the task loudly.
+    val poisoned = lines(100).map { l =>
+      if (l == "rec50") throw new java.io.IOException("upstream source died")
+      l
+    }(org.apache.spark.sql.Encoders.STRING)
+    val ex = intercept[SparkException] {
+      PipeOps.pipePartitions(poisoned, Seq("cat"), oneToOne = false).count()
+    }
+    val cause = ex.getCause
+    assert(cause.getMessage.contains("child input truncated"))
+    assert(cause.getCause.getMessage.contains("upstream source died"))
+  }
+
+  test("text_pipe_grep keeps exactly the records the in-engine filter keeps") {
+    import org.apache.spark.sql.functions.{lower => lc}
+    val piped = PipeOps.text_pipe_grep(spark, sf0001)
+    val native = Tables.documents(spark, sf0001)
+      .select($"doc_id",
+        regexp_replace(lc($"text"), "[^a-z0-9 ]", "").as("clean"))
+      .filter($"clean".contains("hash join"))
+    assert(piped.count() > 0) // needle chosen to be present at sf0.001
+    assert(piped.count() === native.count())
+    assert(piped.join(native, Seq("doc_id", "clean"), "left_anti").count() === 0)
+  }
+
+  test("a chatty child's stderr stays bounded to the 4 KiB tail") {
+    // 1M lines of stderr would be ~8 MB materialized; the ring buffer
+    // keeps only the last 4096 bytes, and the failure message carries
+    // the TAIL (the last thing the child said before dying).
+    val ex = intercept[SparkException] {
+      PipeOps.pipePartitions(lines(10),
+        Seq("sh", "-c",
+          "awk 'BEGIN { for (i=0;i<1000000;i++) print \"noise\" i > \"/dev/stderr\"; }'; " +
+            "echo FINAL_WORDS >&2; exit 7")).count()
+    }
+    val msg = ex.getCause.getMessage
+    assert(msg.contains("exited 7"))
+    assert(msg.contains("FINAL_WORDS"))
+    assert(!msg.contains("noise0\n")) // early noise evicted from the ring
+  }
 }
