@@ -226,7 +226,19 @@ object Dedup {
     * within-block enumeration is the required output size. For the
     * production near-dup regime (cos ≥ ~0.95, where hyperplane LSH is
     * selective AND near-complete) use [[embeddingLshPairs]], which is
-    * recall-tested in DedupSpec. */
+    * recall-tested in DedupSpec.
+    *
+    * STATUS — a VERIFICATION query, by declaration: its job is to be
+    * oracle-complete by construction (every same-label pair enumerated,
+    * every cosine exact) so the DuckDB hash gate can verify the fused
+    * cosine kernel and the pair semantics end to end. It is O(n²/L) in
+    * the label-block size and is NEVER the operator to run at corpus
+    * scale; the production embedding-near-dup path is
+    * [[embeddingLshPairs]] (library, recall-gated) and its registered
+    * composition [[Multimodal.mm_near_dups]] (banded equi-join, linear
+    * candidate volume). A 100 TB pipeline calls those; this query
+    * exists so that what those paths' exact-rescore stage computes is
+    * hash-verified against an independent engine. */
   def dedup_embedding(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, d)
@@ -482,14 +494,25 @@ object Dedup {
     * so `bands`×`r` = 8×8 gives per-pair recall ≈ 1-(1-0.9⁸)⁸ ≈ 0.99
     * while unrelated pairs (p≈0.5) collide w.p. ≈ 8/2⁸ ≈ 3% — linear
     * candidate volume at corpus scale. Input: (id: long, vec:
-    * array<float|double>). Output: (id, id2, cos_sim ≥ threshold). */
+    * array<float|double>). Output: (id, id2, cos_sim ≥ threshold).
+    *
+    * The signature stage references `vecs` THREE times (pair-gen +
+    * both id-joins), so it is persisted via [[graft.CacheRegistry]] —
+    * the same one-scan rule [[dedup_minhash_lsh]] follows. This
+    * matters most when `vecs` is itself expensive to produce:
+    * [[Multimodal.mm_near_dups]] feeds this function from a
+    * feature-extraction stage (a vision tower at 100 TB — the single
+    * most expensive producer in the pipeline), and an unpersisted
+    * `sigs` recomputed that lineage 3×. The consumer releases the
+    * entry per the registry lifecycle (Bench/Verify between
+    * queries). */
   def embeddingLshPairs(vecs: DataFrame, threshold: Double,
       bands: Int = 8, r: Int = 8, dim: Int = 64): DataFrame = {
     require(bands * r <= 64, "bands*r must fit in one 64-bit signature")
     val planes = VectorFunctions.randomPlanes(bands * r, dim)
     val mask = (1L << r) - 1
-    val sigs = vecs.select(col("id"), col("vec"),
-      VectorFunctions.hyperplaneSignature(col("vec"), planes).as("sig"))
+    val sigs = CacheRegistry.cache(vecs.select(col("id"), col("vec"),
+      VectorFunctions.hyperplaneSignature(col("vec"), planes).as("sig")))
     val bandStructs = array((0 until bands).map { b =>
       struct(lit(b).as("band"),
         shiftrightunsigned(col("sig"), b * r).bitwiseAND(lit(mask)).as("bkey"))

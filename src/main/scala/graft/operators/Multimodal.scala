@@ -121,7 +121,11 @@ object Multimodal {
     * is unique, so every stub embedding is), which would make the
     * composition an always-empty query; so the pipeline PLANTS the
     * real-world case it exists to catch — for every 10th doc a
-    * RE-ENCODED VARIANT (id + 1e9) whose features carry a deterministic
+    * RE-ENCODED VARIANT (id namespaced into the high-bit range
+    * `id | 1<<62` — an additive offset like +1e9 collides with real
+    * doc_ids once the corpus passes 1e9 docs, which a 100 TB corpus
+    * does; the bit namespace cannot collide with any non-negative
+    * base id below 2^62) whose features carry a deterministic
     * ±1e-3 per-dim jitter, exactly what a codec re-encode does to a
     * vision tower's activations. Planted-pair recall through the LSH
     * path (NOT an exact-signature shortcut — the jitter perturbs every
@@ -134,7 +138,7 @@ object Multimodal {
     val base = featureVectors(s, d)
       .select($"doc_id".as("id"), $"doc_embedding".as("vec"))
     val variants = base.filter($"id" % 10 === 0)
-      .select(($"id" + 1000000000L).as("id"),
+      .select($"id".bitwiseOR(lit(1L << 62)).as("id"),
         transform($"vec", (x, i) =>
           x + (pmod(xxhash64($"id", i), lit(2001)) - 1000)
             .cast("double") / 1000000.0).as("vec"))

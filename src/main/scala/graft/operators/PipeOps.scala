@@ -59,8 +59,31 @@ object PipeOps {
         pb.environment().put("LC_ALL", "C")
         val proc = pb.start()
         val ctx = TaskContext.get()
-        Option(ctx).foreach(_.addTaskCompletionListener[Unit] { _ =>
-          if (proc.isAlive) proc.destroyForcibly()
+        // Set by finish() so the completion listener doesn't re-verify
+        // a fully-drained pipe; checked-and-set by the listener so the
+        // partially-consumed path verifies exactly once.
+        val checksDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val stderrTail = new AtomicReference[String]("")
+        Option(ctx).foreach(_.addTaskCompletionListener[Unit] { c =>
+          if (proc.isAlive) {
+            // Consumer abandoned the stream (limit/take/cancel) while
+            // the child was still running: the stop is consumer-driven,
+            // nothing to verify — just don't leak the process.
+            proc.destroyForcibly()
+          } else if (checksDone.compareAndSet(false, true) && !c.isFailed()) {
+            // finish() never ran (downstream limit/take stopped pulling
+            // before stdout drained) yet the child already exited on
+            // its own. "Failure is loud, never truncation" must hold
+            // here too: a non-zero exit still fails the task. Parity
+            // is NOT checkable — the consumer chose to stop reading.
+            // Skipped when the task itself failed: the real error is
+            // already propagating and must not be masked.
+            val exit = proc.exitValue()
+            if (exit != 0)
+              throw new IllegalStateException(
+                s"pipe command ${cmd.mkString(" ")} exited $exit " +
+                  s"(consumer stopped early); stderr: ${stderrTail.get}")
+          }
         })
 
         val inCount = new AtomicLong(0L)
@@ -97,7 +120,6 @@ object PipeOps {
         writer.setDaemon(true)
         writer.start()
 
-        val stderrTail = new AtomicReference[String]("")
         val errDrain = new Thread(() => {
           // Bounded ring buffer: keep only the LAST 4 KiB as bytes
           // stream in — a chatty/looping child must not balloon task
@@ -123,7 +145,13 @@ object PipeOps {
             while (j < len) {
               bytes(j) = ring(((total - len + j) % cap).toInt); j += 1
             }
-            stderrTail.set(new String(bytes, UTF_8))
+            // The ring slices at a byte offset, which can land inside a
+            // multi-byte UTF-8 sequence; skip leading continuation
+            // bytes (0b10xxxxxx) so the tail doesn't render replacement
+            // characters at its head.
+            var off = 0
+            while (off < len && (bytes(off) & 0xC0) == 0x80) off += 1
+            stderrTail.set(new String(bytes, off, len - off, UTF_8))
           } catch { case _: Throwable => }
         }, "graft-pipe-stderr")
         errDrain.setDaemon(true)
@@ -139,6 +167,7 @@ object PipeOps {
             else { if (!finished) { finished = true; finish() }; false }
           def next(): String = { val l = out.next(); outCount += 1; l }
           private def finish(): Unit = {
+            checksDone.set(true)
             val exit = proc.waitFor()
             writer.join(); errDrain.join()
             if (exit != 0)

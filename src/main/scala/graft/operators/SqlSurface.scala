@@ -57,9 +57,37 @@ object SqlSurface {
     s.sql(Relational.oracle(relationalKey))
   }
 
+  /** The GRAFT KERNELS as a SQL-text surface: §2.6's range similarity
+    * search written as a SQL string calling the extension-registered
+    * `graft_cosine` (GraftExtensions — the same codegen'd
+    * CosineSimExpr the Column API plans), run through `spark.sql` over
+    * temp views and hash-compared against the DuckDB oracle's
+    * list_cosine_similarity formulation. This is what proves the
+    * extension functions are a production surface for the reference's
+    * Hive/SQL-text persona (README.md:7), not an ExtensionsSpec-only
+    * artifact: parse → resolve `graft_cosine` through the injected
+    * function registry → broadcast the 16-query side → one corpus
+    * scan. Same integer cos_ppm contract as [[Similarity
+    * .ann_cos_range]] (floor once, no cross-engine rounding hazard). */
+  private val graftCosRangeSql =
+    """SELECT qid, nid, cos_ppm FROM (
+      | SELECT q.vec_id AS qid, c.vec_id AS nid,
+      |  CAST(floor(graft_cosine(q.embedding, c.embedding) * 1e6) AS BIGINT) AS cos_ppm
+      | FROM embeddings q, embeddings c
+      | WHERE q.vec_id < 16 AND c.vec_id <> q.vec_id)
+      |WHERE cos_ppm >= 300000
+      |ORDER BY qid, nid""".stripMargin
+
+  private def sqlAnnCosRange(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql(graftCosRangeSql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    shared.map(k => s"sql_$k" -> viaSql(k) _).toMap
+    shared.map(k => s"sql_$k" -> viaSql(k) _).toMap +
+      ("sql_ann_cos_range" -> (sqlAnnCosRange _))
 
   val oracle: Map[String, String] =
-    shared.map(k => s"sql_$k" -> Relational.oracle(k)).toMap
+    shared.map(k => s"sql_$k" -> Relational.oracle(k)).toMap +
+      ("sql_ann_cos_range" -> Similarity.oracle("ann_cos_range"))
 }

@@ -129,6 +129,41 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** The FULL near-dup curation path as ONE registered query — what a
+    * training-data pipeline actually ships end to end:
+    * [[text_pipeline]]'s quality gate (score → length/quality filters →
+    * exact-dedup keeper) composed with NEAR-duplicate resolution:
+    * [[Dedup.dedup_clusters]]' connected components (exact-hash ∪
+    * minhash-LSH pairs) restricted to the curated survivors, keeping
+    * the best-quality member per cluster ([[Dedup.dedup_resolve_best]]
+    * keeper policy — max_by(doc, (quality, −doc_id)), ties to the
+    * lower id). Docs in no near-dup cluster pass through untouched.
+    *
+    * Plan shape at 100 TB: the cluster table is small relative to the
+    * corpus (only dup-involved docs appear), so the membership join is
+    * an equi-join whose build side AQE broadcasts; the keeper choice is
+    * one map-side-combined aggregate over that small table; and the
+    * final removal is a left-anti join against the (even smaller) drop
+    * list. Deliberately NOT a left join on a nullable cluster key —
+    * the unclustered majority would all hash to the null partition.
+    * Oracle is rows-only (cluster ids come from LSH pair generation);
+    * TextPipelineSpec gates: subset-of-text_pipeline, ≤1 survivor per
+    * cluster, and no dropped doc out-scoring its cluster's survivor. */
+  def text_pipeline_near(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val curated = text_pipeline(s, d)
+    val clusters = Dedup.dedup_clusters(s, d).select($"cluster_id", $"doc_id")
+    val clustered = curated.join(clusters, "doc_id")
+    val keepers = clustered.groupBy($"cluster_id")
+      .agg(max_by($"doc_id", struct($"quality_score", -$"doc_id")).as("keeper"))
+    val dropIds = clustered.join(keepers, "cluster_id")
+      .filter($"doc_id" =!= $"keeper")
+      .select($"doc_id")
+    curated.join(dropIds, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"n_words", $"quality_score")
+      .orderBy($"doc_id")
+  }
+
   /** Corpus token accounting — the first question any training run
     * asks of a dataset: how many tokens, and how are they distributed
     * over documents? Output is a 50-token-wide histogram of per-doc
@@ -377,6 +412,7 @@ object TextOps {
     "text_langid" -> text_langid _,
     "text_fingerprint" -> text_fingerprint _,
     "text_pipeline" -> text_pipeline _,
+    "text_pipeline_near" -> text_pipeline_near _,
     "text_split" -> text_split _,
     "text_token_hist" -> text_token_hist _)
 

@@ -65,14 +65,14 @@ class MultimodalSpec extends SparkSpec {
     import spark.implicits._
     val pairs = Multimodal.mm_near_dups(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    // Every 10th doc gets a jittered variant at id+1e9; the jitter
+    // Every 10th doc gets a jittered variant at id | 1<<62; the jitter
     // perturbs all 16 dims, so each planted pair must survive the
     // banded-LSH blocking AND the exact cosine rescore (recall 1.0
     // demanded — at cos≈0.9999 the 8×8 OR-construction misses with
     // p≈1e-16, so a miss means a broken pipeline, not bad luck).
     val planted = Multimodal.featureVectors(spark, sf0001)
       .select($"doc_id").as[Long].collect().filter(_ % 10 == 0)
-      .map(d => (d, d + 1000000000L)).toSet
+      .map(d => (d, d | (1L << 62))).toSet
     assert(planted.nonEmpty)
     val found = pairs.map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
     val missed = planted -- found

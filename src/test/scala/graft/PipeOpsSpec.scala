@@ -108,4 +108,41 @@ class PipeOpsSpec extends SparkSpec {
     assert(msg.contains("FINAL_WORDS"))
     assert(!msg.contains("noise0\n")) // early noise evicted from the ring
   }
+
+  test("a child that failed before a partial consumer stopped still fails the task") {
+    // finish()'s checks only run when stdout fully drains; a downstream
+    // limit/take abandons the iterator early. The completion-listener
+    // backstop must still surface a child that EXITED NON-ZERO on its
+    // own. The child consumes all stdin, emits one record, and exits 3;
+    // the consumer takes that one record and stops — then waits long
+    // enough that the child's exit precedes task completion.
+    val piped = PipeOps.pipePartitions(lines(100).repartition(1),
+      Seq("sh", "-c", "cat > /dev/null; echo survivor; exit 3"), oneToOne = false)
+    val partial = piped.mapPartitions { it =>
+      val first = if (it.hasNext) List(it.next()) else Nil
+      Thread.sleep(1500) // let the child reach its exit before completion
+      first.iterator
+    }(org.apache.spark.sql.Encoders.STRING)
+    val ex = intercept[SparkException] { partial.collect() }
+    // the listener's throw arrives wrapped (TaskCompletionListenerException
+    // carries the message, not necessarily the cause chain) — search the
+    // whole chain's messages
+    val msg = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => String.valueOf(t.getMessage)).mkString("; ")
+    assert(msg.contains("exited 3") && msg.contains("consumer stopped early"), msg)
+  }
+
+  test("a partial consumer over a healthy child is a clean consumer-driven stop") {
+    // The backstop must not turn legitimate early termination (limit/
+    // take over a well-behaved child) into a failure: the child here
+    // either exits 0 or is still alive at completion (destroyed quietly).
+    val piped = PipeOps.pipePartitions(lines(100).repartition(1),
+      Seq("cat"), oneToOne = false)
+    val partial = piped.mapPartitions { it =>
+      val first = if (it.hasNext) List(it.next()) else Nil
+      Thread.sleep(300)
+      first.iterator
+    }(org.apache.spark.sql.Encoders.STRING)
+    assert(partial.collect().length === 1)
+  }
 }

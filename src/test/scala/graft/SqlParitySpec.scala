@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Relational, SqlSurface}
+import graft.operators.{Relational, Similarity, SqlSurface}
 
 /** The SQL-string surface must return exactly what the DataFrame API
   * returns: same columns, same rows, for every query that SqlSurface
@@ -27,5 +27,20 @@ class SqlParitySpec extends SparkSpec {
       assert(sqlRows == apiRows,
         s"row mismatch: sql ${sqlRows.size} rows vs api ${apiRows.size} rows")
     }
+  }
+
+  test("spark.sql(ann_cos_range via graft_cosine) == DataFrame ann_cos_range") {
+    // The graft-kernel SQL surface: the SQL text resolves the
+    // extension-registered graft_cosine to the same codegen'd
+    // CosineSimExpr the Column API plans, so rows must match exactly.
+    val sqlDf = SqlSurface.queries("sql_ann_cos_range")(spark, sf001)
+    val apiDf = Similarity.ann_cos_range(spark, sf001)
+    assert(sqlDf.columns.toSeq == apiDf.columns.toSeq,
+      s"column mismatch: ${sqlDf.columns.toSeq} vs ${apiDf.columns.toSeq}")
+    val sqlRows = sqlDf.collect().toSeq
+    val apiRows = apiDf.collect().toSeq
+    assert(sqlRows.nonEmpty, "ann_cos_range SQL form returned no rows")
+    assert(sqlRows == apiRows,
+      s"row mismatch: sql ${sqlRows.size} rows vs api ${apiRows.size} rows")
   }
 }

@@ -87,4 +87,44 @@ class TextPipelineSpec extends SparkSpec {
       assert(t.filter($"df" < 1 || $"df" > lit(corpusLangs.size)).count() === 0)
     } finally t.unpersist()
   }
+
+  test("text_pipeline_near keeps one best-quality survivor per near-dup cluster") {
+    // doc_id -> quality_score maps of the near-dup-resolved result and
+    // the exact-dedup-only pipeline it must refine
+    val near = TextOps.text_pipeline_near(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val full = TextOps.text_pipeline(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(near.nonEmpty)
+    // refinement: only ever removes docs, never adds or rescores
+    assert(near.keySet.subsetOf(full.keySet), "near-dup pass added docs")
+    near.foreach { case (id, q) => assert(q == full(id), s"doc $id rescored") }
+    val byCluster = graft.operators.Dedup.dedup_clusters(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).map {
+        case (cid, ms) => cid -> ms.map(_._2).toSeq
+      }
+    assert(byCluster.nonEmpty)
+    var dropped = 0
+    byCluster.foreach { case (cid, members) =>
+      val curated = members.filter(full.contains)
+      val survivors = members.filter(near.contains)
+      assert(survivors.size <= 1, s"cluster $cid kept ${survivors.size} members")
+      if (curated.nonEmpty) {
+        assert(survivors.size == 1,
+          s"cluster $cid had curated members but no survivor")
+        val s0 = survivors.head
+        // keeper policy: no curated member out-scores the survivor
+        // under (quality, -doc_id)
+        curated.foreach { m =>
+          assert(full(m) < full(s0) || (full(m) == full(s0) && m >= s0),
+            s"cluster $cid: dropped doc $m (q=${full(m)}) beats survivor $s0 (q=${full(s0)})")
+        }
+        dropped += curated.size - 1
+      }
+    }
+    // the gate must not pass vacuously: at sf0.01 some cluster has >1
+    // curated member, so the near-dup pass really removes docs
+    assert(dropped > 0, "no cluster had >1 curated member — vacuous gate")
+    assert(near.size == full.size - dropped, "drop accounting mismatch")
+  }
 }
