@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Scale-stress harness for the dedup family (one-off, not part of the
+  * per-round Bench): inflates the sf0.1 documents corpus N× and runs
+  * the candidate-generation-heavy queries at 1× and N× so the scaling
+  * exponent is MEASURED, not argued. Results are committed in SCALE.md.
+  *
+  * Inflation preserves the base corpus's duplicate structure inside
+  * each copy while making copies mutually unmatchable: copy i applies
+  * a Caesar substitution (`translate` over the rotated alphabet) to
+  * every letter, so every word — and therefore every shingle, minhash
+  * band, simhash chunk, and bottom-m gram — differs wholesale across
+  * copies. Expected behavior of a linear operator: pair counts scale
+  * exactly N× (each copy reproduces the base corpus's pairs; no
+  * cross-copy pairs), wall time scales ~N× (modulo fixed overhead),
+  * and hot-bucket-cap drops stay zero (no key becomes N× hotter,
+  * because rotated keys are distinct). A superlinear blow-up or a new
+  * cap drop here means candidate generation degrades with corpus
+  * growth — the failure mode this harness exists to catch.
+  *
+  * Copy i offsets doc_id by i·2^40, far above any real doc_id in the
+  * testdata and far below the 2^62 namespace [[operators.Multimodal
+  * .mm_near_dups]] reserves for planted variants.
+  */
+object Scale {
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val factors = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "10")
+      .split(",").map(_.trim.toInt).toSeq
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    BucketCapMetrics.register(spark)
+
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase
+
+    def inflate(factor: Int): String = {
+      val outDir = s"${System.getProperty("java.io.tmpdir")}/graft_scale_x$factor"
+      val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+      val copies = (0 until factor).map { i =>
+        val rot = i % 26
+        val rotL = lower.drop(rot) + lower.take(rot)
+        val text = if (rot == 0) col("text")
+          else translate(col("text"), lower + upper, rotL + rotL.toUpperCase)
+        docs.select((col("doc_id") + lit(i.toLong * (1L << 40))).as("doc_id"),
+          text.as("text"), col("lang"), col("source"), col("n_chars"))
+      }
+      copies.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+      outDir
+    }
+
+    val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "dedup_minhash_lsh" -> (Dedup.dedup_minhash_lsh _),
+      "dedup_simhash" -> (Dedup.dedup_simhash _),
+      "dedup_containment" -> (Dedup.dedup_containment _),
+      "dedup_clusters" -> (Dedup.dedup_clusters _))
+
+    final case class Obs(factor: Int, query: String, sec: Double, rows: Long,
+        caps: Map[String, BucketCapMetrics.Cap])
+
+    def runAt(factor: Int, dir: String): Seq[Obs] = queries.map { case (name, fn) =>
+      CacheRegistry.releaseAll()
+      spark.catalog.clearCache()
+      BucketCapMetrics.drained()
+      val t0 = System.nanoTime()
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // listener delivery is async; give the bus a moment before draining
+      Thread.sleep(2000)
+      val caps = BucketCapMetrics.drained()
+      CacheRegistry.releaseAll()
+      spark.catalog.clearCache()
+      val rows = fn(spark, dir).count()
+      CacheRegistry.releaseAll()
+      val o = Obs(factor, name, sec, rows, caps)
+      System.err.println(f"[scale] x$factor $name ${sec}%.2f s, $rows rows, " +
+        s"caps=${caps.map { case (k, c) => s"$k:${c.droppedBuckets}" }.mkString(",")}")
+      o
+    }
+
+    // untimed warmup: the first query in a fresh JVM otherwise carries
+    // JIT/codegen warmup (observed: 7.8 s for a query that steady-states
+    // at 1.7 s) and the 1× numbers would read slower than 10×
+    CacheRegistry.releaseAll(); spark.catalog.clearCache()
+    Dedup.dedup_minhash_lsh(spark, baseDir).write.format("noop").mode("overwrite").save()
+    Dedup.dedup_clusters(spark, baseDir).write.format("noop").mode("overwrite").save()
+
+    val base = runAt(1, baseDir)
+    val scaled = factors.flatMap(f => runAt(f, inflate(f)))
+    println("factor,query,seconds,rows,dropped_buckets")
+    (base ++ scaled).foreach { o =>
+      println(f"${o.factor},${o.query},${o.sec}%.3f,${o.rows}," +
+        s"${o.caps.values.map(_.droppedBuckets).sum}")
+    }
+    spark.stop()
+  }
+}

@@ -151,7 +151,11 @@ object TextOps {
     * cluster, and no dropped doc out-scoring its cluster's survivor. */
   def text_pipeline_near(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val curated = text_pipeline(s, d)
+    // referenced three times (cluster membership twice via `clustered`,
+    // final anti-join); persisted so the quality-scoring scan of
+    // `documents` runs once — the persisted rows are (doc_id, n_words,
+    // quality_score), a fixed 24 B/row regardless of document size
+    val curated = graft.CacheRegistry.cache(text_pipeline(s, d))
     val clusters = Dedup.dedup_clusters(s, d).select($"cluster_id", $"doc_id")
     val clustered = curated.join(clusters, "doc_id")
     val keepers = clustered.groupBy($"cluster_id")
