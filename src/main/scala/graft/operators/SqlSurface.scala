@@ -83,11 +83,33 @@ object SqlSurface {
     s.sql(graftCosRangeSql)
   }
 
+  /** CROSS-FAMILY SQL-text coverage: one query per operator family
+    * whose oracle SQL is dialect-neutral enough to run VERBATIM on
+    * both engines — dedup (md5 hash-groupBy), HopsFS metadata (du
+    * rollup), MapReduce equivalents (repartition join), events
+    * (tumbling-window agg). Together with the §2.1 relational five and
+    * the graft-kernel query above, every §2 family a SQL-text user
+    * would reach for is proven reachable through `spark.sql`, not just
+    * the Scala API. Each entry is the module's own oracle string, so
+    * the two surfaces can never drift. */
+  private val crossFamily: Seq[(String, String)] = Seq(
+    "dedup_exact" -> Dedup.oracle("dedup_exact"),
+    "fs_du" -> MetadataOps.oracle("fs_du"),
+    "mr_join" -> MapReduceOps.oracle("mr_join"),
+    "ev_window_agg" -> EventOps.oracle("ev_window_agg"))
+
+  private def viaText(sql: String)(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql(sql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    shared.map(k => s"sql_$k" -> viaSql(k) _).toMap +
+    shared.map(k => s"sql_$k" -> viaSql(k) _).toMap ++
+      crossFamily.map { case (k, sql) => s"sql_$k" -> viaText(sql) _ } +
       ("sql_ann_cos_range" -> (sqlAnnCosRange _))
 
   val oracle: Map[String, String] =
-    shared.map(k => s"sql_$k" -> Relational.oracle(k)).toMap +
+    shared.map(k => s"sql_$k" -> Relational.oracle(k)).toMap ++
+      crossFamily.map { case (k, sql) => s"sql_$k" -> sql } +
       ("sql_ann_cos_range" -> Similarity.oracle("ann_cos_range"))
 }

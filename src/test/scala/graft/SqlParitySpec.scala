@@ -1,6 +1,7 @@
 package graft
 
-import graft.operators.{Relational, Similarity, SqlSurface}
+import graft.operators.{Dedup, EventOps, MapReduceOps, MetadataOps,
+  Relational, Similarity, SqlSurface}
 
 /** The SQL-string surface must return exactly what the DataFrame API
   * returns: same columns, same rows, for every query that SqlSurface
@@ -14,7 +15,12 @@ class SqlParitySpec extends SparkSpec {
     "q4_semijoin" -> Relational.q4_semijoin _,
     "q5_multijoin" -> Relational.q5_multijoin _,
     "q11_rollup" -> Relational.q11_rollup _,
-    "q18_having" -> Relational.q18_having _)
+    "q18_having" -> Relational.q18_having _,
+    // cross-family SQL-text surface: one per operator family
+    "dedup_exact" -> Dedup.dedup_exact _,
+    "fs_du" -> MetadataOps.fs_du _,
+    "mr_join" -> MapReduceOps.mr_join _,
+    "ev_window_agg" -> EventOps.ev_window_agg _)
 
   pairs.foreach { case (key, dfForm) =>
     test(s"spark.sql($key) == DataFrame $key") {
