@@ -104,23 +104,37 @@ object TextOps {
     * scoring lineage once per join side). Hash-oracled end to end —
     * this is the one dedup-involving query whose FULL composition the
     * DuckDB oracle can verify. */
-  def text_pipeline(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  /** The quality-score + filter stage of the curation pipeline, shared
+    * VERBATIM by [[text_pipeline]] (batch) and
+    * [[graft.streaming.StreamingOps.curateStream]] (streaming): input
+    * any relation with (doc_id, text), output the curated candidates
+    * plus the content hash `h` the dedup stage keys on. Every column is
+    * a stateless per-row map — legal in a streaming plan, scan-speed in
+    * batch. An `ingest_ts` column, if present, passes through (the
+    * streaming form watermarks on it). */
+  def curationScored(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val t = tokens($"text")
     val nWords = size(t).cast("long")
     val nStop = size(filter(t, w => w.isInCollection(stopwords))).cast("long")
     val nUniq = size(array_distinct(t)).cast("long")
-    val scored = Tables.documents(s, d)
-      .select($"doc_id", md5($"text".cast("binary")).as("h"),
+    val passthrough = docs.columns.filter(_ == "ingest_ts").map(col).toSeq
+    docs
+      .select(Seq($"doc_id", md5($"text".cast("binary")).as("h"),
         nWords.as("n_words"),
         round(when(nWords === 0, 0.0).otherwise(nStop.cast("double") / nWords), 4)
           .as("stopword_ratio"),
         round(when(nWords === 0, 0.0).otherwise(nUniq.cast("double") / nWords), 4)
-          .as("uniq_ratio"))
+          .as("uniq_ratio")) ++ passthrough: _*)
       .withColumn("quality_score",
         round(when($"n_words" >= 20, 1.0).otherwise(0.5) * $"uniq_ratio" *
           when($"stopword_ratio" > 0.01, 1.0).otherwise(0.8), 4))
       .filter($"n_words" >= 10 && $"quality_score" >= 0.5)
+  }
+
+  def text_pipeline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val scored = curationScored(Tables.documents(s, d))
     scored
       .withColumn("keeper",
         min($"doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy($"h")))

@@ -104,6 +104,28 @@ object StreamingOps extends Serializable {
     events.withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming CURATION — the streaming form of
+    * [[graft.operators.TextOps.text_pipeline]], for the ingest-time
+    * regime where documents arrive continuously and curation must not
+    * wait for a batch boundary. The quality-score + filter stage is
+    * the SAME code as batch ([[graft.operators.TextOps
+    * .curationScored]] — stateless per-row maps, so it runs at ingest
+    * speed), and exact dedup becomes `dropDuplicatesWithinWatermark`
+    * on the content hash: the first arrival of each content survives,
+    * replays and later duplicates are dropped while their hash is
+    * inside the watermark horizon, and state is bounded by that
+    * horizon rather than the stream length. Batch keeps min-doc_id per
+    * content; a stream keeps FIRST-ARRIVAL — identical when ingest
+    * order follows doc_id, and in general the kept CONTENT set (and
+    * every score) is identical, which is what StreamingSpec asserts
+    * against the batch pipeline. Input: streaming (doc_id, text,
+    * ingest_ts). */
+  def curateStream(docs: DataFrame, delay: String = "2 hours"): DataFrame =
+    graft.operators.TextOps.curationScored(docs)
+      .withWatermark("ingest_ts", delay)
+      .dropDuplicatesWithinWatermark("h")
+      .select(col("doc_id"), col("h"), col("n_words"), col("quality_score"))
+
   /** Gap-based sessionization via the built-in session_window (the
     * production streaming path for ev_sessionize): sessions close when
     * the watermark passes start-of-gap. */

@@ -13,6 +13,9 @@ import java.sql.Timestamp
 case class EvFull(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double)
 
+/** Streaming-curation input row (top-level for encoder derivation). */
+case class DocIn(doc_id: Long, text: String, ingest_ts: Timestamp)
+
 /** Structured Streaming ≡ batch: the §2.4 streaming forms fed from a
   * MemoryStream must reproduce the batch EventOps results on the same
   * events (sf0.001). */
@@ -398,6 +401,54 @@ class StreamingSpec extends SparkSpec {
         assert(gst == st, s"$k start")
         assert(gen == en, s"$k end")
         assert(math.abs(gv - v) < 0.011, s"$k value $gv vs $v")
+      }
+    } finally q.stop()
+  }
+
+  test("streaming curation equals batch text_pipeline and drops cross-batch replays") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
+    def ts(i: Int) = new Timestamp(86400000L + i * 1000L)
+    val rows = docs.zipWithIndex.map { case ((id, tx), i) => DocIn(id, tx, ts(i)) }
+    val ms = MemoryStream[DocIn]
+    val q = StreamingOps.curateStream(ms.toDF())
+      .writeStream.format("memory").queryName("t_curate")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      ms.addData(b1); drain(q)
+      val afterB1 = spark.table("t_curate").count()
+      // batch 2: the rest of the corpus PLUS a replay of 30 batch-1
+      // docs at later ingest times (at-least-once source) — every
+      // replayed content hash is still inside the watermark horizon,
+      // so all 30 must be dropped
+      ms.addData(b2 ++ b1.take(30).map(d => d.copy(ingest_ts = ts(rows.length + 1))))
+      drain(q)
+      val got = spark.table("t_curate")
+        .select($"doc_id", $"h", $"n_words", $"quality_score").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(got.length > afterB1, "batch 2 contributed no new content")
+      val batch = graft.operators.TextOps.text_pipeline(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // one survivor per content, and exactly the batch pipeline's
+      // content set (kept doc_id may differ only when duplicates share
+      // a micro-batch — partition order picks the survivor there; the
+      // batch window picks min doc_id)
+      assert(got.length == batch.length,
+        s"streaming kept ${got.length} docs, batch kept ${batch.length}")
+      assert(got.map(_._2).distinct.length == got.length, "duplicate content kept")
+      val scoredByDoc = graft.operators.TextOps
+        .curationScored(Tables.documents(spark, sf0001))
+        .select($"doc_id", $"h", $"n_words", $"quality_score").collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getDouble(3))).toMap
+      val batchHashes = batch.map { case (id, _, _) => scoredByDoc(id)._1 }.toSet
+      got.foreach { case (id, h, nw, qs) =>
+        val (eh, enw, eqs) = scoredByDoc.getOrElse(id,
+          fail(s"streaming kept doc $id that the quality gate rejects"))
+        assert(h == eh && nw == enw && qs == eqs, s"doc $id scores diverged")
+        assert(batchHashes.contains(h), s"doc $id content not in batch keeper set")
       }
     } finally q.stop()
   }
