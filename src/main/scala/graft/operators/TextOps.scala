@@ -305,6 +305,51 @@ object TextOps {
       .limit(25)
   }
 
+  /** Core of [[text_decontam]], parameterized for the spec's planted-
+    * contamination fixtures: input any relation with (doc_id, text),
+    * an eval-membership predicate column, and the gram width. Returns
+    * (doc_id, shared_grams) for every NON-eval doc sharing ≥1 distinct
+    * n-word-gram with the eval slice. */
+  def decontamShared(docs: DataFrame, isEval: Column, n: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val grams = docs
+      .select($"doc_id", isEval.as("is_eval"),
+        explode(wordNgramsAll($"text", n)).as("g"))
+      .distinct()
+    val evalGrams = grams.filter($"is_eval").select($"g").distinct()
+    grams.filter(!$"is_eval")
+      .join(broadcast(evalGrams), "g")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("shared_grams"))
+      .orderBy($"doc_id")
+  }
+
+  /** DECONTAMINATION — the check every training run owes its evals:
+    * which training documents contain verbatim n-word runs from the
+    * held-out benchmark slice? (A contaminated train set inflates eval
+    * scores without the model being better — industry practice flags
+    * 8-to-13-gram verbatim overlap.) Here the eval slice is the
+    * deterministic 10% split `doc_id % 10 = 0` and the signal is
+    * 8-word grams: for each train doc, the number of DISTINCT 8-grams
+    * it shares with ANY eval doc.
+    *
+    * Plan shape at 100 TB: gram generation is the codegen'd
+    * [[wordNgramsAll]] kernel (one pass per doc; the HOF formulation
+    * is CodegenFallback); per-doc distinct is one shuffle on (doc,
+    * gram); the eval side is TINY by construction (benchmarks are
+    * thousands of docs, not billions) so the overlap join BROADCASTS
+    * the eval gram set — the train side never shuffles on the gram
+    * string. Oracle = the same grams as literal strings via DuckDB
+    * list slicing (the text_bigrams convention), so the whole
+    * composition is hash-verified. Planted-contamination gates
+    * (8-word copy flagged with exact count, 7-word copy not) in
+    * TextPipelineSpec. */
+  def text_decontam(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    decontamShared(Tables.documents(s, d), $"doc_id" % 10 === 0, 8)
+      .withColumnRenamed("shared_grams", "shared_8grams")
+  }
+
   /** Sequence PACKING — map each document onto its token offsets in
     * the concatenate-and-chunk layout every LM training run feeds its
     * dataloader (docs joined in doc_id order, the token stream cut
@@ -431,6 +476,7 @@ object TextOps {
     "text_fingerprint" -> text_fingerprint _,
     "text_pipeline" -> text_pipeline _,
     "text_pipeline_near" -> text_pipeline_near _,
+    "text_decontam" -> text_decontam _,
     "text_split" -> text_split _,
     "text_token_hist" -> text_token_hist _)
 
@@ -510,6 +556,23 @@ object TextOps {
         |   '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
         |   '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
         |FROM raw ORDER BY doc_id""".stripMargin,
+    // Grams as literal strings via list slicing — independent of the
+    // Spark side's codegen'd kernel, same string_split(lower, ' ')
+    // drop-empties tokenization as every text oracle.
+    "text_decontam" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+        | FROM documents),
+        |g AS (
+        | SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 6),
+        |   i -> array_to_string(ws[i:i+7], ' '))) AS g
+        | FROM t WHERE len(ws) >= 8),
+        |e AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 = 0)
+        |SELECT doc_id, count(*) AS shared_8grams
+        |FROM g JOIN e USING (g)
+        |WHERE doc_id % 10 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_bigrams" ->
       """WITH t AS (
         | SELECT doc_id,

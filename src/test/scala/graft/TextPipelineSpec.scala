@@ -127,4 +127,27 @@ class TextPipelineSpec extends SparkSpec {
     assert(dropped > 0, "no cluster had >1 curated member — vacuous gate")
     assert(near.size == full.size - dropped, "drop accounting mismatch")
   }
+
+  test("text_decontam flags planted 8-gram contamination with exact counts") {
+    import spark.implicits._
+    val evalDoc = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val fixtures = Seq(
+      // eval slice: one benchmark doc (10 words -> 3 distinct 8-grams)
+      (10L, evalDoc),
+      // contaminated: contains the eval doc's first 8 words verbatim
+      // inside unrelated text -> exactly 1 shared 8-gram
+      (1L, "xx yy alpha bravo charlie delta echo foxtrot golf hotel zz"),
+      // contains all 10 eval words -> all 3 eval 8-grams shared
+      (2L, s"prefix words $evalDoc suffix words"),
+      // only a 7-word run from the eval doc -> below the gram width,
+      // must NOT be flagged
+      (3L, "alpha bravo charlie delta echo foxtrot golf nothing more here at all"),
+      // clean doc, no overlap
+      (4L, "one two three four five six seven eight nine ten eleven"))
+      .toDF("doc_id", "text")
+    val got = TextOps.decontamShared(fixtures, $"doc_id" % 10 === 0, 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 3L),
+      s"expected {1->1, 2->3}, got $got")
+  }
 }
