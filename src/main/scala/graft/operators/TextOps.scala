@@ -305,6 +305,46 @@ object TextOps {
       .limit(25)
   }
 
+  /** REPETITION quality signals (the Gopher/C4-class heuristic the
+    * quality score doesn't capture: a doc can have fine length and
+    * stopword ratios while being one phrase stamped 200 times — a
+    * crawler trap or template page that poisons training loss): per
+    * doc, the total bigram count, the count of its most frequent
+    * bigram, and the share of bigram mass in REPEATED bigrams
+    * (count ≥ 2), plus a `repetitive` flag at the top>10% ∨ dup>30%
+    * thresholds. Shares are exact integer parts-per-million (integral
+    * division — the text_token_hist rule: round(double) differs by
+    * 1 ULP across engines and flips hashes).
+    *
+    * Plan shape: one codegen'd n-gram pass + count per (doc, bigram)
+    * (map-side combined, one shuffle) + per-doc fold (second shuffle
+    * carries one row per DISTINCT (doc, bigram) — already a fraction
+    * of the corpus). Linear at 100 TB; no per-row HOF (the
+    * `aggregate(map_from...)` formulation is CodegenFallback and
+    * quadratic-ish per row). */
+  def text_repetition(s: SparkSession, d: String): DataFrame =
+    repetitionStats(Tables.documents(s, d))
+
+  /** Core of [[text_repetition]], parameterized for the spec's
+    * planted-repetition fixtures: input any relation with
+    * (doc_id, text). */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val counts = docs
+      .select($"doc_id", explode(wordNgramsAll($"text", 2)).as("g"))
+      .groupBy($"doc_id", $"g").agg(count(lit(1)).as("cnt"))
+    counts.groupBy($"doc_id")
+      .agg(sum($"cnt").as("n_bigrams"),
+        max($"cnt").as("top_cnt"),
+        sum(when($"cnt" >= 2, $"cnt").otherwise(0L)).as("dup_cnt"))
+      .select($"doc_id", $"n_bigrams",
+        expr("top_cnt * 1000000 div n_bigrams").as("top_ppm"),
+        expr("dup_cnt * 1000000 div n_bigrams").as("dup_ppm"))
+      .withColumn("repetitive",
+        ($"top_ppm" > 100000L || $"dup_ppm" > 300000L).cast("long"))
+      .orderBy($"doc_id")
+  }
+
   /** Core of [[text_decontam]], parameterized for the spec's planted-
     * contamination fixtures: input any relation with (doc_id, text),
     * an eval-membership predicate column, and the gram width. Returns
@@ -477,6 +517,7 @@ object TextOps {
     "text_pipeline" -> text_pipeline _,
     "text_pipeline_near" -> text_pipeline_near _,
     "text_decontam" -> text_decontam _,
+    "text_repetition" -> text_repetition _,
     "text_split" -> text_split _,
     "text_token_hist" -> text_token_hist _)
 
@@ -556,6 +597,29 @@ object TextOps {
         |   '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
         |   '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
         |FROM raw ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+        | FROM documents),
+        |u AS (
+        | SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS i
+        | FROM t),
+        |b AS (
+        | SELECT a.doc_id, a.word || ' ' || c.word AS g
+        | FROM u a JOIN u c ON a.doc_id = c.doc_id AND c.i = a.i + 1),
+        |cnts AS (SELECT doc_id, g, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |agg AS (
+        | SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+        |  CAST(max(cnt) AS BIGINT) AS top_cnt,
+        |  CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS dup_cnt
+        | FROM cnts GROUP BY 1)
+        |SELECT doc_id, n_bigrams, top_ppm, dup_ppm,
+        | CAST(top_ppm > 100000 OR dup_ppm > 300000 AS BIGINT) AS repetitive
+        |FROM (SELECT doc_id, n_bigrams,
+        |  top_cnt * 1000000 // n_bigrams AS top_ppm,
+        |  dup_cnt * 1000000 // n_bigrams AS dup_ppm FROM agg)
+        |ORDER BY doc_id""".stripMargin,
     // Grams as literal strings via list slicing — independent of the
     // Spark side's codegen'd kernel, same string_split(lower, ' ')
     // drop-empties tokenization as every text oracle.

@@ -150,4 +150,26 @@ class TextPipelineSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 3L),
       s"expected {1->1, 2->3}, got $got")
   }
+
+  test("text_repetition flags a stamped phrase and passes varied text") {
+    import spark.implicits._
+    val fixtures = Seq(
+      // one phrase stamped 20 times: "spam ham" bigram dominates
+      (1L, Seq.fill(20)("spam ham").mkString(" ")),
+      // all-distinct bigrams: top = 1/(n-1), no repeats
+      (2L, "one two three four five six seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    val got = TextOps.repetitionStats(fixtures).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // doc 1: 39 bigrams, "spam ham" appears 20x ("ham spam" 19x) —
+    // every bigram mass is duplicated, top share 20/39
+    assert(got(1L)._1 == 39L)
+    assert(got(1L)._2 == 20L * 1000000L / 39L, s"top_ppm ${got(1L)._2}")
+    assert(got(1L)._3 == 1000000L, s"dup_ppm ${got(1L)._3}")
+    assert(got(1L)._4 == 1L, "stamped doc must be flagged repetitive")
+    // doc 2: 11 distinct bigrams, top 1/11 < 10%, zero duplicated mass
+    assert(got(2L) == ((11L, 1000000L / 11L, 0L, 0L)),
+      s"varied doc stats ${got(2L)}")
+  }
 }
