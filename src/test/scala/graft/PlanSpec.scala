@@ -57,6 +57,14 @@ class PlanSpec extends SparkSpec {
     assert(physical("ann_topk_brute").contains("WindowGroupLimit"))
   }
 
+  test("text_decontam broadcasts the eval gram set (train side never shuffles on grams)") {
+    val plan = physical("text_decontam")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval-gram join is not broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin"),
+      "overlap join fell back to a sort-merge shuffle on the gram string")
+  }
+
   test("grouped aggregates keep map-side partial aggregation (q1_agg)") {
     val plan = physical("q1_agg")
     assert("partial".r.findFirstIn(plan.toLowerCase).isDefined,
