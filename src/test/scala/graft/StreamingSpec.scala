@@ -452,4 +452,40 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("streaming curation holds the content-set contract under out-of-order ingest") {
+    // The scaladoc's general claim: with arbitrary arrival order the
+    // KEPT CONTENT SET (one survivor per content hash, batch keeper
+    // hash set) still matches batch — only which duplicate survives may
+    // differ (first-arrival vs min-doc_id). Feed the corpus REVERSED.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(-_._1)
+    def ts(i: Int) = new Timestamp(86400000L + i * 1000L)
+    val rows = docs.zipWithIndex.map { case ((id, tx), i) => DocIn(id, tx, ts(i)) }
+    val ms = MemoryStream[DocIn]
+    val q = StreamingOps.curateStream(ms.toDF())
+      .writeStream.format("memory").queryName("t_curate_ooo")
+      .outputMode("append").start()
+    try {
+      ms.addData(rows); drain(q)
+      val got = spark.table("t_curate_ooo")
+        .select($"doc_id", $"h").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val batch = graft.operators.TextOps.text_pipeline(spark, sf0001).collect()
+        .map(r => r.getLong(0))
+      val scoredByDoc = graft.operators.TextOps
+        .curationScored(Tables.documents(spark, sf0001))
+        .select($"doc_id", $"h").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got.length == batch.length,
+        s"kept ${got.length} vs batch ${batch.length}")
+      assert(got.map(_._2).toSet == batch.map(scoredByDoc).toSet,
+        "content hash sets diverged under out-of-order ingest")
+      got.foreach { case (id, h) =>
+        assert(scoredByDoc.get(id).contains(h), s"doc $id not a valid survivor")
+      }
+    } finally q.stop()
+  }
 }
