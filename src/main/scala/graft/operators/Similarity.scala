@@ -234,9 +234,42 @@ object Similarity {
       .orderBy($"qid", $"nid")
   }
 
+  /** INT8 QUANTIZATION of the embedding store — the memory scale path
+    * for ANN at corpus scale: a 64-dim float32 vector is 256 B; the
+    * symmetric-int8 form (per-vector scale + 64 signed bytes) is ~72 B,
+    * so the same executor memory holds ~3.5× more of the corpus and
+    * IVF cell scans stream ~3.5× fewer bytes. Per vector: scale =
+    * max|x| (emitted as exact integer ppm), q_i = round(x_i·127 /
+    * max|x|) ∈ [-127, 127]. Per-row map at scan speed, no shuffle.
+    *
+    * Hash-oracled: both engines evaluate the IDENTICAL double
+    * expression tree (float→double widening is exact; x·127/m is two
+    * IEEE ops; Spark's round(double) and DuckDB's round() both round
+    * half away from zero), so the emitted integers are bit-equal —
+    * the quantized array is flattened to a comma-joined string because
+    * the driver's row-sort cannot order raw array cells (the
+    * mm_features rule). Zero vectors quantize through a guarded
+    * scale of 1 rather than dividing by zero (identical guard both
+    * sides). Quality — reconstruction bound and top-k preservation
+    * vs float brute force — is gated in SimilaritySpec. */
+  def ann_quantize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = array_max(transform($"embedding", x => abs(x.cast("double"))))
+    Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding", m.as("m"))
+      .withColumn("m1", when($"m" === 0.0, 1.0).otherwise($"m"))
+      .select($"vec_id",
+        floor($"m" * 1e6).cast("long").as("maxabs_ppm"),
+        concat_ws(",", transform($"embedding",
+          x => round(x.cast("double") * 127.0 / $"m1").cast("long").cast("string")))
+          .as("q8"))
+      .orderBy($"vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_brute" -> ann_topk_brute _,
     "ann_cos_range" -> ann_cos_range _,
+    "ann_quantize" -> ann_quantize _,
     "ann_lsh" -> ann_lsh _,
     "ann_ivf" -> ann_ivf _)
 
@@ -252,6 +285,17 @@ object Similarity {
         |  FROM embeddings q, embeddings c
         |  WHERE q.vec_id < 16 AND c.vec_id <> q.vec_id)
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "ann_quantize" ->
+      """WITH t AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |  list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS m
+        | FROM embeddings)
+        |SELECT vec_id,
+        | CAST(floor(m * 1e6) AS BIGINT) AS maxabs_ppm,
+        | array_to_string(list_transform(e,
+        |   x -> CAST(round(x * 127.0 / (CASE WHEN m = 0 THEN 1.0 ELSE m END)) AS BIGINT)),
+        |  ',') AS q8
+        |FROM t ORDER BY vec_id""".stripMargin,
     "ann_cos_range" ->
       """SELECT qid, nid, cos_ppm FROM (
         | SELECT q.vec_id AS qid, c.vec_id AS nid,

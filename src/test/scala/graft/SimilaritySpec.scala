@@ -70,4 +70,47 @@ class SimilaritySpec extends SparkSpec {
     assert(got.size < allPairs / 20,
       s"LSH candidate output ${got.size} not selective vs $allPairs")
   }
+
+  test("ann_quantize reconstructs within the int8 bound and preserves top-k") {
+    import spark.implicits._
+    val floats = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val quant = Similarity.ann_quantize(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2).split(",").map(_.toLong)))
+    assert(quant.length == floats.size)
+    quant.foreach { case (id, mppm, q) =>
+      val x = floats(id)
+      val m = x.map(math.abs).max
+      assert(mppm == math.floor(m * 1e6).toLong, s"vec $id scale mismatch")
+      assert(q.forall(v => v >= -127 && v <= 127), s"vec $id out of int8 range")
+      // dequantization error per dim is at most half a quantization
+      // step (m/127 wide) plus rounding slack
+      val step = (if (m == 0) 1.0 else m) / 127.0
+      x.zip(q).zipWithIndex.foreach { case ((xi, qi), i) =>
+        assert(math.abs(xi - qi * step) <= step / 2 + 1e-12,
+          s"vec $id dim $i recon error ${math.abs(xi - qi * step)} > ${step / 2}")
+      }
+    }
+    // top-k preservation: for the 16 query vectors, top-5 by quantized
+    // dot product overlaps top-5 by float cosine at >= 0.8 average
+    // (int8 keeps ~7.5 significant bits — ranking survives)
+    val deq = quant.map { case (id, _, q) =>
+      val m = floats(id).map(math.abs).max
+      val step = (if (m == 0) 1.0 else m) / 127.0
+      id -> q.map(_ * step)
+    }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    def top5(q: Long, vecs: Map[Long, Array[Double]]): Set[Long] =
+      vecs.keys.filter(_ != q).toSeq
+        .sortBy(n => (-cos(vecs(q), vecs(n)), n)).take(5).toSet
+    val queries = floats.keys.filter(_ < 16).toSeq
+    val overlaps = queries.map(q => (top5(q, floats) & top5(q, deq)).size / 5.0)
+    val mean = overlaps.sum / overlaps.size
+    assert(mean >= 0.8, s"quantized top-5 overlap $mean < 0.8")
+  }
 }
