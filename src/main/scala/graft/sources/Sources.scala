@@ -140,6 +140,32 @@ object Sources {
       .orderBy($"o_orderstatus")
   }
 
+  /** ORC ingest — the OTHER Hadoop-native columnar format (Hive's
+    * default; a Hadoop-distribution replacement must read existing ORC
+    * warehouses in place, not demand a parquet rewrite): export a
+    * projection once to tmp as ORC (setup), read it back, aggregate.
+    * Spark's ORC reader is vectorized with predicate pushdown and
+    * column pruning like parquet, and splits by stripe — parallel at
+    * any scale. The oracle runs the same aggregate over the parquet
+    * table, proving the ORC round-trip preserved values. */
+  def src_orc_agg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_orc_${dirTag(d)}")
+    val supplier = Tables.supplier(s, d)
+      .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+    exportOnce(s"orc:$d") {
+      supplier.write.mode("overwrite").orc(dir.getPath)
+    }
+    s.read
+      .schema(supplier.schema)
+      .orc(dir.getPath)
+      .groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n_suppliers"),
+        round(avg($"s_acctbal"), 2).as("avg_acctbal"))
+      .orderBy($"s_nationkey")
+  }
+
   /** Bucketed-table names for a source dir (path-addressed so
     * different sf dirs coexist in one warehouse); memoized on SUCCESS
     * only and serialized, like [[pageviewTable]]. */
@@ -220,6 +246,7 @@ object Sources {
     "src_jdbc_pageview" -> src_jdbc_pageview _,
     "src_csv_agg" -> src_csv_agg _,
     "src_jsonl_agg" -> src_jsonl_agg _,
+    "src_orc_agg" -> src_orc_agg _,
     "src_bucketed_join" -> src_bucketed_join _,
     "src_partitioned_prune" -> src_partitioned_prune _)
 
@@ -235,6 +262,10 @@ object Sources {
       """SELECT o_orderstatus, count(*) AS n_orders,
         | round(sum(o_totalprice),2) AS total_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src_orc_agg" ->
+      """SELECT s_nationkey, count(*) AS n_suppliers,
+        | round(avg(s_acctbal),2) AS avg_acctbal
+        |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin,
     "src_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
         | round(sum(o_totalprice),2) AS total_price
