@@ -478,15 +478,15 @@ object Dedup {
   def dedup_resolve_best(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val clusters = dedup_clusters(s, d).select($"cluster_id", $"doc_id")
-    val quality = TextOps.text_quality(s, d).select($"doc_id", $"quality_score")
+    val quality = TextOps.text_quality(s, d).select($"doc_id", $"quality_ppm")
     // referenced twice (keeper agg + join back); persisted so the
     // quality-scoring scan of `documents` runs once, not per reference
     // (the CC side is already cache-backed by connectedComponents)
     val joined = CacheRegistry.cache(clusters.join(quality, "doc_id"))
     val keepers = joined.groupBy($"cluster_id")
-      .agg(max_by($"doc_id", struct($"quality_score", -$"doc_id")).as("keeper"))
+      .agg(max_by($"doc_id", struct($"quality_ppm", -$"doc_id")).as("keeper"))
     joined.join(keepers, "cluster_id")
-      .select($"cluster_id", $"doc_id", $"quality_score",
+      .select($"cluster_id", $"doc_id", $"quality_ppm",
         ($"doc_id" === $"keeper").as("is_keeper"))
       .orderBy($"cluster_id", $"doc_id")
   }

@@ -15,8 +15,9 @@ object TextOps {
 
   private val stopwords = Seq("the", "a", "an", "of", "and", "to", "in", "is", "it")
 
-  /** Length / punctuation / stopword / repetition heuristics + a
-    * composite quality score (C4/Gopher-style rule scoring). */
+  /** Length / punctuation / stopword / uniqueness heuristics + a
+    * composite quality score (C4/Gopher-style rule scoring). Ratios
+    * and score are exact integer ppm (‰ for avg word length). */
   def text_quality(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val t = tokens($"text")
@@ -25,20 +26,31 @@ object TextOps {
     val nUniq = size(array_distinct(t)).cast("long")
     val nPunct = (length($"text") -
       length(regexp_replace($"text", "[.!?,;:]", ""))).cast("long")
+    // All ratios are EXACT INTEGER ppm (integral division — truncation
+    // on both engines): the rounded-double form survived sf0.01 but at
+    // sf0.1 hit the classic midpoint (0.5 × a 4-decimal ratio lands on
+    // .xxxx5 exactly, which Spark's BigDecimal HALF_UP and DuckDB's
+    // float round resolve differently — 20 hash-breaking rows). Same
+    // rule as text_token_hist/text_tfidf/ev_anomaly.
     Tables.documents(s, d)
       .select($"doc_id", length($"text").cast("long").as("n_chars_m"),
-        nWords.as("n_words"),
-        round(when(nWords === 0, 0.0).otherwise(nStop.cast("double") / nWords), 4)
-          .as("stopword_ratio"),
-        round(when(nWords === 0, 0.0).otherwise(nUniq.cast("double") / nWords), 4)
-          .as("uniq_ratio"),
-        nPunct.as("n_punct"),
-        round(when(nWords === 0, 0.0)
-          .otherwise(length(regexp_replace($"text", " ", "")).cast("double") / nWords), 4)
-          .as("avg_word_len"))
-      .withColumn("quality_score",
-        round(when($"n_words" >= 20, 1.0).otherwise(0.5) * $"uniq_ratio" *
-          when($"stopword_ratio" > 0.01, 1.0).otherwise(0.8), 4))
+        nWords.as("n_words"), nPunct.as("n_punct"),
+        nStop.as("nstop_tmp"), nUniq.as("nuniq_tmp"),
+        length(regexp_replace($"text", " ", "")).cast("long").as("nosp_tmp"))
+      .withColumn("stopword_ppm",
+        when($"n_words" === 0, 0L)
+          .otherwise(expr("nstop_tmp * 1000000 div n_words")))
+      .withColumn("uniq_ppm",
+        when($"n_words" === 0, 0L)
+          .otherwise(expr("nuniq_tmp * 1000000 div n_words")))
+      .withColumn("avg_wlen_milli",
+        when($"n_words" === 0, 0L)
+          .otherwise(expr("nosp_tmp * 1000 div n_words")))
+      .withColumn("quality_ppm",
+        expr("""uniq_ppm * (CASE WHEN n_words >= 20 THEN 2 ELSE 1 END)
+               | * (CASE WHEN stopword_ppm > 10000 THEN 5 ELSE 4 END) div 10""".stripMargin))
+      .select($"doc_id", $"n_chars_m", $"n_words", $"stopword_ppm",
+        $"uniq_ppm", $"n_punct", $"avg_wlen_milli", $"quality_ppm")
       .orderBy($"doc_id")
   }
 
@@ -94,16 +106,6 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
-  /** END-TO-END curation pipeline — the composition a training-data
-    * run actually executes: score quality → drop short/low-quality
-    * docs → drop exact-duplicate non-keepers → emit the curated set.
-    * The quality stage is the same per-row scoring as [[text_quality]]
-    * (scan-speed map); the dedup stage keeps each content hash's min
-    * doc_id via a window min — ONE scan and ONE shuffle on the content
-    * hash (a groupBy-keepers + join-back self-join would recompute the
-    * scoring lineage once per join side). Hash-oracled end to end —
-    * this is the one dedup-involving query whose FULL composition the
-    * DuckDB oracle can verify. */
   /** The quality-score + filter stage of the curation pipeline, shared
     * VERBATIM by [[text_pipeline]] (batch) and
     * [[graft.streaming.StreamingOps.curateStream]] (streaming): input
@@ -121,17 +123,29 @@ object TextOps {
     val passthrough = docs.columns.filter(_ == "ingest_ts").map(col).toSeq
     docs
       .select(Seq($"doc_id", md5($"text".cast("binary")).as("h"),
-        nWords.as("n_words"),
-        round(when(nWords === 0, 0.0).otherwise(nStop.cast("double") / nWords), 4)
-          .as("stopword_ratio"),
-        round(when(nWords === 0, 0.0).otherwise(nUniq.cast("double") / nWords), 4)
-          .as("uniq_ratio")) ++ passthrough: _*)
-      .withColumn("quality_score",
-        round(when($"n_words" >= 20, 1.0).otherwise(0.5) * $"uniq_ratio" *
-          when($"stopword_ratio" > 0.01, 1.0).otherwise(0.8), 4))
-      .filter($"n_words" >= 10 && $"quality_score" >= 0.5)
+        nWords.as("n_words"), nStop.as("nstop_tmp"),
+        nUniq.as("nuniq_tmp")) ++ passthrough: _*)
+      .withColumn("stopword_ppm", when($"n_words" === 0, 0L)
+        .otherwise(expr("nstop_tmp * 1000000 div n_words")))
+      .withColumn("uniq_ppm", when($"n_words" === 0, 0L)
+        .otherwise(expr("nuniq_tmp * 1000000 div n_words")))
+      .withColumn("quality_ppm",
+        expr("""uniq_ppm * (CASE WHEN n_words >= 20 THEN 2 ELSE 1 END)
+               | * (CASE WHEN stopword_ppm > 10000 THEN 5 ELSE 4 END) div 10""".stripMargin))
+      .drop("nstop_tmp", "nuniq_tmp")
+      .filter($"n_words" >= 10 && $"quality_ppm" >= 500000L)
   }
 
+  /** END-TO-END curation pipeline — the composition a training-data
+    * run actually executes: score quality → drop short/low-quality
+    * docs → drop exact-duplicate non-keepers → emit the curated set.
+    * The quality stage is [[curationScored]] (scan-speed map, shared
+    * verbatim with the streaming form); the dedup stage keeps each
+    * content hash's min doc_id via a window min — ONE scan and ONE
+    * shuffle on the content hash (a groupBy-keepers + join-back
+    * self-join would recompute the scoring lineage once per join
+    * side). Hash-oracled end to end — this is the one dedup-involving
+    * query whose FULL composition the DuckDB oracle can verify. */
   def text_pipeline(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val scored = curationScored(Tables.documents(s, d))
@@ -139,7 +153,7 @@ object TextOps {
       .withColumn("keeper",
         min($"doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy($"h")))
       .filter($"doc_id" === $"keeper")
-      .select($"doc_id", $"n_words", $"quality_score")
+      .select($"doc_id", $"n_words", $"quality_ppm")
       .orderBy($"doc_id")
   }
 
@@ -168,17 +182,17 @@ object TextOps {
     // referenced three times (cluster membership twice via `clustered`,
     // final anti-join); persisted so the quality-scoring scan of
     // `documents` runs once — the persisted rows are (doc_id, n_words,
-    // quality_score), a fixed 24 B/row regardless of document size
+    // quality_ppm), a fixed 24 B/row regardless of document size
     val curated = graft.CacheRegistry.cache(text_pipeline(s, d))
     val clusters = Dedup.dedup_clusters(s, d).select($"cluster_id", $"doc_id")
     val clustered = curated.join(clusters, "doc_id")
     val keepers = clustered.groupBy($"cluster_id")
-      .agg(max_by($"doc_id", struct($"quality_score", -$"doc_id")).as("keeper"))
+      .agg(max_by($"doc_id", struct($"quality_ppm", -$"doc_id")).as("keeper"))
     val dropIds = clustered.join(keepers, "cluster_id")
       .filter($"doc_id" =!= $"keeper")
       .select($"doc_id")
     curated.join(dropIds, Seq("doc_id"), "left_anti")
-      .select($"doc_id", $"n_words", $"quality_score")
+      .select($"doc_id", $"n_words", $"quality_ppm")
       .orderBy($"doc_id")
   }
 
@@ -650,21 +664,24 @@ object TextOps {
         | FROM u a JOIN u c ON a.doc_id = c.doc_id AND c.i = a.i + 1)
         |SELECT bigram, count(*) AS n FROM b
         |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 25""".stripMargin,
+    // Exact integer ppm mirror of the Spark side (integral division on
+    // both engines) — the rounded-double form hash-broke at sf0.1 on
+    // the 0.5 × .xxxx5 midpoint (HALF_UP vs float round).
     "text_quality" ->
-      """SELECT doc_id, n_chars_m, n_words, stopword_ratio, uniq_ratio, n_punct, avg_word_len,
-        | round((CASE WHEN n_words >= 20 THEN 1.0 ELSE 0.5 END) * uniq_ratio *
-        |   (CASE WHEN stopword_ratio > 0.01 THEN 1.0 ELSE 0.8 END), 4) AS quality_score
+      """SELECT doc_id, n_chars_m, n_words, stopword_ppm, uniq_ppm, n_punct, avg_wlen_milli,
+        | uniq_ppm * (CASE WHEN n_words >= 20 THEN 2 ELSE 1 END)
+        |  * (CASE WHEN stopword_ppm > 10000 THEN 5 ELSE 4 END) // 10 AS quality_ppm
         |FROM (
         | SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m,
         |  CAST(len(words) AS BIGINT) AS n_words,
-        |  round(CASE WHEN len(words) = 0 THEN 0.0 ELSE
-        |    CAST(len(list_filter(words, w -> w IN ('the','a','an','of','and','to','in','is','it'))) AS DOUBLE)
-        |    / len(words) END, 4) AS stopword_ratio,
-        |  round(CASE WHEN len(words) = 0 THEN 0.0 ELSE
-        |    CAST(len(list_distinct(words)) AS DOUBLE) / len(words) END, 4) AS uniq_ratio,
+        |  CASE WHEN len(words) = 0 THEN CAST(0 AS BIGINT) ELSE
+        |    CAST(len(list_filter(words, w -> w IN ('the','a','an','of','and','to','in','is','it'))) AS BIGINT)
+        |    * 1000000 // len(words) END AS stopword_ppm,
+        |  CASE WHEN len(words) = 0 THEN CAST(0 AS BIGINT) ELSE
+        |    CAST(len(list_distinct(words)) AS BIGINT) * 1000000 // len(words) END AS uniq_ppm,
         |  CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS BIGINT) AS n_punct,
-        |  round(CASE WHEN len(words) = 0 THEN 0.0 ELSE
-        |    CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE) / len(words) END, 4) AS avg_word_len
+        |  CASE WHEN len(words) = 0 THEN CAST(0 AS BIGINT) ELSE
+        |    CAST(length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) * 1000 // len(words) END AS avg_wlen_milli
         | FROM (SELECT doc_id, text,
         |   list_filter(string_split(lower(text), ' '), w -> w <> '') AS words
         |  FROM documents))
@@ -679,17 +696,17 @@ object TextOps {
       """WITH scored AS (
         | SELECT doc_id, md5(text) AS h,
         |  CAST(len(words) AS BIGINT) AS n_words,
-        |  round((CASE WHEN len(words) >= 20 THEN 1.0 ELSE 0.5 END)
-        |   * round(CASE WHEN len(words) = 0 THEN 0.0 ELSE
-        |      CAST(len(list_distinct(words)) AS DOUBLE) / len(words) END, 4)
-        |   * (CASE WHEN round(CASE WHEN len(words) = 0 THEN 0.0 ELSE
-        |      CAST(len(list_filter(words, w -> w IN ('the','a','an','of','and','to','in','is','it'))) AS DOUBLE)
-        |      / len(words) END, 4) > 0.01 THEN 1.0 ELSE 0.8 END), 4) AS quality_score
+        |  (CASE WHEN len(words) = 0 THEN CAST(0 AS BIGINT) ELSE
+        |    CAST(len(list_distinct(words)) AS BIGINT) * 1000000 // len(words) END)
+        |   * (CASE WHEN len(words) >= 20 THEN 2 ELSE 1 END)
+        |   * (CASE WHEN (CASE WHEN len(words) = 0 THEN CAST(0 AS BIGINT) ELSE
+        |      CAST(len(list_filter(words, w -> w IN ('the','a','an','of','and','to','in','is','it'))) AS BIGINT)
+        |      * 1000000 // len(words) END) > 10000 THEN 5 ELSE 4 END) // 10 AS quality_ppm
         | FROM (SELECT doc_id, text,
         |   list_filter(string_split(lower(text), ' '), w -> w <> '') AS words
         |  FROM documents)),
-        |kept AS (SELECT * FROM scored WHERE n_words >= 10 AND quality_score >= 0.5)
-        |SELECT k.doc_id, k.n_words, k.quality_score
+        |kept AS (SELECT * FROM scored WHERE n_words >= 10 AND quality_ppm >= 500000)
+        |SELECT k.doc_id, k.n_words, k.quality_ppm
         |FROM kept k JOIN (SELECT h, min(doc_id) AS doc_id FROM kept GROUP BY 1) m
         | ON k.h = m.h AND k.doc_id = m.doc_id
         |ORDER BY k.doc_id""".stripMargin,

@@ -124,7 +124,7 @@ object StreamingOps extends Serializable {
     graft.operators.TextOps.curationScored(docs)
       .withWatermark("ingest_ts", delay)
       .dropDuplicatesWithinWatermark("h")
-      .select(col("doc_id"), col("h"), col("n_words"), col("quality_score"))
+      .select(col("doc_id"), col("h"), col("n_words"), col("quality_ppm"))
 
   /** Gap-based sessionization via the built-in session_window (the
     * production streaming path for ev_sessionize): sessions close when

@@ -138,7 +138,7 @@ class DedupSpec extends SparkSpec {
 
   test("dedup_resolve_best keeps exactly the highest-quality doc per cluster") {
     val rows = Dedup.dedup_resolve_best(spark, sf0001).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
     assert(rows.nonEmpty)
     rows.groupBy(_._1).foreach { case (cid, members) =>
       val keepers = members.filter(_._4)

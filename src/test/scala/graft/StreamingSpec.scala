@@ -427,11 +427,11 @@ class StreamingSpec extends SparkSpec {
       ms.addData(b2 ++ b1.take(30).map(d => d.copy(ingest_ts = ts(rows.length + 1))))
       drain(q)
       val got = spark.table("t_curate")
-        .select($"doc_id", $"h", $"n_words", $"quality_score").collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .select($"doc_id", $"h", $"n_words", $"quality_ppm").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
       assert(got.length > afterB1, "batch 2 contributed no new content")
       val batch = graft.operators.TextOps.text_pipeline(spark, sf0001).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       // one survivor per content, and exactly the batch pipeline's
       // content set (kept doc_id may differ only when duplicates share
       // a micro-batch — partition order picks the survivor there; the
@@ -441,8 +441,8 @@ class StreamingSpec extends SparkSpec {
       assert(got.map(_._2).distinct.length == got.length, "duplicate content kept")
       val scoredByDoc = graft.operators.TextOps
         .curationScored(Tables.documents(spark, sf0001))
-        .select($"doc_id", $"h", $"n_words", $"quality_score").collect()
-        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getDouble(3))).toMap
+        .select($"doc_id", $"h", $"n_words", $"quality_ppm").collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
       val batchHashes = batch.map { case (id, _, _) => scoredByDoc(id)._1 }.toSet
       got.foreach { case (id, h, nw, qs) =>
         val (eh, enw, eqs) = scoredByDoc.getOrElse(id,

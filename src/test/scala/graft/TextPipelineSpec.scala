@@ -89,12 +89,12 @@ class TextPipelineSpec extends SparkSpec {
   }
 
   test("text_pipeline_near keeps one best-quality survivor per near-dup cluster") {
-    // doc_id -> quality_score maps of the near-dup-resolved result and
+    // doc_id -> quality_ppm maps of the near-dup-resolved result and
     // the exact-dedup-only pipeline it must refine
     val near = TextOps.text_pipeline_near(spark, sf001).collect()
-      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
     val full = TextOps.text_pipeline(spark, sf001).collect()
-      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(near.nonEmpty)
     // refinement: only ever removes docs, never adds or rescores
     assert(near.keySet.subsetOf(full.keySet), "near-dup pass added docs")
