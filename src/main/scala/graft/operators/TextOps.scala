@@ -477,6 +477,38 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** EPOCH MIXTURE materialization — the step [[text_sample]] cannot
+    * express: real training mixes need rates ABOVE 1 (a rare language
+    * seen 2.25× per epoch, a dominant one 0.9×). Each doc emits
+    * floor(rate) full copies plus one extra with probability
+    * frac(rate), decided by the same salted-md5 bucket device as
+    * text_split/text_sample (a pure function of doc_id — stable across
+    * runs, partitionings, and engines; salt "epoch:" keeps the draw
+    * independent of both). Output is (doc_id, lang, copy_idx) — the
+    * materialized per-epoch read plan a dataloader consumes.
+    *
+    * Plan: per-row map + explode; output volume = Σ rates·docs, no
+    * shuffle at all. The guarded `sequence` keeps rate < 1 drops legal
+    * (Spark's sequence(1, 0) throws rather than returning empty). */
+  def text_mixture_epochs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ratePm = when($"lang" === "en", 900L)
+      .when($"lang" === "fr" || $"lang" === "es", 1500L)
+      .when($"lang" === "de", 2250L)
+      .otherwise(500L)
+    Tables.documents(s, d)
+      .select($"doc_id", $"lang", ratePm.as("rate_pm"),
+        (conv(substring(md5(concat(lit("epoch:"), $"doc_id".cast("string"))), 1, 8),
+          16, 10).cast("long") % 1000).as("bucket"))
+      .withColumn("n_copies",
+        expr("rate_pm div 1000") +
+          when($"bucket" < $"rate_pm" % 1000, 1L).otherwise(0L))
+      .select($"doc_id", $"lang",
+        explode(when($"n_copies" >= 1L, sequence(lit(1L), $"n_copies"))
+          .otherwise(array())).as("copy_idx"))
+      .orderBy($"doc_id", $"copy_idx")
+  }
+
   /** Per-language SALIENT TERMS (tf-idf family) — the vocabulary
     * audit behind contamination and domain-shift checks: for each
     * language slice, the terms most over-represented relative to how
@@ -520,6 +552,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pack" -> ((s, d) => text_pack(s, d)),
     "text_sample" -> text_sample _,
+    "text_mixture_epochs" -> text_mixture_epochs _,
     "text_tfidf" -> text_tfidf _,
     "text_normalize" -> text_normalize _,
     "text_pii_scrub" -> text_pii_scrub _,
@@ -555,6 +588,23 @@ object TextOps {
         | (start_off + greatest(n_tokens, 1) - 1) // 2048
         |   - start_off // 2048 + 1 AS n_ctx
         |FROM c ORDER BY doc_id""".stripMargin,
+    "text_mixture_epochs" ->
+      """WITH b AS (
+        | SELECT doc_id, lang,
+        |  CAST(CAST(('0x' || substr(md5('epoch:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+        |    % 1000 AS BIGINT) AS bucket,
+        |  CASE WHEN lang = 'en' THEN 900
+        |       WHEN lang IN ('fr', 'es') THEN 1500
+        |       WHEN lang = 'de' THEN 2250
+        |       ELSE 500 END AS rate_pm
+        | FROM documents),
+        |n AS (
+        | SELECT doc_id, lang,
+        |  rate_pm // 1000 + CASE WHEN bucket < rate_pm % 1000 THEN 1 ELSE 0 END AS n_copies
+        | FROM b)
+        |SELECT doc_id, lang, CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy_idx
+        |FROM n WHERE n_copies >= 1
+        |ORDER BY doc_id, copy_idx""".stripMargin,
     "text_sample" ->
       """WITH b AS (
         | SELECT doc_id, lang,

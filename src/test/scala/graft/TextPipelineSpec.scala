@@ -151,6 +151,37 @@ class TextPipelineSpec extends SparkSpec {
       s"expected {1->1, 2->3}, got $got")
   }
 
+  test("text_mixture_epochs emits floor/ceil copies at the per-language rate") {
+    import spark.implicits._
+    val rates = Map("en" -> 0.9, "fr" -> 1.5, "es" -> 1.5, "de" -> 2.25)
+    val rows = TextOps.text_mixture_epochs(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val perDoc = rows.groupBy(_._1)
+    // copy_idx is contiguous 1..n per doc
+    perDoc.foreach { case (id, cs) =>
+      assert(cs.map(_._3).sorted.toSeq == (1L to cs.length).toSeq,
+        s"doc $id copy indices not contiguous")
+    }
+    val langOf = Tables.documents(spark, sf001)
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toMap
+    val nByLang = langOf.groupBy(_._2).view.mapValues(_.size).toMap
+    // every doc gets floor(rate) or ceil(rate) copies (zero allowed
+    // only when rate < 1), and the realized per-language mean tracks
+    // the rate (md5 buckets are uniform; 10% tolerance at this n)
+    langOf.foreach { case (id, lang) =>
+      val rate = rates.getOrElse(lang, 0.5)
+      val n = perDoc.get(id).map(_.length).getOrElse(0)
+      assert(n == math.floor(rate).toInt || n == math.ceil(rate).toInt,
+        s"doc $id ($lang, rate $rate) got $n copies")
+    }
+    rates.foreach { case (lang, rate) =>
+      val total = rows.count(_._2 == lang).toDouble
+      val mean = total / nByLang(lang)
+      assert(math.abs(mean - rate) < rate * 0.1,
+        s"$lang realized rate $mean vs target $rate")
+    }
+  }
+
   test("text_repetition flags a stamped phrase and passes varied text") {
     import spark.implicits._
     val fixtures = Seq(
