@@ -30,10 +30,13 @@ object Multimodal {
       1 + math.floorMod(h >> 8, 240).toInt)
   }
 
-  /** Binary payload column + typed metadata extraction. Per-partition
-    * iteration mirrors a real decoder's batch shape (one codec init per
-    * partition, streamed rows). Pure map — no shuffle at 100 TB. */
-  def mm_meta(s: SparkSession, d: String): DataFrame = {
+  /** Sort-free decode stage shared by every consumer: the registered
+    * queries append their own deterministic `orderBy`, pipeline
+    * consumers ([[featureVectors]], [[mm_near_dups]]) must NOT inherit
+    * a global range-partition sort in the middle of their lineage
+    * (r10's unexplained mm_near_dups cost was partly these interior
+    * Exchanges+Sorts, twice — once per union branch). */
+  private def metaRaw(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
       .select($"doc_id", encode($"text", "UTF-8").as("payload"))
@@ -43,7 +46,22 @@ object Multimodal {
         it.map { case (id, payload) => fakeDecode(id, payload) }
       }
       .toDF()
-      .orderBy($"doc_id")
+  }
+
+  /** Binary payload column + typed metadata extraction. Per-partition
+    * iteration mirrors a real decoder's batch shape (one codec init per
+    * partition, streamed rows). Pure map — no shuffle at 100 TB. */
+  def mm_meta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    metaRaw(s, d).orderBy($"doc_id")
+  }
+
+  private def framesRaw(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    metaRaw(s, d).select($"doc_id", $"n_frames",
+        explode(sequence(lit(0), $"n_frames" - 1, lit(10))).as("frame_idx"))
+      .select($"doc_id", $"frame_idx",
+        xxhash64($"doc_id", $"frame_idx").as("frame_fp"))
   }
 
   /** Frame sampling plumbing: every 10th frame index exploded to its
@@ -51,12 +69,7 @@ object Multimodal {
     * frame, extract features"). */
   def mm_framesample(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val meta = mm_meta(s, d)
-    meta.select($"doc_id", $"n_frames",
-        explode(sequence(lit(0), $"n_frames" - 1, lit(10))).as("frame_idx"))
-      .select($"doc_id", $"frame_idx",
-        xxhash64($"doc_id", $"frame_idx").as("frame_fp"))
-      .orderBy($"doc_id", $"frame_idx")
+    framesRaw(s, d).orderBy($"doc_id", $"frame_idx")
   }
 
   /** Per-frame feature extraction + per-doc pooling — the
@@ -69,10 +82,10 @@ object Multimodal {
     * operators. Frame explode and feature map are shuffle-free; the
     * only shuffle is the per-doc pooling groupBy — map-side combined,
     * one pass at 100 TB. */
-  def featureVectors(s: SparkSession, d: String): DataFrame = {
+  private def pooledRaw(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val dim = 16
-    val frames = mm_framesample(s, d)
+    val frames = framesRaw(s, d)
       .select($"doc_id", $"frame_idx", $"frame_fp")
       .as[(Long, Int, Long)]
       .mapPartitions { it =>
@@ -94,7 +107,13 @@ object Multimodal {
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_frames_pooled"),
         array((0 until dim).map(i => round(avg($"feat"(i)), 6)): _*).as("doc_embedding"))
-      .orderBy($"doc_id")
+  }
+
+  /** Public sorted form of [[pooledRaw]] — the typed `array<double>`
+    * embedding surface the §2.6 operators consume. */
+  def featureVectors(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    pooledRaw(s, d).orderBy($"doc_id")
   }
 
   /** Registered form of [[featureVectors]]: identical pooling, with the
@@ -105,7 +124,7 @@ object Multimodal {
     * typed `array<double>` call [[featureVectors]] directly. */
   def mm_features(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    featureVectors(s, d)
+    pooledRaw(s, d)
       .withColumn("doc_embedding", concat_ws(",", $"doc_embedding".cast("array<string>")))
       .orderBy($"doc_id")
   }
@@ -135,15 +154,27 @@ object Multimodal {
     * — linear at 100 TB, no all-pairs anywhere. */
   def mm_near_dups(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val base = featureVectors(s, d)
-      .select($"doc_id".as("id"), $"doc_embedding".as("vec"))
+    // base feeds BOTH union branches (itself + the variant map), so
+    // unpersisted the full decode→explode→feature→pool lineage would
+    // run twice — this, plus the interior orderBys the raw stages now
+    // avoid, was the bulk of r10's unexplained 3.7 s. The cached rows
+    // are one (id, 16-dim vec) per doc: tiny.
+    val base = graft.CacheRegistry.cache(pooledRaw(s, d)
+      .select($"doc_id".as("id"), $"doc_embedding".as("vec")))
     val variants = base.filter($"id" % 10 === 0)
       .select($"id".bitwiseOR(lit(1L << 62)).as("id"),
         transform($"vec", (x, i) =>
           x + (pmod(xxhash64($"id", i), lit(2001)) - 1000)
             .cast("double") / 1000000.0).as("vec"))
+    // 16x16-bit bands (vs the former 8x8): planted re-encode pairs sit
+    // at cos ~0.9953 (plane-agreement p ~0.969), so a 16-bit band
+    // matches w.p. p^16 ~ 0.60 and 16 bands miss a true pair w.p.
+    // 0.40^16 ~ 4e-7 — recall still ~1 — while unrelated vectors
+    // collide per band at ~2^-16 instead of 2^-8. r11 profile: at r=8
+    // a 5.5k-doc corpus generated 1.62M candidate pairs (the dominant
+    // 3.4 s of the query); r=16 makes candidates ~linear again.
     val pairs = Dedup.embeddingLshPairs(
-      base.unionByName(variants), threshold = 0.995, bands = 8, r = 8, dim = 16)
+      base.unionByName(variants), threshold = 0.995, bands = 16, r = 16, dim = 16)
     pairs
       .select($"id", $"id2", round($"cos_sim", 6).as("cos_sim"))
       .orderBy($"id", $"id2")
