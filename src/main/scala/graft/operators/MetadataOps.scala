@@ -293,8 +293,194 @@ object MetadataOps {
       .orderBy($"bucket")
   }
 
+  /** One compacted container: the packed small-file payloads plus the
+    * (doc_id, offset, length) index a reader needs to address each
+    * member — the HAR part-file + index shape. */
+  final case class IndexEntry(doc_id: Long, off: Long, len: Long)
+  final case class ContainerBin(source: String, bin_id: Long, files_in: Long,
+      bytes_in: Long, index: Seq[IndexEntry], container: Array[Byte])
+
+  /** Small files of `documents` assigned to size-aware compaction bins:
+    * per directory, files pack greedily in doc_id order until the
+    * running size passes the bin capacity (a file belongs to the bin
+    * its START offset falls in, so bins target `bin` bytes and overrun
+    * by at most one small file — HAR part files target a size, they
+    * don't hard-cap it). The per-directory cumsum is a window keyed on
+    * `source`; a pathologically hot directory funnels through one
+    * task's sort, and the escape hatch is the same two-phase
+    * decomposition [[TextOps.text_pack]] uses for its GLOBAL cumsum. */
+  private def smallBinned(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val threshold = 256L; val bin = 1024L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .filter($"n_chars" < threshold)
+      .select($"doc_id", $"source", encode($"text", "UTF-8").as("payload"), $"n_chars")
+      .withColumn("start_off", coalesce(sum($"n_chars").over(w), lit(0L)))
+      .withColumn("bin_id", expr(s"start_off div $bin"))
+      .select($"source", $"bin_id", $"doc_id", $"payload")
+  }
+
+  /** Pack each (source, bin) group into ONE container blob + index.
+    * Typed mapGroups: one linear pass per bin (bins hold a handful of
+    * small files by construction), exactly a HAR part-file writer's
+    * loop. The groupBy shuffles the small-file BYTES — inherent to
+    * compaction; the bytes must physically co-locate to merge. */
+  private def packContainers(binned: DataFrame): DataFrame = {
+    import binned.sparkSession.implicits._
+    binned.as[(String, Long, Long, Array[Byte])]
+      .groupByKey { case (src, bin, _, _) => (src, bin) }
+      .mapGroups { (key: (String, Long), it: Iterator[(String, Long, Long, Array[Byte])]) =>
+        val (src, bin) = key
+        val rows = it.toArray.sortBy(_._3)
+        val out = new java.io.ByteArrayOutputStream()
+        val idx = rows.map { case (_, _, id, p) =>
+          val off = out.size().toLong; out.write(p); IndexEntry(id, off, p.length.toLong)
+        }
+        ContainerBin(src, bin, rows.length.toLong, out.size().toLong,
+          idx.toIndexedSeq, out.toByteArray)
+      }
+      .toDF()
+  }
+
+  /** Slice a container table back into per-file rows via its index —
+    * the read path a compacted-store client runs. Pure map. */
+  def unpackContainers(containers: DataFrame): DataFrame =
+    containers
+      .select(col("source"), col("bin_id"), explode(col("index")).as("e"), col("container"))
+      .select(col("source"), col("bin_id"), col("e.doc_id").as("doc_id"),
+        expr("substring(container, CAST(e.off AS INT) + 1, CAST(e.len AS INT))").as("payload"))
+
+  /** Order-independent per-bin fingerprints of (doc_id, payload) rows —
+    * [[copyFingerprints]]' triple (count / bit_xor / wrap-safe sum),
+    * keyed on the compaction bin instead of a hash bucket. */
+  def binFingerprints(rows: DataFrame, side: String): DataFrame = {
+    val fp = xxhash64(col("doc_id"), col("payload"))
+    rows.select(col("source"), col("bin_id"), fp.as("fp"))
+      .groupBy(col("source"), col("bin_id"))
+      .agg(count(lit(1)).as(s"${side}_rows"),
+        expr("bit_xor(fp)").as(s"${side}_xor"),
+        sum(pmod(col("fp"), lit(1L << 40))).as(s"${side}_sum"))
+  }
+
+  /** Compare the pre-write small-file rows against the rows sliced back
+    * out of the (read-back) containers: full-outer on the bin key so a
+    * LOST bin surfaces as verified=false, not as a vanished row —
+    * negative-tested in MetadataSpec like fs_copy_verify. */
+  def compactVerify(binned: DataFrame, back: DataFrame): DataFrame = {
+    import binned.sparkSession.implicits._
+    val report = back.select($"source", $"bin_id", $"files_in", $"bytes_in")
+    binFingerprints(binned, "src")
+      .join(binFingerprints(unpackContainers(back), "dst"), Seq("source", "bin_id"), "full_outer")
+      .join(report, Seq("source", "bin_id"), "left_outer")
+      .withColumn("verified",
+        $"src_rows" <=> $"dst_rows" && $"src_xor" <=> $"dst_xor" &&
+          $"src_sum" <=> $"dst_sum")
+      .select($"source", $"bin_id", $"files_in", $"bytes_in",
+        lit(1L).as("files_out"), $"verified")
+      .orderBy($"source", $"bin_id")
+  }
+
+  /** Small-file COMPACTION, executed — the archiving step
+    * [[fs_small_files]] only plans (reference: hadoop-tools/
+    * hadoop-archives/src/main/java/org/apache/hadoop/tools/
+    * HadoopArchives.java packs small files into HAR part files +
+    * index; small-files-in-the-DB is the reference's headline,
+    * README.md:7). Pipeline: bin the small files per directory
+    * ([[smallBinned]]), pack each bin into one container blob with a
+    * (doc_id, offset, length) index ([[packContainers]]), EAGERLY
+    * write the container table (the compaction artifact — same
+    * dest-resolution contract as [[fs_copy_verify]]), read it back,
+    * slice every file back out of the physical artifact, and
+    * fingerprint-verify per bin. Report: one row per bin — files_in,
+    * bytes_in, files_out=1, verified (all-true gated in MetadataSpec).
+    * oracle=rows (the artifact lives outside the oracle's view).
+    *
+    * Scale: binning is one window per directory key; packing is one
+    * shuffle of small-file bytes (inherent — compaction must co-locate
+    * the bytes it merges); verify is two map-side-combined aggs + a
+    * bin-keyed join. Linear at 100 TB, and the artifact write is
+    * embarrassingly parallel across bins. */
+  def fs_compact(s: SparkSession, d: String,
+                 destDir: Option[String] = None): DataFrame = {
+    import s.implicits._
+    val binned = graft.CacheRegistry.cache(smallBinned(s, d))
+    val compactDir = destDir
+      .orElse(s.conf.getOption("graft.compact.dest"))
+      .getOrElse {
+        val wh = s.conf.get("spark.sql.warehouse.dir")
+        val app = s.sparkContext.applicationId
+        val name = d.replaceAll("[^A-Za-z0-9._-]", "_")
+        s"$wh/graft_compact/$app/$name"
+      }
+    packContainers(binned).write.mode("overwrite").parquet(compactDir)
+    compactVerify(binned, s.read.parquet(compactDir))
+  }
+
+  /** Snapshot temporal diff — `hdfs snapshotDiff` / DistCp `-diff`
+    * semantics (reference: hadoop-hdfs-project/hadoop-hdfs/.../
+    * protocol/SnapshotDiffReport.java — the added/deleted/modified
+    * report between two filesystem snapshots that drives incremental
+    * copy). Two PHYSICAL snapshots are written: A = the inode table
+    * as-is; B = a deterministic mutation (every doc_id % 17 == 3
+    * deleted, % 11 == 5 modified to bytes*2+7, % 13 == 7 re-created
+    * under a new id namespace with bytes+11). The diff reads both
+    * artifacts back and full-outer-joins on the file key — CREATE /
+    * DELETE / MODIFY rows with byte deltas, exactly the report shape.
+    * The mutation rule is pure arithmetic on `documents`, so the
+    * DuckDB oracle recomputes both snapshots logically and the diff is
+    * hash-verified end to end despite the physical round-trip.
+    *
+    * Scale: snapshot writes are embarrassingly parallel scans; the
+    * diff is ONE shuffle join on the file key. At 100 TB this is the
+    * standard incremental-copy planning pass. */
+  def fs_snapshot_diff(s: SparkSession, d: String,
+                       destDir: Option[String] = None): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id", $"source", $"n_chars")
+    val snapA = docs
+    val snapB = docs.filter($"doc_id" % 17 =!= 3)
+      .select($"doc_id", $"source",
+        when($"doc_id" % 11 === 5, $"n_chars" * 2 + 7)
+          .otherwise($"n_chars").as("n_chars"))
+      .unionByName(docs.filter($"doc_id" % 13 === 7)
+        .select(($"doc_id" + lit(1L << 40)).as("doc_id"), $"source",
+          ($"n_chars" + 11).as("n_chars")))
+    val base = destDir
+      .orElse(s.conf.getOption("graft.snapshot.dest"))
+      .getOrElse {
+        val wh = s.conf.get("spark.sql.warehouse.dir")
+        val app = s.sparkContext.applicationId
+        val name = d.replaceAll("[^A-Za-z0-9._-]", "_")
+        s"$wh/graft_snapshot/$app/$name"
+      }
+    snapA.write.mode("overwrite").parquet(s"$base/snap_a")
+    snapB.write.mode("overwrite").parquet(s"$base/snap_b")
+    val a = s.read.parquet(s"$base/snap_a")
+      .select($"doc_id", $"source".as("source_a"), $"n_chars".as("bytes_a"))
+    val b = s.read.parquet(s"$base/snap_b")
+      .select($"doc_id", $"source".as("source_b"), $"n_chars".as("bytes_b"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("change",
+        when($"bytes_b".isNull, "DELETE")
+          .when($"bytes_a".isNull, "CREATE")
+          .when($"bytes_a" =!= $"bytes_b", "MODIFY")
+          .otherwise("UNCHANGED"))
+      .filter($"change" =!= "UNCHANGED")
+      .select($"doc_id", coalesce($"source_a", $"source_b").as("source"),
+        $"change",
+        coalesce($"bytes_a", lit(0L)).as("bytes_a"),
+        coalesce($"bytes_b", lit(0L)).as("bytes_b"),
+        (coalesce($"bytes_b", lit(0L)) - coalesce($"bytes_a", lit(0L))).as("bytes_delta"))
+      .orderBy($"doc_id", $"change")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fs_copy_verify" -> ((s, d) => fs_copy_verify(s, d)),
+    "fs_compact" -> ((s, d) => fs_compact(s, d)),
+    "fs_snapshot_diff" -> ((s, d) => fs_snapshot_diff(s, d)),
     "fs_du" -> fs_du _,
     "fs_size_percentiles" -> fs_size_percentiles _,
     "fs_small_files" -> fs_small_files _,
@@ -307,6 +493,29 @@ object MetadataOps {
     "ec_reconstruct" -> ec_reconstruct _)
 
   val oracle: Map[String, String] = Map(
+    // Recomputes both snapshots LOGICALLY (the mutation rule is pure
+    // arithmetic) — hash-matching the Spark side's physical write +
+    // read-back + diff proves the round-trip lossless.
+    "fs_snapshot_diff" ->
+      """WITH a AS (SELECT doc_id, source, n_chars FROM documents),
+        |b AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 11 = 5 THEN n_chars * 2 + 7 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id % 17 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 1099511627776, source, n_chars + 11
+        |  FROM documents WHERE doc_id % 13 = 7)
+        |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |  COALESCE(a.source, b.source) AS source,
+        |  CASE WHEN b.doc_id IS NULL THEN 'DELETE'
+        |       WHEN a.doc_id IS NULL THEN 'CREATE'
+        |       ELSE 'MODIFY' END AS change,
+        |  COALESCE(a.n_chars, 0) AS bytes_a,
+        |  COALESCE(b.n_chars, 0) AS bytes_b,
+        |  COALESCE(b.n_chars, 0) - COALESCE(a.n_chars, 0) AS bytes_delta
+        |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        |WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.n_chars <> b.n_chars
+        |ORDER BY 1, 3""".stripMargin,
     "fs_size_percentiles" ->
       """SELECT source, count(*) AS n_files,
         | round(percentile_cont(0.5) WITHIN GROUP (ORDER BY n_chars), 2) AS p50,

@@ -99,6 +99,62 @@ class MetadataSpec extends SparkSpec {
     assert(missing.head.isNullAt(missing.head.fieldIndex("dst_rows")))
   }
 
+  test("fs_compact packs, round-trips, and verifies every bin") {
+    import spark.implicits._
+    val dest = java.nio.file.Files.createTempDirectory("graft_compact_spec")
+      .resolve("containers").toString
+    val v = MetadataOps.fs_compact(spark, sf0001, Some(dest)).collect()
+    assert(v.nonEmpty)
+    assert(v.forall(_.getAs[Boolean]("verified")))
+    // every bin compacts to ONE container holding >= 1 file
+    assert(v.forall(r => r.getAs[Long]("files_out") === 1L &&
+      r.getAs[Long]("files_in") >= 1L))
+    // the artifact is real: containers on disk slice back to the exact
+    // small-file count
+    val back = spark.read.parquet(dest)
+    val smallCount = Tables.documents(spark, sf0001)
+      .filter($"n_chars" < 256).count()
+    assert(MetadataOps.unpackContainers(back).count() === smallCount)
+    assert(back.agg(sum(size($"index"))).as[Long].head() === smallCount)
+  }
+
+  test("fs_compact's full-outer verify surfaces a LOST bin") {
+    import spark.implicits._
+    val dest = java.nio.file.Files.createTempDirectory("graft_compact_spec")
+      .resolve("containers").toString
+    MetadataOps.fs_compact(spark, sf0001, Some(dest)).count()
+    val back = spark.read.parquet(dest)
+    // kill the most populous bin from the read-back side — an inner
+    // join would grade the loss as verified by omission
+    val victim = back.orderBy($"files_in".desc, $"source", $"bin_id")
+      .select($"source", $"bin_id").as[(String, Long)].head()
+    val tampered = back.filter(!($"source" === victim._1 && $"bin_id" === victim._2))
+    // recompute the pre-write binned rows exactly as fs_compact does
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val binned = Tables.documents(spark, sf0001)
+      .filter($"n_chars" < 256)
+      .select($"doc_id", $"source", encode($"text", "UTF-8").as("payload"), $"n_chars")
+      .withColumn("start_off", coalesce(sum($"n_chars").over(w), lit(0L)))
+      .withColumn("bin_id", expr("start_off div 1024"))
+      .select($"source", $"bin_id", $"doc_id", $"payload")
+    val report = MetadataOps.compactVerify(binned, tampered)
+      .filter($"source" === victim._1 && $"bin_id" === victim._2).collect()
+    assert(report.length === 1)
+    assert(report.head.getAs[Boolean]("verified") === false)
+    // and corrupting one container's bytes (drop the leading byte —
+    // every indexed slice shifts) breaks exactly that bin's
+    // fingerprint; an APPENDED byte would be invisible because the
+    // index slices never read past their recorded lengths
+    val corrupted = back.withColumn("container",
+      when($"source" === victim._1 && $"bin_id" === victim._2,
+        expr("substring(container, 2)")).otherwise($"container"))
+    val r2 = MetadataOps.compactVerify(binned, corrupted)
+    assert(r2.filter(!$"verified").count() >= 1)
+    assert(r2.filter($"verified").count() === r2.count() - 1)
+  }
+
   test("fs_copy_verify honors an explicit destination and keys the default by app+dataset") {
     import spark.implicits._
     val dest = java.nio.file.Files.createTempDirectory("graft_distcp_spec")
