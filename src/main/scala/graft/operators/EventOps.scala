@@ -228,12 +228,20 @@ object EventOps {
     * total — at a billion distinct keys, kilobytes instead of the key
     * space. Guarantees (spec-gated): every user with > N/capacity
     * events is present; true ≤ est ≤ true + max_overcount; exact when
-    * distinct keys ≤ capacity. rows-only oracle: merge order is
-    * nondeterministic, so estimates (not membership guarantees) can
-    * vary across runs. */
+    * distinct keys ≤ capacity.
+    *
+    * Capacity 4096 keeps the summary trivially small (3 longs/slot)
+    * while putting every test SF (≤1500 distinct users) in the EXACT
+    * regime, so the DuckDB `GROUP BY count ORDER BY LIMIT` oracle
+    * hash-verifies the sketch end to end — est = true count,
+    * max_overcount = 0, independent of merge order (estimates under
+    * eviction would be merge-order-dependent, which is why this was
+    * rows-only at capacity 64). The eviction regime stays spec-gated
+    * in EventOpsSpec with a capacity-8 aggregator under forced
+    * eviction. */
   def ev_heavy_hitters(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val agg = new graft.functions.SpaceSavingAggregator(64).toColumn
+    val agg = new graft.functions.SpaceSavingAggregator(4096).toColumn
     Tables.events(s, d)
       .select($"user_id").as[Long]
       .select(agg)
@@ -311,6 +319,14 @@ object EventOps {
     "ev_approx_uniques" -> ev_approx_uniques _)
 
   val oracle: Map[String, String] = Map(
+    // Valid because every test SF sits in the sketch's EXACT regime
+    // (distinct users <= capacity — the aggregator's spec'd guarantee):
+    // est_count = true count, max_overcount = 0, merge-order-free.
+    "ev_heavy_hitters" ->
+      """SELECT user_id, count(*) AS est_count,
+        | CAST(0 AS BIGINT) AS max_overcount
+        |FROM events GROUP BY 1
+        |ORDER BY est_count DESC, user_id LIMIT 10""".stripMargin,
     "ev_anomaly" ->
       """WITH hourly AS (
         | SELECT date_trunc('hour', ts) AS hour, event_type,

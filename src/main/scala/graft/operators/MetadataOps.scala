@@ -493,6 +493,42 @@ object MetadataOps {
     "ec_reconstruct" -> ec_reconstruct _)
 
   val oracle: Map[String, String] = Map(
+    // The XOR-parity + FNV-1-style fold IS expressible in DuckDB after
+    // all (r10 verdict item): bytes via hex() + per-byte hex cast,
+    // stripe XOR via bit_xor GROUP BY i % stripe, and the 64-bit
+    // wraparound fold via list_reduce in HUGEINT mod 2^64, mapped back
+    // to signed BIGINT. greatest(len, 1) positions + the CASE keep the
+    // empty-payload doc (parity = one zero byte) identical to the
+    // Spark side's zeroed parity buffer.
+    "ec_parity" ->
+      """WITH b AS (
+        |  SELECT doc_id, n_chars, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS len
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, n_chars, len,
+        |         greatest(1, CAST(ceil(len / 4.0) AS BIGINT)) AS stripe,
+        |         i,
+        |         CASE WHEN i < len
+        |              THEN ('0x' || substr(hx, CAST(2*i+1 AS BIGINT), 2))::BIGINT
+        |              ELSE 0 END AS byte
+        |  FROM b, LATERAL unnest(range(greatest(len, 1))) AS t(i)),
+        |parity AS (
+        |  SELECT doc_id, n_chars, stripe, i % stripe AS j, bit_xor(byte) AS pbyte
+        |  FROM pos GROUP BY 1,2,3,4),
+        |folded AS (
+        |  SELECT doc_id, n_chars, stripe,
+        |    list_reduce(
+        |      list_prepend(1469598103934665603::HUGEINT, list(pbyte ORDER BY j)),
+        |      (acc, x) -> (xor(acc::HUGEINT, x::HUGEINT)
+        |                   * 1099511628211::HUGEINT)
+        |                  % 18446744073709551616::HUGEINT) AS h
+        |  FROM parity GROUP BY 1,2,3)
+        |SELECT doc_id, n_chars AS bytes, CAST(stripe AS INTEGER) AS stripe_size,
+        |  CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |            THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT)
+        |    AS parity_fp
+        |FROM folded ORDER BY doc_id""".stripMargin,
     // Recomputes both snapshots LOGICALLY (the mutation rule is pure
     // arithmetic) — hash-matching the Spark side's physical write +
     // read-back + diff proves the round-trip lossless.

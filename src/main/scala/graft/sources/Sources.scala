@@ -84,6 +84,39 @@ object Sources {
       .orderBy($"user_id")
   }
 
+  /** The WRITE-BACK leg of DBCountPageView (reference: hadoop-mapreduce-
+    * project/.../examples/DBCountPageView.java:78 — the job both READS
+    * the pageview table and WRITES the aggregated access counts back to
+    * the database, then verifies them). [[src_jdbc_pageview]] covers the
+    * partitioned read; this query completes the round trip: read the
+    * JDBC pageview table (partitioned), aggregate it into a
+    * views-per-user distribution, `df.write.jdbc` the result back as a
+    * NEW table — the write is part of the QUERY, it is the workload —
+    * then re-read that table and return it. The DuckDB oracle computes
+    * the same distribution from the original events log, so a hash match
+    * proves the JDBC write+re-read preserved every value.
+    *
+    * Scale: only aggregates cross the JDBC boundary in either
+    * direction (the raw log never leaves columnar storage). The
+    * distribution is tiny by construction, so it is written through one
+    * connection (`coalesce(1)`); a larger write-back would instead keep
+    * its partitioning — Spark opens one JDBC connection per partition.
+    * Overwrite mode makes re-materialization idempotent. */
+  def src_jdbc_writeback(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val src = pageviewTable(s, d)
+    val outTable = s"view_hist_${dirTag(d)}"
+    s.read.jdbc(jdbcUrl, src,
+        columnName = "user_id", lowerBound = 0L, upperBound = 1L << 20,
+        numPartitions = 8, connectionProperties = jdbcProps)
+      .groupBy($"n_views").agg(count(lit(1)).as("n_users"))
+      .coalesce(1).write.mode("overwrite").jdbc(jdbcUrl, outTable, jdbcProps)
+    s.read.jdbc(jdbcUrl, outTable,
+        columnName = "n_views", lowerBound = 0L, upperBound = 1L << 10,
+        numPartitions = 4, connectionProperties = jdbcProps)
+      .orderBy($"n_views")
+  }
+
   /** Flat-file exports are table SETUP like the JDBC write: memoized
     * per (format, dir) on success under a lock, so the query body (and
     * Bench's timed passes) exercise the READ path, not a re-export. */
@@ -244,6 +277,7 @@ object Sources {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_jdbc_pageview" -> src_jdbc_pageview _,
+    "src_jdbc_writeback" -> src_jdbc_writeback _,
     "src_csv_agg" -> src_csv_agg _,
     "src_jsonl_agg" -> src_jsonl_agg _,
     "src_orc_agg" -> src_orc_agg _,
@@ -254,6 +288,11 @@ object Sources {
     "src_jdbc_pageview" ->
       """SELECT user_id, count(*) AS n_views FROM events
         |WHERE event_type = 'view' GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src_jdbc_writeback" ->
+      """SELECT n_views, count(*) AS n_users FROM (
+        |  SELECT user_id, count(*) AS n_views FROM events
+        |  WHERE event_type = 'view' GROUP BY 1)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "src_csv_agg" ->
       """SELECT p_brand, count(*) AS n_parts,
         | round(avg(p_retailprice),2) AS avg_price

@@ -65,8 +65,8 @@ class EventOpsSpec extends SparkSpec {
 
   test("ev_heavy_hitters is exact when distinct keys fit the capacity") {
     // sf0.001 has far fewer distinct users than the query's capacity
-    // (64): no eviction ever fires, so the sketch must equal the exact
-    // top-10 with zero overcount.
+    // (4096): no eviction ever fires, so the sketch must equal the
+    // exact top-10 with zero overcount.
     val got = EventOps.ev_heavy_hitters(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val exact = Tables.events(spark, sf0001)
