@@ -86,6 +86,26 @@ object Bench {
       case (n, Left(err)) => System.err.println(s"[bench] FAILED $n: $err")
       case _ =>
     }
+
+    // Host-drift canary: a FIXED, code-independent workload (bit_xor
+    // hash-fold over spark.range — pure whole-stage-codegen CPU, no
+    // I/O, untouched by any graft code change), measured min-over-3
+    // after a warmup exactly like the queries. `drift` = canary_sec /
+    // pin, where the pin is the idle-host floor measured at the
+    // driver's config (local[32], r11). Round-over-round comparisons
+    // divide per-query times by `drift` instead of hand-normalizing:
+    // r10's uniform 1.15x host inflation nearly masked a real
+    // per-query outlier.
+    val canaryPin = 0.52
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 2000000000L, 1L, 32).selectExpr("bit_xor(xxhash64(id))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    canaryOnce()
+    val canarySec = (1 to 3).map(_ => canaryOnce()).min
+    val drift = canarySec / canaryPin
+    System.err.println(f"[bench] canary $canarySec%.3f s, drift ${drift}%.2fx vs idle pin $canaryPin%.2f")
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "'") + "\""
     val qs = results.map { case (k, v) =>
@@ -95,7 +115,8 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, Right(v)) => v }.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,""" +
+        f""""canary_sec":$canarySec%.3f,"drift":$drift%.3f,"sf":"$sfDir"}"""
     println(json)
     // Also drop the line in a file: harness log capture tends to prefix
     // stdout (e.g. sbt's "[info] "), which breaks parse-the-last-line
