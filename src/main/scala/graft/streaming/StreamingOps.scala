@@ -42,6 +42,25 @@ object StreamingOps extends Serializable {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** [[windowedAgg]] expressed as SQL TEXT over a streaming temp view —
+    * the Hive-user surface (reference README.md:7) extended to the
+    * streaming half: the watermark is attached at view registration
+    * (OSS Spark SQL has no watermark clause; it is an ingest property,
+    * like the source itself), and the window/group/agg live entirely
+    * in the SQL string. The returned frame IS streaming
+    * (`isStreaming`, asserted in StreamingSpec) and plans the same
+    * stateful windowed aggregation as the DataFrame form — spec-gated
+    * equal to batch ev_window_agg. */
+  def windowedAggSql(events: DataFrame, view: String = "graft_stream_events"): DataFrame = {
+    val s = events.sparkSession
+    events.withWatermark("ts", "2 hours").createOrReplaceTempView(view)
+    s.sql(
+      s"""SELECT window.start AS hour, event_type,
+         |  count(1) AS n_events, round(sum(value), 2) AS total_value
+         |FROM $view
+         |GROUP BY window(ts, '1 hour'), event_type""".stripMargin)
+  }
+
   /** Watermarked daily approximate distinct users per event type — the
     * streaming form of the batch sketch estimator: HyperLogLog++
     * partials merge across micro-batches inside the aggregation state,

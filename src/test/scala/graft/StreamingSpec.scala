@@ -56,6 +56,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("SQL-text streaming windowed aggregate matches batch ev_window_agg") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[EvFull]
+    val df = StreamingOps.windowedAggSql(ms.toDF(), "t_wagg_sql_view")
+    // the SQL text must have planned a STREAMING stateful agg, not a
+    // batch query over a snapshot
+    assert(df.isStreaming)
+    val q = df.writeStream.format("memory").queryName("t_wagg_sql")
+      .outputMode("complete").start()
+    try {
+      ms.addData(loadEvents())
+      drain(q)
+      val got = spark.table("t_wagg_sql")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+      val exp = EventOps.ev_window_agg(spark, sf0001)
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+      assert(got == exp)
+    } finally q.stop()
+  }
+
   test("streaming windowed approx-uniques equals the batch sketch estimate") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
