@@ -11,17 +11,25 @@ import graft.operators.Dedup
   * exponent is MEASURED, not argued. Results are committed in SCALE.md.
   *
   * Inflation preserves the base corpus's duplicate structure inside
-  * each copy while making copies mutually unmatchable: copy i applies
-  * a Caesar substitution (`translate` over the rotated alphabet) to
-  * every letter, so every word — and therefore every shingle, minhash
-  * band, simhash chunk, and bottom-m gram — differs wholesale across
-  * copies. Expected behavior of a linear operator: pair counts scale
-  * exactly N× (each copy reproduces the base corpus's pairs; no
-  * cross-copy pairs), wall time scales ~N× (modulo fixed overhead),
-  * and hot-bucket-cap drops stay zero (no key becomes N× hotter,
-  * because rotated keys are distinct). A superlinear blow-up or a new
-  * cap drop here means candidate generation degrades with corpus
-  * growth — the failure mode this harness exists to catch.
+  * each copy while making copies mutually unmatchable — UP TO THE
+  * ALPHABET: copy i applies a Caesar substitution (`translate` over
+  * the alphabet rotated by i % 26) to every letter, so every word —
+  * and therefore every shingle, minhash band, simhash chunk, and
+  * bottom-m gram — differs wholesale across copies WITH DISTINCT
+  * ROTATIONS. At factor ≥ 27 the rotation WRAPS: copies i and i+26
+  * carry byte-identical text, so each wrapped copy is a planted
+  * full-corpus duplicate of its rotation-mate. Expected behavior of a
+  * linear operator: pair counts scale exactly N× for N ≤ 26 (each
+  * copy reproduces the base corpus's pairs; no cross-copy pairs);
+  * past the wrap the expectation gains the predictable cross-copy
+  * term — at N=30, 4 wrapped copies × full-corpus pair volume, which
+  * SCALE.md's 30× run confirmed to the exact pair count (an
+  * unplanned planted-duplicate test, passed). Wall time scales ~N×
+  * (modulo fixed overhead) and hot-bucket-cap drops stay zero (no
+  * key becomes N× hotter: rotated keys are distinct, and wrapped
+  * keys only double). A superlinear blow-up beyond that predicted
+  * term, or a new cap drop, means candidate generation degrades with
+  * corpus growth — the failure mode this harness exists to catch.
   *
   * Copy i offsets doc_id by i·2^40, far above any real doc_id in the
   * testdata and far below the 2^62 namespace [[operators.Multimodal

@@ -507,10 +507,16 @@ object Dedup {
     * feature-extraction stage (a vision tower at 100 TB — the single
     * most expensive producer in the pipeline), and an unpersisted
     * `sigs` recomputed that lineage 3×. The consumer releases the
-    * entry per the registry lifecycle (Bench/Verify between
-    * queries). */
+    * entry per the registry lifecycle (Bench/Verify call
+    * [[graft.CacheRegistry.releaseAll]] between queries); a LIBRARY
+    * caller outside that lifecycle would otherwise accumulate
+    * never-released MEMORY_AND_DISK entries (CacheManager holds
+    * strong refs), so `persistSigs = false` opts out — the caller
+    * then owns the one-scan trade (persist `vecs` itself, or accept
+    * the 3× recompute). */
   def embeddingLshPairs(vecs: DataFrame, threshold: Double,
-      bands: Int = 8, r: Int = 8, dim: Int = 64): DataFrame = {
+      bands: Int = 8, r: Int = 8, dim: Int = 64,
+      persistSigs: Boolean = true): DataFrame = {
     require(r <= 64, "r (band key width) must fit in one 64-bit key")
     val planes = VectorFunctions.randomPlanes(bands * r, dim)
     // One signature expression PER BAND over that band's plane slice
@@ -520,11 +526,12 @@ object Dedup {
     // being able to afford r=16 instead of r=8 cuts candidate volume
     // ~256x per band, which r11 measured as the dominant cost of
     // mm_near_dups (1.62M candidates from a 5.5k corpus at r=8).
-    val sigs = CacheRegistry.cache(vecs.select(
+    val sigsRaw = vecs.select(
       col("id") +: col("vec") +: (0 until bands).map { b =>
         VectorFunctions.hyperplaneSignature(
           col("vec"), planes.slice(b * r, (b + 1) * r)).as(s"bk$b")
-      }: _*))
+      }: _*)
+    val sigs = if (persistSigs) CacheRegistry.cache(sigsRaw) else sigsRaw
     val bandStructs = array((0 until bands).map { b =>
       struct(lit(b).as("band"), col(s"bk$b").as("bkey"))
     }: _*)

@@ -64,6 +64,12 @@ object PipeOps {
         // partially-consumed path verifies exactly once.
         val checksDone = new java.util.concurrent.atomic.AtomicBoolean(false)
         val stderrTail = new AtomicReference[String]("")
+        // The drain thread is created further down (after the writer);
+        // the listener closes over this ref so it can best-effort join
+        // the drain before reading stderrTail — without it the
+        // "consumer stopped early" message raced the drain and could
+        // carry an empty/truncated tail.
+        val errDrainRef = new AtomicReference[Thread](null)
         Option(ctx).foreach(_.addTaskCompletionListener[Unit] { c =>
           if (proc.isAlive) {
             // Consumer abandoned the stream (limit/take/cancel) while
@@ -79,10 +85,15 @@ object PipeOps {
             // Skipped when the task itself failed: the real error is
             // already propagating and must not be masked.
             val exit = proc.exitValue()
-            if (exit != 0)
+            if (exit != 0) {
+              // best-effort, bounded: the child has exited so the
+              // drain is at EOF; 200 ms only guards a wedged stream
+              Option(errDrainRef.get).foreach(t =>
+                try t.join(200) catch { case _: InterruptedException => })
               throw new IllegalStateException(
                 s"pipe command ${cmd.mkString(" ")} exited $exit " +
                   s"(consumer stopped early); stderr: ${stderrTail.get}")
+            }
           }
         })
 
@@ -156,6 +167,7 @@ object PipeOps {
         }, "graft-pipe-stderr")
         errDrain.setDaemon(true)
         errDrain.start()
+        errDrainRef.set(errDrain)
 
         val out = scala.io.Source.fromInputStream(proc.getInputStream, "UTF-8")
           .getLines()

@@ -390,10 +390,16 @@ object TextOps {
     * Plan shape at 100 TB: gram generation is the codegen'd
     * [[wordNgramsAll]] kernel (one pass per doc; the HOF formulation
     * is CodegenFallback); per-doc distinct is one shuffle on (doc,
-    * gram); the eval side is TINY by construction (benchmarks are
-    * thousands of docs, not billions) so the overlap join BROADCASTS
-    * the eval gram set — the train side never shuffles on the gram
-    * string. Oracle = the same grams as literal strings via DuckDB
+    * gram); the eval side of a REAL decontam run is TINY by
+    * construction (benchmarks are thousands of docs, not billions) so
+    * the overlap join BROADCASTS the eval gram set — the train side
+    * never shuffles on the gram string. NOTE the `doc_id % 10` eval
+    * slice here is a TEST STAND-IN sized for the synthetic corpus: it
+    * is 10% of the input, so the hard broadcast() hint is only valid
+    * because the test corpora are small. At production scale the
+    * broadcast plan requires an actually-small eval slice (the real
+    * regime); a fat eval side must drop the hint and let AQE pick the
+    * join. Oracle = the same grams as literal strings via DuckDB
     * list slicing (the text_bigrams convention), so the whole
     * composition is hash-verified. Planted-contamination gates
     * (8-word copy flagged with exact count, 7-word copy not) in
