@@ -186,5 +186,46 @@ object Multimodal {
     "mm_features" -> mm_features _,
     "mm_near_dups" -> mm_near_dups _)
 
-  val oracle: Map[String, String] = Map()
+  // mm_meta's stub decode is pure arithmetic over the payload bytes, so
+  // it IS DuckDB-expressible: the 31-multiply byte fold runs as a
+  // HUGEINT mod-2^64 list_reduce (the ec_parity technique), and Java's
+  // arithmetic shifts + floorMod are re-expressed with exact
+  // floor-division identities ((h - floorMod(h, m)) // m is exact for
+  // either // semantics because the numerator is divisible). The other
+  // three stay rows-only: frame_fp/feature hashing is xxhash64-based,
+  // which DuckDB lacks.
+  val oracle: Map[String, String] = Map(
+    "mm_meta" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS len
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, len, i,
+        |         ('0x' || substr(hx, CAST(2*i+1 AS BIGINT), 2))::BIGINT AS byte
+        |  FROM b, LATERAL unnest(range(len)) AS t(i)),
+        |folded AS (
+        |  SELECT doc_id, any_value(len) AS len,
+        |    list_reduce(
+        |      list_prepend(1125899906842597::HUGEINT, list(byte ORDER BY i)),
+        |      (acc, x) -> (acc::HUGEINT * 31 + x::HUGEINT)
+        |                  % 18446744073709551616::HUGEINT) AS hu
+        |  FROM pos GROUP BY doc_id),
+        |s AS (
+        |  SELECT doc_id, len,
+        |    CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+        |         THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT) AS h
+        |  FROM folded),
+        |sh AS (
+        |  SELECT doc_id, len, h,
+        |    ((h % 4) + 4) % 4 AS m4,
+        |    (h - (((h % 4) + 4) % 4)) // 4 AS h2,
+        |    (h - (((h % 32) + 32) % 32)) // 32 AS h5,
+        |    (h - (((h % 256) + 256) % 256)) // 256 AS h8
+        |  FROM s)
+        |SELECT doc_id, len AS n_bytes,
+        |  ['jpeg','png','wav','mp4'][CAST(m4 AS BIGINT) + 1] AS format,
+        |  CAST(320 + (((h2 % 8) + 8) % 8) * 160 AS INTEGER) AS width,
+        |  CAST(240 + (((h5 % 6) + 6) % 6) * 120 AS INTEGER) AS height,
+        |  CAST(1 + (((h8 % 240) + 240) % 240) AS INTEGER) AS n_frames
+        |FROM sh ORDER BY doc_id""".stripMargin)
 }
