@@ -529,6 +529,78 @@ object MetadataOps {
         |            THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT)
         |    AS parity_fp
         |FROM folded ORDER BY doc_id""".stripMargin,
+    // Full GF(2^8) Reed-Solomon parity cross-verified in SQL: the
+    // exp/log tables are built by a 255-step recursive CTE over the
+    // 0x11D generator cycle, the k=4/m=2 Lagrange coefficients are the
+    // fixed constants L_i(4)=[27,28,18,20] / L_i(5)=[28,27,20,18]
+    // (independent of payload — they depend only on the evaluation
+    // points), each parity byte is the 4-term GF dot product, and the
+    // FNV fold reuses the ec_parity HUGEINT mod-2^64 list_reduce.
+    "ec_parity_rs" ->
+      """WITH RECURSIVE gf(i, x) AS (
+        |  SELECT 0, 1
+        |  UNION ALL
+        |  SELECT i + 1, CASE WHEN x * 2 >= 256 THEN xor(x * 2, 285) ELSE x * 2 END
+        |  FROM gf WHERE i < 254),
+        |tabs AS (
+        |  SELECT list(x ORDER BY i) AS expt, list(i ORDER BY x) AS logt
+        |  FROM gf),
+        |b AS (
+        |  SELECT doc_id, n_chars, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS len
+        |  FROM documents),
+        |dims AS (
+        |  SELECT doc_id, n_chars, hx, len,
+        |         greatest(1, (len + 3) // 4) AS stripe
+        |  FROM b),
+        |pos AS (
+        |  SELECT d.doc_id, d.n_chars, d.stripe, t.bpos,
+        |    [CASE WHEN 0 * d.stripe + t.bpos < d.len
+        |          THEN ('0x' || substr(d.hx, CAST(2 * (0 * d.stripe + t.bpos) + 1 AS BIGINT), 2))::BIGINT ELSE 0 END,
+        |     CASE WHEN 1 * d.stripe + t.bpos < d.len
+        |          THEN ('0x' || substr(d.hx, CAST(2 * (1 * d.stripe + t.bpos) + 1 AS BIGINT), 2))::BIGINT ELSE 0 END,
+        |     CASE WHEN 2 * d.stripe + t.bpos < d.len
+        |          THEN ('0x' || substr(d.hx, CAST(2 * (2 * d.stripe + t.bpos) + 1 AS BIGINT), 2))::BIGINT ELSE 0 END,
+        |     CASE WHEN 3 * d.stripe + t.bpos < d.len
+        |          THEN ('0x' || substr(d.hx, CAST(2 * (3 * d.stripe + t.bpos) + 1 AS BIGINT), 2))::BIGINT ELSE 0 END] AS db
+        |  FROM dims d, LATERAL unnest(range(d.stripe)) AS t(bpos)),
+        |par AS (
+        |  SELECT p.doc_id, p.n_chars, p.stripe, p.bpos,
+        |    xor(xor(CASE WHEN p.db[1] = 0 THEN 0 ELSE tabs.expt[(tabs.logt[27] + tabs.logt[p.db[1]]) % 255 + 1] END,
+        |            CASE WHEN p.db[2] = 0 THEN 0 ELSE tabs.expt[(tabs.logt[28] + tabs.logt[p.db[2]]) % 255 + 1] END),
+        |        xor(CASE WHEN p.db[3] = 0 THEN 0 ELSE tabs.expt[(tabs.logt[18] + tabs.logt[p.db[3]]) % 255 + 1] END,
+        |            CASE WHEN p.db[4] = 0 THEN 0 ELSE tabs.expt[(tabs.logt[20] + tabs.logt[p.db[4]]) % 255 + 1] END)) AS p0,
+        |    xor(xor(CASE WHEN p.db[1] = 0 THEN 0 ELSE tabs.expt[(tabs.logt[28] + tabs.logt[p.db[1]]) % 255 + 1] END,
+        |            CASE WHEN p.db[2] = 0 THEN 0 ELSE tabs.expt[(tabs.logt[27] + tabs.logt[p.db[2]]) % 255 + 1] END),
+        |        xor(CASE WHEN p.db[3] = 0 THEN 0 ELSE tabs.expt[(tabs.logt[20] + tabs.logt[p.db[3]]) % 255 + 1] END,
+        |            CASE WHEN p.db[4] = 0 THEN 0 ELSE tabs.expt[(tabs.logt[18] + tabs.logt[p.db[4]]) % 255 + 1] END)) AS p1
+        |  FROM pos p, tabs),
+        |folded AS (
+        |  SELECT doc_id, any_value(n_chars) AS n_chars, any_value(stripe) AS stripe,
+        |    list_reduce(list_prepend(1469598103934665603::HUGEINT, list(p0 ORDER BY bpos)),
+        |      (acc, v) -> (xor(acc::HUGEINT, v::HUGEINT) * 1099511628211::HUGEINT)
+        |                  % 18446744073709551616::HUGEINT) AS h0,
+        |    list_reduce(list_prepend(1469598103934665603::HUGEINT, list(p1 ORDER BY bpos)),
+        |      (acc, v) -> (xor(acc::HUGEINT, v::HUGEINT) * 1099511628211::HUGEINT)
+        |                  % 18446744073709551616::HUGEINT) AS h1
+        |  FROM par GROUP BY doc_id)
+        |SELECT doc_id, n_chars AS bytes, CAST(stripe AS INTEGER) AS stripe_size,
+        |  CAST(CASE WHEN h0 >= 9223372036854775808::HUGEINT
+        |       THEN h0 - 18446744073709551616::HUGEINT ELSE h0 END AS BIGINT) AS parity_fp_0,
+        |  CAST(CASE WHEN h1 >= 9223372036854775808::HUGEINT
+        |       THEN h1 - 18446744073709551616::HUGEINT ELSE h1 END AS BIGINT) AS parity_fp_1
+        |FROM folded ORDER BY doc_id""".stripMargin,
+    // The erasure points are pure doc_id arithmetic and `recovered`
+    // is contractually all-true, so the oracle asserts exactly that:
+    // any reconstruction regression flips the Spark side to false and
+    // hash-mismatches. The GF algebra itself is round-tripped in
+    // ReedSolomonSpec and cross-verified via ec_parity_rs above.
+    "ec_reconstruct" ->
+      """SELECT doc_id, n_chars AS bytes,
+        |  CAST(doc_id % 6 AS INTEGER) AS erased_1,
+        |  CAST((doc_id % 6 + 1 + (doc_id // 6) % 5) % 6 AS INTEGER) AS erased_2,
+        |  TRUE AS recovered
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // Recomputes both snapshots LOGICALLY (the mutation rule is pure
     // arithmetic) — hash-matching the Spark side's physical write +
     // read-back + diff proves the round-trip lossless.
