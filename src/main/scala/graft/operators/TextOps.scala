@@ -591,6 +591,63 @@ object TextOps {
     "text_token_hist" -> text_token_hist _)
 
   val oracle: Map[String, String] = Map(
+    // The FULL winnowing kernel re-expressed in DuckDB: per-position
+    // FNV char-5-gram hashes (hex-byte extraction — the corpus is
+    // ASCII, where char ops = byte ops), the murmur fmix64 finalizer
+    // with its 64x64-bit multiplies SPLIT 32/32 (a direct HUGEINT
+    // product of two ~2^64 constants overflows INT128), signed window
+    // minima via list slicing, first-occurrence dedup via
+    // list_position, and the FNV mod-2^64 fold. Hash-matching this
+    // against [[graft.functions.WinnowStatsExpr]]'s codegen'd output
+    // verifies the whole kernel on a second engine (KernelSpec already
+    // pins it against a naive Scala reference). Docs shorter than one
+    // gram would be absent here vs (0,0,seed) on the Spark side; the
+    // driver corpus's min length is ~44 chars at every SF.
+    "text_fingerprint" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(lower(text))) AS hx,
+        |         greatest(0, length(text) - 4) AS ng
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, ng, i, ((xor(((xor(((xor(((xor(((xor(1469598103934665603::HUGEINT, ('0x' || substr(hx, CAST(2*(i+0)+1 AS BIGINT), 2))::BIGINT::HUGEINT)) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT, ('0x' || substr(hx, CAST(2*(i+1)+1 AS BIGINT), 2))::BIGINT::HUGEINT)) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT, ('0x' || substr(hx, CAST(2*(i+2)+1 AS BIGINT), 2))::BIGINT::HUGEINT)) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT, ('0x' || substr(hx, CAST(2*(i+3)+1 AS BIGINT), 2))::BIGINT::HUGEINT)) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT, ('0x' || substr(hx, CAST(2*(i+4)+1 AS BIGINT), 2))::BIGINT::HUGEINT)) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT AS hf
+        |  FROM b, LATERAL unnest(range(ng)) AS t(i)),
+        |f1 AS (SELECT doc_id, ng, i, xor(hf, hf // 8589934592::HUGEINT) AS a FROM pos),
+        |f2 AS (SELECT doc_id, ng, i, (((a) % 4294967296::HUGEINT) * 18397679294719823053::HUGEINT % 18446744073709551616::HUGEINT + ((((a) // 4294967296::HUGEINT) * 3981806797::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS bb FROM f1),
+        |f3 AS (SELECT doc_id, ng, i, xor(bb, bb // 8589934592::HUGEINT) AS c FROM f2),
+        |f4 AS (SELECT doc_id, ng, i, (((c) % 4294967296::HUGEINT) * 14181476777654086739::HUGEINT % 18446744073709551616::HUGEINT + ((((c) // 4294967296::HUGEINT) * 444984403::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS d FROM f3),
+        |f5 AS (SELECT doc_id, ng, i,
+        |  CAST(CASE WHEN xor(d, d // 8589934592::HUGEINT) >= 9223372036854775808::HUGEINT
+        |       THEN xor(d, d // 8589934592::HUGEINT) - 18446744073709551616::HUGEINT ELSE xor(d, d // 8589934592::HUGEINT) END AS BIGINT) AS hsig
+        |  FROM f4),
+        |hs AS (
+        |  SELECT doc_id, any_value(ng) AS ng, list(hsig ORDER BY i) AS hashes
+        |  FROM f5 GROUP BY doc_id),
+        |wins AS (
+        |  SELECT doc_id, ng, hashes,
+        |    greatest(1, ng - 8 + 1) AS nwins, least(8, ng) AS effw
+        |  FROM hs),
+        |minima AS (
+        |  SELECT doc_id, ng,
+        |    list_transform(range(nwins), p -> list_min(hashes[p + 1 : p + effw])) AS m
+        |  FROM wins),
+        |sel AS (
+        |  SELECT doc_id, ng,
+        |    list_filter(list_transform(range(len(m)), i ->
+        |      CASE WHEN list_position(m, m[i + 1]) = i + 1 THEN m[i + 1] ELSE NULL END),
+        |      v -> v IS NOT NULL) AS dm
+        |  FROM minima),
+        |fp AS (
+        |  SELECT doc_id, ng, len(dm) AS selected,
+        |    list_reduce(
+        |      list_prepend(1469598103934665603::HUGEINT,
+        |        list_transform(dm, v ->
+        |          CASE WHEN v < 0 THEN v::HUGEINT + 18446744073709551616::HUGEINT ELSE v::HUGEINT END)),
+        |      (acc, x) -> (xor(acc::HUGEINT, x::HUGEINT) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS hh
+        |  FROM sel)
+        |SELECT doc_id, CAST(ng AS BIGINT) AS n_grams, CAST(selected AS BIGINT) AS n_selected,
+        |  CAST(CASE WHEN hh >= 9223372036854775808::HUGEINT
+        |       THEN hh - 18446744073709551616::HUGEINT ELSE hh END AS BIGINT) AS fingerprint
+        |FROM fp ORDER BY doc_id""".stripMargin,
     // One flat global cumsum — deliberately NOT the two-phase
     // decomposition the Spark side runs; the hash gate proves the
     // distributed prefix sum exactly reproduces the sequential one.
