@@ -73,11 +73,18 @@ object Scale {
       outDir
     }
 
+    // mm_near_dups rides along (r11): it derives everything from
+    // `documents`, and its 16x16-bit hyperplane banding is the newest
+    // candidate-generation path — the one whose collision exponent
+    // changed this round. Wrapped copies (factor >= 27) carry identical
+    // TEXT but the stub frame features hash doc_id, so embeddings stay
+    // copy-local and expected rows remain exactly N x base.
     val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "dedup_minhash_lsh" -> (Dedup.dedup_minhash_lsh _),
       "dedup_simhash" -> (Dedup.dedup_simhash _),
       "dedup_containment" -> (Dedup.dedup_containment _),
-      "dedup_clusters" -> (Dedup.dedup_clusters _))
+      "dedup_clusters" -> (Dedup.dedup_clusters _),
+      "mm_near_dups" -> (graft.operators.Multimodal.mm_near_dups _))
 
     final case class Obs(factor: Int, query: String, sec: Double, rows: Long,
         caps: Map[String, BucketCapMetrics.Cap])

@@ -151,7 +151,18 @@ object Multimodal {
     * dimension) is gated in MultimodalSpec. Plan shape: the variant
     * union is a per-row map over the filtered base (no extra shuffle);
     * candidate generation inherits embeddingLshPairs' banded equi-join
-    * — linear at 100 TB, no all-pairs anywhere. */
+    * — no all-pairs anywhere, and linear in the TRUE pair count.
+    *
+    * Scale caveat, MEASURED (r11, SCALE.md): the stub embedding space
+    * is dense — pooled pseudo-random frame features cluster enough
+    * that ~1.3e-4 of ALL doc pairs sit above cos 0.995 — so on
+    * inflated synthetic corpora the true pair count (and therefore
+    * output and wall time) grows QUADRATICALLY by construction:
+    * 2,144 → 169,815 → 1,484,188 rows at 1×/10×/30×. That is a data
+    * property, not a candidate-generation defect: real re-encode
+    * corpora have O(1) true matches per doc. The hot-bucket cap is
+    * the guardrail when real data turns out dense (117 buckets capped
+    * at 30×, every drop observable via BucketCapMetrics). */
   def mm_near_dups(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // base feeds BOTH union branches (itself + the variant map), so
