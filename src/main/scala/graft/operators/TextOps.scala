@@ -571,7 +571,46 @@ object TextOps {
       .orderBy($"lang", $"rank")
   }
 
+  /** Per-DOMAIN document cap — the C4/RefinedWeb-style curation rule
+    * that no single domain may dominate the training mix: within each
+    * domain (`source` stands in for the registrable domain of a web
+    * corpus), keep only the `cap` highest-quality documents, quality
+    * being the same integer-ppm composite [[text_quality]] scores
+    * (deterministic doc_id tie-break). Emits the kept docs with their
+    * within-domain rank.
+    *
+    * Scale: quality is a per-row map; the ranking is ONE shuffle on
+    * the domain key, and the `rank <= cap` filter is pushed below the
+    * shuffle as a partial group-limit (WindowGroupLimit — each map
+    * task forwards at most `cap` rows per domain, so a hot domain
+    * ships cap·tasks rows, not its full document count). Fully
+    * SQL-expressible → hash-oracled. */
+  def text_domain_cap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cap = 10
+    val t = tokens($"text")
+    val nWords = size(t).cast("long")
+    val nStop = size(filter(t, w => w.isInCollection(stopwords))).cast("long")
+    val nUniq = size(array_distinct(t)).cast("long")
+    Tables.documents(s, d)
+      .select($"doc_id", $"source", $"lang", nWords.as("n_words"),
+        nStop.as("nstop_tmp"), nUniq.as("nuniq_tmp"))
+      .withColumn("stopword_ppm", when($"n_words" === 0, 0L)
+        .otherwise(expr("nstop_tmp * 1000000 div n_words")))
+      .withColumn("uniq_ppm", when($"n_words" === 0, 0L)
+        .otherwise(expr("nuniq_tmp * 1000000 div n_words")))
+      .withColumn("quality_ppm",
+        expr("""uniq_ppm * (CASE WHEN n_words >= 20 THEN 2 ELSE 1 END)
+               | * (CASE WHEN stopword_ppm > 10000 THEN 5 ELSE 4 END) div 10""".stripMargin))
+      .withColumn("domain_rank", row_number().over(
+        Window.partitionBy($"source").orderBy($"quality_ppm".desc, $"doc_id")))
+      .filter($"domain_rank" <= cap)
+      .select($"doc_id", $"source", $"lang", $"quality_ppm", $"domain_rank")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_domain_cap" -> text_domain_cap _,
     "text_pack" -> ((s, d) => text_pack(s, d)),
     "text_sample" -> text_sample _,
     "text_mixture_epochs" -> text_mixture_epochs _,
@@ -796,6 +835,28 @@ object TextOps {
     // Exact integer ppm mirror of the Spark side (integral division on
     // both engines) — the rounded-double form hash-broke at sf0.1 on
     // the 0.5 × .xxxx5 midpoint (HALF_UP vs float round).
+    "text_domain_cap" ->
+      """WITH q AS (
+        | SELECT doc_id, source, lang,
+        |  uniq_ppm * (CASE WHEN n_words >= 20 THEN 2 ELSE 1 END)
+        |   * (CASE WHEN stopword_ppm > 10000 THEN 5 ELSE 4 END) // 10 AS quality_ppm
+        | FROM (
+        |  SELECT doc_id, source, lang, CAST(len(words) AS BIGINT) AS n_words,
+        |   CASE WHEN len(words) = 0 THEN CAST(0 AS BIGINT) ELSE
+        |     CAST(len(list_filter(words, w -> w IN ('the','a','an','of','and','to','in','is','it'))) AS BIGINT)
+        |     * 1000000 // len(words) END AS stopword_ppm,
+        |   CASE WHEN len(words) = 0 THEN CAST(0 AS BIGINT) ELSE
+        |     CAST(len(list_distinct(words)) AS BIGINT) * 1000000 // len(words) END AS uniq_ppm
+        |  FROM (SELECT doc_id, source, lang,
+        |    list_filter(string_split(lower(text), ' '), w -> w <> '') AS words
+        |   FROM documents))),
+        |r AS (
+        | SELECT *, row_number() OVER (
+        |   PARTITION BY source ORDER BY quality_ppm DESC, doc_id) AS domain_rank
+        | FROM q)
+        |SELECT doc_id, source, lang, quality_ppm,
+        |  CAST(domain_rank AS INTEGER) AS domain_rank
+        |FROM r WHERE domain_rank <= 10 ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       """SELECT doc_id, n_chars_m, n_words, stopword_ppm, uniq_ppm, n_punct, avg_wlen_milli,
         | uniq_ppm * (CASE WHEN n_words >= 20 THEN 2 ELSE 1 END)
