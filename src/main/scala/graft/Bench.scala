@@ -95,7 +95,11 @@ object Bench {
     // driver's config (local[32], r11). Round-over-round comparisons
     // divide per-query times by `drift` instead of hand-normalizing:
     // r10's uniform 1.15x host inflation nearly masked a real
-    // per-query outlier.
+    // per-query outlier. KNOWN LIMIT (measured r11): the canary is
+    // CPU-only, so DISK contention inflates query times without
+    // moving it (observed: drift 0.95 alongside a uniform ~1.3x
+    // query inflation while another process churned the page cache).
+    // drift ~1 with uniformly elevated times ⇒ suspect I/O, not code.
     val canaryPin = 0.52
     def canaryOnce(): Double = {
       val t0 = System.nanoTime()
