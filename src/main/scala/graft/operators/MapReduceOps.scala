@@ -154,7 +154,91 @@ object MapReduceOps {
       .toDF("total_rows", "n_inversions", "first_price", "last_price")
   }
 
+  /** QuasiMonteCarlo.java — the reference's flagship first example
+    * (`hadoop jar ... pi`): sample 2-D Halton-sequence points (bases
+    * {2, 3}, QuasiMonteCarlo.java:90) in the unit square, count those
+    * inside the inscribed circle, estimate π. Mappers count
+    * inside/outside; one reducer sums — here `spark.range` +
+    * map-side-combined aggregation, the same shape.
+    *
+    * Everything is EXACT i64 arithmetic so the DuckDB oracle is
+    * bit-reproducible: the base-2 radical inverse is a 14-bit
+    * reversal `a` (x = a/2^14), the base-3 one a 9-digit reversal `b`
+    * (y = b/3^9) — both unrolled sums of shift/mod terms, pure
+    * codegen — and the circle test (x-1/2)²+(y-1/2)² ≤ 1/4 is cleared
+    * of denominators to ((2a-2^p)·3^q)² + ((2b-3^q)·2^p)² ≤ (2^p·3^q)²
+    * (magnitudes ≤ 2.1e17 — i64-safe under ANSI). π itself is emitted
+    * as exact integer ppm (4e6·inside div n — the house convention;
+    * a double division would invite the cross-engine rounding hazard
+    * this file's oracles avoid). 10,000 points < min(2^14, 3^9). */
+  def mr_pi(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val n = 10000L
+    val p2 = 1L << 14      // 2^14 = 16384
+    val p3 = 19683L        // 3^9
+    // Column./ is DOUBLE division — digit extraction must use the
+    // integral `div` or the reversals silently corrupt (caught by the
+    // oracle on first run: 5,244 "inside" instead of 7,851).
+    val a = (0 until 14).map(j =>
+      expr(s"(id div ${1L << j}) % 2 * ${1L << (13 - j)}L"))
+      .reduce(_ + _)
+    val b = (0 until 9).map(j =>
+      expr(s"(id div ${math.pow(3, j).toLong}) % 3 * ${math.pow(3, 8 - j).toLong}L"))
+      .reduce(_ + _)
+    val inside = {
+      val dx = (a * 2 - p2) * p3
+      val dy = (b * 2 - p3) * p2
+      dx * dx + dy * dy <= (p2 * p3) * (p2 * p3)
+    }
+    s.range(0, n)
+      .select(when(inside, 1L).otherwise(0L).as("in_circle"))
+      .agg(count(lit(1)).as("n_points"), sum($"in_circle").as("n_inside"))
+      .withColumn("pi_ppm", expr("n_inside * 4000000 div n_points"))
+  }
+
+  /** RandomTextWriter.java — the reference's synthetic-corpus
+    * generator (`hadoop jar ... randomtextwriter`; RandomWriter.java
+    * is the binary twin). A generator-as-query: `spark.range` rows
+    * map to deterministic pseudo-text — word k of row i indexes the
+    * wordlist by the multiplicative hash (i·2654435761 + k·40503)
+    * mod |words| (i64-safe products; the reference seeds
+    * java.util.Random instead, which no other engine reproduces — a
+    * cross-engine-deterministic generator must use portable
+    * arithmetic). Emits (row_id, text, n_words, n_chars); the DuckDB
+    * oracle regenerates every byte identically, proving the corpus is
+    * a pure function of the row id — re-runnable on any cluster, any
+    * partitioning, any retry. Scan-speed map at any scale. */
+  def mr_randomtextwriter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val n = 10000L
+    val wordsPerRow = 10
+    val wordCols = (0 until wordsPerRow).map { k =>
+      element_at(typedLit(GenWords),
+        ((($"id".cast("long") * 2654435761L + lit(k.toLong) * 40503L)
+          % GenWords.length) + 1).cast("int"))
+    }
+    s.range(0, n)
+      .select($"id".as("row_id"), concat_ws(" ", wordCols: _*).as("text"))
+      .withColumn("n_words", lit(wordsPerRow.toLong))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .orderBy($"row_id")
+  }
+
+  /** Wordlist for [[mr_randomtextwriter]] — original (the reference
+    * ships a 1000-word hardcoded list at RandomTextWriter.java; ours
+    * is deliberately NOT that list, just the same mechanism). */
+  private[operators] val GenWords: Seq[String] = Seq(
+    "ash", "birch", "cedar", "dawn", "ember", "fjord", "glade", "harbor",
+    "iris", "juniper", "kiln", "larch", "meadow", "north", "orchard",
+    "pine", "quarry", "ridge", "spruce", "thicket", "upland", "vale",
+    "willow", "xylem", "yarrow", "zephyr", "anchor", "basalt", "cobble",
+    "delta", "estuary", "flint", "granite", "heath", "inlet", "jetty",
+    "knoll", "lagoon", "marsh", "nettle", "oxbow", "pebble", "quartz",
+    "reed", "shale", "tundra", "umber", "verge", "wharf", "yew")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mr_pi" -> mr_pi _,
+    "mr_randomtextwriter" -> mr_randomtextwriter _,
     "mr_sort_validate" -> mr_sort_validate _,
     "mr_wordcount" -> mr_wordcount _,
     "mr_inverted_index" -> mr_inverted_index _,
@@ -166,6 +250,41 @@ object MapReduceOps {
     "mr_histogram" -> mr_histogram _)
 
   val oracle: Map[String, String] = Map(
+    // Same unrolled exact-integer Halton + cleared-denominator circle
+    // test as the Spark side — built programmatically so the 14+9
+    // digit terms can't drift between the two engines' texts.
+    "mr_pi" -> {
+      val a = (0 until 14).map(j =>
+        s"((i // ${1L << j}) % 2) * ${1L << (13 - j)}").mkString(" + ")
+      val b = (0 until 9).map(j =>
+        s"((i // ${math.pow(3, j).toLong}) % 3) * ${math.pow(3, 8 - j).toLong}")
+        .mkString(" + ")
+      s"""WITH pts AS (
+         | SELECT i, $a AS a, $b AS b
+         | FROM range(10000) AS t(i)),
+         |c AS (
+         | SELECT count(*) AS n_points,
+         |  CAST(sum(CASE WHEN
+         |    ((a*2 - 16384) * 19683) * ((a*2 - 16384) * 19683)
+         |     + ((b*2 - 19683) * 16384) * ((b*2 - 19683) * 16384)
+         |     <= (16384::BIGINT * 19683) * (16384::BIGINT * 19683)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_inside
+         | FROM pts)
+         |SELECT n_points, n_inside,
+         | n_inside * 4000000 // n_points AS pi_ppm FROM c""".stripMargin
+    },
+    // Regenerates every byte of the corpus from the row id alone —
+    // the proof the generator is engine/partitioning/retry-portable.
+    "mr_randomtextwriter" -> {
+      val wl = GenWords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""SELECT i AS row_id,
+         | array_to_string(list_transform(range(10), k ->
+         |   $wl[CAST((i * 2654435761 + k * 40503) % ${GenWords.length} AS BIGINT) + 1]), ' ') AS text,
+         | CAST(10 AS BIGINT) AS n_words,
+         | CAST(length(array_to_string(list_transform(range(10), k ->
+         |   $wl[CAST((i * 2654435761 + k * 40503) % ${GenWords.length} AS BIGINT) + 1]), ' ')) AS BIGINT) AS n_chars
+         |FROM range(10000) AS t(i) ORDER BY 1""".stripMargin
+    },
     "mr_sort_validate" ->
       """SELECT CAST(count(*) AS BIGINT) AS total_rows,
         | CAST(0 AS BIGINT) AS n_inversions,
