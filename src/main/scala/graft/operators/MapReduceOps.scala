@@ -236,7 +236,50 @@ object MapReduceOps {
     "knoll", "lagoon", "marsh", "nettle", "oxbow", "pebble", "quartz",
     "reed", "shale", "tundra", "umber", "verge", "wharf", "yew")
 
+  /** BaileyBorweinPlouffe.java — the reference's OTHER π example: the
+    * BBP spigot computes hex digit d of π WITHOUT the preceding
+    * digits, so digit ranges distribute to mappers with no shared
+    * state (the reference job partitions digit ranges exactly this
+    * way). Per digit d: {16^(d-1)·π} from the four BBP sums
+    * Σ_k 16^(d-1-k)/(8k+j), j ∈ {1,4,5,6}, head terms reduced mod
+    * (8k+j), everything in 2^-48 FIXED-POINT i64 (never a double —
+    * identical truncation on both engines makes the DuckDB oracle
+    * bit-reproducible; a float formulation would hash-diverge in the
+    * last ulp). 12 digits: max shift 44 bits, max numerator
+    * m·2^48 < 2^55 — ANSI-safe. Emits (pos, hex_digit), which must
+    * read 243F6A8885A3 — π's actual hex expansion, the strongest
+    * self-check an example can have. Embarrassingly parallel map at
+    * any digit count; only the fixed-point width caps the range. */
+  def mr_bbp(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val S = 48
+    val mask = (1L << S) - 1
+    s.range(1, 13).as[Long].map { pos =>
+      def sumJ(j: Long): Long = {
+        var acc = 0L
+        var k = 0L
+        while (k <= pos - 1) {
+          val m = 8 * k + j
+          val e = pos - 1 - k
+          acc = (acc + (((1L << (4 * e)) % m) << S) / m) & mask
+          k += 1
+        }
+        var e = 1
+        while (4 * e <= S) {
+          val m = 8 * (pos - 1 + e) + j
+          acc = (acc + (1L << (S - 4 * e)) / m) & mask
+          e += 1
+        }
+        acc
+      }
+      val x = (((4 * sumJ(1) - 2 * sumJ(4) - sumJ(5) - sumJ(6)) % (1L << S))
+        + (1L << S)) & mask
+      (pos, "0123456789ABCDEF".charAt((x >>> (S - 4)).toInt).toString)
+    }.toDF("pos", "hex_digit").orderBy($"pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mr_bbp" -> mr_bbp _,
     "mr_pi" -> mr_pi _,
     "mr_randomtextwriter" -> mr_randomtextwriter _,
     "mr_sort_validate" -> mr_sort_validate _,
@@ -250,6 +293,24 @@ object MapReduceOps {
     "mr_histogram" -> mr_histogram _)
 
   val oracle: Map[String, String] = Map(
+    // Identical 2^-48 fixed-point BBP arithmetic; the per-j sums are
+    // generated from one template so Spark and DuckDB cannot drift.
+    "mr_bbp" -> {
+      val m48 = "281474976710656" // 2^48
+      def sj(j: Int): String =
+        s"((CAST(list_sum(list_transform(range(pos), k -> " +
+          s"(((1::BIGINT << CAST(4*(pos-1-k) AS BIGINT)) % (8*k+$j)) << 48) // (8*k+$j))) AS BIGINT)" +
+          s" + CAST(list_sum(list_transform(range(1, 13), e -> " +
+          s"CASE WHEN 4*e <= 48 THEN (1::BIGINT << CAST(48-4*e AS BIGINT)) // (8*(pos-1+e)+$j) ELSE 0 END)) AS BIGINT)" +
+          s") % $m48)"
+      s"""WITH digits AS (SELECT CAST(pos AS BIGINT) AS pos FROM range(1, 13) AS t(pos)),
+         |x AS (
+         | SELECT pos,
+         |  ((4*${sj(1)} - 2*${sj(4)} - ${sj(5)} - ${sj(6)}) % $m48 + $m48) % $m48 AS frac
+         | FROM digits)
+         |SELECT pos, substr('0123456789ABCDEF', CAST(frac >> 44 AS BIGINT) + 1, 1) AS hex_digit
+         |FROM x ORDER BY pos""".stripMargin
+    },
     // Same unrolled exact-integer Halton + cleared-denominator circle
     // test as the Spark side — built programmatically so the 14+9
     // digit terms can't drift between the two engines' texts.
