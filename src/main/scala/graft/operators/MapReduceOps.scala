@@ -227,7 +227,7 @@ object MapReduceOps {
   /** Wordlist for [[mr_randomtextwriter]] — original (the reference
     * ships a 1000-word hardcoded list at RandomTextWriter.java; ours
     * is deliberately NOT that list, just the same mechanism). */
-  private[operators] val GenWords: Seq[String] = Seq(
+  val GenWords: Seq[String] = Seq(
     "ash", "birch", "cedar", "dawn", "ember", "fjord", "glade", "harbor",
     "iris", "juniper", "kiln", "larch", "meadow", "north", "orchard",
     "pine", "quarry", "ridge", "spruce", "thicket", "upland", "vale",
