@@ -266,3 +266,31 @@ case class HyperplaneSigExpr(child: Expression, planes: Array[Array[Double]])
     copy(child = newChild)
   override def prettyName: String = "graft_hyperplane_sig"
 }
+
+/** bloom_might_contain_long(hash) — Bloom-filter membership probe over
+  * a 64-bit hash, the mass-kill prefilter for set-membership joins
+  * whose build side is too large to broadcast as rows (TextOps.
+  * text_decontam_bloom). The filter (org.apache.spark.util.sketch.
+  * BloomFilter, java-serializable) rides along as a codegen reference
+  * object exactly like HyperplaneSigExpr's plane matrix — constant
+  * size per executor no matter how many items it summarizes. */
+case class BloomMightContainLongExpr(child: Expression,
+    filter: org.apache.spark.util.sketch.BloomFilter)
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a bigint hash input, got ${other.catalogString}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    filter.mightContainLong(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloom", filter,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.mightContainLong($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContainLongExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_bloom_might_contain_long"
+}

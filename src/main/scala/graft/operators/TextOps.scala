@@ -571,6 +571,46 @@ object TextOps {
       .orderBy($"lang", $"rank")
   }
 
+  /** [[text_decontam]] with a BLOOM-FILTER prefilter — the scale path
+    * for the case its sibling's scaladoc flags: when the eval slice is
+    * too large for its distinct-gram set to broadcast as rows, summarize
+    * it as a Bloom filter instead (CONSTANT megabytes per executor
+    * regardless of eval size; built here with the public
+    * `df.stat.bloomFilter` over xxhash64(gram), probed by the codegen'd
+    * [[graft.functions.BloomMightContainLongExpr]]). The filter
+    * mass-kills non-matching train grams at scan speed; the surviving
+    * ~fpp fraction then goes through the EXACT equi-join on the gram
+    * string — a plain shuffle join over two now-small sides, no
+    * broadcast anywhere — which removes the false positives, so the
+    * result is IDENTICAL to text_decontam (same DuckDB oracle text;
+    * equivalence also spec-gated). At 100 TB with fpp 1e-3: a 1e12-gram
+    * train side leaks ~1e9 rows into the join instead of shuffling the
+    * full gram stream — and the eval side never materializes on
+    * executors at all during the scan. */
+  def text_decontam_bloom(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val n = 8
+    val grams = Tables.documents(s, d)
+      .select($"doc_id", ($"doc_id" % 10 === 0).as("is_eval"),
+        explode(wordNgramsAll($"text", n)).as("g"))
+      .distinct()
+    val evalGrams = graft.CacheRegistry.cache(
+      grams.filter($"is_eval").select($"g").distinct())
+    // a real pipeline sizes the filter from table stats; the count
+    // here is one cheap aggregation over the (persisted) eval grams
+    val bf = evalGrams.select(xxhash64($"g").as("h"))
+      .stat.bloomFilter("h", math.max(evalGrams.count(), 1L), 0.001)
+    val mightMatch = graft.functions.GraftExpressions.toColumn(
+      graft.functions.BloomMightContainLongExpr(
+        graft.functions.GraftExpressions.toExpr(xxhash64($"g")), bf))
+    grams.filter(!$"is_eval")
+      .filter(mightMatch)
+      .join(evalGrams, "g")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("shared_8grams"))
+      .orderBy($"doc_id")
+  }
+
   /** Per-DOMAIN document cap — the C4/RefinedWeb-style curation rule
     * that no single domain may dominate the training mix: within each
     * domain (`source` stands in for the registrable domain of a web
@@ -625,6 +665,7 @@ object TextOps {
     "text_pipeline" -> text_pipeline _,
     "text_pipeline_near" -> text_pipeline_near _,
     "text_decontam" -> text_decontam _,
+    "text_decontam_bloom" -> text_decontam_bloom _,
     "text_repetition" -> text_repetition _,
     "text_split" -> text_split _,
     "text_token_hist" -> text_token_hist _)
@@ -806,6 +847,23 @@ object TextOps {
     // Spark side's codegen'd kernel, same string_split(lower, ' ')
     // drop-empties tokenization as every text oracle.
     "text_decontam" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+        | FROM documents),
+        |g AS (
+        | SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 6),
+        |   i -> array_to_string(ws[i:i+7], ' '))) AS g
+        | FROM t WHERE len(ws) >= 8),
+        |e AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 = 0)
+        |SELECT doc_id, count(*) AS shared_8grams
+        |FROM g JOIN e USING (g)
+        |WHERE doc_id % 10 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Same oracle text as text_decontam: the Bloom prefilter + exact
+    // join is RESULT-identical by construction (the join removes the
+    // filter's false positives) — the hash match proves it.
+    "text_decontam_bloom" ->
       """WITH t AS (
         | SELECT doc_id,
         |  list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws

@@ -151,6 +151,16 @@ class TextPipelineSpec extends SparkSpec {
       s"expected {1->1, 2->3}, got $got")
   }
 
+  test("text_decontam_bloom equals the exact variant (FPs removed by the join)") {
+    val exact = TextOps.text_decontam(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = TextOps.text_decontam_bloom(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bloom == exact,
+      s"bloom-prefiltered decontam diverged: ${bloom.size} vs ${exact.size} docs")
+    assert(exact.nonEmpty, "vacuous equivalence — no contaminated docs at this SF")
+  }
+
   test("text_mixture_epochs emits floor/ceil copies at the per-language rate") {
     import spark.implicits._
     val rates = Map("en" -> 0.9, "fr" -> 1.5, "es" -> 1.5, "de" -> 2.25)
