@@ -477,10 +477,66 @@ object MetadataOps {
       .orderBy($"doc_id", $"change")
   }
 
+  /** The APPLY leg of the snapshot workflow — DistCp `-diff -update`
+    * semantics (reference: hadoop-tools/hadoop-distcp — incremental
+    * copy takes a SnapshotDiffReport and replays it so the target
+    * catches up to the newer snapshot): run [[fs_snapshot_diff]] to
+    * write both physical snapshots and produce the diff, REPLAY the
+    * diff against snapshot A (anti-join the DELETEs/MODIFYs out,
+    * union the CREATEs/MODIFYs' new values in — one anti-join + one
+    * union, both linear), and verify the reconstruction against the
+    * physically-written snapshot B with the same order-independent
+    * bucketed-fingerprint machinery as [[fs_copy_verify]] (full-outer
+    * on the bucket, so a whole lost bucket surfaces unverified —
+    * tamper-tested in MetadataSpec via [[applySnapshotDiff]]). One
+    * verified=true row per fingerprint bucket; any false row means
+    * the diff does not reproduce B. oracle=rows (the snapshots are
+    * physical artifacts outside the oracle's view; the DIFF itself is
+    * hash-oracled separately by fs_snapshot_diff). */
+  def fs_snapshot_apply(s: SparkSession, d: String,
+                        destDir: Option[String] = None): DataFrame = {
+    import s.implicits._
+    val diff = fs_snapshot_diff(s, d, destDir)
+    val base = destDir
+      .orElse(s.conf.getOption("graft.snapshot.dest"))
+      .getOrElse {
+        val wh = s.conf.get("spark.sql.warehouse.dir")
+        val app = s.sparkContext.applicationId
+        val name = d.replaceAll("[^A-Za-z0-9._-]", "_")
+        s"$wh/graft_snapshot/$app/$name"
+      }
+    val a = s.read.parquet(s"$base/snap_a")
+    val b = s.read.parquet(s"$base/snap_b")
+    val rebuilt = applySnapshotDiff(a, diff)
+    copyFingerprints(rebuilt, "src")
+      .join(copyFingerprints(b, "dst"), Seq("bucket"), "full_outer")
+      .withColumn("verified",
+        $"src_rows" <=> $"dst_rows" && $"src_xor" <=> $"dst_xor" &&
+          $"src_sum" <=> $"dst_sum")
+      .orderBy($"bucket")
+  }
+
+  /** Replay a snapshot diff report against a base snapshot: rows whose
+    * key appears as DELETE or MODIFY leave (one anti-join), then the
+    * CREATE and MODIFY rows' new values arrive (one union). Pure
+    * relational replay — the DistCp incremental-copy kernel. */
+  def applySnapshotDiff(base: DataFrame, diff: DataFrame): DataFrame = {
+    import base.sparkSession.implicits._
+    val removedKeys = diff
+      .filter($"change" === "DELETE" || $"change" === "MODIFY")
+      .select($"doc_id")
+    val arrivals = diff
+      .filter($"change" === "CREATE" || $"change" === "MODIFY")
+      .select($"doc_id", $"source", $"bytes_b".as("n_chars"))
+    base.join(removedKeys, Seq("doc_id"), "left_anti")
+      .unionByName(arrivals)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fs_copy_verify" -> ((s, d) => fs_copy_verify(s, d)),
     "fs_compact" -> ((s, d) => fs_compact(s, d)),
     "fs_snapshot_diff" -> ((s, d) => fs_snapshot_diff(s, d)),
+    "fs_snapshot_apply" -> ((s, d) => fs_snapshot_apply(s, d)),
     "fs_du" -> fs_du _,
     "fs_size_percentiles" -> fs_size_percentiles _,
     "fs_small_files" -> fs_small_files _,

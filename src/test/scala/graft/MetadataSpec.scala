@@ -155,6 +155,34 @@ class MetadataSpec extends SparkSpec {
     assert(r2.filter($"verified").count() === r2.count() - 1)
   }
 
+  test("fs_snapshot_apply replays the diff to an exact reconstruction of B") {
+    import spark.implicits._
+    val dest = java.nio.file.Files.createTempDirectory("graft_snap_spec")
+      .resolve("snaps").toString
+    val v = MetadataOps.fs_snapshot_apply(spark, sf0001, Some(dest)).collect()
+    assert(v.nonEmpty)
+    assert(v.forall(_.getAs[Boolean]("verified")),
+      "replayed diff did not reproduce snapshot B")
+    // an incomplete diff (one CREATE row lost) must break verification —
+    // the replay misses an arrival, so some bucket's fingerprint differs.
+    // (diff FIRST: it re-writes the snapshots, which would invalidate
+    // previously-planned reads of them)
+    val diff = MetadataOps.fs_snapshot_diff(spark, sf0001, Some(dest))
+    val a = spark.read.parquet(s"$dest/snap_a")
+    val b = spark.read.parquet(s"$dest/snap_b")
+    val victim = diff.filter($"change" === "CREATE")
+      .orderBy($"doc_id").select($"doc_id").as[Long].head()
+    val tampered = diff.filter(!($"change" === "CREATE" && $"doc_id" === victim))
+    val rebuilt = MetadataOps.applySnapshotDiff(a, tampered)
+    val report = MetadataOps.copyFingerprints(rebuilt, "src")
+      .join(MetadataOps.copyFingerprints(b, "dst"), Seq("bucket"), "full_outer")
+      .withColumn("verified",
+        $"src_rows" <=> $"dst_rows" && $"src_xor" <=> $"dst_xor" &&
+          $"src_sum" <=> $"dst_sum")
+    assert(report.filter(!$"verified").count() >= 1,
+      "lost diff row went undetected")
+  }
+
   test("fs_copy_verify honors an explicit destination and keys the default by app+dataset") {
     import spark.implicits._
     val dest = java.nio.file.Files.createTempDirectory("graft_distcp_spec")
