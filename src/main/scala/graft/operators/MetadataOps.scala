@@ -532,11 +532,129 @@ object MetadataOps {
       .unionByName(arrivals)
   }
 
+  /** Synthetic block-placement model shared by [[fs_balancer_plan]] and
+    * [[fs_fsck]] — the inode table's files split into 64-"byte" blocks
+    * and each block's three replicas land on nodes
+    * `pmod(doc_id*131 + blk*17 + off, 16)` for offsets {0, 5, 11} of a
+    * 16-node / two-8-node-rack cluster. The offsets are chosen so the
+    * rack-aware invariant of the reference's placement policy
+    * (hadoop-hdfs-project/.../BlockPlacementPolicyDefault.java —
+    * replicas must span racks) holds BY CONSTRUCTION: the three nodes
+    * are {b-5, b, b+5} mod 16, whose span (10) cannot fit inside one
+    * 8-node rack, so every block has a replica in each rack; and no
+    * two offsets differ by <3, so no two replicas of a block share a
+    * node. Placement is pure integer arithmetic → DuckDB recomputes it
+    * exactly and the downstream reports are hash-oracled.
+    *
+    * Scale: the explode is bounded by blocks-per-file (the same row
+    * growth a real block report carries) and everything downstream is
+    * partial-aggregated; no join, one shuffle on the consumer's key. */
+  private[graft] def blockReplicas(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", $"source", $"n_chars")
+      .withColumn("blk", explode(expr(
+        "sequence(bigint(0), greatest(bigint(1), (n_chars + 63) div 64) - 1)")))
+      .withColumn("blk_bytes",
+        greatest(lit(0L), least(lit(64L), $"n_chars" - $"blk" * 64)))
+      .withColumn("off", explode(typedLit(Seq(0L, 5L, 11L))))
+      .withColumn("node_id", pmod($"doc_id" * 131 + $"blk" * 17 + $"off", lit(16L)))
+  }
+
+  /** Cluster-balancer plan — the reference's Balancer workload
+    * (hadoop-hdfs-project/hadoop-hdfs/src/main/java/org/apache/hadoop/
+    * hdfs/server/balancer/Balancer.java: classify datanodes as
+    * over/under-utilized against the cluster-average utilization ±
+    * threshold, then schedule bytes to move until every node is inside
+    * the band). Per node: replica bytes from [[blockReplicas]],
+    * capacity from a deterministic heterogeneous model (1–4× a unit
+    * sized so the cluster runs ≈62% full at any SF), utilization in
+    * integer ppm, state vs avg ± 10% (Balancer's default threshold),
+    * and the bytes to move to re-enter the band.
+    *
+    * All arithmetic is integer (ppm, KiB-granular move sizes) so the
+    * DuckDB oracle hash-matches exactly — no float rounding seam.
+    * Documented i64 bounds: per-node `used*1e6` caps at 9.2 TB/node;
+    * cluster totals are computed in KiB (caps at ~9 EB).
+    *
+    * Scale: one explode-bounded scan + one 16-row aggregation; the
+    * scalar average rides a broadcast cross join (same shape as
+    * fs_quota_check). The node count is a model parameter — a real
+    * cluster's block report joins in here unchanged. */
+  def fs_balancer_plan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // nodes is referenced twice (totals + final report) — one-scan rule.
+    val nodes = graft.CacheRegistry.cache(
+      blockReplicas(s, d)
+        .groupBy($"node_id")
+        .agg(sum($"blk_bytes").as("used_bytes"), count(lit(1)).as("n_replicas")))
+    val tot = nodes.agg(sum($"used_bytes").as("total_used"))
+    nodes.crossJoin(broadcast(tot))
+      .withColumn("cap_unit", greatest(lit(1L), expr("total_used div 25")))
+      .withColumn("capacity_bytes", (lit(1L) + $"node_id" % 4) * $"cap_unit")
+      .withColumn("util_ppm", expr("used_bytes * 1000000 div capacity_bytes"))
+      .withColumn("avg_util_ppm", expr(
+        "(total_used div 1024) * 1000000 div greatest(1, (40 * cap_unit) div 1024)"))
+      .withColumn("state",
+        when($"util_ppm" > $"avg_util_ppm" + 100000, "OVER")
+          .when($"util_ppm" < $"avg_util_ppm" - 100000, "UNDER")
+          .otherwise("OK"))
+      .withColumn("bytes_to_move",
+        when($"util_ppm" > $"avg_util_ppm" + 100000, expr(
+          "((util_ppm - avg_util_ppm - 100000) * (capacity_bytes div 1024) div 1000000) * 1024"))
+          .otherwise(lit(0L)))
+      .select($"node_id", $"capacity_bytes", $"used_bytes", $"n_replicas",
+        $"util_ppm", $"avg_util_ppm", $"state", $"bytes_to_move")
+      .orderBy($"node_id")
+  }
+
+  /** Filesystem health check — `hdfs fsck` (reference:
+    * hadoop-hdfs-project/hadoop-hdfs/src/main/java/org/apache/hadoop/
+    * hdfs/server/namenode/NamenodeFsck.java: walk the namespace,
+    * count each block's live replicas, report under-replicated /
+    * corrupt / missing per directory). Failure model: nodes 13–15 are
+    * dead, plus a deterministic ~1% corrupt-replica rule
+    * (`pmod(doc_id + blk*31 + off*101, 97) == 0`). Because placement
+    * is rack-aware ([[blockReplicas]]: no two replicas of a block
+    * share a node, every block spans both racks), no block can lose
+    * two replicas to the 3 dead co-located nodes — `missing` is
+    * structurally zero and `min_live >= 1` barring a corrupt+dead
+    * coincidence, which is exactly the resilience claim fsck exists
+    * to check (asserted in MetadataSpec).
+    *
+    * Scale: live-replica counting happens INSIDE the row via an
+    * `aggregate` HOF over the three offsets — no replica explode, no
+    * (doc, blk) shuffle; the only shuffle is the final per-directory
+    * rollup. A real fsck over 100 TB is this exact partial-aggregated
+    * single pass over the block report. */
+  def fs_fsck(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", $"source", $"n_chars")
+      .withColumn("blk", explode(expr(
+        "sequence(bigint(0), greatest(bigint(1), (n_chars + 63) div 64) - 1)")))
+      .withColumn("live", expr(
+        """aggregate(array(0L, 5L, 11L), 0L, (acc, o) ->
+          |  acc + IF(pmod(doc_id * 131 + blk * 17 + o, 16) < 13
+          |           AND pmod(doc_id + blk * 31 + o * 101, 97) <> 0, 1L, 0L))"""
+          .stripMargin))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when($"live" < 3, 1L).otherwise(0L)).as("under_replicated"),
+        sum(when($"live" <= 1, 1L).otherwise(0L)).as("critical"),
+        sum(when($"live" === 0, 1L).otherwise(0L)).as("missing"),
+        min($"live").as("min_live"))
+      .withColumn("under_ppm", expr("under_replicated * 1000000 div n_blocks"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fs_copy_verify" -> ((s, d) => fs_copy_verify(s, d)),
     "fs_compact" -> ((s, d) => fs_compact(s, d)),
     "fs_snapshot_diff" -> ((s, d) => fs_snapshot_diff(s, d)),
     "fs_snapshot_apply" -> ((s, d) => fs_snapshot_apply(s, d)),
+    "fs_balancer_plan" -> fs_balancer_plan _,
+    "fs_fsck" -> fs_fsck _,
     "fs_du" -> fs_du _,
     "fs_size_percentiles" -> fs_size_percentiles _,
     "fs_small_files" -> fs_small_files _,
@@ -680,6 +798,62 @@ object MetadataOps {
         |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
         |WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.n_chars <> b.n_chars
         |ORDER BY 1, 3""".stripMargin,
+    // Recomputes the deterministic block placement (see blockReplicas)
+    // and the integer-ppm balancer math; `//` on these all-nonnegative
+    // quantities truncates exactly like Spark's `div`.
+    "fs_balancer_plan" ->
+      """WITH blocks AS (
+        |  SELECT doc_id, n_chars, t.blk AS blk
+        |  FROM documents,
+        |       LATERAL unnest(range(greatest(1, (n_chars + 63) // 64))) AS t(blk)),
+        |repl AS (
+        |  SELECT (doc_id * 131 + blk * 17 + o.off) % 16 AS node_id,
+        |         greatest(0, least(64, n_chars - blk * 64)) AS blk_bytes
+        |  FROM blocks, LATERAL unnest([0, 5, 11]) AS o(off)),
+        |nodes AS (
+        |  SELECT node_id, CAST(sum(blk_bytes) AS BIGINT) AS used_bytes,
+        |         CAST(count(*) AS BIGINT) AS n_replicas
+        |  FROM repl GROUP BY 1),
+        |cap AS (
+        |  SELECT greatest(1, CAST(sum(used_bytes) AS BIGINT) // 25) AS cap_unit,
+        |         CAST(sum(used_bytes) AS BIGINT) AS total_used
+        |  FROM nodes),
+        |f AS (
+        |  SELECT n.node_id, n.used_bytes, n.n_replicas,
+        |         (1 + n.node_id % 4) * c.cap_unit AS capacity_bytes,
+        |         n.used_bytes * 1000000 // ((1 + n.node_id % 4) * c.cap_unit) AS util_ppm,
+        |         (c.total_used // 1024) * 1000000
+        |           // greatest(1, (40 * c.cap_unit) // 1024) AS avg_util_ppm
+        |  FROM nodes n, cap c)
+        |SELECT node_id, capacity_bytes, used_bytes, n_replicas, util_ppm, avg_util_ppm,
+        |  CASE WHEN util_ppm > avg_util_ppm + 100000 THEN 'OVER'
+        |       WHEN util_ppm < avg_util_ppm - 100000 THEN 'UNDER'
+        |       ELSE 'OK' END AS state,
+        |  CASE WHEN util_ppm > avg_util_ppm + 100000
+        |       THEN ((util_ppm - avg_util_ppm - 100000) * (capacity_bytes // 1024)
+        |             // 1000000) * 1024
+        |       ELSE 0 END AS bytes_to_move
+        |FROM f ORDER BY node_id""".stripMargin,
+    "fs_fsck" ->
+      """WITH blocks AS (
+        |  SELECT doc_id, source, t.blk AS blk
+        |  FROM documents,
+        |       LATERAL unnest(range(greatest(1, (n_chars + 63) // 64))) AS t(blk)),
+        |lv AS (
+        |  SELECT doc_id, source, blk,
+        |    CAST(sum(CASE WHEN (doc_id * 131 + blk * 17 + o.off) % 16 < 13
+        |                   AND (doc_id + blk * 31 + o.off * 101) % 97 <> 0
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS live
+        |  FROM blocks, LATERAL unnest([0, 5, 11]) AS o(off)
+        |  GROUP BY 1, 2, 3)
+        |SELECT source, count(*) AS n_blocks,
+        |  CAST(sum(CASE WHEN live < 3 THEN 1 ELSE 0 END) AS BIGINT) AS under_replicated,
+        |  CAST(sum(CASE WHEN live <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS critical,
+        |  CAST(sum(CASE WHEN live = 0 THEN 1 ELSE 0 END) AS BIGINT) AS missing,
+        |  min(live) AS min_live,
+        |  CAST(sum(CASE WHEN live < 3 THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+        |    // count(*) AS under_ppm
+        |FROM lv GROUP BY 1 ORDER BY 1""".stripMargin,
     "fs_size_percentiles" ->
       """SELECT source, count(*) AS n_files,
         | round(percentile_cont(0.5) WITHIN GROUP (ORDER BY n_chars), 2) AS p50,

@@ -39,6 +39,66 @@ class MetadataSpec extends SparkSpec {
     }
   }
 
+  test("fs_balancer_plan conserves bytes/replicas and classifies against the band") {
+    import spark.implicits._
+    val plan = MetadataOps.fs_balancer_plan(spark, sf0001).collect()
+    assert(plan.map(_.getAs[Long]("node_id")).toSet === (0L until 16L).toSet)
+    // Blocks partition each file's bytes, 3 replicas each — cluster
+    // totals must conserve exactly (independent of the placement hash).
+    val docs = Tables.documents(spark, sf0001)
+      .agg(sum($"n_chars"), sum(greatest(lit(1L), ceil($"n_chars" / 64.0).cast("long"))))
+      .as[(Long, Long)].first()
+    assert(plan.map(_.getAs[Long]("used_bytes")).sum === 3 * docs._1)
+    assert(plan.map(_.getAs[Long]("n_replicas")).sum === 3 * docs._2)
+    plan.foreach { r =>
+      val (cap, used) = (r.getAs[Long]("capacity_bytes"), r.getAs[Long]("used_bytes"))
+      val (util, avg) = (r.getAs[Long]("util_ppm"), r.getAs[Long]("avg_util_ppm"))
+      val move = r.getAs[Long]("bytes_to_move")
+      assert(util === used * 1000000L / cap)
+      val expected = if (util > avg + 100000) "OVER"
+                     else if (util < avg - 100000) "UNDER" else "OK"
+      assert(r.getAs[String]("state") === expected)
+      if (expected == "OVER") {
+        assert(move > 0 && move <= used)
+        // Moving the scheduled bytes re-enters the band (KiB-granular
+        // truncation can leave at most ~2 KiB-worth of ppm behind).
+        val after = (used - move) * 1000000L / cap
+        assert(after <= avg + 100000 + (2048L * 1000000 / cap) + 1,
+          s"node ${r.getAs[Long]("node_id")}: after-move util $after vs band ${avg + 100000}")
+      } else assert(move === 0L)
+    }
+    // The capacity model (1–4x unit) must actually spread utilization:
+    // at least one node outside the band proves the plan is non-trivial.
+    assert(plan.exists(_.getAs[String]("state") != "OK"))
+  }
+
+  test("fs_fsck: rack-aware placement survives the dead rack-slice; HOF matches explode") {
+    import spark.implicits._
+    val fsck = MetadataOps.fs_fsck(spark, sf0001).collect()
+    assert(fsck.nonEmpty)
+    fsck.foreach { r =>
+      assert(r.getAs[Long]("missing") === 0L, "no block may lose all replicas")
+      assert(r.getAs[Long]("min_live") >= 1L)
+      assert(r.getAs[Long]("critical") <= r.getAs[Long]("under_replicated"))
+      assert(r.getAs[Long]("under_replicated") <= r.getAs[Long]("n_blocks"))
+    }
+    // Formulation equivalence: the in-row aggregate() count must agree
+    // with an independent replica-explode + groupBy computation.
+    val exploded = MetadataOps.blockReplicas(spark, sf0001)
+      .withColumn("alive", $"node_id" < 13 &&
+        pmod($"doc_id" + $"blk" * 31 + $"off" * 101, lit(97L)) =!= 0)
+      .groupBy($"doc_id", $"source", $"blk")
+      .agg(sum(when($"alive", 1L).otherwise(0L)).as("live"))
+      .groupBy($"source")
+      .agg(sum(when($"live" < 3, 1L).otherwise(0L)).as("under"))
+      .as[(String, Long)].collect().toMap
+    fsck.foreach { r =>
+      assert(r.getAs[Long]("under_replicated") === exploded(r.getAs[String]("source")))
+    }
+    // The ~1% corrupt rule must actually bite somewhere at sf0.001.
+    assert(fsck.map(_.getAs[Long]("under_replicated")).sum > 0)
+  }
+
   test("fs_copy_verify verifies a faithful copy end to end") {
     import spark.implicits._
     val v = MetadataOps.fs_copy_verify(spark, sf0001)

@@ -16,13 +16,14 @@ class PlanSpec extends SparkSpec {
   test("no cartesian products anywhere; nested-loop joins only where intended") {
     // BroadcastNestedLoopJoin is legitimate exactly where a broadcast
     // cross join is the design: tiny-dim cross (q21), broadcast scalar
-    // (q15, fs_quota_check, text_token_hist), broadcast query-set x
+    // (q15, fs_quota_check, fs_balancer_plan, text_token_hist),
+    // broadcast query-set x
     // corpus (ann brute — both the DataFrame and the SQL-text form,
     // which plan the same broadcast of the 16-vector query side).
     val intendedNestedLoop =
       Set("q21_crossjoin_small", "q15_groupby_topk", "fs_quota_check",
-        "ann_topk_brute", "ann_cos_range", "sql_ann_cos_range",
-        "text_token_hist")
+        "fs_balancer_plan", "ann_topk_brute", "ann_cos_range",
+        "sql_ann_cos_range", "text_token_hist")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val plan = physical(name)
       assert(!plan.contains("CartesianProduct"),
