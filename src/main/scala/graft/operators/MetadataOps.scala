@@ -648,6 +648,56 @@ object MetadataOps {
       .orderBy($"source")
   }
 
+  /** Storage-policy migration plan — the reference's Mover workload
+    * (hadoop-hdfs-project/hadoop-hdfs/src/main/java/org/apache/hadoop/
+    * hdfs/server/mover/Mover.java:292–312: for each block, compare the
+    * replicas' CURRENT storage types against the types the file's
+    * storage policy `chooseStorageTypes`, and schedule moves for the
+    * difference; policies per HdfsConstants — HOT = all replicas on
+    * DISK, WARM = one DISK + rest ARCHIVE, COLD = all ARCHIVE).
+    *
+    * Model: nodes 12–15 of the [[blockReplicas]] cluster carry ARCHIVE
+    * volumes, nodes 0–11 DISK; the policy attaches at the source
+    * directory (`srcN` → N % 3 → HOT/WARM/COLD), mirroring HDFS's
+    * directory-level `setStoragePolicy`. A block conforms when its
+    * DISK-replica count equals the policy's want (3/1/0); since the
+    * replica count is fixed, `abs(n_disk - want_disk)` is exactly the
+    * number of replica migrations (each move flips one replica's
+    * tier). Rolled up per (source, policy): blocks/replicas/bytes to
+    * move + integer-ppm conformance.
+    *
+    * Scale: like [[fs_fsck]], the DISK-replica count rides an in-row
+    * `aggregate` HOF over the three placement offsets — no replica
+    * explode, no (doc, blk) shuffle; the only shuffle is the final
+    * per-directory rollup with map-side partial aggregation. */
+  def fs_mover_plan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", $"source", $"n_chars")
+      .withColumn("blk", explode(expr(
+        "sequence(bigint(0), greatest(bigint(1), (n_chars + 63) div 64) - 1)")))
+      .withColumn("blk_bytes",
+        greatest(lit(0L), least(lit(64L), $"n_chars" - $"blk" * 64)))
+      .withColumn("n_disk", expr(
+        """aggregate(array(0L, 5L, 11L), 0L, (acc, o) ->
+          |  acc + IF(pmod(doc_id * 131 + blk * 17 + o, 16) < 12, 1L, 0L))"""
+          .stripMargin))
+      .withColumn("policy", expr(
+        "element_at(array('HOT', 'WARM', 'COLD'), " +
+          "int(substring(source, 4, 10)) % 3 + 1)"))
+      .withColumn("want_disk", expr(
+        "CASE policy WHEN 'HOT' THEN 3L WHEN 'WARM' THEN 1L ELSE 0L END"))
+      .withColumn("moves", abs($"n_disk" - $"want_disk"))
+      .groupBy($"source", $"policy")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when($"moves" > 0, 1L).otherwise(0L)).as("blocks_to_move"),
+        sum($"moves").as("replicas_to_move"),
+        sum($"moves" * $"blk_bytes").as("bytes_to_move"))
+      .withColumn("conform_ppm", expr(
+        "(n_blocks - blocks_to_move) * 1000000 div n_blocks"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fs_copy_verify" -> ((s, d) => fs_copy_verify(s, d)),
     "fs_compact" -> ((s, d) => fs_compact(s, d)),
@@ -655,6 +705,7 @@ object MetadataOps {
     "fs_snapshot_apply" -> ((s, d) => fs_snapshot_apply(s, d)),
     "fs_balancer_plan" -> fs_balancer_plan _,
     "fs_fsck" -> fs_fsck _,
+    "fs_mover_plan" -> fs_mover_plan _,
     "fs_du" -> fs_du _,
     "fs_size_percentiles" -> fs_size_percentiles _,
     "fs_small_files" -> fs_small_files _,
@@ -854,6 +905,31 @@ object MetadataOps {
         |  CAST(sum(CASE WHEN live < 3 THEN 1 ELSE 0 END) AS BIGINT) * 1000000
         |    // count(*) AS under_ppm
         |FROM lv GROUP BY 1 ORDER BY 1""".stripMargin,
+    "fs_mover_plan" ->
+      """WITH blocks AS (
+        |  SELECT doc_id, source, t.blk AS blk,
+        |         greatest(0, least(64, n_chars - t.blk * 64)) AS blk_bytes
+        |  FROM documents,
+        |       LATERAL unnest(range(greatest(1, (n_chars + 63) // 64))) AS t(blk)),
+        |m AS (
+        |  SELECT source, blk_bytes,
+        |    CAST(sum(CASE WHEN (doc_id * 131 + blk * 17 + o.off) % 16 < 12
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_disk,
+        |    ['HOT', 'WARM', 'COLD'][CAST(substr(source, 4) AS INT) % 3 + 1] AS policy
+        |  FROM blocks, LATERAL unnest([0, 5, 11]) AS o(off)
+        |  GROUP BY doc_id, source, blk, blk_bytes),
+        |mm AS (
+        |  SELECT source, policy, blk_bytes,
+        |    abs(n_disk - CASE policy WHEN 'HOT' THEN 3 WHEN 'WARM' THEN 1
+        |                 ELSE 0 END) AS moves
+        |  FROM m)
+        |SELECT source, policy, count(*) AS n_blocks,
+        |  CAST(sum(CASE WHEN moves > 0 THEN 1 ELSE 0 END) AS BIGINT) AS blocks_to_move,
+        |  CAST(sum(moves) AS BIGINT) AS replicas_to_move,
+        |  CAST(sum(moves * blk_bytes) AS BIGINT) AS bytes_to_move,
+        |  (count(*) - CAST(sum(CASE WHEN moves > 0 THEN 1 ELSE 0 END) AS BIGINT))
+        |    * 1000000 // count(*) AS conform_ppm
+        |FROM mm GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "fs_size_percentiles" ->
       """SELECT source, count(*) AS n_files,
         | round(percentile_cont(0.5) WITHIN GROUP (ORDER BY n_chars), 2) AS p50,

@@ -99,6 +99,41 @@ class MetadataSpec extends SparkSpec {
     assert(fsck.map(_.getAs[Long]("under_replicated")).sum > 0)
   }
 
+  test("fs_mover_plan schedules exactly the replica moves the policy diff requires") {
+    import spark.implicits._
+    val plan = MetadataOps.fs_mover_plan(spark, sf0001).collect()
+    // Every source directory reports, with the policy its suffix pins.
+    assert(plan.map(_.getAs[String]("source")).toSet ===
+      (0 until 20).map(i => s"src$i").toSet)
+    val pol = Array("HOT", "WARM", "COLD")
+    plan.foreach { r =>
+      val src = r.getAs[String]("source")
+      assert(r.getAs[String]("policy") === pol(src.drop(3).toInt % 3))
+      val (n, btm) = (r.getAs[Long]("n_blocks"), r.getAs[Long]("blocks_to_move"))
+      assert(btm <= n && r.getAs[Long]("replicas_to_move") <= 3 * n)
+      assert(r.getAs[Long]("conform_ppm") === (n - btm) * 1000000L / n)
+    }
+    // All three policy classes must be exercised, and COLD directories
+    // (placement puts ~3/4 of replicas on DISK nodes) must need moves.
+    assert(plan.map(_.getAs[String]("policy")).toSet === pol.toSet)
+    assert(plan.filter(_.getAs[String]("policy") == "COLD")
+      .forall(_.getAs[Long]("replicas_to_move") > 0))
+    // Formulation equivalence: the in-row HOF count must agree with an
+    // independent replica-explode computation of the same move schedule.
+    val want = Map("HOT" -> 3L, "WARM" -> 1L, "COLD" -> 0L)
+    val exploded = MetadataOps.blockReplicas(spark, sf0001)
+      .groupBy($"doc_id", $"source", $"blk")
+      .agg(sum(when($"node_id" < 12, 1L).otherwise(0L)).as("n_disk"))
+      .as[(Long, String, Long, Long)].collect()
+      .groupBy(_._2)
+      .map { case (src, rows) =>
+        src -> rows.map(r => math.abs(r._4 - want(pol(src.drop(3).toInt % 3)))).sum
+      }
+    plan.foreach { r =>
+      assert(r.getAs[Long]("replicas_to_move") === exploded(r.getAs[String]("source")))
+    }
+  }
+
   test("fs_copy_verify verifies a faithful copy end to end") {
     import spark.implicits._
     val v = MetadataOps.fs_copy_verify(spark, sf0001)

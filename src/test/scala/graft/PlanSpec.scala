@@ -23,7 +23,7 @@ class PlanSpec extends SparkSpec {
     val intendedNestedLoop =
       Set("q21_crossjoin_small", "q15_groupby_topk", "fs_quota_check",
         "fs_balancer_plan", "ann_topk_brute", "ann_cos_range",
-        "sql_ann_cos_range", "text_token_hist")
+        "sql_ann_cos_range", "ann_pq", "text_token_hist")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val plan = physical(name)
       assert(!plan.contains("CartesianProduct"),

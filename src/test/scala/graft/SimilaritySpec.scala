@@ -45,6 +45,26 @@ class SimilaritySpec extends SparkSpec {
     assert(fullRecall >= 0.99, s"nprobe=k recall $fullRecall should be exact")
   }
 
+  test("ann_pq recall@5 vs brute force; full rerank reproduces brute exactly") {
+    val brute = Similarity.ann_topk_brute(spark, sf001)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.ann_pq(spark, sf001)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pq.nonEmpty, "ann_pq returned no rows")
+    val recall = (brute & pq).size.toDouble / brute.size
+    assert(recall >= 0.6, s"PQ recall@5 $recall < 0.6 (rerank=64, measured 0.65)")
+    // Exactness sanity: rerank >= corpus means the exact rescore sees
+    // every vector, so the output must EQUAL brute force row-for-row
+    // (ADC only orders the candidate stream, it never drops anyone).
+    val bruteRows = Similarity.ann_topk_brute(spark, sf0001)
+      .select("qid", "rank", "nid").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val pqRows = Similarity.annPq(spark, sf0001, m = 8, ks = 16, rerank = 1000)
+      .select("qid", "rank", "nid").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(pqRows === bruteRows, "full-rerank PQ must reproduce brute force")
+  }
+
   test("embeddingLshPairs finds planted near-duplicates selectively") {
     import spark.implicits._
     // 400 random unit-ish vectors + 40 planted near-dups (tiny noise,
