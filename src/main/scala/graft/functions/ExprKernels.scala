@@ -214,6 +214,63 @@ object ExprKernels {
     Array(nGrams.toLong, selected, fp)
   }
 
+  /** Gear table for content-defined chunking, kept mod 2^10: only the
+    * low 10 bits ever reach the boundary test (see [[cdcChunks]]), and
+    * publishing the table as `fmix64(byte + 1) & 1023` lets the DuckDB
+    * oracle rebuild it independently from the same five-line mix. */
+  private val GearMod: Array[Long] =
+    Array.tabulate(256)(b => fmix64((b + 1).toLong) & 1023L)
+
+  /** Content-defined chunking (the rolling-hash boundary scheme of
+    * LBFS — Muthitacharoen et al., SOSP'01 — and the Gear hash of
+    * FastCDC): a position ends a chunk when a rolling hash of the
+    * trailing bytes lands in a 1/64 target band, so chunk boundaries
+    * depend on CONTENT, not offsets — an insertion shifts every
+    * fixed-size block but only perturbs the one CDC chunk it lands in,
+    * which is what makes chunk-level dedup robust.
+    *
+    * Gear recurrence `S = ((S << 1) + gear(b)) & 1023` with modulus
+    * 2^10: each shifted term self-expires after 10 steps, so S at
+    * position i equals Σ_{j=0..9} gear(b_{i-j})·2^j mod 1024 — a pure
+    * function of the trailing 10-byte window. That positional
+    * independence is load-bearing twice over: the kernel is one
+    * sequential pass per row (no cross-row state, embarrassingly
+    * parallel at 100 TB), and a second engine can recompute every
+    * boundary with lag() window sums (the DuckDB oracle does exactly
+    * that). Boundary iff S < 16 (bits 4..9 zero → mean chunk 64 B on
+    * this corpus's ~1–3 KB docs); no FastCDC min/max clamp — a clamp
+    * would make each boundary depend on the previous one and destroy
+    * the positional independence the oracle and the doc-parallel
+    * argument both rest on.
+    *
+    * Returns flattened (start, len, fnv64) triples; FNV-1a over the
+    * chunk's chars (& 0xff — byte-equal on the ASCII corpus, same
+    * caveat as [[winnowStats]]'s hex-byte oracle). Empty text → empty
+    * array; chunk spans partition [0, len) exactly (gated in
+    * KernelSpec against a naive positional re-derivation). */
+  def cdcChunks(text: org.apache.spark.unsafe.types.UTF8String): Array[Long] = {
+    val s = text.toString
+    val len = s.length
+    if (len == 0) return Array.empty[Long]
+    val out = new scala.collection.mutable.ArrayBuffer[Long](24)
+    def emit(start: Int, end: Int): Unit = {
+      var h = 1469598103934665603L
+      var j = start
+      while (j <= end) { h = (h ^ (s.charAt(j) & 0xff)) * 1099511628211L; j += 1 }
+      out += start.toLong; out += (end - start + 1).toLong; out += h
+    }
+    var start = 0
+    var S = 0L
+    var i = 0
+    while (i < len) {
+      S = ((S << 1) + GearMod(s.charAt(i) & 0xff)) & 1023L
+      if (S < 16L) { emit(start, i); start = i + 1 }
+      i += 1
+    }
+    if (start < len) emit(start, len - 1)
+    out.toArray
+  }
+
   /** FNV-1a-style 64-bit fold over a long array (wrapping multiply —
     * the HOF `aggregate` form throws ARITHMETIC_OVERFLOW under ANSI). */
   def fnv64Fold(hashes: ArrayData): Long = {

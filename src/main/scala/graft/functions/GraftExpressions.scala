@@ -133,6 +133,23 @@ case class WinnowStatsExpr(child: Expression, n: Int, w: Int) extends UnaryExpre
   override def prettyName: String = "graft_winnow_stats"
 }
 
+/** cdc_chunks(string) -> array<long> of flattened (start, len, fnv64)
+  * triples (content-defined chunking; see [[ExprKernels.cdcChunks]]). */
+case class CdcChunksExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftExpressions.checkString(prettyName, child)
+  override protected def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      ExprKernels.cdcChunks(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.functions.ExprKernels.cdcChunks($c))")
+  override protected def withNewChildInternal(newChild: Expression): CdcChunksExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_cdc_chunks"
+}
+
 /** fnv64_fold(array<long>) -> long (wrapping FNV-1a-style fold). */
 case class Fnv64FoldExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType

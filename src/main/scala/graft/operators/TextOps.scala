@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.functions.{GraftExpressions, WinnowStatsExpr}
+import graft.functions.{CdcChunksExpr, GraftExpressions, WinnowStatsExpr}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -104,6 +104,50 @@ object TextOps {
       .select($"doc_id", $"st".getItem(0).as("n_grams"),
         $"st".getItem(1).as("n_selected"), $"st".getItem(2).as("fingerprint"))
       .orderBy($"doc_id")
+  }
+
+  /** CHUNK-LEVEL deduplication report via content-defined chunking —
+    * the granularity between [[graft.operators.Dedup.dedup_exact]]
+    * (whole-document) and shingle similarity: documents that share
+    * long verbatim SPANS (boilerplate headers, quoted passages, the
+    * planted near-dup prefixes in this corpus) deduplicate at the
+    * chunk level even when no whole document matches. The boundary
+    * scheme is LBFS/FastCDC-style Gear rolling hash
+    * ([[graft.functions.ExprKernels.cdcChunks]] — codegen'd, one
+    * sequential pass per row, mean chunk 64 B); chunks then dedupe on
+    * their FNV64 content hash per source.
+    *
+    * Scale: chunking is a pure per-row map (boundaries are functions
+    * of a 10-byte window — no cross-row or cross-chunk state), the
+    * explode is bounded by chunks-per-doc, and both aggregations are
+    * map-side-combined shuffles on (source, h, len) then (source). At
+    * 100 TB this is the scan + one shuffle a chunk-store ingest does.
+    * The full kernel — gear table from fmix64, lag-window boundary
+    * recomputation, per-chunk FNV fold — is re-expressed in DuckDB,
+    * so the hash oracle verifies every boundary and every chunk hash
+    * on a second engine (KernelSpec additionally pins the incremental
+    * kernel against a naive positional re-derivation). */
+  def text_cdc_chunks(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val chunks = GraftExpressions.toColumn(
+      CdcChunksExpr(GraftExpressions.toExpr($"text")))
+    Tables.documents(s, d)
+      .select($"source", chunks.as("c"))
+      .filter(size($"c") > 0)
+      .select($"source", explode(expr(
+        "transform(sequence(0, size(c) div 3 - 1), " +
+          "i -> struct(c[3*i+1] AS len, c[3*i+2] AS h))")).as("ch"))
+      .select($"source", $"ch.len".as("len"), $"ch.h".as("h"))
+      .groupBy($"source", $"h", $"len")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"source")
+      .agg(sum($"cnt").as("n_chunks"),
+        count(lit(1)).as("uniq_chunks"),
+        sum($"len" * $"cnt").as("n_bytes"),
+        sum($"len" * ($"cnt" - 1L)).as("dup_bytes"),
+        max($"len").as("max_chunk"))
+      .withColumn("dup_ppm", expr("dup_bytes * 1000000 div n_bytes"))
+      .orderBy($"source")
   }
 
   /** The quality-score + filter stage of the curation pipeline, shared
@@ -662,6 +706,7 @@ object TextOps {
     "text_tokens" -> text_tokens _,
     "text_langid" -> text_langid _,
     "text_fingerprint" -> text_fingerprint _,
+    "text_cdc_chunks" -> text_cdc_chunks _,
     "text_pipeline" -> text_pipeline _,
     "text_pipeline_near" -> text_pipeline_near _,
     "text_decontam" -> text_decontam _,
@@ -728,6 +773,86 @@ object TextOps {
         |  CAST(CASE WHEN hh >= 9223372036854775808::HUGEINT
         |       THEN hh - 18446744073709551616::HUGEINT ELSE hh END AS BIGINT) AS fingerprint
         |FROM fp ORDER BY doc_id""".stripMargin,
+    // The FULL CDC kernel re-expressed in DuckDB: the gear table is
+    // REBUILT from the same five-line fmix64 (32/32-split HUGEINT
+    // multiplies, the text_fingerprint technique) over range(256), the
+    // incremental Gear recurrence is recomputed POSITIONALLY as a
+    // 10-term lag() window sum mod 1024 (legal precisely because the
+    // kernel's shifted terms self-expire at 2^10 — see
+    // ExprKernels.cdcChunks), chunk spans come from lag() over the
+    // boundary positions + a tail row, and each chunk's FNV64 is a
+    // list_reduce over its byte slice. Hash-matching this verifies
+    // every boundary decision and every chunk hash on a second engine.
+    "text_cdc_chunks" ->
+      """WITH g0 AS (
+        |  SELECT bv, xor((bv + 1)::HUGEINT, (bv + 1)::HUGEINT // 8589934592::HUGEINT) AS a
+        |  FROM (SELECT CAST(unnest(range(256)) AS BIGINT) AS bv)),
+        |g1 AS (SELECT bv, (((a) % 4294967296::HUGEINT) * 18397679294719823053::HUGEINT % 18446744073709551616::HUGEINT + ((((a) // 4294967296::HUGEINT) * 3981806797::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS bb FROM g0),
+        |g2 AS (SELECT bv, xor(bb, bb // 8589934592::HUGEINT) AS c FROM g1),
+        |g3 AS (SELECT bv, (((c) % 4294967296::HUGEINT) * 14181476777654086739::HUGEINT % 18446744073709551616::HUGEINT + ((((c) // 4294967296::HUGEINT) * 444984403::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS d FROM g2),
+        |gear AS (
+        |  SELECT bv, CAST(xor(d, d // 8589934592::HUGEINT) % 1024::HUGEINT AS BIGINT) AS gm
+        |  FROM g3),
+        |b AS (
+        |  SELECT doc_id, source, hex(encode(text)) AS hx, length(text) AS len
+        |  FROM documents WHERE length(text) > 0),
+        |pos AS (
+        |  SELECT doc_id, source, len, i,
+        |         ('0x' || substr(hx, CAST(2*i+1 AS BIGINT), 2))::BIGINT AS byte
+        |  FROM b, LATERAL unnest(range(len)) AS t(i)),
+        |gp AS (
+        |  SELECT p.doc_id, p.source, p.len, p.i, p.byte, g.gm
+        |  FROM pos p JOIN gear g ON p.byte = g.bv),
+        |sv AS (
+        |  SELECT doc_id, source, len, i,
+        |    (gm
+        |     +   2 * coalesce(lag(gm, 1) OVER w, 0)
+        |     +   4 * coalesce(lag(gm, 2) OVER w, 0)
+        |     +   8 * coalesce(lag(gm, 3) OVER w, 0)
+        |     +  16 * coalesce(lag(gm, 4) OVER w, 0)
+        |     +  32 * coalesce(lag(gm, 5) OVER w, 0)
+        |     +  64 * coalesce(lag(gm, 6) OVER w, 0)
+        |     + 128 * coalesce(lag(gm, 7) OVER w, 0)
+        |     + 256 * coalesce(lag(gm, 8) OVER w, 0)
+        |     + 512 * coalesce(lag(gm, 9) OVER w, 0)) % 1024 AS s
+        |  FROM gp WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+        |bnd AS (SELECT doc_id, source, i FROM sv WHERE s < 16),
+        |spans AS (
+        |  SELECT doc_id, source,
+        |         coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i) + 1, 0) AS st,
+        |         i AS fin
+        |  FROM bnd
+        |  UNION ALL
+        |  SELECT b.doc_id, b.source, coalesce(m.mx + 1, 0) AS st, b.len - 1 AS fin
+        |  FROM b LEFT JOIN (SELECT doc_id, max(i) AS mx FROM bnd GROUP BY doc_id) m
+        |    ON b.doc_id = m.doc_id
+        |  WHERE coalesce(m.mx + 1, 0) <= b.len - 1),
+        |bl AS (SELECT doc_id, list(byte ORDER BY i) AS bs FROM pos GROUP BY doc_id),
+        |hh AS (
+        |  SELECT s.source, s.fin - s.st + 1 AS clen,
+        |    list_reduce(
+        |      list_prepend(1469598103934665603::HUGEINT,
+        |        list_transform(bs[s.st + 1 : s.fin + 1], x -> x::HUGEINT)),
+        |      (acc, x) -> (xor(acc, x) * 1099511628211::HUGEINT)
+        |                  % 18446744073709551616::HUGEINT) AS hu
+        |  FROM spans s JOIN bl ON s.doc_id = bl.doc_id),
+        |hs AS (
+        |  SELECT source, clen,
+        |    CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+        |         THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT) AS h
+        |  FROM hh),
+        |per AS (
+        |  SELECT source, h, clen, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM hs GROUP BY 1, 2, 3)
+        |SELECT source,
+        |  CAST(sum(cnt) AS BIGINT) AS n_chunks,
+        |  CAST(count(*) AS BIGINT) AS uniq_chunks,
+        |  CAST(sum(clen * cnt) AS BIGINT) AS n_bytes,
+        |  CAST(sum(clen * (cnt - 1)) AS BIGINT) AS dup_bytes,
+        |  CAST(max(clen) AS BIGINT) AS max_chunk,
+        |  CAST(sum(clen * (cnt - 1)) AS BIGINT) * 1000000
+        |    // CAST(sum(clen * cnt) AS BIGINT) AS dup_ppm
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
     // One flat global cumsum — deliberately NOT the two-phase
     // decomposition the Spark side runs; the hash gate proves the
     // distributed prefix sum exactly reproduces the sequential one.

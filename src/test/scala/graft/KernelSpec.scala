@@ -194,6 +194,60 @@ class KernelSpec extends SparkSpec {
     }
   }
 
+  test("cdcChunks matches a naive positional re-derivation and partitions the text") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // Independent reference: recompute every boundary POSITIONALLY
+    // (S_i = Σ_{j≤min(i,9)} gear(b_{i-j})·2^j mod 1024) instead of the
+    // kernel's incremental recurrence — proving the self-expiry claim
+    // the DuckDB oracle's lag()-sum also rests on.
+    def fmix(v: Long): Long = {
+      var x = v
+      x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+      x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+      x ^= x >>> 33; x
+    }
+    val gear = Array.tabulate(256)(b => fmix((b + 1).toLong) & 1023L)
+    def refChunks(s: String): Seq[(Long, Long, Long)] = {
+      val len = s.length
+      if (len == 0) return Seq.empty
+      val bounds = (0 until len).filter { i =>
+        val sum = (0 to math.min(i, 9)).map(j => gear(s.charAt(i - j) & 0xff) << j).sum
+        (sum & 1023L) < 16L
+      }
+      val starts = 0 +: bounds.map(_ + 1)
+      val ends =
+        if (bounds.nonEmpty && bounds.last == len - 1) bounds else bounds :+ (len - 1)
+      starts.zip(ends).map { case (st, en) =>
+        var h = 1469598103934665603L
+        (st to en).foreach(j => h = (h ^ (s.charAt(j) & 0xff)) * 1099511628211L)
+        (st.toLong, (en - st + 1).toLong, h)
+      }
+    }
+    val rnd = new scala.util.Random(11)
+    val cases = Seq("", "a", "hello world, the quick brown fox") ++
+      (0 until 60).map(_ => rnd.alphanumeric.take(rnd.nextInt(500)).mkString(" ", " ", "."))
+    cases.foreach { s =>
+      val flat = ExprKernels.cdcChunks(UTF8String.fromString(s))
+      val got = flat.grouped(3).map(a => (a(0), a(1), a(2))).toSeq
+      assert(got == refChunks(s), s"kernel/reference mismatch for len=${s.length}")
+      // chunks partition [0, len) exactly: contiguous starts, lens sum to len
+      assert(got.map(_._2).sum == s.length.toLong)
+      got.foldLeft(0L) { case (expected, (st, l, _)) =>
+        assert(st == expected, s"non-contiguous chunk at $st (expected $expected)")
+        st + l
+      }
+    }
+    // duplicate detection property: a shared span between two texts
+    // yields shared chunk hashes even when the span's OFFSET differs
+    // (the fixed-block scheme this replaces would miss it)
+    val span = rnd.alphanumeric.take(400).mkString
+    val h1 = ExprKernels.cdcChunks(UTF8String.fromString("PREFIX-A " + span))
+      .grouped(3).map(_(2)).toSet
+    val h2 = ExprKernels.cdcChunks(UTF8String.fromString("a different, longer prefix: " + span))
+      .grouped(3).map(_(2)).toSet
+    assert((h1 & h2).nonEmpty, "offset-shifted shared span must share chunk hashes")
+  }
+
   test("hyperplane signature is deterministic and discriminative") {
     import spark.implicits._
     val planes = VectorFunctions.randomPlanes(16, 64)

@@ -12,6 +12,28 @@ import org.apache.spark.sql.functions._
 class TextPipelineSpec extends SparkSpec {
   import spark.implicits._
 
+  test("text_cdc_chunks conserves bytes and dedupes the planted duplicate docs") {
+    val r = TextOps.text_cdc_chunks(spark, sf0001).collect()
+    assert(r.nonEmpty)
+    // chunk spans partition each doc, so per-source chunk bytes must
+    // equal the source's total text bytes exactly
+    val docBytes = Tables.documents(spark, sf0001)
+      .groupBy($"source").agg(sum(length($"text")).as("b"))
+      .as[(String, Long)].collect().toMap
+    r.foreach { row =>
+      val src = row.getAs[String]("source")
+      assert(row.getAs[Long]("n_bytes") === docBytes(src), s"byte leak in $src")
+      assert(row.getAs[Long]("uniq_chunks") <= row.getAs[Long]("n_chunks"))
+      assert(row.getAs[Long]("dup_bytes") < row.getAs[Long]("n_bytes"))
+      val mean = row.getAs[Long]("n_bytes").toDouble / row.getAs[Long]("n_chunks")
+      assert(mean > 16 && mean < 256, s"mean chunk $mean B outside the 64 B-target band")
+    }
+    // the corpus plants verbatim-duplicate documents (dedup_exact finds
+    // them) — their chunks must collide, so SOME source reports dup bytes
+    assert(r.map(_.getAs[Long]("dup_bytes")).sum > 0,
+      "planted duplicate docs must produce duplicate chunks")
+  }
+
   test("text_pack's two-phase prefix sum equals the flat global cumsum") {
     // Width 100 (not the 10⁶ production default) so the test corpus
     // genuinely spans several buckets and the cross-bucket offset
