@@ -83,6 +83,11 @@ object Scale {
       "dedup_minhash_lsh" -> (Dedup.dedup_minhash_lsh _),
       "dedup_simhash" -> (Dedup.dedup_simhash _),
       "dedup_containment" -> (Dedup.dedup_containment _),
+      // r11: CDC span dedup — content-pure candidate gen; rotation
+      // changes every byte, so chunk hashes are copy-local below the
+      // wrap, and wrapped copies (factor >= 27) are full-containment
+      // planted pairs at factor-of-2 bucket growth (still uncapped).
+      "dedup_cdc" -> (Dedup.dedup_cdc _),
       "dedup_clusters" -> (Dedup.dedup_clusters _),
       "mm_near_dups" -> (graft.operators.Multimodal.mm_near_dups _))
 

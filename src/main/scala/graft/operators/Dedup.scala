@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{CacheRegistry, Tables}
 import graft.functions.TextFunctions._
-import graft.functions.VectorFunctions
+import graft.functions.{CdcChunksExpr, GraftExpressions, VectorFunctions}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -292,6 +292,77 @@ object Dedup {
       .orderBy($"doc_id", $"doc_id2")
   }
 
+  /** SPAN-level near-dup pairs via content-defined chunking — the
+    * dedup storage systems actually ship (LBFS, Muthitacharoen et al.
+    * SOSP'01; backup dedup generally): two documents are related when
+    * they share VERBATIM spans, found by chunking each doc on
+    * content-defined boundaries ([[graft.functions.ExprKernels.cdcChunks]],
+    * same codegen'd kernel as text_cdc_chunks) and equi-joining on
+    * chunk content hash. Complements the sketch family: minhash/simhash
+    * estimate set overlap of all shingles; CDC finds exact contiguous
+    * reuse (quoted passages, boilerplate, the planted shared prefixes)
+    * and reports the shared BYTES, not an estimate.
+    *
+    * Pipeline: chunk (per-row map) → distinct (doc, chunk) → bucket by
+    * chunk hash with the standard hot-bucket cap (observable, conf
+    * `graft.dedup.maxBucket` — a boilerplate chunk shared by everything
+    * would otherwise go quadratic) → ordered pairs → per-pair
+    * shared-chunk/shared-byte aggregation → containment vs the smaller
+    * doc's chunked bytes, in integer ppm. Chunks below `minChunk` bytes
+    * are ignored (tiny common spans are noise). Every step is a
+    * map-side-combined shuffle on computed keys; the doc-bytes join is
+    * a broadcast at any realistic distinct-doc count per executor.
+    *
+    * Fully hash-oracled: the DuckDB oracle re-derives every boundary
+    * and chunk hash from the shared kernel spec (the text_cdc_chunks
+    * chain), then replays the SAME cap/threshold pipeline in SQL —
+    * candidate generation itself is verified on a second engine, the
+    * first of the near-dup family where that is possible (sketch-based
+    * candidates depend on RNG planes/permutations; CDC is content-pure). */
+  def dedup_cdc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val minChunk = 24
+    val cap = s.conf.get("graft.dedup.maxBucket", "1000").toInt
+    val chunkCol = GraftExpressions.toColumn(
+      CdcChunksExpr(GraftExpressions.toExpr($"text")))
+    val chunks = CacheRegistry.cache(
+      Tables.documents(s, d)
+        .select($"doc_id", chunkCol.as("c"))
+        .filter(size($"c") > 0)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(0, size(c) div 3 - 1), " +
+            "i -> struct(c[3*i+1] AS len, c[3*i+2] AS h))")).as("ch"))
+        .filter($"ch.len" >= minChunk)
+        .select($"doc_id", $"ch.len".as("len"), $"ch.h".as("h"))
+        .distinct())
+    val byChunk = chunks
+      .groupBy($"h", $"len")
+      .agg(collect_list($"doc_id").as("ids"))
+      .filter(size($"ids") >= 2)
+      .observe(s"graft_bucket_pairs_${obsId.incrementAndGet()}",
+        sum(when(size($"ids") > cap, 1).otherwise(0)).as("dropped_buckets"),
+        max(size($"ids")).as("max_bucket"),
+        sum(when(size($"ids") > cap, size($"ids")).otherwise(0)).as("capped_ids"))
+      .filter(size($"ids") <= cap)
+    val pairs = byChunk
+      .select($"len", explode($"ids").as("doc_id"), $"ids")
+      .select($"len", $"doc_id", explode($"ids").as("doc_id2"))
+      .filter($"doc_id" < $"doc_id2")
+      .groupBy($"doc_id", $"doc_id2")
+      .agg(count(lit(1)).as("shared_chunks"), sum($"len").as("shared_bytes"))
+    val docBytes = chunks.groupBy($"doc_id").agg(sum($"len").as("bytes"))
+    pairs
+      .join(docBytes, "doc_id")
+      .join(docBytes.select($"doc_id".as("doc_id2"), $"bytes".as("bytes2")),
+        "doc_id2")
+      .withColumn("containment_ppm",
+        expr("shared_bytes * 1000000 div least(bytes, bytes2)"))
+      .filter($"containment_ppm" >= 300000)
+      .select($"doc_id", $"doc_id2", $"shared_chunks", $"shared_bytes",
+        $"containment_ppm")
+      .orderBy($"doc_id", $"doc_id2")
+  }
+
   /** Connected components over an undirected pair list via min-label
     * propagation WITH pointer jumping (hook + shortcut, the classic
     * PRAM connectivity recipe): each round every node (a) hooks to the
@@ -545,6 +616,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedup_exact _,
+    "dedup_cdc" -> dedup_cdc _,
     "dedup_minhash_lsh" -> dedup_minhash_lsh _,
     "dedup_simhash" -> dedup_simhash _,
     "dedup_ngram_jaccard" -> dedup_ngram_jaccard _,
@@ -554,6 +626,89 @@ object Dedup {
     "dedup_resolve_best" -> dedup_resolve_best _)
 
   val oracle: Map[String, String] = Map(
+    // Same independently-rebuilt CDC kernel as the text_cdc_chunks
+    // oracle (gear table from fmix64, boundaries as 10-term lag-window
+    // sums mod 1024, per-chunk FNV64), then the operator's own
+    // cap/threshold pipeline replayed in SQL: distinct (doc, chunk) at
+    // >= 24 B, buckets of 2..1000 docs, ordered pairs, shared-byte
+    // aggregation, integer-ppm containment vs the smaller doc.
+    "dedup_cdc" ->
+      """WITH g0 AS (
+        |  SELECT bv, xor((bv + 1)::HUGEINT, (bv + 1)::HUGEINT // 8589934592::HUGEINT) AS a
+        |  FROM (SELECT CAST(unnest(range(256)) AS BIGINT) AS bv)),
+        |g1 AS (SELECT bv, (((a) % 4294967296::HUGEINT) * 18397679294719823053::HUGEINT % 18446744073709551616::HUGEINT + ((((a) // 4294967296::HUGEINT) * 3981806797::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS bb FROM g0),
+        |g2 AS (SELECT bv, xor(bb, bb // 8589934592::HUGEINT) AS c FROM g1),
+        |g3 AS (SELECT bv, (((c) % 4294967296::HUGEINT) * 14181476777654086739::HUGEINT % 18446744073709551616::HUGEINT + ((((c) // 4294967296::HUGEINT) * 444984403::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS d FROM g2),
+        |gear AS (
+        |  SELECT bv, CAST(xor(d, d // 8589934592::HUGEINT) % 1024::HUGEINT AS BIGINT) AS gm
+        |  FROM g3),
+        |b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx, length(text) AS len
+        |  FROM documents WHERE length(text) > 0),
+        |pos AS (
+        |  SELECT doc_id, len, i,
+        |         ('0x' || substr(hx, CAST(2*i+1 AS BIGINT), 2))::BIGINT AS byte
+        |  FROM b, LATERAL unnest(range(len)) AS t(i)),
+        |gp AS (
+        |  SELECT p.doc_id, p.len, p.i, p.byte, g.gm
+        |  FROM pos p JOIN gear g ON p.byte = g.bv),
+        |sv AS (
+        |  SELECT doc_id, len, i,
+        |    (gm
+        |     +   2 * coalesce(lag(gm, 1) OVER w, 0)
+        |     +   4 * coalesce(lag(gm, 2) OVER w, 0)
+        |     +   8 * coalesce(lag(gm, 3) OVER w, 0)
+        |     +  16 * coalesce(lag(gm, 4) OVER w, 0)
+        |     +  32 * coalesce(lag(gm, 5) OVER w, 0)
+        |     +  64 * coalesce(lag(gm, 6) OVER w, 0)
+        |     + 128 * coalesce(lag(gm, 7) OVER w, 0)
+        |     + 256 * coalesce(lag(gm, 8) OVER w, 0)
+        |     + 512 * coalesce(lag(gm, 9) OVER w, 0)) % 1024 AS s
+        |  FROM gp WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+        |bnd AS (SELECT doc_id, i FROM sv WHERE s < 16),
+        |spans AS (
+        |  SELECT doc_id,
+        |         coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i) + 1, 0) AS st,
+        |         i AS fin
+        |  FROM bnd
+        |  UNION ALL
+        |  SELECT b.doc_id, coalesce(m.mx + 1, 0) AS st, b.len - 1 AS fin
+        |  FROM b LEFT JOIN (SELECT doc_id, max(i) AS mx FROM bnd GROUP BY doc_id) m
+        |    ON b.doc_id = m.doc_id
+        |  WHERE coalesce(m.mx + 1, 0) <= b.len - 1),
+        |bl AS (SELECT doc_id, list(byte ORDER BY i) AS bs FROM pos GROUP BY doc_id),
+        |hh AS (
+        |  SELECT s.doc_id, s.fin - s.st + 1 AS clen,
+        |    list_reduce(
+        |      list_prepend(1469598103934665603::HUGEINT,
+        |        list_transform(bs[s.st + 1 : s.fin + 1], x -> x::HUGEINT)),
+        |      (acc, x) -> (xor(acc, x) * 1099511628211::HUGEINT)
+        |                  % 18446744073709551616::HUGEINT) AS hu
+        |  FROM spans s JOIN bl ON s.doc_id = bl.doc_id),
+        |u AS (
+        |  SELECT DISTINCT doc_id, clen,
+        |    CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+        |         THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT) AS h
+        |  FROM hh WHERE clen >= 24),
+        |ok AS (
+        |  SELECT h, clen FROM u GROUP BY 1, 2
+        |  HAVING count(*) BETWEEN 2 AND 1000),
+        |pr AS (
+        |  SELECT a.doc_id, b.doc_id AS doc_id2, a.clen
+        |  FROM u a JOIN ok ON a.h = ok.h AND a.clen = ok.clen
+        |  JOIN u b ON b.h = ok.h AND b.clen = ok.clen AND a.doc_id < b.doc_id),
+        |ag AS (
+        |  SELECT doc_id, doc_id2,
+        |    CAST(count(*) AS BIGINT) AS shared_chunks,
+        |    CAST(sum(clen) AS BIGINT) AS shared_bytes
+        |  FROM pr GROUP BY 1, 2),
+        |db AS (SELECT doc_id, CAST(sum(clen) AS BIGINT) AS bytes FROM u GROUP BY 1)
+        |SELECT ag.doc_id, ag.doc_id2, ag.shared_chunks, ag.shared_bytes,
+        |  ag.shared_bytes * 1000000 // least(x.bytes, y.bytes) AS containment_ppm
+        |FROM ag JOIN db x ON ag.doc_id = x.doc_id
+        |        JOIN db y ON ag.doc_id2 = y.doc_id
+        |WHERE ag.shared_bytes * 1000000 // least(x.bytes, y.bytes) >= 300000
+        |ORDER BY 1, 2""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper, count(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,

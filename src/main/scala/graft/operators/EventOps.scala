@@ -304,7 +304,91 @@ object EventOps {
       .orderBy($"hour", $"event_type")
   }
 
+  /** Straggler detection over a task trace — the question behind the
+    * reference's job-history analytics (hadoop-tools/hadoop-rumen/src/
+    * main/java/org/apache/hadoop/tools/rumen/JobBuilder.java folds
+    * attempt records into per-job task runtimes) and its speculative-
+    * execution trigger (hadoop-mapreduce-project/.../speculate/
+    * LegacyTaskRuntimeEstimator.java:76 — a task speculates when its
+    * runtime is far beyond the mean of its peers). Trace model on this
+    * corpus: `user_id` = job, `event_type` = task phase, `value` =
+    * task seconds; a task is a STRAGGLER when its duration exceeds
+    * 1.5× its (job, phase) mean.
+    *
+    * Cross-engine exactness: durations become integer centiseconds
+    * once (`round(value*100)` — the raw doubles are centi-precision by
+    * construction, so both engines land on the same integer; summing
+    * the doubles instead would be partition-order-dependent), and the
+    * 1.5×-mean test is the pure-i64 cross-multiplication
+    * `2·cs·n > 3·Σcs` — no division, no doubles, no rounding hazard.
+    *
+    * One shuffle: the window partitions by (user_id, event_type) and
+    * the aggregate groups by the same keys, so the hash aggregate
+    * reuses the window's exchange. At 100 TB: per-group state is five
+    * i64s; `2·cs·n` overflows i64 only past ~10¹⁸ centisecond-tasks
+    * per group. */
+  def ev_stragglers(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id", $"event_type")
+    Tables.events(s, d)
+      .select($"user_id", $"event_type",
+        round($"value" * 100).cast("long").as("cs"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("tot", sum($"cs").over(w))
+      .withColumn("straggler", $"cs" * $"n" * 2 > $"tot" * 3)
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("n_tasks"),
+        sum($"cs").as("total_cs"),
+        max($"cs").as("max_cs"),
+        sum(when($"straggler", 1L).otherwise(0L)).as("n_stragglers"),
+        sum(when($"straggler", $"cs").otherwise(0L)).as("straggler_cs"))
+      .filter($"n_tasks" >= 5)
+      .withColumn("straggler_ppm", expr("straggler_cs * 1000000 div total_cs"))
+      .orderBy($"user_id", $"event_type")
+  }
+
+  /** Recurring-pipeline resource skyline — the reference's
+    * ResourceEstimator service (hadoop-tools/hadoop-resourceestimator/
+    * src/main/java/org/apache/hadoop/resourceestimator/solver/impl/
+    * LpSolver.java estimates a recurring job's future skyline from its
+    * historical runs' per-interval usage). Trace model: each calendar
+    * DAY of a `user_id`'s events is one RUN of its recurring pipeline;
+    * the run's skyline is its hourly usage (Σ centiseconds per
+    * hour-of-day); the conservative prediction for the next run is the
+    * per-hour-of-day MAX across observed runs (the reference's
+    * upper-bound solver mode). Output per job: active skyline hours,
+    * predicted total, peak, and earliest peak hour.
+    *
+    * Shuffles: (user, day, hod) partial-agg → (user, hod) max →
+    * (user) final — each stage shrinks the data (events → runs×24 →
+    * 24/job → 1/job), all map-side combined; the peak-hour argmax is a
+    * window on the already-tiny per-job skyline partitioned by the
+    * same key as the final group. All arithmetic integer (same
+    * centisecond basis as [[ev_stragglers]]); `min(hod) when hod_cs =
+    * peak` makes the argmax tie-break deterministic on both engines. */
+  def ev_resource_skyline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sky = Tables.events(s, d)
+      .select($"user_id", to_date($"ts").as("run_day"),
+        hour($"ts").cast("long").as("hod"),
+        round($"value" * 100).cast("long").as("cs"))
+      .groupBy($"user_id", $"run_day", $"hod")
+      .agg(sum($"cs").as("run_cs"))
+      .groupBy($"user_id", $"hod")
+      .agg(max($"run_cs").as("hod_cs"))
+    sky
+      .withColumn("pk", max($"hod_cs").over(Window.partitionBy($"user_id")))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_active_hours"),
+        sum($"hod_cs").as("predicted_total_cs"),
+        max($"hod_cs").as("peak_cs"),
+        min(when($"hod_cs" === $"pk", $"hod")).as("peak_hour"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_stragglers" -> ev_stragglers _,
+    "ev_resource_skyline" -> ev_resource_skyline _,
     "ev_anomaly" -> ev_anomaly _,
     "ev_heavy_hitters" -> ev_heavy_hitters _,
     "ev_fullouter" -> ev_fullouter _,
@@ -319,6 +403,48 @@ object EventOps {
     "ev_approx_uniques" -> ev_approx_uniques _)
 
   val oracle: Map[String, String] = Map(
+    // Centisecond basis: round(value*100) is exact on both engines
+    // (the raw doubles are centi-precision, never near a .5 midpoint);
+    // the straggler test is the same i64 cross-multiplication; `div`
+    // (Spark, truncating) ≡ `//` (DuckDB, flooring) on the
+    // non-negative ppm quotient.
+    "ev_stragglers" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS cs FROM events),
+        |g AS (
+        |  SELECT user_id, event_type, cs,
+        |         count(*) OVER w AS n, sum(cs) OVER w AS tot
+        |  FROM t WINDOW w AS (PARTITION BY user_id, event_type))
+        |SELECT user_id, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_tasks,
+        |  CAST(sum(cs) AS BIGINT) AS total_cs,
+        |  CAST(max(cs) AS BIGINT) AS max_cs,
+        |  CAST(count(*) FILTER (WHERE 2 * cs * n > 3 * tot) AS BIGINT)
+        |    AS n_stragglers,
+        |  CAST(coalesce(sum(cs) FILTER (WHERE 2 * cs * n > 3 * tot), 0)
+        |    AS BIGINT) AS straggler_cs,
+        |  CAST(coalesce(sum(cs) FILTER (WHERE 2 * cs * n > 3 * tot), 0)
+        |    AS BIGINT) * 1000000 // CAST(sum(cs) AS BIGINT) AS straggler_ppm
+        |FROM g GROUP BY 1, 2 HAVING count(*) >= 5
+        |ORDER BY 1, 2""".stripMargin,
+    "ev_resource_skyline" ->
+      """WITH h AS (
+        |  SELECT user_id, date_trunc('day', ts) AS run_day,
+        |         CAST(extract(hour FROM ts) AS BIGINT) AS hod,
+        |         sum(CAST(round(value * 100) AS BIGINT)) AS run_cs
+        |  FROM events GROUP BY 1, 2, 3),
+        |sky AS (
+        |  SELECT user_id, hod, max(run_cs) AS hod_cs FROM h GROUP BY 1, 2),
+        |p AS (
+        |  SELECT user_id, hod, hod_cs,
+        |         max(hod_cs) OVER (PARTITION BY user_id) AS pk FROM sky)
+        |SELECT user_id,
+        |  CAST(count(*) AS BIGINT) AS n_active_hours,
+        |  CAST(sum(hod_cs) AS BIGINT) AS predicted_total_cs,
+        |  CAST(max(hod_cs) AS BIGINT) AS peak_cs,
+        |  CAST(min(hod) FILTER (WHERE hod_cs = pk) AS BIGINT) AS peak_hour
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     // Valid because every test SF sits in the sketch's EXACT regime
     // (distinct users <= capacity — the aggregator's spec'd guarantee):
     // est_count = true count, max_overcount = 0, merge-order-free.

@@ -114,6 +114,39 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedup_cdc finds offset-shifted verbatim spans and ignores disjoint docs") {
+    // CDC's whole point vs fixed-size blocks: a shared span is found
+    // even when its byte OFFSET differs between the two docs. Plants:
+    // doc pairs sharing a long middle span behind different-length
+    // unique prefixes/suffixes. Controls: fully random docs, which
+    // must produce no pair (random token soup shares no >= 24 B chunk).
+    val rnd = new scala.util.Random(47)
+    val vocab = Array.tabulate(3000)(i => s"tok$i")
+    def doc(len: Int) = Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val base = (0 until 150).map(i => (i.toLong, doc(150)))
+    val plants = (0 until 20).flatMap { j =>
+      val span = doc(120)
+      Seq((1000L + 2 * j, doc(5 + j) + " " + span),
+        (1001L + 2 * j, doc(30 + j) + " " + span + " " + doc(7)))
+    }
+    val dir = writeDocs(base ++ plants, "g")
+    val got = Dedup.dedup_cdc(spark, dir).collect()
+    val gotPairs = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 20).map(j => (1000L + 2 * j, 1001L + 2 * j)).toSet
+    assert((expected & gotPairs).size == expected.size,
+      s"missed offset-shifted planted spans: ${expected -- gotPairs}")
+    // no pair between two pure-random base docs
+    val falsePairs = gotPairs.filter { case (a, b) => a < 1000 && b < 1000 }
+    assert(falsePairs.isEmpty, s"random docs paired: $falsePairs")
+    // shared bytes of a planted pair must approach the span's length
+    // (boundary effects at the span edges lose at most a chunk or two)
+    val spanBytes = got.collect {
+      case r if expected((r.getLong(0), r.getLong(1))) => r.getLong(3)
+    }
+    assert(spanBytes.forall(_ >= 400),
+      s"planted 120-token span shares too few bytes: ${spanBytes.min}")
+  }
+
   test("dedup_clusters matches an independent union-find on the same pair graph") {
     // corpus A has no exact dups, so the cluster graph is exactly the
     // minhash pair set — union-find over the collected pairs is the

@@ -119,4 +119,55 @@ class EventOpsSpec extends SparkSpec {
       s"max hourly count $maxHourly is within 10^4 of the i64 z-score bound " +
         "(~6.2e8/hour/type) — bucket finer or widen ev_anomaly to decimal")
   }
+
+  test("ev_stragglers matches a naive driver-side recomputation of the 1.5x-mean rule") {
+    import spark.implicits._
+    // Independent reference: collect the raw trace, recompute every
+    // group's flags with plain Scala arithmetic on the same
+    // centisecond basis.
+    val raw = Tables.events(spark, sf0001)
+      .select($"user_id", $"event_type", round($"value" * 100).cast("long"))
+      .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2)))
+    val byGroup = raw.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val expected = byGroup.collect {
+      case ((job, phase), cs) if cs.length >= 5 =>
+        val n = cs.length.toLong; val tot = cs.sum
+        val strag = cs.filter(c => 2 * c * n > 3 * tot)
+        (job, phase) -> (n, tot, cs.max, strag.length.toLong, strag.sum)
+    }
+    val got = EventOps.ev_stragglers(spark, sf0001).collect().map { r =>
+      (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+    }.toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (k, v) => assert(got(k) == v, s"group $k: ${got(k)} vs $v") }
+    assert(expected.exists(_._2._4 > 0), "test premise: some group has a straggler")
+    assert(expected.exists(_._2._4 == 0) ||
+      expected.values.map(_._4).sum < raw.length / 3,
+      "test premise: stragglers are a minority, not the whole trace")
+  }
+
+  test("ev_resource_skyline is the per-hour-of-day max across each job's daily runs") {
+    import spark.implicits._
+    val raw = Tables.events(spark, sf0001)
+      .select($"user_id", to_date($"ts").cast("string"), hour($"ts").cast("long"),
+        round($"value" * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val sky = raw.groupBy(t => (t._1, t._2, t._3)).view.mapValues(_.map(_._4).sum)
+      .toSeq.groupBy { case ((job, _, hod), _) => (job, hod) }
+      .view.mapValues(_.map(_._2).max).toMap
+    val expected = sky.groupBy(_._1._1).map { case (job, hods) =>
+      val peak = hods.values.max
+      job -> (hods.size.toLong, hods.values.sum, peak,
+        hods.collect { case ((_, hod), cs) if cs == peak => hod }.min)
+    }
+    val got = EventOps.ev_resource_skyline(spark, sf0001).collect().map { r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    }.toMap
+    assert(got == expected)
+    // premise: at least one job was observed on several distinct days,
+    // so the max-across-runs actually maxes over something
+    val multiRun = raw.groupBy(_._1).values.exists(_.map(_._2).distinct.length >= 2)
+    assert(multiRun, "test premise: a job recurs across days")
+  }
 }
