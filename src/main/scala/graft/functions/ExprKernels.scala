@@ -25,6 +25,17 @@ object ExprKernels {
   private val Seeds: Array[Long] =
     Array.tabulate(256)(i => fmix64(0x9e3779b97f4a7c15L * (i + 1)))
 
+  /** Frame fingerprint for the multimodal stub pipeline (r11, replaces
+    * xxhash64): fmix64 over a golden-ratio (doc, frame) mix. fmix64 is
+    * the one mixing primitive the oracle suite already re-expresses in
+    * DuckDB (32/32-split HUGEINT multiplies — text_fingerprint,
+    * text_cdc_chunks, mm_meta), so frame fingerprints become
+    * cross-engine re-derivable and mm_framesample gains a full hash
+    * oracle. Avalanche quality is equivalent for the stub's purposes
+    * (the fingerprint only needs to be deterministic and well-mixed). */
+  def frameFp(docId: Long, frameIdx: Long): Long =
+    fmix64(docId * 0x9e3779b97f4a7c15L + frameIdx + 1L)
+
   /** 64-bit SimHash over a feature-hash array, one pass: accumulate 64
     * bit-counters, set output bit j iff a majority of features have bit
     * j set. O(64·n) adds in a tight loop (vs r1's 64 interpreted

@@ -150,6 +150,24 @@ case class CdcChunksExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_cdc_chunks"
 }
 
+/** frame_fp(doc_id, frame_idx) -> long: fmix64 golden-ratio mix (see
+  * [[ExprKernels.frameFp]] — the oracle-re-derivable frame
+  * fingerprint of the multimodal stub pipeline). */
+case class FrameFpExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (bigint, bigint), got (${left.dataType.sql}, ${right.dataType.sql})")
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ExprKernels.frameFp(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ExprKernels.frameFp($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): FrameFpExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_frame_fp"
+}
+
 /** fnv64_fold(array<long>) -> long (wrapping FNV-1a-style fold). */
 case class Fnv64FoldExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType

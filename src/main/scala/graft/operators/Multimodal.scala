@@ -58,10 +58,18 @@ object Multimodal {
 
   private def framesRaw(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    import graft.functions.{FrameFpExpr, GraftExpressions}
+    // frame_fp is fmix64 over a golden-ratio (doc, frame) mix (r11,
+    // was xxhash64): same codegen'd scan-speed class, but re-derivable
+    // in DuckDB with the oracle suite's existing 32/32-split multiply
+    // chain — which is what lets mm_framesample carry a full hash
+    // oracle instead of a rows-only check.
+    val fp = GraftExpressions.toColumn(FrameFpExpr(
+      GraftExpressions.toExpr($"doc_id".cast("long")),
+      GraftExpressions.toExpr($"frame_idx".cast("long"))))
     metaRaw(s, d).select($"doc_id", $"n_frames",
         explode(sequence(lit(0), $"n_frames" - 1, lit(10))).as("frame_idx"))
-      .select($"doc_id", $"frame_idx",
-        xxhash64($"doc_id", $"frame_idx").as("frame_fp"))
+      .select($"doc_id", $"frame_idx", fp.as("frame_fp"))
   }
 
   /** Frame sampling plumbing: every 10th frame index exploded to its
@@ -206,6 +214,54 @@ object Multimodal {
   // three stay rows-only: frame_fp/feature hashing is xxhash64-based,
   // which DuckDB lacks.
   val oracle: Map[String, String] = Map(
+    // Same payload-hash chain as the mm_meta oracle through n_frames,
+    // then every 10th frame index via range(0, n, 10) and the frame
+    // fingerprint re-derived with the standard fmix64 chain (32/32-
+    // split HUGEINT multiplies) over the golden-ratio (doc, frame)
+    // mix — the full stub decode + sample + fingerprint pipeline
+    // verified on a second engine.
+    "mm_framesample" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS len
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, len, i,
+        |         ('0x' || substr(hx, CAST(2*i+1 AS BIGINT), 2))::BIGINT AS byte
+        |  FROM b, LATERAL unnest(range(len)) AS t(i)),
+        |folded AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(1125899906842597::HUGEINT, list(byte ORDER BY i)),
+        |      (acc, x) -> (acc::HUGEINT * 31 + x::HUGEINT)
+        |                  % 18446744073709551616::HUGEINT) AS hu
+        |  FROM pos GROUP BY doc_id),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+        |         THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT) AS h
+        |  FROM folded),
+        |nf AS (
+        |  SELECT doc_id,
+        |    1 + ((((h - (((h % 256) + 256) % 256)) // 256) % 240 + 240) % 240)
+        |      AS n_frames
+        |  FROM s),
+        |fr AS (
+        |  SELECT doc_id, CAST(t.i AS BIGINT) AS frame_idx
+        |  FROM nf, LATERAL unnest(range(0, n_frames, 10)) AS t(i)),
+        |a0 AS (
+        |  SELECT doc_id, frame_idx,
+        |    (CAST(doc_id AS HUGEINT) * 11400714819323198485::HUGEINT
+        |     + frame_idx + 1) % 18446744073709551616::HUGEINT AS a
+        |  FROM fr),
+        |f1 AS (SELECT doc_id, frame_idx, xor(a, a // 8589934592::HUGEINT) AS a FROM a0),
+        |f2 AS (SELECT doc_id, frame_idx, (((a) % 4294967296::HUGEINT) * 18397679294719823053::HUGEINT % 18446744073709551616::HUGEINT + ((((a) // 4294967296::HUGEINT) * 3981806797::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS a FROM f1),
+        |f3 AS (SELECT doc_id, frame_idx, xor(a, a // 8589934592::HUGEINT) AS a FROM f2),
+        |f4 AS (SELECT doc_id, frame_idx, (((a) % 4294967296::HUGEINT) * 14181476777654086739::HUGEINT % 18446744073709551616::HUGEINT + ((((a) // 4294967296::HUGEINT) * 444984403::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS a FROM f3),
+        |f5 AS (SELECT doc_id, frame_idx, xor(a, a // 8589934592::HUGEINT) AS a FROM f4)
+        |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  CAST(CASE WHEN a >= 9223372036854775808::HUGEINT
+        |       THEN a - 18446744073709551616::HUGEINT ELSE a END AS BIGINT) AS frame_fp
+        |FROM f5 ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_meta" ->
       """WITH b AS (
         |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS len
