@@ -79,7 +79,12 @@ object Scale {
     // changed this round. Wrapped copies (factor >= 27) carry identical
     // TEXT but the stub frame features hash doc_id, so embeddings stay
     // copy-local and expected rows remain exactly N x base.
-    val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    // Optional comma-separated filter (SPARK_GRAFT_SCALE_QUERIES) so a
+    // second min-over-2 pass can skip the multi-minute cells (e.g. the
+    // deliberately data-quadratic mm_near_dups at 30x).
+    val queryFilter = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").map(_.trim).toSet)
+    val allQueries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "dedup_minhash_lsh" -> (Dedup.dedup_minhash_lsh _),
       "dedup_simhash" -> (Dedup.dedup_simhash _),
       "dedup_containment" -> (Dedup.dedup_containment _),
@@ -90,6 +95,8 @@ object Scale {
       "dedup_cdc" -> (Dedup.dedup_cdc _),
       "dedup_clusters" -> (Dedup.dedup_clusters _),
       "mm_near_dups" -> (graft.operators.Multimodal.mm_near_dups _))
+    val queries = queryFilter
+      .map(f => allQueries.filter(q => f(q._1))).getOrElse(allQueries)
 
     final case class Obs(factor: Int, query: String, sec: Double, rows: Long,
         caps: Map[String, BucketCapMetrics.Cap])

@@ -50,10 +50,15 @@ object TextFunctions {
     GraftExpressions.toColumn(MinHashSigExpr(GraftExpressions.toExpr(shingles), k))
 
   /** LSH band keys from a minhash signature: bands of `r` rows, each
-    * hashed to one bucket key. Equi-joinable → shuffle-friendly. */
+    * hashed to one bucket key. Equi-joinable → shuffle-friendly. The
+    * band hash is the FNV fold (r11, was xxhash64): same codegen'd
+    * cost and collision behavior for 8-byte keys, but re-derivable in
+    * DuckDB as a HUGEINT list_reduce — which is what lets the
+    * dedup_minhash_lsh oracle verify LSH candidate generation itself
+    * cross-engine. */
   def bandKeys(sig: Column, bands: Int, r: Int): Column =
     array((0 until bands).map { j =>
-      struct(lit(j).as("band"), xxhash64(slice(sig, j * r + 1, r)).as("bkey"))
+      struct(lit(j).as("band"), fnvFold64(slice(sig, j * r + 1, r)).as("bkey"))
     }: _*)
 
   /** 64-bit SimHash over a feature-hash array: bit j set iff the

@@ -632,6 +632,122 @@ object Dedup {
     // cap/threshold pipeline replayed in SQL: distinct (doc, chunk) at
     // >= 24 B, buckets of 2..1000 docs, ordered pairs, shared-byte
     // aggregation, integer-ppm containment vs the smaller doc.
+    // The FULL minhash-LSH pipeline re-expressed in DuckDB: word FNV
+    // hashes (ascii-codepoint fold over space-split lower(text) — the
+    // kernel's toLowerCase(char) equals the byte on this ASCII corpus,
+    // the winnowStats caveat), fmix64 via the standard 32/32-split
+    // HUGEINT stages, 3-gram chained folds, the 32 seeded-permutation
+    // minima (min taken in SIGNED order, matching the kernel), FNV
+    // band folds, the SAME 2..1000 bucket cap, ordered distinct pairs,
+    // and signature-agreement scoring (agree/32 is dyadic — exact in
+    // both engines; its .xxxx5 midpoints round identically, away from
+    // zero). Hash-matching this verifies LSH candidate generation
+    // itself — bucketing, capping, pairing — on a second engine.
+    "dedup_minhash_lsh" ->
+      """|WITH w0 AS (
+        |  SELECT doc_id, t.i AS widx,
+        |    list_reduce(
+        |      list_prepend(1469598103934665603::HUGEINT,
+        |        list_transform(string_split(l[t.i + 1], ''), ch -> ascii(ch)::HUGEINT)),
+        |      (acc, c) -> (xor(acc, c) * 1099511628211::HUGEINT)
+        |                  % 18446744073709551616::HUGEINT) AS a
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+        |        FROM documents),
+        |       LATERAL unnest(range(len(l))) AS t(i)),
+        |
+        |w1 AS (SELECT doc_id, widx, xor(a, a // 8589934592::HUGEINT) AS a FROM w0),
+        |w2 AS (SELECT doc_id, widx, (((a) % 4294967296::HUGEINT) * 18397679294719823053::HUGEINT % 18446744073709551616::HUGEINT + ((((a) // 4294967296::HUGEINT) * 3981806797::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS a FROM w1),
+        |w3 AS (SELECT doc_id, widx, xor(a, a // 8589934592::HUGEINT) AS a FROM w2),
+        |w4 AS (SELECT doc_id, widx, (((a) % 4294967296::HUGEINT) * 14181476777654086739::HUGEINT % 18446744073709551616::HUGEINT + ((((a) // 4294967296::HUGEINT) * 444984403::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS a FROM w3),
+        |w5 AS (SELECT doc_id, widx, xor(a, a // 8589934592::HUGEINT) AS a FROM w4),
+        |wh AS (SELECT doc_id, widx, a AS h FROM w5),
+        |gw AS (
+        |  SELECT doc_id, widx AS g, h AS h0,
+        |         lead(h, 1) OVER win AS h1, lead(h, 2) OVER win AS h2
+        |  FROM wh WINDOW win AS (PARTITION BY doc_id ORDER BY widx)
+        |  QUALIFY lead(h, 2) OVER win IS NOT NULL),
+        |ga0 AS (SELECT doc_id, g, h1, h2, xor(14695981039346656037::HUGEINT, h0) AS a FROM gw),
+        |
+        |ga1 AS (SELECT doc_id, g, h1, h2, xor(a, a // 8589934592::HUGEINT) AS a FROM ga0),
+        |ga2 AS (SELECT doc_id, g, h1, h2, (((a) % 4294967296::HUGEINT) * 18397679294719823053::HUGEINT % 18446744073709551616::HUGEINT + ((((a) // 4294967296::HUGEINT) * 3981806797::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS a FROM ga1),
+        |ga3 AS (SELECT doc_id, g, h1, h2, xor(a, a // 8589934592::HUGEINT) AS a FROM ga2),
+        |ga4 AS (SELECT doc_id, g, h1, h2, (((a) % 4294967296::HUGEINT) * 14181476777654086739::HUGEINT % 18446744073709551616::HUGEINT + ((((a) // 4294967296::HUGEINT) * 444984403::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS a FROM ga3),
+        |ga5 AS (SELECT doc_id, g, h1, h2, xor(a, a // 8589934592::HUGEINT) AS a FROM ga4),
+        |gb0 AS (SELECT doc_id, g, h2,
+        |          xor((a * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT, h1) AS a
+        |        FROM ga5),
+        |
+        |gb1 AS (SELECT doc_id, g, h2, xor(a, a // 8589934592::HUGEINT) AS a FROM gb0),
+        |gb2 AS (SELECT doc_id, g, h2, (((a) % 4294967296::HUGEINT) * 18397679294719823053::HUGEINT % 18446744073709551616::HUGEINT + ((((a) // 4294967296::HUGEINT) * 3981806797::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS a FROM gb1),
+        |gb3 AS (SELECT doc_id, g, h2, xor(a, a // 8589934592::HUGEINT) AS a FROM gb2),
+        |gb4 AS (SELECT doc_id, g, h2, (((a) % 4294967296::HUGEINT) * 14181476777654086739::HUGEINT % 18446744073709551616::HUGEINT + ((((a) // 4294967296::HUGEINT) * 444984403::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS a FROM gb3),
+        |gb5 AS (SELECT doc_id, g, h2, xor(a, a // 8589934592::HUGEINT) AS a FROM gb4),
+        |gc0 AS (SELECT doc_id, g,
+        |          xor((a * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT, h2) AS a
+        |        FROM gb5),
+        |
+        |gc1 AS (SELECT doc_id, g, xor(a, a // 8589934592::HUGEINT) AS a FROM gc0),
+        |gc2 AS (SELECT doc_id, g, (((a) % 4294967296::HUGEINT) * 18397679294719823053::HUGEINT % 18446744073709551616::HUGEINT + ((((a) // 4294967296::HUGEINT) * 3981806797::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS a FROM gc1),
+        |gc3 AS (SELECT doc_id, g, xor(a, a // 8589934592::HUGEINT) AS a FROM gc2),
+        |gc4 AS (SELECT doc_id, g, (((a) % 4294967296::HUGEINT) * 14181476777654086739::HUGEINT % 18446744073709551616::HUGEINT + ((((a) // 4294967296::HUGEINT) * 444984403::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS a FROM gc3),
+        |gc5 AS (SELECT doc_id, g, xor(a, a // 8589934592::HUGEINT) AS a FROM gc4),
+        |gd0 AS (SELECT doc_id, g,
+        |          (a * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT AS a
+        |        FROM gc5),
+        |
+        |gd1 AS (SELECT doc_id, g, xor(a, a // 8589934592::HUGEINT) AS a FROM gd0),
+        |gd2 AS (SELECT doc_id, g, (((a) % 4294967296::HUGEINT) * 18397679294719823053::HUGEINT % 18446744073709551616::HUGEINT + ((((a) // 4294967296::HUGEINT) * 3981806797::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS a FROM gd1),
+        |gd3 AS (SELECT doc_id, g, xor(a, a // 8589934592::HUGEINT) AS a FROM gd2),
+        |gd4 AS (SELECT doc_id, g, (((a) % 4294967296::HUGEINT) * 14181476777654086739::HUGEINT % 18446744073709551616::HUGEINT + ((((a) // 4294967296::HUGEINT) * 444984403::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS a FROM gd3),
+        |gd5 AS (SELECT doc_id, g, xor(a, a // 8589934592::HUGEINT) AS a FROM gd4),
+        |u AS (SELECT DISTINCT doc_id, a AS gram FROM gd5),
+        |s0 AS (SELECT CAST(t.p AS BIGINT) AS p,
+        |         (11400714819323198485::HUGEINT * (t.p + 1))
+        |           % 18446744073709551616::HUGEINT AS a
+        |       FROM unnest(range(32)) AS t(p)),
+        |
+        |s1 AS (SELECT p, xor(a, a // 8589934592::HUGEINT) AS a FROM s0),
+        |s2 AS (SELECT p, (((a) % 4294967296::HUGEINT) * 18397679294719823053::HUGEINT % 18446744073709551616::HUGEINT + ((((a) // 4294967296::HUGEINT) * 3981806797::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS a FROM s1),
+        |s3 AS (SELECT p, xor(a, a // 8589934592::HUGEINT) AS a FROM s2),
+        |s4 AS (SELECT p, (((a) % 4294967296::HUGEINT) * 14181476777654086739::HUGEINT % 18446744073709551616::HUGEINT + ((((a) // 4294967296::HUGEINT) * 444984403::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS a FROM s3),
+        |s5 AS (SELECT p, xor(a, a // 8589934592::HUGEINT) AS a FROM s4),
+        |seeds AS (SELECT p, a AS seed FROM s5),
+        |mh0 AS (SELECT doc_id, p, xor(gram, seed) AS a FROM u CROSS JOIN seeds),
+        |
+        |mh1 AS (SELECT doc_id, p, xor(a, a // 8589934592::HUGEINT) AS a FROM mh0),
+        |mh2 AS (SELECT doc_id, p, (((a) % 4294967296::HUGEINT) * 18397679294719823053::HUGEINT % 18446744073709551616::HUGEINT + ((((a) // 4294967296::HUGEINT) * 3981806797::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS a FROM mh1),
+        |mh3 AS (SELECT doc_id, p, xor(a, a // 8589934592::HUGEINT) AS a FROM mh2),
+        |mh4 AS (SELECT doc_id, p, (((a) % 4294967296::HUGEINT) * 14181476777654086739::HUGEINT % 18446744073709551616::HUGEINT + ((((a) // 4294967296::HUGEINT) * 444984403::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS a FROM mh3),
+        |mh5 AS (SELECT doc_id, p, xor(a, a // 8589934592::HUGEINT) AS a FROM mh4),
+        |sigv AS (
+        |  SELECT doc_id, p,
+        |    min(CAST(CASE WHEN a >= 9223372036854775808::HUGEINT
+        |        THEN a - 18446744073709551616::HUGEINT ELSE a END AS BIGINT)) AS sv
+        |  FROM mh5 GROUP BY 1, 2),
+        |bk AS (
+        |  SELECT doc_id, p // 4 AS band,
+        |    list_reduce(
+        |      list_prepend(1469598103934665603::HUGEINT,
+        |        list(CASE WHEN sv < 0 THEN sv::HUGEINT + 18446744073709551616::HUGEINT
+        |             ELSE sv::HUGEINT END ORDER BY p)),
+        |      (acc, x) -> (xor(acc, x) * 1099511628211::HUGEINT)
+        |                  % 18446744073709551616::HUGEINT) AS key
+        |  FROM sigv GROUP BY 1, 2),
+        |ok AS (SELECT band, key FROM bk GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 1000),
+        |pr AS (
+        |  SELECT DISTINCT a.doc_id, b.doc_id AS doc_id2
+        |  FROM bk a JOIN ok ON a.band = ok.band AND a.key = ok.key
+        |  JOIN bk b ON b.band = ok.band AND b.key = ok.key AND a.doc_id < b.doc_id),
+        |sg AS (SELECT doc_id, list(sv ORDER BY p) AS s FROM sigv GROUP BY 1),
+        |sc AS (
+        |  SELECT pr.doc_id, pr.doc_id2,
+        |    len(list_filter(range(32), i -> x.s[i + 1] = y.s[i + 1])) AS agree
+        |  FROM pr JOIN sg x ON pr.doc_id = x.doc_id JOIN sg y ON pr.doc_id2 = y.doc_id)
+        |SELECT doc_id, doc_id2,
+        |  round(CAST(agree AS DOUBLE) / 32, 4) AS est_jaccard
+        |FROM sc WHERE CAST(agree AS DOUBLE) / 32 >= 0.5
+        |ORDER BY 1, 2""".stripMargin,
     "dedup_cdc" ->
       """WITH g0 AS (
         |  SELECT bv, xor((bv + 1)::HUGEINT, (bv + 1)::HUGEINT // 8589934592::HUGEINT) AS a
