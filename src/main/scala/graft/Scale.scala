@@ -93,6 +93,11 @@ object Scale {
       // wrap, and wrapped copies (factor >= 27) are full-containment
       // planted pairs at factor-of-2 bucket growth (still uncapped).
       "dedup_cdc" -> (Dedup.dedup_cdc _),
+      // r11: the incremental (delta-vs-corpus) probe — the %10 delta
+      // split scales with the corpus, so pair volume tracks the same
+      // planted-duplicate structure as the full run at ~1/5 the pairs
+      // (only delta-touching buckets enumerate).
+      "dedup_incremental" -> (Dedup.dedup_incremental _),
       "dedup_clusters" -> (Dedup.dedup_clusters _),
       "mm_near_dups" -> (graft.operators.Multimodal.mm_near_dups _))
     val queries = queryFilter

@@ -114,6 +114,75 @@ object Dedup {
       .orderBy($"doc_id", $"doc_id2")
   }
 
+  /** Incremental (delta-vs-corpus) minhash dedup — the shape continuous
+    * ingestion actually runs at 100 TB. Re-deduping a full corpus per
+    * arriving batch is quadratic in corpus lifetime; the production
+    * pattern is to probe the NEW batch against the existing corpus's
+    * LSH band index and self-dedup within the batch. Here the delta is
+    * the deterministic `doc_id % 10 = 0` slice (a stand-in for "today's
+    * crawl"); the remaining 90% plays the already-indexed corpus. Same
+    * 32-perm / 8-band×4-row pipeline, threshold and bucket cap as
+    * [[dedup_minhash_lsh]]; a bucket qualifies when it holds 2..cap
+    * members, at least one delta — base-only buckets are never
+    * enumerated, mirroring the at-scale probe that only ever touches
+    * band keys the delta emits. Output is keyed by the delta doc
+    * (`probe_id`), `match_src` says whether the match is pre-existing
+    * corpus ('base') or same-batch ('delta'); delta-delta pairs appear
+    * once (probe_id < match_id).
+    *
+    * At scale the base band index (doc_id, band, key) is a
+    * MATERIALIZED table, bucketed by (band, key) and computed once per
+    * corpus — not per batch (in-query here because the driver contract
+    * is a standalone query over the test tables). The probe is then an
+    * equi-join of the delta's band keys against that index: zero
+    * exchange on the corpus side, shuffle volume proportional to the
+    * DELTA, not the corpus — the whole point of incremental dedup.
+    * Oracle: full cross-engine hash match — shares the DuckDB
+    * signature/band re-derivation with dedup_minhash_lsh
+    * ([[minhashSigSql]]) plus the delta-probe bucket semantics. */
+  def dedup_incremental(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 32; val bands = 8; val r = 4
+    val cap = s.conf.get("graft.dedup.maxBucket", "1000").toInt
+    val sigs = CacheRegistry.cache(Tables.documents(s, d)
+      .select($"doc_id", minhashSignature(shingleHashes($"text", 3), k).as("sig"),
+        ($"doc_id" % 10 === 0).cast("int").as("is_delta")))
+    val tagged = sigs.select($"doc_id", $"is_delta",
+      explode(bandKeys($"sig", bands, r)).as("bk"))
+    val buckets = tagged
+      .groupBy($"bk")
+      .agg(collect_list(struct($"doc_id", $"is_delta")).as("members"),
+        max($"is_delta").as("has_delta"))
+      .filter(size($"members") >= 2 && $"has_delta" === 1)
+      .observe(s"graft_bucket_pairs_${obsId.incrementAndGet()}",
+        sum(when(size(col("members")) > cap, 1).otherwise(0)).as("dropped_buckets"),
+        max(size(col("members"))).as("max_bucket"),
+        sum(when(size(col("members")) > cap, size(col("members"))).otherwise(0)).as("capped_ids"))
+      .filter(size($"members") <= cap)
+    val pairs = buckets
+      .select(explode($"members").as("a"), $"members")
+      .select($"a", explode($"members").as("b"))
+      .filter($"a.doc_id" < $"b.doc_id" &&
+        ($"a.is_delta" === 1 || $"b.is_delta" === 1))
+      .select(
+        when($"a.is_delta" === 1, $"a.doc_id").otherwise($"b.doc_id").as("probe_id"),
+        when($"a.is_delta" === 1, $"b.doc_id").otherwise($"a.doc_id").as("match_id"),
+        when($"a.is_delta" === 1 && $"b.is_delta" === 1, lit("delta"))
+          .otherwise(lit("base")).as("match_src"))
+      .distinct()
+    pairs
+      .join(sigs.select($"doc_id".as("probe_id"), $"sig"), "probe_id")
+      .join(sigs.select($"doc_id".as("match_id"), $"sig".as("sig2")), "match_id")
+      .select($"probe_id", $"match_id", $"match_src",
+        (aggregate(zip_with($"sig", $"sig2",
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / k).as("est_jaccard"))
+      .filter($"est_jaccard" >= 0.5)
+      .select($"probe_id", $"match_id", $"match_src",
+        round($"est_jaccard", 4).as("est_jaccard"))
+      .orderBy($"probe_id", $"match_id")
+  }
+
   /** SimHash near-dup: 64-bit simhash (single-pass codegen'd
     * expression); pair enumeration over DISTINCT simhash values via
     * combinatorial chunk blocking, then qualifying hash pairs mapped to
@@ -618,6 +687,7 @@ object Dedup {
     "dedup_exact" -> dedup_exact _,
     "dedup_cdc" -> dedup_cdc _,
     "dedup_minhash_lsh" -> dedup_minhash_lsh _,
+    "dedup_incremental" -> dedup_incremental _,
     "dedup_simhash" -> dedup_simhash _,
     "dedup_ngram_jaccard" -> dedup_ngram_jaccard _,
     "dedup_containment" -> dedup_containment _,
@@ -625,26 +695,15 @@ object Dedup {
     "dedup_clusters" -> dedup_clusters _,
     "dedup_resolve_best" -> dedup_resolve_best _)
 
-  val oracle: Map[String, String] = Map(
-    // Same independently-rebuilt CDC kernel as the text_cdc_chunks
-    // oracle (gear table from fmix64, boundaries as 10-term lag-window
-    // sums mod 1024, per-chunk FNV64), then the operator's own
-    // cap/threshold pipeline replayed in SQL: distinct (doc, chunk) at
-    // >= 24 B, buckets of 2..1000 docs, ordered pairs, shared-byte
-    // aggregation, integer-ppm containment vs the smaller doc.
-    // The FULL minhash-LSH pipeline re-expressed in DuckDB: word FNV
-    // hashes (ascii-codepoint fold over space-split lower(text) — the
-    // kernel's toLowerCase(char) equals the byte on this ASCII corpus,
-    // the winnowStats caveat), fmix64 via the standard 32/32-split
-    // HUGEINT stages, 3-gram chained folds, the 32 seeded-permutation
-    // minima (min taken in SIGNED order, matching the kernel), FNV
-    // band folds, the SAME 2..1000 bucket cap, ordered distinct pairs,
-    // and signature-agreement scoring (agree/32 is dyadic — exact in
-    // both engines; its .xxxx5 midpoints round identically, away from
-    // zero). Hash-matching this verifies LSH candidate generation
-    // itself — bucketing, capping, pairing — on a second engine.
-    "dedup_minhash_lsh" ->
-      """|WITH w0 AS (
+  /** DuckDB re-derivation of the minhash pipeline UP TO the
+    * per-permutation signature values (`sigv`: doc_id, p, sv) and
+    * per-document band keys (`bk`: doc_id, band, key): word FNV
+    * hashes, fmix64 stages, 3-gram chained folds, the 32
+    * seeded-permutation signed minima, FNV band folds. Shared by the
+    * dedup_minhash_lsh and dedup_incremental oracles so the two
+    * re-derivations stay provably identical. */
+  private val minhashSigSql: String =
+    """|WITH w0 AS (
         |  SELECT doc_id, t.i AS widx,
         |    list_reduce(
         |      list_prepend(1469598103934665603::HUGEINT,
@@ -733,7 +792,27 @@ object Dedup {
         |             ELSE sv::HUGEINT END ORDER BY p)),
         |      (acc, x) -> (xor(acc, x) * 1099511628211::HUGEINT)
         |                  % 18446744073709551616::HUGEINT) AS key
-        |  FROM sigv GROUP BY 1, 2),
+        |  FROM sigv GROUP BY 1, 2)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    // Same independently-rebuilt CDC kernel as the text_cdc_chunks
+    // oracle (gear table from fmix64, boundaries as 10-term lag-window
+    // sums mod 1024, per-chunk FNV64), then the operator's own
+    // cap/threshold pipeline replayed in SQL: distinct (doc, chunk) at
+    // >= 24 B, buckets of 2..1000 docs, ordered pairs, shared-byte
+    // aggregation, integer-ppm containment vs the smaller doc.
+    // The FULL minhash-LSH pipeline re-expressed in DuckDB: word FNV
+    // hashes (ascii-codepoint fold over space-split lower(text) — the
+    // kernel's toLowerCase(char) equals the byte on this ASCII corpus,
+    // the winnowStats caveat), fmix64 via the standard 32/32-split
+    // HUGEINT stages, 3-gram chained folds, the 32 seeded-permutation
+    // minima (min taken in SIGNED order, matching the kernel), FNV
+    // band folds, the SAME 2..1000 bucket cap, ordered distinct pairs,
+    // and signature-agreement scoring (agree/32 is dyadic — exact in
+    // both engines; its .xxxx5 midpoints round identically, away from
+    // zero). Hash-matching this verifies LSH candidate generation
+    // itself — bucketing, capping, pairing — on a second engine.
+    "dedup_minhash_lsh" -> (minhashSigSql + "," + """
         |ok AS (SELECT band, key FROM bk GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 1000),
         |pr AS (
         |  SELECT DISTINCT a.doc_id, b.doc_id AS doc_id2
@@ -747,7 +826,40 @@ object Dedup {
         |SELECT doc_id, doc_id2,
         |  round(CAST(agree AS DOUBLE) / 32, 4) AS est_jaccard
         |FROM sc WHERE CAST(agree AS DOUBLE) / 32 >= 0.5
-        |ORDER BY 1, 2""".stripMargin,
+        |ORDER BY 1, 2""".stripMargin),
+    // Incremental probe on the SAME signature/band re-derivation
+    // (minhashSigSql): tag each band-key row with the delta split
+    // (doc_id % 10 = 0), qualify buckets of 2..1000 members holding at
+    // least one delta, enumerate only pairs touching a delta doc,
+    // canonicalize with the delta doc as probe_id, score by signature
+    // agreement. Hash-matching this verifies the delta-probe bucket
+    // semantics — base-only exclusion, mixed-pair orientation, cap —
+    // on a second engine.
+    "dedup_incremental" -> (minhashSigSql + "," + """
+        |tg AS (SELECT doc_id, band, key,
+        |         CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END AS is_delta
+        |       FROM bk),
+        |ok AS (SELECT band, key FROM tg GROUP BY 1, 2
+        |       HAVING count(*) BETWEEN 2 AND 1000 AND max(is_delta) = 1),
+        |pr AS (
+        |  SELECT DISTINCT
+        |    CASE WHEN a.is_delta = 1 THEN a.doc_id ELSE b.doc_id END AS probe_id,
+        |    CASE WHEN a.is_delta = 1 THEN b.doc_id ELSE a.doc_id END AS match_id,
+        |    CASE WHEN a.is_delta = 1 AND b.is_delta = 1
+        |         THEN 'delta' ELSE 'base' END AS match_src
+        |  FROM tg a JOIN ok ON a.band = ok.band AND a.key = ok.key
+        |  JOIN tg b ON b.band = ok.band AND b.key = ok.key AND a.doc_id < b.doc_id
+        |  WHERE a.is_delta = 1 OR b.is_delta = 1),
+        |sg AS (SELECT doc_id, list(sv ORDER BY p) AS s FROM sigv GROUP BY 1),
+        |sc AS (
+        |  SELECT pr.probe_id, pr.match_id, pr.match_src,
+        |    len(list_filter(range(32), i -> x.s[i + 1] = y.s[i + 1])) AS agree
+        |  FROM pr JOIN sg x ON pr.probe_id = x.doc_id
+        |  JOIN sg y ON pr.match_id = y.doc_id)
+        |SELECT probe_id, match_id, match_src,
+        |  round(CAST(agree AS DOUBLE) / 32, 4) AS est_jaccard
+        |FROM sc WHERE CAST(agree AS DOUBLE) / 32 >= 0.5
+        |ORDER BY 1, 2""".stripMargin),
     "dedup_cdc" ->
       """WITH g0 AS (
         |  SELECT bv, xor((bv + 1)::HUGEINT, (bv + 1)::HUGEINT // 8589934592::HUGEINT) AS a

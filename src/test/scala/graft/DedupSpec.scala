@@ -319,4 +319,36 @@ class DedupSpec extends SparkSpec {
       s"expected 1199 keeper->member pairs for the 1200-doc cluster, got ${fromCluster.length}")
     assert(fromCluster.forall(_._1 == 0L), "every cluster pair must anchor at the keeper (min doc_id)")
   }
+
+  test("dedup_incremental probes delta docs against base and within-batch, never base-base") {
+    // base = ids not divisible by 10; delta = multiples of 10. Plants:
+    // a delta near-copy of base doc 7 (cross), two delta near-copies
+    // of each other (within), and a base-base exact duplicate that the
+    // incremental probe must NOT report (already-indexed corpus pairs
+    // are the full-corpus run's business, not the batch's).
+    val rnd = new scala.util.Random(41)
+    val vocab = Array.tabulate(800)(i => s"tok$i")
+    def doc() = Seq.fill(100)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    def mutate(text: String, n: Int): String = {
+      val words = text.split(" ")
+      (0 until n).foreach(_ => words(rnd.nextInt(words.length)) = vocab(rnd.nextInt(vocab.length)))
+      words.mkString(" ")
+    }
+    val base = (1 to 121).filter(_ % 10 != 0).map(i => (i.toLong, doc()))
+    val baseMap = base.toMap
+    val within = doc()
+    val plants = Seq(
+      (1000L, mutate(baseMap(7L), 2)),  // delta ~ base 7
+      (1010L, within),                  // delta ~ delta 1020
+      (1020L, mutate(within, 2)),
+      (122L, baseMap(11L)))             // base == base 11: must stay silent
+    val dir = writeDocs(base ++ plants, "incr")
+    val got = Dedup.dedup_incremental(spark, dir).collect()
+    val trip = got.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got.forall(_.getLong(0) % 10 == 0), s"non-delta probe_id in $trip")
+    assert(trip.contains((1000L, 7L, "base")), s"missing cross delta->base pair in $trip")
+    assert(trip.contains((1010L, 1020L, "delta")), s"missing within-batch pair in $trip")
+    assert(!got.exists(r => Set(r.getLong(0), r.getLong(1)) == Set[Long](11L, 122L)),
+      "base-base duplicate pair leaked into incremental output")
+  }
 }
