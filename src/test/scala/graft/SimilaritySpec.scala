@@ -65,6 +65,28 @@ class SimilaritySpec extends SparkSpec {
     assert(pqRows === bruteRows, "full-rerank PQ must reproduce brute force")
   }
 
+  test("ann_ivfpq recall@5 vs brute force; unpruned config reproduces brute exactly") {
+    val brute = Similarity.ann_topk_brute(spark, sf001)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = Similarity.ann_ivfpq(spark, sf001)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivfpq.nonEmpty, "ann_ivfpq returned no rows")
+    val recall = (brute & ivfpq).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF-PQ recall@5 $recall < 0.5 (nprobe=4/16, rerank=64)")
+    // Exactness sanity: probing every cell + rerank >= corpus disables
+    // both prunings — cell pruning admits everyone, the exact rescore
+    // sees every admitted vector — so the output must EQUAL brute
+    // force row-for-row regardless of ADC ordering quality.
+    val bruteRows = Similarity.ann_topk_brute(spark, sf0001)
+      .select("qid", "rank", "nid").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val fullRows = Similarity.annIvfPq(spark, sf0001,
+        k = 16, nprobe = 16, m = 8, ks = 16, rerank = 1000)
+      .select("qid", "rank", "nid").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(fullRows === bruteRows, "unpruned IVF-PQ must reproduce brute force")
+  }
+
   test("embeddingLshPairs finds planted near-duplicates selectively") {
     import spark.implicits._
     // 400 random unit-ish vectors + 40 planted near-dups (tiny noise,
