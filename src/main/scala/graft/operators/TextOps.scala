@@ -615,6 +615,51 @@ object TextOps {
       .orderBy($"lang", $"rank")
   }
 
+  /** Corpus-frequency unigram scoring — the integer-exact analogue of
+    * CCNet-style LM quality filtering (web pipelines filter text by
+    * language-model perplexity; the unigram-MLE version of that signal
+    * is the mean corpus frequency of a doc's tokens, which needs no
+    * transcendental log and therefore hash-verifies cross-engine under
+    * the house integer-ppm rule). Per document: `mean_freq_ppm` = sum
+    * over token instances of that token's corpus-wide count, ×1e6 div
+    * n_tokens (low = the doc is made of ill-attested vocabulary;
+    * extremely high = stopword soup / boilerplate — threshold both
+    * tails), and `rare_ppm` = the fraction of instances whose token
+    * occurs ≤ 2 times corpus-wide (the hapax-legomena signal: high =
+    * garbled text, OCR noise, random identifiers).
+    *
+    * Scale shape (100 TB): the exploded token stream collapses FIRST
+    * to per-doc (doc_id, tok, tf) — map-side combine shrinks the
+    * shuffle to distinct tokens per doc — and that stage is referenced
+    * twice (it derives the corpus counts AND feeds the scoring join),
+    * so it is persisted per the one-scan rule. The counts join on
+    * `tok` is Zipf-skewed (a stopword's count row joins nearly every
+    * doc) — fan-out skew on the probe side, which AQE skew-join
+    * splitting handles; the final agg is per-doc, combine-friendly.
+    * i64 bound: the Euclidean-split ppm's largest intermediate is
+    * ≈ mean_freq·1e6, so the representation itself saturates only
+    * once a doc's MEAN token corpus-count passes ~9.2e12 (a corpus of
+    * ~10^13 token instances all spent on one token); past that emit
+    * `sum_freq div n_tokens` without the ppm scale. */
+  def text_unigram_score(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tf = graft.CacheRegistry.cache(
+      Tables.documents(s, d)
+        .select($"doc_id", explode(tokens($"text")).as("tok"))
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf")))
+    val cnt = tf.groupBy($"tok").agg(sum($"tf").as("c"))
+    tf.join(cnt, "tok")
+      .groupBy($"doc_id")
+      .agg(sum($"tf").as("n_tokens"),
+        sum($"tf" * $"c").as("sum_freq"),
+        sum(when($"c" <= 2, $"tf").otherwise(lit(0L))).as("rare"))
+      .select($"doc_id", $"n_tokens",
+        expr("(sum_freq div n_tokens) * 1000000 + ((sum_freq % n_tokens) * 1000000) div n_tokens")
+          .as("mean_freq_ppm"),
+        expr("rare * 1000000 div n_tokens").as("rare_ppm"))
+      .orderBy($"doc_id")
+  }
+
   /** [[text_decontam]] with a BLOOM-FILTER prefilter — the scale path
     * for the case its sibling's scaladoc flags: when the eval slice is
     * too large for its distinct-gram set to broadcast as rows, summarize
@@ -699,6 +744,7 @@ object TextOps {
     "text_sample" -> text_sample _,
     "text_mixture_epochs" -> text_mixture_epochs _,
     "text_tfidf" -> text_tfidf _,
+    "text_unigram_score" -> text_unigram_score _,
     "text_normalize" -> text_normalize _,
     "text_pii_scrub" -> text_pii_scrub _,
     "text_bigrams" -> text_bigrams _,
@@ -915,6 +961,27 @@ object TextOps {
         | FROM tf JOIN df USING (word))
         |SELECT lang, rank, word, tf, df, score_ppm
         |FROM r WHERE rank <= 10 ORDER BY lang, rank""".stripMargin,
+    // Same whitespace tokenization as text_tfidf's oracle; all-integer
+    // arithmetic (sums cast from HUGEINT before the Euclidean-split
+    // ppm — non-negative operands, so DuckDB // equals Spark div).
+    "text_unigram_score" ->
+      """WITH tok AS (
+        | SELECT doc_id,
+        |   unnest(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS tok
+        | FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+        |cnt AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
+        |agg AS (
+        | SELECT tf.doc_id,
+        |   CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+        |   CAST(sum(tf.tf * cnt.c) AS BIGINT) AS sum_freq,
+        |   CAST(sum(CASE WHEN cnt.c <= 2 THEN tf.tf ELSE 0 END) AS BIGINT) AS rare
+        | FROM tf JOIN cnt USING (tok) GROUP BY 1)
+        |SELECT doc_id, n_tokens,
+        |  (sum_freq // n_tokens) * 1000000
+        |    + ((sum_freq % n_tokens) * 1000000) // n_tokens AS mean_freq_ppm,
+        |  rare * 1000000 // n_tokens AS rare_ppm
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "text_normalize" ->
       """WITH raw AS (
         | SELECT doc_id,

@@ -235,4 +235,23 @@ class TextPipelineSpec extends SparkSpec {
     assert(got(2L) == ((11L, 1000000L / 11L, 0L, 0L)),
       s"varied doc stats ${got(2L)}")
   }
+
+  test("text_unigram_score separates boilerplate, hapax noise, and the mix") {
+    // c(alpha) = 6 corpus-wide (4 in doc 1, 2 in doc 3); zig/zag/zog/
+    // zork are hapax (c = 1 <= 2 -> rare).
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_unigram")
+    Seq((1L, "alpha alpha alpha alpha"),
+        (2L, "zig zag zog"),
+        (3L, "alpha alpha zork"))
+      .map { case (id, text) => (id, text, "en", "test", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(dir.getPath + "/documents.parquet")
+    val got = TextOps.text_unigram_score(spark, dir.getPath).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == ((4L, 6000000L, 0L)), s"boilerplate doc ${got(1L)}")
+    assert(got(2L) == ((3L, 1000000L, 1000000L)), s"all-hapax doc ${got(2L)}")
+    // mixed doc: sum_freq = 6+6+1 = 13 over 3 tokens -> 4,333,333 ppm;
+    // one rare instance of three -> 333,333 ppm (floor division)
+    assert(got(3L) == ((3L, 4333333L, 333333L)), s"mixed doc ${got(3L)}")
+  }
 }
