@@ -351,4 +351,19 @@ class DedupSpec extends SparkSpec {
     assert(!got.exists(r => Set(r.getLong(0), r.getLong(1)) == Set[Long](11L, 122L)),
       "base-base duplicate pair leaked into incremental output")
   }
+
+  test("dedup_incremental equals the delta-touching subset of the full minhash run") {
+    // The probe shares every pipeline constant with dedup_minhash_lsh
+    // (perms, bands, threshold, cap), so on the SAME corpus its output
+    // must be EXACTLY the full run's pairs that touch a delta doc —
+    // no pair invented by the probe path, none lost to the base-only
+    // bucket skip (those buckets contain no delta pair by definition).
+    val full = pairs(Dedup.dedup_minhash_lsh(spark, corpusA))
+    val deltaSubset = full.filter(p => p._1 % 10 == 0 || p._2 % 10 == 0)
+    val inc = Dedup.dedup_incremental(spark, corpusA).collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1))))
+      .toSet
+    assert(inc == deltaSubset,
+      s"incremental != delta-touching subset: extra=${inc -- deltaSubset} missing=${deltaSubset -- inc}")
+  }
 }
