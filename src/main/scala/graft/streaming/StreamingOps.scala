@@ -336,4 +336,108 @@ object StreamingOps extends Serializable {
           }
       }
   }
+
+  /** Band-exploded input row for the stateful near-dup bucket index. */
+  final case class BandRow(doc_id: Long, ingest_ts: Timestamp,
+      sig: Seq[Long], band: Int, bkey: Long)
+
+  /** One doc held in a bucket: id, arrival micros, minhash signature. */
+  final case class BucketDoc(docId: Long, tsUs: Long, sig: Seq[Long])
+  final case class BucketState(docs: List[BucketDoc])
+
+  /** Emitted near-dup pair, canonical doc_id < doc_id2; est_jaccard
+    * carries the batch operator's 4-dp rounding (dyadic agree/32 —
+    * exact). */
+  final case class NearDupOut(doc_id: Long, doc_id2: Long,
+      est_jaccard: Double, ingest_ts: Timestamp)
+
+  /** Streaming NEAR-dup detection — the streaming twin of
+    * [[graft.operators.Dedup.dedup_incremental]]: the keyed state IS
+    * the materialized LSH band index that operator's scaladoc
+    * promises, and every arriving document plays the delta. Same
+    * pipeline constants as batch (32-perm minhash, 8 bands × 4 rows,
+    * agreement ≥ 0.5): each doc explodes to its 8 band keys, each
+    * (band, bkey) group holds the docs seen under that key, an
+    * arrival probes the bucket (scores against stored signatures,
+    * emits qualifying pairs immediately — detection latency is one
+    * micro-batch, not one batch job) and inserts itself. Per-batch
+    * work is O(arrivals × bucket occupancy), never O(corpus).
+    *
+    * Contracts and bounds:
+    * - State is bounded two ways: the watermark-driven RETENTION
+    *   horizon (entries older than `retentionHours` under the
+    *   watermark are swept on event-time timeout — near-dup detection
+    *   against a sliding corpus window, the streaming analogue of the
+    *   base index being periodically rebuilt) and the per-bucket
+    *   `maxBucket` cap. The cap keeps FIRST-ARRIVALS where batch
+    *   drops oversize buckets retroactively — a documented divergence;
+    *   the StreamingSpec ≡-batch gate runs on uncapped corpora.
+    * - A pair colliding in several bands emits once per band: pair
+    *   emission is per-bucket-local, and collapsing across bands
+    *   would need a second stateful stage after
+    *   flatMapGroupsWithState (unsupported chaining). The sink
+    *   contract is the standard idempotent upsert keyed by
+    *   (doc_id, doc_id2) — the spec normalizes with distinct and
+    *   asserts set equality with batch, scores included. */
+  def nearDupStream(docs: DataFrame, delay: String = "2 hours",
+      retentionHours: Int = 168, maxBucket: Int = 1000): Dataset[NearDupOut] = {
+    import graft.functions.TextFunctions.{bandKeys, minhashSignature, shingleHashes}
+    require(retentionHours >= 1, "retentionHours must be >= 1")
+    val s = docs.sparkSession
+    import s.implicits._
+    val retentionUs = retentionHours.toLong * 3600L * 1000000L
+    val k = 32; val bands = 8; val r = 4
+
+    val rows = docs
+      .withWatermark("ingest_ts", delay)
+      .select(col("doc_id"), col("ingest_ts"),
+        minhashSignature(shingleHashes(col("text"), 3), k).as("sig"))
+      .select(col("doc_id"), col("ingest_ts"), col("sig"),
+        explode(bandKeys(col("sig"), bands, r)).as("bk"))
+      .select(col("doc_id"), col("ingest_ts"), col("sig"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      .as[BandRow]
+
+    rows.groupByKey(b => (b.band, b.bkey))
+      .flatMapGroupsWithState[BucketState, NearDupOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, batch, state) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000
+          def sweep(docs: List[BucketDoc]): Unit = {
+            val kept = docs.filter(_.tsUs > wmUs - retentionUs)
+            if (kept.isEmpty) state.remove()
+            else {
+              state.update(BucketState(kept))
+              // kept ts > wm - retention, so this lands strictly past
+              // the watermark (a timeout at/under it would throw)
+              state.setTimeoutTimestamp((kept.map(_.tsUs).min + retentionUs) / 1000 + 1)
+            }
+          }
+          if (state.hasTimedOut) {
+            sweep(state.get.docs)
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(BucketState(Nil))
+            val out = List.newBuilder[NearDupOut]
+            batch.toSeq.sortBy(b => (tsToUs(b.ingest_ts), b.doc_id)).foreach { b =>
+              val us = tsToUs(b.ingest_ts)
+              st.docs.foreach { prior =>
+                if (prior.docId != b.doc_id) {
+                  val agree = (0 until k).count(i => prior.sig(i) == b.sig(i))
+                  if (agree * 2 >= k)
+                    out += NearDupOut(
+                      math.min(prior.docId, b.doc_id),
+                      math.max(prior.docId, b.doc_id),
+                      math.round(agree.toDouble / k * 10000).toDouble / 10000,
+                      b.ingest_ts)
+                }
+              }
+              if (st.docs.size < maxBucket && !st.docs.exists(_.docId == b.doc_id))
+                st = BucketState(st.docs :+ BucketDoc(b.doc_id, us, b.sig))
+            }
+            sweep(st.docs)
+            out.result().iterator
+          }
+      }
+  }
 }

@@ -513,4 +513,82 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  // ---- streaming near-dup (stateful LSH band index) ----
+
+  /** sf0.001 corpus + a planted NEAR dup (2-word mutation, exercises
+    * the 0.5 <= est < 1 path) + a planted EXACT dup, written to a tmp
+    * dir so the batch operator sees the identical corpus. */
+  private lazy val (nearDir, nearRows) = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
+    val (baseId, baseText) = docs.head
+    val words = baseText.split(" ")
+    if (words.length > 7) { words(3) = "plantx"; words(7) = "planty" }
+    val all = docs.toSeq ++ Seq((900001L, words.mkString(" ")), (900002L, baseText))
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_streamneardup")
+    all.map { case (id, text) => (id, text, "en", "test", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(dir.getPath + "/documents.parquet")
+    assert(baseId < 900001L)
+    (dir.getPath, all)
+  }
+
+  private def batchNearPairs(): Set[(Long, Long, Double)] =
+    graft.operators.Dedup.dedup_minhash_lsh(spark, nearDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  private def streamNearPairs(table: String): Set[(Long, Long, Double)] = {
+    import spark.implicits._
+    spark.table(table)
+      .select($"doc_id", $"doc_id2", $"est_jaccard").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+  }
+
+  test("streaming near-dup equals batch minhash pairs, scores included") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(i: Int) = new Timestamp(86400000L + i * 1000L)
+    val rows = nearRows.zipWithIndex.map { case ((id, tx), i) => DocIn(id, tx, ts(i)) }
+    val ms = MemoryStream[DocIn]
+    val q = StreamingOps.nearDupStream(ms.toDF())
+      .writeStream.format("memory").queryName("t_neardup")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      ms.addData(b1); drain(q)
+      ms.addData(b2); drain(q)
+      val got = streamNearPairs("t_neardup")
+      val exp = batchNearPairs()
+      assert(exp.nonEmpty, "fixture produced no batch pairs")
+      assert(exp.exists(p => p._3 < 1.0 && p._3 >= 0.5),
+        "fixture has no NEAR (non-exact) pair — the mutation plant failed")
+      assert(got == exp,
+        s"stream != batch: extra=${got -- exp} missing=${exp -- got}")
+    } finally q.stop()
+  }
+
+  test("streaming near-dup holds the pair set under out-of-order ingest") {
+    // Pair emission is arrival-order independent (whichever member
+    // arrives second finds the first in the bucket), so reversed
+    // ingest must produce the identical pair set and scores.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(i: Int) = new Timestamp(86400000L + i * 1000L)
+    // reversed doc order, but ts still increasing per arrival inside
+    // the watermark delay — cross-batch arrivals interleave doc ids
+    val rows = nearRows.reverse.zipWithIndex.map { case ((id, tx), i) => DocIn(id, tx, ts(i)) }
+    val ms = MemoryStream[DocIn]
+    val q = StreamingOps.nearDupStream(ms.toDF())
+      .writeStream.format("memory").queryName("t_neardup_ooo")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 3)
+      ms.addData(b1); drain(q)
+      ms.addData(b2); drain(q)
+      assert(streamNearPairs("t_neardup_ooo") == batchNearPairs(),
+        "pair set diverged under reversed ingest order")
+    } finally q.stop()
+  }
 }
