@@ -698,7 +698,38 @@ object MetadataOps {
       .orderBy($"source")
   }
 
+  /** EC STORAGE-SAVINGS report — the number the reference's
+    * erasure-coding project exists to deliver (hops-erasure-coding
+    * stores blocks at ~1.5× instead of triplication's 3×): per
+    * directory, logical bytes vs what 3× replication stores vs what
+    * the repo's own RS(k=4, m=2) striping model stores (the
+    * [[ec_parity_rs]] layout: 4 data chunks + 2 parity chunks of
+    * ceil(size/4) bytes per file), with the saving as exact integer
+    * ppm. A pure per-row map into one combine-friendly rollup — no
+    * shuffle beyond the per-directory agg, scale-trivial. The ppm
+    * division is per-GROUP (sums first), so the only div-by-zero
+    * guard needed is the empty-file filter. */
+  def fs_ec_savings(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .filter($"n_chars" > 0)
+      .select($"source", $"n_chars".as("sz"))
+      .withColumn("repl", expr("3 * sz"))
+      .withColumn("ec", expr("sz + 2 * ((sz + 3) div 4)"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_files"),
+        sum($"sz").as("logical_bytes"),
+        sum($"repl").as("replicated_bytes"),
+        sum($"ec").as("ec_bytes"))
+      .select($"source", $"n_files", $"logical_bytes",
+        $"replicated_bytes", $"ec_bytes",
+        expr("(replicated_bytes - ec_bytes) * 1000000 div replicated_bytes")
+          .as("savings_ppm"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fs_ec_savings" -> fs_ec_savings _,
     "fs_copy_verify" -> ((s, d) => fs_copy_verify(s, d)),
     "fs_compact" -> ((s, d) => fs_compact(s, d)),
     "fs_snapshot_diff" -> ((s, d) => fs_snapshot_diff(s, d)),
@@ -718,6 +749,23 @@ object MetadataOps {
     "ec_reconstruct" -> ec_reconstruct _)
 
   val oracle: Map[String, String] = Map(
+    // Same RS(4,2) striping model as ec_parity_rs; all-integer
+    // arithmetic (ceil via (sz+3)//4 on non-negative sizes, sums cast
+    // from HUGEINT, per-group Euclidean ppm).
+    "fs_ec_savings" ->
+      """WITH f AS (
+        |  SELECT source, n_chars AS sz, 3 * n_chars AS repl,
+        |         n_chars + 2 * ((n_chars + 3) // 4) AS ec
+        |  FROM documents WHERE n_chars > 0),
+        |a AS (
+        |  SELECT source, count(*)::BIGINT AS n_files,
+        |    CAST(sum(sz) AS BIGINT) AS logical_bytes,
+        |    CAST(sum(repl) AS BIGINT) AS replicated_bytes,
+        |    CAST(sum(ec) AS BIGINT) AS ec_bytes
+        |  FROM f GROUP BY 1)
+        |SELECT source, n_files, logical_bytes, replicated_bytes, ec_bytes,
+        |  (replicated_bytes - ec_bytes) * 1000000 // replicated_bytes AS savings_ppm
+        |FROM a ORDER BY source""".stripMargin,
     // The XOR-parity + FNV-1-style fold IS expressible in DuckDB after
     // all (r10 verdict item): bytes via hex() + per-byte hex cast,
     // stripe XOR via bit_xor GROUP BY i % stripe, and the 64-bit
