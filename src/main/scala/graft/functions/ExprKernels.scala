@@ -310,6 +310,24 @@ object ExprKernels {
     inter.toDouble / union
   }
 
+  /** Intersection COUNT of two SORTED distinct long arrays via the same
+    * linear merge as [[jaccardSorted]], returned as an exact integer.
+    * |A∪B| follows as |A|+|B|−|A∩B|, so a caller can express Jaccard
+    * thresholds and integer-ppm scores in pure integer arithmetic —
+    * bit-identical across engines, with no double-rounding step for an
+    * oracle to disagree on. */
+  def intersectSortedCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var inter = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter
+  }
+
   /** Containment of the SMALLER of two SORTED distinct long arrays in
     * the larger: |A∩B| / min(|A|,|B|) via the same linear merge as
     * [[jaccardSorted]]. This is Broder's containment coefficient — the

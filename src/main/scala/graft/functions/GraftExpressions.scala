@@ -197,6 +197,23 @@ case class JaccardSortedExpr(left: Expression, right: Expression) extends Binary
   override def prettyName: String = "graft_jaccard_sorted"
 }
 
+/** intersect_count_sorted(array<long>, array<long>) -> bigint: exact
+  * |A∩B| over sorted distinct arrays (linear merge). The integer form
+  * of [[JaccardSortedExpr]] — lets pair scoring stay in exact integer
+  * arithmetic (ppm) end to end. */
+case class IntersectCountSortedExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftExpressions.checkLongArray(prettyName, left, right)
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ExprKernels.intersectSortedCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ExprKernels.intersectSortedCount($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): IntersectCountSortedExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_intersect_count_sorted"
+}
+
 /** containment_sorted(array<long>, array<long>) -> double:
   * |A∩B| / min(|A|,|B|) over sorted distinct arrays — the embedded-
   * document score a Jaccard threshold misses. */

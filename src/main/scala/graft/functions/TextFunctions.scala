@@ -88,6 +88,12 @@ object TextFunctions {
     GraftExpressions.toColumn(
       JaccardSortedExpr(GraftExpressions.toExpr(a), GraftExpressions.toExpr(b)))
 
+  /** Exact |A∩B| count between two SORTED distinct long arrays (one-pass
+    * merge kernel, integer result — for exact-ppm pair scoring). */
+  def intersectCountSorted(a: Column, b: Column): Column =
+    GraftExpressions.toColumn(
+      IntersectCountSortedExpr(GraftExpressions.toExpr(a), GraftExpressions.toExpr(b)))
+
   /** Exact containment |A∩B| / min(|A|,|B|) between two SORTED distinct
     * long arrays (one-pass merge kernel). */
   def containmentSorted(a: Column, b: Column): Column =

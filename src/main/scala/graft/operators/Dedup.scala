@@ -262,7 +262,12 @@ object Dedup {
     * (1-(1-0.5²)¹⁶). Scoring runs once per distinct candidate pair on
     * the SORTED distinct gram-hash arrays via a linear merge kernel
     * (equivalent to string-set Jaccard up to 64-bit hash collisions;
-    * shuffles ~8-byte hashes instead of gram strings). */
+    * shuffles ~8-byte hashes instead of gram strings). The score is
+    * kept in EXACT integer arithmetic end to end — intersection count
+    * from the merge kernel, `J >= 0.5` as `2·|∩| >= |∪|`, output in
+    * integer ppm — so the DuckDB oracle (which re-derives signatures,
+    * band keys, candidate buckets AND the gram sets from
+    * [[minhashSigSql]]) hash-matches with no double-rounding step. */
   def dedup_ngram_jaccard(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val k = 32; val bands = 16; val r = 2
@@ -275,9 +280,13 @@ object Dedup {
     lshCandidatePairs(sigs, bands, r)
       .join(docs, "doc_id")
       .join(docs.select($"doc_id".as("doc_id2"), $"grams".as("grams2")), "doc_id2")
-      .select($"doc_id", $"doc_id2", jaccardSorted($"grams", $"grams2").as("j"))
-      .filter($"j" >= 0.5)
-      .select($"doc_id", $"doc_id2", round($"j", 4).as("jaccard"))
+      .select($"doc_id", $"doc_id2",
+        intersectCountSorted($"grams", $"grams2").as("inter"),
+        (size($"grams") + size($"grams2")).cast("long").as("sz"))
+      .withColumn("uni", $"sz" - $"inter")
+      .filter($"uni" > 0 && $"inter" * 2 >= $"uni")
+      .select($"doc_id", $"doc_id2",
+        expr("inter * 1000000 div uni").as("jaccard_ppm"))
       .orderBy($"doc_id", $"doc_id2")
   }
 
