@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Typed loaders for the driver-generated testdata tables
   * (TESTDATA.md). One place for read options so every operator reads
@@ -18,25 +19,43 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
-    * vectorized parquet reader rejects outright ([PARQUET_TYPE_ILLEGAL]
-    * — this silently killed every ev_*, fs_hot_keys and
-    * mr_secondarysort query in round 1). Read nanos as long, convert to a
-    * microsecond timestamp; the generator emits micro-precision values
-    * so the truncation is lossless (verified: all ns % 1000 == 0).
+  /** events.parquet has shipped with two on-disk `ts` encodings across
+    * driver testdata generations, so the loader adapts to the schema it
+    * actually reads rather than assuming either:
     *
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, which every
-    * graft entry point (Bench / Verify / Scratch / the test harness)
-    * sets at SparkSession BUILD time — the loader deliberately does not
-    * mutate the shared session's conf as a side effect of one read. A
-    * session without the flag fails loudly on the first events read
-    * with the conf named in the error below. */
+    *  - TIMESTAMP(NANOS): Spark's vectorized parquet reader rejects it
+    *    outright ([PARQUET_TYPE_ILLEGAL] — this silently killed every
+    *    ev_*, fs_hot_keys and mr_secondarysort query in round 1). With
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (set at session
+    *    BUILD time by every graft entry point) the column surfaces as
+    *    LongType nanos; we convert to a microsecond timestamp — the
+    *    generator emits micro-precision values so the truncation is
+    *    lossless (verified: all ns % 1000 == 0). A session without the
+    *    flag fails loudly with the conf named in the error below.
+    *
+    *  - timestamp[us] (current generation): surfaces as TIMESTAMP_NTZ.
+    *    Cast to the session-timezone TimestampType so downstream
+    *    `window()` / date functions and the correctness schema check
+    *    behave identically to the nanos path (session tz is UTC, so
+    *    the cast shifts no values).
+    *
+    * Every downstream consumer sees the same `ts: timestamp` column
+    * either way. */
   def events(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "reading events.parquet (TIMESTAMP(NANOS)) requires " +
-        "spark.sql.legacy.parquet.nanosAsLong=true set when the SparkSession is built")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+          "reading events.parquet (TIMESTAMP(NANOS)) requires " +
+            "spark.sql.legacy.parquet.nanosAsLong=true set when the SparkSession is built")
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType | TimestampType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalStateException(
+          s"events.parquet ts column has unsupported type $other; expected " +
+            "LongType (legacy nanosAsLong), TIMESTAMP_NTZ or TIMESTAMP")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -704,14 +704,13 @@ object Dedup {
     "dedup_clusters" -> dedup_clusters _,
     "dedup_resolve_best" -> dedup_resolve_best _)
 
-  /** DuckDB re-derivation of the minhash pipeline UP TO the
-    * per-permutation signature values (`sigv`: doc_id, p, sv) and
-    * per-document band keys (`bk`: doc_id, band, key): word FNV
-    * hashes, fmix64 stages, 3-gram chained folds, the 32
-    * seeded-permutation signed minima, FNV band folds. Shared by the
-    * dedup_minhash_lsh and dedup_incremental oracles so the two
-    * re-derivations stay provably identical. */
-  private val minhashSigSql: String =
+  /** DuckDB re-derivation of the word-3-gram hash sets (`u`: doc_id,
+    * gram as unsigned HUGEINT): word FNV hashes over space-split
+    * lower(text), fmix64 stages, 3-gram chained folds, DISTINCT.
+    * Shared by every gram-consuming oracle (minhash_lsh, incremental,
+    * ngram_jaccard, simhash) so all re-derivations stay provably
+    * identical. */
+  private val gramSql: String =
     """|WITH w0 AS (
         |  SELECT doc_id, t.i AS widx,
         |    list_reduce(
@@ -769,8 +768,15 @@ object Dedup {
         |gd3 AS (SELECT doc_id, g, xor(a, a // 8589934592::HUGEINT) AS a FROM gd2),
         |gd4 AS (SELECT doc_id, g, (((a) % 4294967296::HUGEINT) * 14181476777654086739::HUGEINT % 18446744073709551616::HUGEINT + ((((a) // 4294967296::HUGEINT) * 444984403::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS a FROM gd3),
         |gd5 AS (SELECT doc_id, g, xor(a, a // 8589934592::HUGEINT) AS a FROM gd4),
-        |u AS (SELECT DISTINCT doc_id, a AS gram FROM gd5),
-        |s0 AS (SELECT CAST(t.p AS BIGINT) AS p,
+        |u AS (SELECT DISTINCT doc_id, a AS gram FROM gd5)""".stripMargin
+
+  /** Continuation of [[gramSql]]: the 32 seeded-permutation signed
+    * minima (`sigv`: doc_id, p, sv) and per-document FNV band keys
+    * (`bk`: doc_id, band, key), with `rowsPerBand` signature rows
+    * folded per band (4 for the 8×4 minhash queries, 2 for
+    * dedup_ngram_jaccard's 16×2 banding). */
+  private def sigBandSql(rowsPerBand: Int): String =
+    s"""|s0 AS (SELECT CAST(t.p AS BIGINT) AS p,
         |         (11400714819323198485::HUGEINT * (t.p + 1))
         |           % 18446744073709551616::HUGEINT AS a
         |       FROM unnest(range(32)) AS t(p)),
@@ -794,7 +800,7 @@ object Dedup {
         |        THEN a - 18446744073709551616::HUGEINT ELSE a END AS BIGINT)) AS sv
         |  FROM mh5 GROUP BY 1, 2),
         |bk AS (
-        |  SELECT doc_id, p // 4 AS band,
+        |  SELECT doc_id, p // $rowsPerBand AS band,
         |    list_reduce(
         |      list_prepend(1469598103934665603::HUGEINT,
         |        list(CASE WHEN sv < 0 THEN sv::HUGEINT + 18446744073709551616::HUGEINT
@@ -802,6 +808,33 @@ object Dedup {
         |      (acc, x) -> (xor(acc, x) * 1099511628211::HUGEINT)
         |                  % 18446744073709551616::HUGEINT) AS key
         |  FROM sigv GROUP BY 1, 2)""".stripMargin
+
+  /** [[gramSql]] + [[sigBandSql]] — the full signature/band
+    * re-derivation the minhash-family oracles share. */
+  private def minhashSigSql(rowsPerBand: Int): String =
+    gramSql + ",\n" + sigBandSql(rowsPerBand)
+
+  /** The 20 3-of-6 simhash chunk-combination bucket keys of
+    * [[dedup_simhash]], as DuckDB expressions over the unsigned
+    * simhash `hu` — generated by the SAME `combinations(3)`
+    * enumeration as the Spark operator, so combo order and bit
+    * packing (comboId << 33 | chunks at accumulated shifts) agree by
+    * construction. */
+  private val simhashComboKeySql: String = {
+    val widths = Array(11, 11, 11, 11, 10, 10)
+    val offsets = widths.scanLeft(0)(_ + _)
+    widths.indices.combinations(3).toArray.zipWithIndex.map { case (chunks, ci) =>
+      var shift = 0
+      val parts = chunks.map { c =>
+        val div = BigInt(2).pow(offsets(c))
+        val mask = 1L << widths(c)
+        val mul = BigInt(2).pow(shift)
+        shift += widths(c)
+        s"((hu // ${div}::HUGEINT) % $mask) * $mul"
+      }
+      (parts.toSeq :+ s"${ci.toLong << 33}").mkString("CAST(", " + ", " AS BIGINT)")
+    }.mkString(", ")
+  }
 
   val oracle: Map[String, String] = Map(
     // Same independently-rebuilt CDC kernel as the text_cdc_chunks
@@ -821,7 +854,7 @@ object Dedup {
     // both engines; its .xxxx5 midpoints round identically, away from
     // zero). Hash-matching this verifies LSH candidate generation
     // itself — bucketing, capping, pairing — on a second engine.
-    "dedup_minhash_lsh" -> (minhashSigSql + "," + """
+    "dedup_minhash_lsh" -> (minhashSigSql(4) + "," + """
         |ok AS (SELECT band, key FROM bk GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 1000),
         |pr AS (
         |  SELECT DISTINCT a.doc_id, b.doc_id AS doc_id2
@@ -844,7 +877,7 @@ object Dedup {
     // agreement. Hash-matching this verifies the delta-probe bucket
     // semantics — base-only exclusion, mixed-pair orientation, cap —
     // on a second engine.
-    "dedup_incremental" -> (minhashSigSql + "," + """
+    "dedup_incremental" -> (minhashSigSql(4) + "," + """
         |tg AS (SELECT doc_id, band, key,
         |         CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END AS is_delta
         |       FROM bk),
@@ -949,6 +982,89 @@ object Dedup {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper, count(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Exact n-gram Jaccard on the 16×2-banded minhash candidates,
+    // fully re-derived: same gram/signature pipeline as minhash_lsh
+    // but with 2 rows folded per band key, the same 2..1000 bucket
+    // cap, distinct ordered pairs, then EXACT integer scoring —
+    // intersection via a gram-level self-join count (the engine-
+    // neutral form of the sorted-merge kernel; |∩| is invariant
+    // under the signed/unsigned hash bijection), J ≥ 0.5 as
+    // 2·|∩| ≥ |∪|, output in integer ppm. No floating point anywhere,
+    // so the hash gate verifies banding, capping, pairing AND the
+    // merge-kernel scores bit-for-bit on a second engine.
+    "dedup_ngram_jaccard" -> (minhashSigSql(2) + "," + """
+        |ok AS (SELECT band, key FROM bk GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 1000),
+        |pr AS (
+        |  SELECT DISTINCT a.doc_id, b.doc_id AS doc_id2
+        |  FROM bk a JOIN ok ON a.band = ok.band AND a.key = ok.key
+        |  JOIN bk b ON b.band = ok.band AND b.key = ok.key AND a.doc_id < b.doc_id),
+        |gs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY 1),
+        |iv AS (
+        |  SELECT pr.doc_id, pr.doc_id2, CAST(count(*) AS BIGINT) AS inter
+        |  FROM pr JOIN u x ON pr.doc_id = x.doc_id
+        |          JOIN u y ON pr.doc_id2 = y.doc_id AND x.gram = y.gram
+        |  GROUP BY 1, 2)
+        |SELECT iv.doc_id, iv.doc_id2,
+        |  inter * 1000000 // (x.n + y.n - inter) AS jaccard_ppm
+        |FROM iv JOIN gs x ON iv.doc_id = x.doc_id
+        |        JOIN gs y ON iv.doc_id2 = y.doc_id
+        |WHERE x.n + y.n - inter > 0 AND 2 * inter >= x.n + y.n - inter
+        |ORDER BY 1, 2""".stripMargin),
+    // SimHash, fully re-derived: same gram hashes (gramSql), 64
+    // per-bit majority counters as exact integer sums over the
+    // distinct gram set (bit j of the unsigned hash via // 2^j % 2
+    // against a HUGEINT powers table; set iff 2·count > n — the
+    // kernel's strict majority), docs with no grams hashing to 0,
+    // then the operator's own pipeline replayed: DISTINCT hashes,
+    // the 20 3-of-6 chunk-combination keys (generated by the same
+    // Scala enumeration — see simhashComboKeySql), 2..1000 bucket
+    // cap, distinct SIGNED-ordered hash pairs, hamming 1..3 via
+    // bit_count(xor), keeper-to-keeper near pairs + the hamming-0
+    // keeper→member star. Verifies the whole blocking scheme —
+    // pigeonhole keys, capping, representative mapping — on a
+    // second engine.
+    "dedup_simhash" -> (gramSql + "," + s"""
+        |pw AS (SELECT CAST(t.j AS BIGINT) AS j,
+        |  list_reduce(list_prepend(1::HUGEINT, list_transform(range(t.j), x -> 2::HUGEINT)),
+        |    (a, b) -> a * b) AS p
+        |  FROM unnest(range(64)) AS t(j)),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM u GROUP BY 1),
+        |bits AS (
+        |  SELECT u.doc_id, pw.j, pw.p, sum(CAST((gram // pw.p) % 2 AS BIGINT)) AS c
+        |  FROM u CROSS JOIN pw GROUP BY 1, 2, 3),
+        |shu AS (
+        |  SELECT b.doc_id,
+        |    sum(CASE WHEN 2 * b.c > cnt.n THEN b.p ELSE 0::HUGEINT END) AS hu
+        |  FROM bits b JOIN cnt ON b.doc_id = cnt.doc_id GROUP BY 1),
+        |sh AS (
+        |  SELECT d.doc_id, coalesce(s.hu, 0::HUGEINT) AS hu,
+        |    CAST(CASE WHEN coalesce(s.hu, 0::HUGEINT) >= 9223372036854775808::HUGEINT
+        |         THEN coalesce(s.hu, 0::HUGEINT) - 18446744073709551616::HUGEINT
+        |         ELSE coalesce(s.hu, 0::HUGEINT) END AS BIGINT) AS h
+        |  FROM documents d LEFT JOIN shu s ON d.doc_id = s.doc_id),
+        |hs AS (SELECT DISTINCT hu, h FROM sh),
+        |keys AS (SELECT h, hu, unnest([$simhashComboKeySql]) AS bk FROM hs),
+        |ok AS (SELECT bk FROM keys GROUP BY 1 HAVING count(*) BETWEEN 2 AND 1000),
+        |hp AS (
+        |  SELECT DISTINCT a.h AS h1, a.hu AS hu1, b.h AS h2, b.hu AS hu2
+        |  FROM keys a JOIN ok ON a.bk = ok.bk
+        |  JOIN keys b ON b.bk = ok.bk AND a.h < b.h),
+        |hx AS (
+        |  SELECT h1, h2, CAST(bit_count(xor(hu1, hu2)) AS INTEGER) AS hamming
+        |  FROM hp),
+        |reps AS (SELECT h, min(doc_id) AS keeper, count(*) AS csize FROM sh GROUP BY 1),
+        |near AS (
+        |  SELECT least(ra.keeper, rb.keeper) AS doc_id,
+        |         greatest(ra.keeper, rb.keeper) AS doc_id2, hamming
+        |  FROM hx JOIN reps ra ON hx.h1 = ra.h JOIN reps rb ON hx.h2 = rb.h
+        |  WHERE hamming BETWEEN 1 AND 3),
+        |same AS (
+        |  SELECT r.keeper AS doc_id, s.doc_id AS doc_id2,
+        |    CAST(0 AS INTEGER) AS hamming
+        |  FROM sh s JOIN reps r ON s.h = r.h
+        |  WHERE r.csize >= 2 AND s.doc_id > r.keeper)
+        |SELECT * FROM near UNION ALL SELECT * FROM same
+        |ORDER BY doc_id, doc_id2""".stripMargin),
     "dedup_embedding" ->
       """SELECT a.label, a.vec_id, b.vec_id AS vec_id2,
         | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
