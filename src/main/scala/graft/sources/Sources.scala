@@ -275,7 +275,100 @@ object Sources {
       .orderBy($"day")
   }
 
+  /** Recursive delete for RDD-API outputs (saveAsSequenceFile has no
+    * overwrite mode — a leftover dir from a previous JVM would fail
+    * the export). */
+  private def deleteRecursively(dir: java.io.File): Unit =
+    if (dir.exists()) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+
+  /** SequenceFile ingest — the reference's canonical Hadoop container
+    * format (hadoop-common-project/hadoop-common/src/main/java/org/
+    * apache/hadoop/io/SequenceFile.java:1; every classic MapReduce
+    * pipeline stages intermediate data as key/value SequenceFiles, so
+    * a Hadoop-distribution replacement meets them before ORC in any
+    * real warehouse). Export the customer dimension once as
+    * (LongWritable key = c_custkey, Text value = nationkey\tacctbal)
+    * via `saveAsSequenceFile` (setup), read it back with
+    * `sc.sequenceFile`, lift to a DataFrame with an explicit schema,
+    * and aggregate. The parquet-side oracle hash-match proves the
+    * Writable round-trip preserved every value (doubles survive via
+    * shortest-repr toString/parse, which is exact). The balance
+    * aggregate is an exact integer cent sum — round(avg, 2) sat on a
+    * .xx5 midpoint at sf0.001 and rounded differently per engine, the
+    * standard cross-engine double-rounding hazard.
+    *
+    * Scale: SequenceFiles are block-splittable via sync markers — the
+    * read parallelizes across blocks like any Hadoop input format.
+    * The RDD seam is confined to the (de)serialization boundary; the
+    * parsed rows immediately re-enter the DataFrame world so the
+    * aggregate keeps codegen + partial aggregation. */
+  def src_sequencefile_agg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_seqfile_${dirTag(d)}")
+    exportOnce(s"seqfile:$d") {
+      deleteRecursively(dir)
+      Tables.customer(s, d)
+        .select($"c_custkey", $"c_nationkey", $"c_acctbal")
+        .as[(Long, Int, Double)]
+        .rdd.map { case (k, nk, bal) => (k, s"$nk\t$bal") }
+        .saveAsSequenceFile(dir.getPath)
+    }
+    s.sparkContext.sequenceFile[Long, String](dir.getPath)
+      .toDF("c_custkey", "v")
+      .select($"c_custkey",
+        split($"v", "\t").getItem(0).cast("int").as("c_nationkey"),
+        split($"v", "\t").getItem(1).cast("double").as("c_acctbal"))
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(round($"c_acctbal" * 100).cast("long")).as("acctbal_cents"))
+      .orderBy($"c_nationkey")
+  }
+
+  /** Compressed-text ingest — Hadoop's default text posture
+    * (hadoop-common-project/hadoop-common/src/main/java/org/apache/
+    * hadoop/io/compress/GzipCodec.java:1): log exports land as .gz
+    * text files and a replacement engine must read them in place.
+    * Export a documents projection once as gzip-compressed
+    * tab-separated text (setup), read it back, parse, aggregate; the
+    * parquet-side oracle proves the compressed round-trip.
+    *
+    * Scale trade-off, stated plainly: gzip is NOT splittable — each
+    * .gz file is one read task, so parallelism = file count, not
+    * bytes/split-size. That is fine here (the export writes one file
+    * per input partition) and is exactly how production log dirs look
+    * (many medium .gz files); a SINGLE huge .gz would serialize its
+    * scan, which is why at 100 TB one prefers many files, a splittable
+    * codec (bzip2), or a container format. The text column is excluded
+    * from the projection because raw document text may contain the
+    * delimiter/newlines; free-text belongs in escaped formats (CSV/
+    * JSONL, covered above), not bare TSV. */
+  def src_text_gz_agg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_textgz_${dirTag(d)}")
+    exportOnce(s"textgz:$d") {
+      Tables.documents(s, d)
+        .select(concat_ws("\t", $"doc_id", $"source", $"n_chars").as("value"))
+        .write.mode("overwrite").option("compression", "gzip").text(dir.getPath)
+    }
+    s.read.text(dir.getPath)
+      .select(split($"value", "\t").as("f"))
+      .select($"f".getItem(0).cast("long").as("doc_id"),
+        $"f".getItem(1).as("source"),
+        $"f".getItem(2).cast("long").as("n_chars"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_sequencefile_agg" -> src_sequencefile_agg _,
+    "src_text_gz_agg" -> src_text_gz_agg _,
     "src_jdbc_pageview" -> src_jdbc_pageview _,
     "src_jdbc_writeback" -> src_jdbc_writeback _,
     "src_csv_agg" -> src_csv_agg _,
@@ -285,6 +378,14 @@ object Sources {
     "src_partitioned_prune" -> src_partitioned_prune _)
 
   val oracle: Map[String, String] = Map(
+    "src_sequencefile_agg" ->
+      """SELECT c_nationkey, count(*) AS n_customers,
+        | CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src_text_gz_agg" ->
+      """SELECT source, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "src_jdbc_pageview" ->
       """SELECT user_id, count(*) AS n_views FROM events
         |WHERE event_type = 'view' GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -79,4 +79,37 @@ class SourcesSpec extends SparkSpec {
     assert(viaCsv.nonEmpty)
     assert(viaCsv.toSeq == direct.toSeq)
   }
+
+  test("SequenceFile round-trip preserves every key/value (Writable boundary)") {
+    import spark.implicits._
+    val viaSeq = Sources.src_sequencefile_agg(spark, sf0001).collect()
+    val direct = Tables.customer(spark, sf0001)
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(round($"c_acctbal" * 100).cast("long")).as("acctbal_cents"))
+      .orderBy($"c_nationkey")
+      .collect()
+    assert(viaSeq.nonEmpty)
+    assert(viaSeq.toSeq == direct.toSeq)
+  }
+
+  test("gzip text export actually compresses and round-trips the aggregate") {
+    import spark.implicits._
+    val viaGz = Sources.src_text_gz_agg(spark, sf0001).collect()
+    val direct = Tables.documents(spark, sf0001)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+      .orderBy($"source")
+      .collect()
+    assert(viaGz.nonEmpty)
+    assert(viaGz.toSeq == direct.toSeq)
+    // the export must really be gzip files — otherwise the codec path
+    // under test silently degrades to plain text
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().filter(_.getName.startsWith("graft_textgz_"))
+    assert(dir.nonEmpty)
+    val parts = dir.head.listFiles().filter(_.getName.startsWith("part-"))
+    assert(parts.nonEmpty && parts.forall(_.getName.endsWith(".gz")),
+      s"expected .gz parts, got: ${parts.map(_.getName).mkString(", ")}")
+  }
 }
