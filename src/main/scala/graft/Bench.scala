@@ -99,8 +99,14 @@ object Bench {
     // CPU-only, so DISK contention inflates query times without
     // moving it (observed: drift 0.95 alongside a uniform ~1.3x
     // query inflation while another process churned the page cache).
-    // drift ~1 with uniformly elevated times ⇒ suspect I/O, not code.
-    val canaryPin = 0.52
+    // drift ~1 with uniformly elevated times ⇒ suspect I/O — which the
+    // SECOND canary below measures directly. Both pins are the
+    // idle-host floors at the driver's config (local[32], sf0.1) and
+    // are env-overridable (SPARK_GRAFT_CANARY_PIN /
+    // SPARK_GRAFT_CANARY_IO_PIN) so a different host/SF can re-pin
+    // without a code change.
+    val canaryPin = sys.env.get("SPARK_GRAFT_CANARY_PIN")
+      .flatMap(_.toDoubleOption).getOrElse(0.52)
     def canaryOnce(): Double = {
       val t0 = System.nanoTime()
       spark.range(0L, 2000000000L, 1L, 32).selectExpr("bit_xor(xxhash64(id))").collect()
@@ -109,7 +115,26 @@ object Bench {
     canaryOnce()
     val canarySec = (1 to 3).map(_ => canaryOnce()).min
     val drift = canarySec / canaryPin
-    System.err.println(f"[bench] canary $canarySec%.3f s, drift ${drift}%.2fx vs idle pin $canaryPin%.2f")
+    System.err.println(f"[bench] cpu canary $canarySec%.3f s, drift ${drift}%.2fx vs idle pin $canaryPin%.2f")
+    // I/O canary (r12 verdict): full-width noop materialization of the
+    // sf dir's largest table — parquet decode + file read, negligible
+    // compute — so disk/page-cache contention that the CPU canary is
+    // blind to (r11: drift_cpu 0.95 alongside a uniform 1.3x query
+    // inflation from another process churning the page cache) shows up
+    // as drift_io > 1 with drift_cpu ~ 1. Page-cache sensitivity is BY
+    // DESIGN: the queries being normalized read through the same cache.
+    val ioPin = sys.env.get("SPARK_GRAFT_CANARY_IO_PIN")
+      .flatMap(_.toDoubleOption).getOrElse(0.95)
+    def ioCanaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    ioCanaryOnce()
+    val ioSec = (1 to 3).map(_ => ioCanaryOnce()).min
+    val driftIo = ioSec / ioPin
+    System.err.println(f"[bench] io canary $ioSec%.3f s, drift ${driftIo}%.2fx vs idle pin $ioPin%.2f")
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "'") + "\""
     val qs = results.map { case (k, v) =>
@@ -120,7 +145,8 @@ object Bench {
     val total = results.collect { case (_, Right(v)) => v }.sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,""" +
-        f""""canary_sec":$canarySec%.3f,"drift":$drift%.3f,"sf":"$sfDir"}"""
+        f""""canary_sec":$canarySec%.3f,"drift":$drift%.3f,"drift_cpu":$drift%.3f,""" +
+        f""""canary_io_sec":$ioSec%.3f,"drift_io":$driftIo%.3f,"sf":"$sfDir"}"""
     println(json)
     // Also drop the line in a file: harness log capture tends to prefix
     // stdout (e.g. sbt's "[info] "), which breaks parse-the-last-line

@@ -54,6 +54,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         intArg(args, 2, "graft_winnow_stats")))
     register("graft_fnv64_fold", 1, args => Fnv64FoldExpr(args.head))
     register("graft_jaccard_sorted", 2, args => JaccardSortedExpr(args(0), args(1)))
+    register("graft_intersect_count_sorted", 2,
+      args => IntersectCountSortedExpr(args(0), args(1)))
     register("graft_containment_sorted", 2,
       args => ContainmentSortedExpr(args(0), args(1)))
     register("graft_word_ngrams", 2,

@@ -59,4 +59,33 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Exact row count of a testdata table from parquet FOOTER metadata
+    * only — zero Spark jobs, zero data pages read. `df.count()` runs a
+    * distributed aggregate that opens every row group; the ANN
+    * training paths only need the corpus size to pick a sampling
+    * modulus, and at 100 TB a full count scan per query for that is
+    * wasted work. Footers carry the per-block row counts, so the
+    * driver reads O(files) footers instead. Handles both a single
+    * .parquet file (the testdata layout) and a directory of part
+    * files (skipping _SUCCESS/. markers). */
+  def parquetRowCount(s: SparkSession, d: String, name: String): Long = {
+    import org.apache.hadoop.fs.{FileStatus, Path}
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = new Path(s"$d/$name.parquet")
+    val fs = root.getFileSystem(conf)
+    def dataFiles(st: FileStatus): Seq[FileStatus] =
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).toSeq
+          .filterNot(c => c.getPath.getName.startsWith("_") ||
+            c.getPath.getName.startsWith("."))
+          .flatMap(dataFiles)
+      else Seq(st)
+    dataFiles(fs.getFileStatus(root)).map { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromStatus(f, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
 }

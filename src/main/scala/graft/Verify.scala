@@ -20,6 +20,30 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     BucketCapMetrics.register(spark)
     new java.io.File(outDir).mkdirs()
+    // Oracle PRECONDITION, checked loudly up front: the gram-hash /
+    // CDC re-derivations (dedup_*, text_fingerprint, text_cdc_chunks)
+    // fold per-CHARACTER codepoints in DuckDB but per-BYTE values in
+    // the JVM kernels, and `toLowerCase(char)` equals SQL `lower()`
+    // byte-wise — both identities hold only while documents.text is
+    // pure ASCII (char length == UTF-8 byte length). If the driver's
+    // corpus ever gains non-ASCII text, those oracles will mismatch
+    // with no hint why; this warning is the hint. Deliberately NOT a
+    // hard abort — one corpus change must not zero the other ~120
+    // queries' correctness rows.
+    locally {
+      import org.apache.spark.sql.functions.{length, octet_length}
+      val nonAscii = Tables.documents(spark, sfDir)
+        .filter(length(org.apache.spark.sql.functions.col("text")) =!=
+          octet_length(org.apache.spark.sql.functions.col("text")))
+        .count()
+      if (nonAscii > 0)
+        System.err.println(
+          s"[verify] WARNING: $nonAscii documents contain non-ASCII text — " +
+            "the byte-vs-codepoint identity behind the dedup/text gram oracles " +
+            "no longer holds; expect hash mismatches on dedup_minhash_lsh/" +
+            "dedup_incremental/dedup_ngram_jaccard/dedup_simhash/dedup_cdc " +
+            "and the winnowing/CDC text oracles")
+    }
     val failed = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -238,7 +238,10 @@ object EventOps {
     * eviction would be merge-order-dependent, which is why this was
     * rows-only at capacity 64). The eviction regime stays spec-gated
     * in EventOpsSpec with a capacity-8 aggregator under forced
-    * eviction. */
+    * eviction, and the exact-regime PRECONDITION itself is asserted by
+    * name in EventOpsSpec at both oracle SFs, so testdata growth past
+    * the capacity fails loudly instead of as an unexplained hash
+    * mismatch. */
   def ev_heavy_hitters(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val agg = new graft.functions.SpaceSavingAggregator(4096).toColumn

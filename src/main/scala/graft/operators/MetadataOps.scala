@@ -61,11 +61,62 @@ object MetadataOps {
       .orderBy($"source")
   }
 
+  /** STORAGE-TYPE quota enforcement — the per-type dimension byte
+    * quotas miss (reference: hadoop-hdfs-project/.../namenode/
+    * QuotaByStorageTypeEntry.java — a directory may be inside its
+    * total byte quota yet over its DISK allowance, which is exactly
+    * what tiered-storage admins cap). Reuses [[fs_mover_plan]]'s
+    * deterministic replica-placement model verbatim (same block split,
+    * same pmod replica membership), splits each block's replica bytes
+    * into DISK (n_disk present replicas) vs ARCHIVE (the remaining of
+    * 3), rolls up per (directory, storage type) and checks usage
+    * against a uniform per-type quota of 1.05× the cross-directory
+    * mean — the same enforcement threshold as [[fs_quota_check]], now
+    * per type. All integer arithmetic (the exceeded test is
+    * cross-multiplied, usage reported as exact ppm of quota), so the
+    * DuckDB oracle hash-matches.
+    *
+    * Scale: block explode → per-type rollup is one combine-friendly
+    * aggregation on (source, type); the quota side is a 2-row
+    * broadcast. No skew risk — the group count is dirs×2. */
+  def fs_quota_bytype(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val byType = Tables.documents(s, d)
+      .select($"doc_id", $"source", $"n_chars")
+      .withColumn("blk", explode(expr(
+        "sequence(bigint(0), greatest(bigint(1), (n_chars + 63) div 64) - 1)")))
+      .withColumn("blk_bytes",
+        greatest(lit(0L), least(lit(64L), $"n_chars" - $"blk" * 64)))
+      .withColumn("n_disk", expr(
+        """aggregate(array(0L, 5L, 11L), 0L, (acc, o) ->
+          |  acc + IF(pmod(doc_id * 131 + blk * 17 + o, 16) < 12, 1L, 0L))"""
+          .stripMargin))
+      .select($"source", explode(array(
+        struct(lit("DISK").as("storage_type"),
+          ($"n_disk" * $"blk_bytes").as("b")),
+        struct(lit("ARCHIVE").as("storage_type"),
+          ((lit(3L) - $"n_disk") * $"blk_bytes").as("b")))).as("e"))
+      .select($"source", $"e.storage_type", $"e.b")
+      .groupBy($"source", $"storage_type")
+      .agg(sum($"b").as("bytes_used"))
+    val totals = byType.groupBy($"storage_type")
+      .agg(sum($"bytes_used").as("type_total"),
+        count(lit(1)).as("n_dirs"))
+    byType.join(broadcast(totals), "storage_type")
+      .select($"source", $"storage_type", $"bytes_used",
+        expr("bytes_used * n_dirs * 100000000 div (greatest(type_total, 1) * 105)")
+          .as("quota_used_ppm"),
+        ($"bytes_used" * $"n_dirs" * lit(100L) >
+          greatest($"type_total", lit(1L)) * lit(105L)).as("quota_exceeded"))
+      .orderBy($"source", $"storage_type")
+  }
+
   /** Erasure-coding XOR parity (hops-erasure-coding-project): stripe
     * each document's payload into 4 blocks, XOR-fold them into one
     * parity block, report its fingerprint. Embarrassingly parallel —
     * no shuffle; at 100 TB this is a pure map over blocks.
-    * Oracle: rows-only (binary folding isn't ANSI-SQL-expressible).
+    * Oracle: full hash match — the XOR fold and FNV fingerprint are
+    * re-derived in DuckDB over the hex-encoded payload bytes.
     */
   def ec_parity(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -93,7 +144,8 @@ object MetadataOps {
     * into k=4 data blocks, compute m=2 GF(2^8) parity blocks (any 2
     * erasures recoverable — round-tripped in ReedSolomonSpec), report
     * both parity fingerprints. Pure map, no shuffle at 100 TB.
-    * Oracle: rows-only (GF(256) math isn't ANSI-SQL-expressible). */
+    * Oracle: full hash match — the GF(2^8) log/antilog tables and the
+    * Lagrange-basis parity combination are re-derived in DuckDB. */
   def ec_parity_rs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.functions.ReedSolomon
@@ -125,8 +177,11 @@ object MetadataOps {
     *
     * Scale: encode+erase+decode+verify all happen inside one typed map
     * — no shuffle, pipelines at scan speed over 100 TB exactly like the
-    * reference's per-block repair tasks. Oracle: rows-only (GF(256)
-    * algebra is not ANSI-SQL-expressible). */
+    * reference's per-block repair tasks. Oracle: full hash match — the
+    * erasure points are pure doc_id arithmetic and `recovered` is
+    * contractually all-true, so DuckDB re-derives the pattern and any
+    * reconstruction regression hash-mismatches (the GF algebra itself
+    * is cross-verified via the ec_parity_rs oracle). */
   def ec_reconstruct(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.functions.ReedSolomon
@@ -744,6 +799,7 @@ object MetadataOps {
     "fs_block_histogram" -> fs_block_histogram _,
     "fs_hot_keys" -> fs_hot_keys _,
     "fs_quota_check" -> fs_quota_check _,
+    "fs_quota_bytype" -> fs_quota_bytype _,
     "ec_parity" -> ec_parity _,
     "ec_parity_rs" -> ec_parity_rs _,
     "ec_reconstruct" -> ec_reconstruct _)
@@ -953,6 +1009,39 @@ object MetadataOps {
         |  CAST(sum(CASE WHEN live < 3 THEN 1 ELSE 0 END) AS BIGINT) * 1000000
         |    // count(*) AS under_ppm
         |FROM lv GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Same replica-placement model as fs_mover_plan (block split, pmod
+    // membership), split into DISK/ARCHIVE byte rollups, quota = 1.05x
+    // the per-type cross-directory mean via cross-multiplication —
+    // all-integer, so exceeded flags and ppm match exactly.
+    "fs_quota_bytype" ->
+      """WITH blocks AS (
+        |  SELECT doc_id, source, t.blk AS blk,
+        |         greatest(0, least(64, n_chars - t.blk * 64)) AS blk_bytes
+        |  FROM documents,
+        |       LATERAL unnest(range(greatest(1, (n_chars + 63) // 64))) AS t(blk)),
+        |m AS (
+        |  SELECT source, blk_bytes,
+        |    CAST(sum(CASE WHEN (doc_id * 131 + blk * 17 + o.off) % 16 < 12
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_disk
+        |  FROM blocks, LATERAL unnest([0, 5, 11]) AS o(off)
+        |  GROUP BY doc_id, source, blk, blk_bytes),
+        |ty AS (
+        |  SELECT source, u.storage_type,
+        |    CAST(sum((CASE WHEN u.storage_type = 'DISK' THEN n_disk
+        |              ELSE 3 - n_disk END) * blk_bytes) AS BIGINT) AS bytes_used
+        |  FROM m, LATERAL unnest(['DISK', 'ARCHIVE']) AS u(storage_type)
+        |  GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT storage_type, CAST(sum(bytes_used) AS BIGINT) AS type_total,
+        |         count(*) AS n_dirs
+        |  FROM ty GROUP BY 1)
+        |SELECT ty.source, ty.storage_type, ty.bytes_used,
+        |  ty.bytes_used * tot.n_dirs * 100000000
+        |    // (greatest(tot.type_total, 1) * 105) AS quota_used_ppm,
+        |  ty.bytes_used * tot.n_dirs * 100
+        |    > greatest(tot.type_total, 1) * 105 AS quota_exceeded
+        |FROM ty JOIN tot USING (storage_type)
+        |ORDER BY ty.source, ty.storage_type""".stripMargin,
     "fs_mover_plan" ->
       """WITH blocks AS (
         |  SELECT doc_id, source, t.blk AS blk,

@@ -155,11 +155,12 @@ object Similarity {
     // wasted work at scale (100 TB of embeddings would re-scan
     // everything per round for centroids a 100k-row sample determines
     // just as well). Deterministic hash-mod sample, ~trainCap rows;
-    // corpora at or under the cap train on everything. The row count
-    // comes from parquet metadata (count aggregates footer stats — no
-    // data scan).
+    // corpora at or under the cap train on everything. The corpus size
+    // (only needed to pick the sampling modulus) comes from parquet
+    // FOOTER metadata — Tables.parquetRowCount, zero Spark jobs — not
+    // a count() scan.
     val trainCap = 100000L
-    val n = e.count()
+    val n = Tables.parquetRowCount(s, d, "embeddings")
     val train =
       if (n <= trainCap) e
       else e.filter(pmod(xxhash64($"vec_id"), lit(n / trainCap + 1)) === 0)
@@ -314,9 +315,10 @@ object Similarity {
     val e = Tables.embeddings(s, d)
       .select($"vec_id", asDouble($"embedding").as("vec"))
 
-    // Sample-bounded training set (see annIvf for the rationale).
+    // Sample-bounded training set, footer-metadata row count (see
+    // annIvf for the rationale).
     val trainCap = 100000L
-    val n = e.count()
+    val n = Tables.parquetRowCount(s, d, "embeddings")
     val train =
       if (n <= trainCap) e
       else e.filter(pmod(xxhash64($"vec_id"), lit(n / trainCap + 1)) === 0)
@@ -436,9 +438,10 @@ object Similarity {
     val e = Tables.embeddings(s, d)
       .select($"vec_id", asDouble($"embedding").as("vec"))
 
-    // Sample-bounded training set (see annIvf for the rationale).
+    // Sample-bounded training set, footer-metadata row count (see
+    // annIvf for the rationale).
     val trainCap = 100000L
-    val n = e.count()
+    val n = Tables.parquetRowCount(s, d, "embeddings")
     val train =
       if (n <= trainCap) e
       else e.filter(pmod(xxhash64($"vec_id"), lit(n / trainCap + 1)) === 0)

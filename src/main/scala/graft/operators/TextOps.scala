@@ -675,16 +675,24 @@ object TextOps {
     * equivalence also spec-gated). At 100 TB with fpp 1e-3: a 1e12-gram
     * train side leaks ~1e9 rows into the join instead of shuffling the
     * full gram stream — and the eval side never materializes on
-    * executors at all during the scan. */
+    * executors at all during the scan.
+    *
+    * Lineage shape (r12 advice): each side derives from its OWN
+    * filtered scan — the r11 form built one distinct over the union of
+    * both sides and filtered it twice, recomputing the full
+    * explode+distinct lineage per consumer. The Bloom probe now sits
+    * BEFORE the train-side distinct, so the only full-gram-stream
+    * shuffle is gone: the distinct dedupes the ~fpp survivors, not the
+    * 1e12-gram stream (filter-on-g commutes with distinct-on-(doc,g),
+    * so the result is unchanged — the spec equivalence gate proves
+    * it). */
   def text_decontam_bloom(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val n = 8
-    val grams = Tables.documents(s, d)
-      .select($"doc_id", ($"doc_id" % 10 === 0).as("is_eval"),
-        explode(wordNgramsAll($"text", n)).as("g"))
-      .distinct()
+    val docs = Tables.documents(s, d)
     val evalGrams = graft.CacheRegistry.cache(
-      grams.filter($"is_eval").select($"g").distinct())
+      docs.filter($"doc_id" % 10 === 0)
+        .select(explode(wordNgramsAll($"text", n)).as("g")).distinct())
     // a real pipeline sizes the filter from table stats; the count
     // here is one cheap aggregation over the (persisted) eval grams
     val bf = evalGrams.select(xxhash64($"g").as("h"))
@@ -692,8 +700,10 @@ object TextOps {
     val mightMatch = graft.functions.GraftExpressions.toColumn(
       graft.functions.BloomMightContainLongExpr(
         graft.functions.GraftExpressions.toExpr(xxhash64($"g")), bf))
-    grams.filter(!$"is_eval")
+    docs.filter($"doc_id" % 10 =!= 0)
+      .select($"doc_id", explode(wordNgramsAll($"text", n)).as("g"))
       .filter(mightMatch)
+      .distinct()
       .join(evalGrams, "g")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("shared_8grams"))

@@ -78,6 +78,26 @@ class EventOpsSpec extends SparkSpec {
       s"sketch ${got.toSeq} != exact ${exact.toSeq}")
   }
 
+  test("ev_heavy_hitters capacity assumption holds at every oracle scale") {
+    // The DuckDB oracle hash-verifies the sketch only because every
+    // test SF sits in the EXACT regime (distinct users <= capacity, so
+    // no eviction, merge-order-independent output). If the driver's
+    // testdata ever grows past the capacity, that precondition breaks
+    // SILENTLY — estimates become merge-order-dependent and the hash
+    // gate fails with no hint why. Assert the precondition by name at
+    // both SFs the gates run on, so a regime shift fails loudly here.
+    val cap = 4096
+    for (d <- Seq(sf0001, sf001)) {
+      val distinct = Tables.events(spark, d)
+        .select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+      assert(distinct <= cap,
+        s"$d has $distinct distinct users > capacity $cap: " +
+          "ev_heavy_hitters leaves the exact regime and its hash oracle " +
+          "is no longer merge-order-safe — raise the capacity or drop " +
+          "the oracle to rows-only")
+    }
+  }
+
   test("SpaceSaving keeps every item above N/capacity under heavy eviction") {
     import spark.implicits._
     // 60 distinct keys through a capacity-8 summary, skewed: keys 0-3

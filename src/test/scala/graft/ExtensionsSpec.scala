@@ -60,6 +60,25 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql.nonEmpty && viaSql.toSeq == viaApi.toSeq)
   }
 
+  test("graft_intersect_count_sorted SQL == Column API") {
+    import spark.implicits._
+    SqlSurface.registerViews(spark, sf0001)
+    val viaSql = spark.sql(
+      """SELECT a.doc_id, b.doc_id AS doc_id2,
+        | graft_intersect_count_sorted(graft_word_ngram_hashes(a.text, 3),
+        |   graft_word_ngram_hashes(b.text, 3)) AS inter
+        |FROM documents a JOIN documents b ON a.doc_id + 1 = b.doc_id
+        |ORDER BY a.doc_id""".stripMargin).collect()
+    val t = Tables.documents(spark, sf0001)
+    val viaApi = t.alias("a").join(t.alias("b"), $"a.doc_id" + 1 === $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id".as("doc_id2"),
+        TextFunctions.intersectCountSorted(
+          TextFunctions.shingleHashes($"a.text", 3),
+          TextFunctions.shingleHashes($"b.text", 3)).as("inter"))
+      .orderBy($"a.doc_id").collect()
+    assert(viaSql.nonEmpty && viaSql.toSeq == viaApi.toSeq)
+  }
+
   test("graft SQL functions reject bad argument types at analysis time") {
     SqlSurface.registerViews(spark, sf0001)
     val e = intercept[Exception] {

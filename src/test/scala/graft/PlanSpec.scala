@@ -55,7 +55,15 @@ class PlanSpec extends SparkSpec {
   }
 
   test("per-group rank queries get partial top-k pushdown (WindowGroupLimit)") {
-    assert(physical("ann_topk_brute").contains("WindowGroupLimit"))
+    // Every rank<=k / row_number<=k consumer, not just the first one
+    // written: a regression that knocks any of these out of the
+    // partial group-limit (e.g. a non-deterministic expression slipped
+    // under the window) turns a cap·tasks shuffle back into a
+    // full-group shuffle — the difference between kilobytes and a hot
+    // domain's full document count at 100 TB.
+    for (q <- Seq("ann_topk_brute", "text_domain_cap", "text_tfidf", "ann_pq"))
+      assert(physical(q).contains("WindowGroupLimit"),
+        s"$q lost its WindowGroupLimit pushdown")
   }
 
   test("text_decontam broadcasts the eval gram set (train side never shuffles on grams)") {
