@@ -349,8 +349,18 @@ object Dedup {
     * bucketPairs cap drops OBSERVABLY (BucketCapMetrics), exactly like
     * the LSH band paths. Scoring is one linear merge over the sorted
     * gram arrays per distinct candidate pair ([[ExprKernels
-    * .containmentSorted]]); the gram stage is persisted so the shingle
-    * kernel runs once per doc (pair-gen + two score joins). */
+    * .intersectSortedCount]]); the gram stage is persisted so the
+    * shingle kernel runs once per doc (pair-gen + two score joins).
+    *
+    * Scores are EXACT INTEGER ppm (r13, was round(double, 4)):
+    * `c >= 0.8` as `5·|∩| >= 4·min(|A|,|B|)`, both ratios emitted as
+    * truncating integer divisions — same integer-arithmetic rule as
+    * [[dedup_ngram_jaccard]], which is what lets the DuckDB oracle
+    * (bottom-m prefix of the signed-sorted gram set, bucket cap, pair
+    * distinct, intersection re-count) hash-match with no rounding
+    * hazard. Output schema change noted for cross-round diffs:
+    * containment/jaccard (double, 4 dp) → containment_ppm/jaccard_ppm
+    * (bigint). */
   def dedup_containment(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val m = 16
@@ -362,11 +372,13 @@ object Dedup {
       .join(docs, "doc_id")
       .join(docs.select($"doc_id".as("doc_id2"), $"grams".as("grams2")), "doc_id2")
       .select($"doc_id", $"doc_id2",
-        containmentSorted($"grams", $"grams2").as("c"),
-        jaccardSorted($"grams", $"grams2").as("j"))
-      .filter($"c" >= 0.8)
+        intersectCountSorted($"grams", $"grams2").as("inter"),
+        size($"grams").cast("long").as("sz"),
+        size($"grams2").cast("long").as("sz2"))
+      .filter($"inter" * 5 >= least($"sz", $"sz2") * 4)
       .select($"doc_id", $"doc_id2",
-        round($"c", 4).as("containment"), round($"j", 4).as("jaccard"))
+        expr("inter * 1000000 div least(sz, sz2)").as("containment_ppm"),
+        expr("inter * 1000000 div (sz + sz2 - inter)").as("jaccard_ppm"))
       .orderBy($"doc_id", $"doc_id2")
   }
 
@@ -593,10 +605,14 @@ object Dedup {
     * clustered document with its cluster id and a keep/drop decision
     * (keeper = min doc_id of the component). Transitively-linked docs
     * (A≈B, B≈C, A̸≈C) land in ONE cluster — pairwise output alone
-    * cannot express that. Oracle: rows-only (minhash pair generation
-    * is not SQL-expressible); DedupSpec checks the component assignment
-    * against an independent driver-side union-find on the same pairs,
-    * and transitive-chain merging on planted corpora. */
+    * cannot express that. Oracle: full hash match (r13) — the pair
+    * graph reuses the minhash-LSH re-derivation ([[minhashSigSql]])
+    * plus the md5 star, and the components themselves are recomputed
+    * in DuckDB with a recursive transitive-closure CTE + min-label
+    * aggregation, so the distributed pointer-jumping loop is verified
+    * against an independent sequential fixpoint. DedupSpec additionally
+    * checks the assignment against a driver-side union-find and
+    * transitive-chain merging on planted corpora. */
   def dedup_clusters(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d)
@@ -621,9 +637,12 @@ object Dedup {
     * with the [[TextOps.text_quality]] score; the keeper is
     * `max_by(doc_id, (quality, −doc_id))` — one map-side-combined
     * aggregate per cluster, deterministic under ties (lower doc_id
-    * wins). Oracle is rows-only (cluster ids come from LSH pair
-    * generation); DedupSpec asserts exactly one keeper per cluster
-    * and that no member out-scores its keeper. */
+    * wins). Oracle: full hash match (r13) — the [[dedup_clusters]]
+    * recursive-CTE re-derivation joined with the text_quality
+    * integer-ppm score, keeper via `row_number() = 1` under the same
+    * (quality DESC, doc_id ASC) order. DedupSpec additionally asserts
+    * exactly one keeper per cluster and that no member out-scores its
+    * keeper. */
   def dedup_resolve_best(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val clusters = dedup_clusters(s, d).select($"cluster_id", $"doc_id")
@@ -813,6 +832,47 @@ object Dedup {
     * re-derivation the minhash-family oracles share. */
   private def minhashSigSql(rowsPerBand: Int): String =
     gramSql + ",\n" + sigBandSql(rowsPerBand)
+
+  /** The [[dedup_clusters]] pair graph + connected components in
+    * DuckDB, shared by the dedup_clusters and dedup_resolve_best
+    * oracles: the full minhash-LSH candidate/score re-derivation
+    * (same CTE chain as the dedup_minhash_lsh oracle), the md5
+    * exact-duplicate keeper star, the undirected edge list, and
+    * components as a RECURSIVE transitive-closure fixpoint (`reach`
+    * holds every (node, reachable-node) pair; UNION dedup terminates
+    * it) reduced by min-label — an independent sequential CC algorithm
+    * against which the distributed pointer-jumping loop hash-verifies.
+    * Closure size is bounded by the same 2..1000 bucket cap that
+    * bounds the pair list. Ends with CTE `cl`(cluster_id, doc_id).
+    * `private[operators]`: TextOps composes it into the
+    * text_pipeline_near oracle. */
+  private[operators] val clusterCcSql: String =
+    minhashSigSql(4).replaceFirst("WITH ", "WITH RECURSIVE ") + "," + """
+        |ok AS (SELECT band, key FROM bk GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 1000),
+        |pr AS (
+        |  SELECT DISTINCT a.doc_id, b.doc_id AS doc_id2
+        |  FROM bk a JOIN ok ON a.band = ok.band AND a.key = ok.key
+        |  JOIN bk b ON b.band = ok.band AND b.key = ok.key AND a.doc_id < b.doc_id),
+        |sg AS (SELECT doc_id, list(sv ORDER BY p) AS s FROM sigv GROUP BY 1),
+        |near AS (
+        |  SELECT pr.doc_id, pr.doc_id2
+        |  FROM pr JOIN sg x ON pr.doc_id = x.doc_id JOIN sg y ON pr.doc_id2 = y.doc_id
+        |  WHERE CAST(len(list_filter(range(32), i -> x.s[i + 1] = y.s[i + 1])) AS DOUBLE) / 32 >= 0.5),
+        |ex AS (
+        |  SELECT g.keeper AS doc_id, dd.doc_id AS doc_id2
+        |  FROM (SELECT md5(text) AS h, min(doc_id) AS keeper
+        |        FROM documents GROUP BY 1 HAVING count(*) >= 2) g
+        |  JOIN (SELECT doc_id, md5(text) AS h FROM documents) dd ON g.h = dd.h
+        |  WHERE dd.doc_id > g.keeper),
+        |allp AS (SELECT doc_id, doc_id2 FROM ex UNION SELECT doc_id, doc_id2 FROM near),
+        |ed AS (SELECT doc_id AS a, doc_id2 AS b FROM allp
+        |       UNION SELECT doc_id2, doc_id FROM allp),
+        |nodes AS (SELECT DISTINCT a AS node FROM ed),
+        |reach(node, lab) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT r.node, e.b FROM reach r JOIN ed e ON r.lab = e.a),
+        |cl AS (SELECT min(lab) AS cluster_id, node AS doc_id FROM reach GROUP BY node)""".stripMargin
 
   /** The 20 3-of-6 simhash chunk-combination bucket keys of
     * [[dedup_simhash]], as DuckDB expressions over the unsigned
@@ -1065,6 +1125,61 @@ object Dedup {
         |  WHERE r.csize >= 2 AND s.doc_id > r.keeper)
         |SELECT * FROM near UNION ALL SELECT * FROM same
         |ORDER BY doc_id, doc_id2""".stripMargin),
+    "dedup_clusters" -> (clusterCcSql + """
+        |SELECT cluster_id, doc_id, doc_id = cluster_id AS is_keeper
+        |FROM cl ORDER BY 1, 2""".stripMargin),
+    // Clusters (above) joined with the text_quality integer-ppm score;
+    // keeper = row_number() = 1 under (quality DESC, doc_id ASC) — the
+    // exact SQL mirror of max_by(doc_id, struct(quality, -doc_id)).
+    "dedup_resolve_best" -> (clusterCcSql + """,
+        |q AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN nw = 0 THEN 0 ELSE nu * 1000000 // nw END)
+        |    * (CASE WHEN nw >= 20 THEN 2 ELSE 1 END)
+        |    * (CASE WHEN (CASE WHEN nw = 0 THEN 0 ELSE nst * 1000000 // nw END) > 10000
+        |       THEN 5 ELSE 4 END) // 10 AS quality_ppm
+        |  FROM (
+        |    SELECT doc_id, CAST(len(words) AS BIGINT) AS nw,
+        |      CAST(len(list_distinct(words)) AS BIGINT) AS nu,
+        |      CAST(len(list_filter(words,
+        |        w -> w IN ('the','a','an','of','and','to','in','is','it'))) AS BIGINT) AS nst
+        |    FROM (SELECT doc_id,
+        |            list_filter(string_split(lower(text), ' '), w -> w <> '') AS words
+        |          FROM documents)))
+        |SELECT cluster_id, cl.doc_id, quality_ppm,
+        |  row_number() OVER (PARTITION BY cluster_id
+        |                     ORDER BY quality_ppm DESC, cl.doc_id) = 1 AS is_keeper
+        |FROM cl JOIN q ON cl.doc_id = q.doc_id
+        |ORDER BY cluster_id, cl.doc_id""".stripMargin),
+    // Bottom-m sketch blocking + exact integer scoring, fully
+    // re-derived: grams from gramSql, signed-order bottom-16 prefix
+    // per doc (row_number over the signed mapping — the kernel's
+    // sorted-array prefix), single-gram bucket keys with the same
+    // 2..1000 cap, distinct ordered pairs, intersection via gram-level
+    // self-join count, `c >= 0.8` as 5·|∩| >= 4·min, both ratios as
+    // truncating integer ppm.
+    "dedup_containment" -> (gramSql + """,
+        |sgn AS (SELECT doc_id, CAST(CASE WHEN gram >= 9223372036854775808::HUGEINT
+        |        THEN gram - 18446744073709551616::HUGEINT ELSE gram END AS BIGINT) AS h
+        |        FROM u),
+        |bm AS (SELECT doc_id, h FROM (
+        |  SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+        |  FROM sgn) WHERE rn <= 16),
+        |ok AS (SELECT h FROM bm GROUP BY 1 HAVING count(*) BETWEEN 2 AND 1000),
+        |pr AS (SELECT DISTINCT a.doc_id, b.doc_id AS doc_id2
+        |       FROM bm a JOIN ok ON a.h = ok.h
+        |       JOIN bm b ON b.h = ok.h AND a.doc_id < b.doc_id),
+        |gs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY 1),
+        |iv AS (SELECT pr.doc_id, pr.doc_id2, CAST(count(*) AS BIGINT) AS inter
+        |       FROM pr JOIN sgn x ON pr.doc_id = x.doc_id
+        |       JOIN sgn y ON pr.doc_id2 = y.doc_id AND x.h = y.h GROUP BY 1, 2)
+        |SELECT iv.doc_id, iv.doc_id2,
+        |  inter * 1000000 // least(x.n, y.n) AS containment_ppm,
+        |  inter * 1000000 // (x.n + y.n - inter) AS jaccard_ppm
+        |FROM iv JOIN gs x ON iv.doc_id = x.doc_id
+        |        JOIN gs y ON iv.doc_id2 = y.doc_id
+        |WHERE inter * 5 >= least(x.n, y.n) * 4
+        |ORDER BY 1, 2""".stripMargin),
     "dedup_embedding" ->
       """SELECT a.label, a.vec_id, b.vec_id AS vec_id2,
         | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -218,9 +218,12 @@ object TextOps {
     * final removal is a left-anti join against the (even smaller) drop
     * list. Deliberately NOT a left join on a nullable cluster key —
     * the unclustered majority would all hash to the null partition.
-    * Oracle is rows-only (cluster ids come from LSH pair generation);
-    * TextPipelineSpec gates: subset-of-text_pipeline, ≤1 survivor per
-    * cluster, and no dropped doc out-scoring its cluster's survivor. */
+    * Oracle: full hash match (r13) — [[Dedup.clusterCcSql]]'s
+    * recursive-CTE cluster re-derivation composed with the
+    * text_pipeline curated set and the same rank-1 keeper rule;
+    * TextPipelineSpec additionally gates: subset-of-text_pipeline, ≤1
+    * survivor per cluster, and no dropped doc out-scoring its
+    * cluster's survivor. */
   def text_pipeline_near(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // referenced three times (cluster membership twice via `clustered`,
@@ -1160,6 +1163,46 @@ object TextOps {
         |FROM kept k JOIN (SELECT h, min(doc_id) AS doc_id FROM kept GROUP BY 1) m
         | ON k.h = m.h AND k.doc_id = m.doc_id
         |ORDER BY k.doc_id""".stripMargin,
+    // The curation composition, fully re-derived: Dedup.clusterCcSql's
+    // recursive-CTE components (minhash-LSH ∪ md5-star pair graph) +
+    // the text_pipeline curated set, membership join, rank-1 keeper
+    // under (quality DESC, doc_id) per cluster, anti-join of the drop
+    // list — the SQL mirror of curated ⋈ clusters → max_by keeper →
+    // left_anti.
+    "text_pipeline_near" -> (Dedup.clusterCcSql + """,
+        |scored AS (
+        | SELECT doc_id, md5(text) AS h,
+        |  CAST(len(words) AS BIGINT) AS n_words,
+        |  (CASE WHEN len(words) = 0 THEN CAST(0 AS BIGINT) ELSE
+        |    CAST(len(list_distinct(words)) AS BIGINT) * 1000000 // len(words) END)
+        |   * (CASE WHEN len(words) >= 20 THEN 2 ELSE 1 END)
+        |   * (CASE WHEN (CASE WHEN len(words) = 0 THEN CAST(0 AS BIGINT) ELSE
+        |      CAST(len(list_filter(words, w -> w IN ('the','a','an','of','and','to','in','is','it'))) AS BIGINT)
+        |      * 1000000 // len(words) END) > 10000 THEN 5 ELSE 4 END) // 10 AS quality_ppm
+        | FROM (SELECT doc_id, text,
+        |   list_filter(string_split(lower(text), ' '), w -> w <> '') AS words
+        |  FROM documents)),
+        |kept AS (SELECT * FROM scored WHERE n_words >= 10 AND quality_ppm >= 500000),
+        |curated AS (
+        |  SELECT k.doc_id, k.n_words, k.quality_ppm
+        |  FROM kept k JOIN (SELECT h, min(doc_id) AS doc_id FROM kept GROUP BY 1) mk
+        |   ON k.h = mk.h AND k.doc_id = mk.doc_id),
+        |clustered AS (
+        |  SELECT cl.cluster_id, c.doc_id, c.quality_ppm
+        |  FROM curated c JOIN cl ON c.doc_id = cl.doc_id),
+        |surv AS (
+        |  SELECT cluster_id, doc_id FROM (
+        |    SELECT cluster_id, doc_id,
+        |      row_number() OVER (PARTITION BY cluster_id
+        |                         ORDER BY quality_ppm DESC, doc_id) AS rn
+        |    FROM clustered) WHERE rn = 1),
+        |dropped AS (
+        |  SELECT doc_id FROM clustered
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM surv))
+        |SELECT c.doc_id, c.n_words, c.quality_ppm
+        |FROM curated c
+        |WHERE c.doc_id NOT IN (SELECT doc_id FROM dropped)
+        |ORDER BY c.doc_id""".stripMargin),
     "text_token_hist" ->
       """WITH perdoc AS (
         | SELECT CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens

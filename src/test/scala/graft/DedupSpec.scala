@@ -105,12 +105,13 @@ class DedupSpec extends SparkSpec {
     assert(exRecall >= 0.8, s"excerpt recall $exRecall < 0.8")
     // the planted pairs must be exactly the containment-not-resemblance
     // regime: containment ~1 while jaccard stays at the size ratio
+    // (integer-ppm scores since r13)
     val scored = got.collect().map(r =>
-      (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+      (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
     (expHalves ++ expExcerpts).intersect(gotPairs).foreach { p =>
       val (c, j) = scored(p)
-      assert(c >= 0.95, s"$p containment $c")
-      assert(j <= 0.6, s"$p jaccard $j should be ratio-bounded")
+      assert(c >= 950000, s"$p containment_ppm $c")
+      assert(j <= 600000, s"$p jaccard_ppm $j should be ratio-bounded")
     }
   }
 
