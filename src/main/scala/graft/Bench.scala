@@ -123,8 +123,10 @@ object Bench {
     // inflation from another process churning the page cache) shows up
     // as drift_io > 1 with drift_cpu ~ 1. Page-cache sensitivity is BY
     // DESIGN: the queries being normalized read through the same cache.
+    // pin = idle min-over-3 at the driver config (local[32], sf0.1,
+    // warm page cache — contention shows up as eviction), measured r13
     val ioPin = sys.env.get("SPARK_GRAFT_CANARY_IO_PIN")
-      .flatMap(_.toDoubleOption).getOrElse(0.95)
+      .flatMap(_.toDoubleOption).getOrElse(0.19)
     def ioCanaryOnce(): Double = {
       val t0 = System.nanoTime()
       spark.read.parquet(s"$sfDir/lineitem.parquet")

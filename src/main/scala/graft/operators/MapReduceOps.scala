@@ -278,7 +278,39 @@ object MapReduceOps {
     }.toDF("pos", "hex_digit").orderBy($"pos")
   }
 
+  /** GridMix-style trace-driven workload plan (reference:
+    * hadoop-tools/hadoop-gridmix — GridMix reads a job trace and
+    * synthesizes a replay workload bucketed by job size class and
+    * submission time). The events log plays the trace: each
+    * (user, day) group is one job run — task count = events, input
+    * volume = Σ value (exact integer cents), submit hour = the run's
+    * first event. Jobs classify into GridMix's size tiers (SMALL < 10
+    * tasks ≤ MEDIUM < 50 ≤ LARGE — fixed thresholds, deterministic),
+    * and the emitted plan is the per-(submit-hour, class) replay
+    * schedule: how many jobs to synthesize, with how many tasks and
+    * how much input. Two map-side-combined aggregations — trace
+    * summarization is a rollup, scale-trivial; fully integer, so the
+    * DuckDB oracle hash-matches. */
+  def mr_gridmix_plan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val jobs = Tables.events(s, d)
+      .groupBy($"user_id", date_trunc("day", $"ts").as("day"))
+      .agg(count(lit(1)).as("n_tasks"),
+        sum(round($"value" * 100).cast("long")).as("input_centi"),
+        hour(min($"ts")).as("submit_hour"))
+      .withColumn("job_class",
+        when($"n_tasks" < 10, "SMALL")
+          .when($"n_tasks" < 50, "MEDIUM")
+          .otherwise("LARGE"))
+    jobs.groupBy($"submit_hour", $"job_class")
+      .agg(count(lit(1)).as("n_jobs"),
+        sum($"n_tasks").as("total_tasks"),
+        sum($"input_centi").as("total_input_centi"))
+      .orderBy($"submit_hour", $"job_class")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mr_gridmix_plan" -> mr_gridmix_plan _,
     "mr_bbp" -> mr_bbp _,
     "mr_pi" -> mr_pi _,
     "mr_randomtextwriter" -> mr_randomtextwriter _,
@@ -293,6 +325,24 @@ object MapReduceOps {
     "mr_histogram" -> mr_histogram _)
 
   val oracle: Map[String, String] = Map(
+    "mr_gridmix_plan" ->
+      """WITH jobs AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day,
+        |    count(*) AS n_tasks,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS input_centi,
+        |    CAST(hour(min(ts)) AS INTEGER) AS submit_hour
+        |  FROM events GROUP BY 1, 2),
+        |cls AS (
+        |  SELECT submit_hour,
+        |    CASE WHEN n_tasks < 10 THEN 'SMALL'
+        |         WHEN n_tasks < 50 THEN 'MEDIUM'
+        |         ELSE 'LARGE' END AS job_class,
+        |    n_tasks, input_centi
+        |  FROM jobs)
+        |SELECT submit_hour, job_class, count(*) AS n_jobs,
+        |  CAST(sum(n_tasks) AS BIGINT) AS total_tasks,
+        |  CAST(sum(input_centi) AS BIGINT) AS total_input_centi
+        |FROM cls GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Identical 2^-48 fixed-point BBP arithmetic; the per-j sums are
     // generated from one template so Spark and DuckDB cannot drift.
     "mr_bbp" -> {

@@ -78,10 +78,14 @@ object MetadataOps {
     *
     * Scale: block explode → per-type rollup is one combine-friendly
     * aggregation on (source, type); the quota side is a 2-row
-    * broadcast. No skew risk — the group count is dirs×2. */
+    * broadcast. No skew risk — the group count is dirs×2. The rollup
+    * feeds BOTH join sides (usage + totals), so it is persisted
+    * (registry-tracked, dirs×2 rows) — unpersisted, each side would
+    * re-run the full block-explode scan, the self-join recompute rule
+    * every multi-consumer stage in this repo follows. */
   def fs_quota_bytype(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val byType = Tables.documents(s, d)
+    val byType = graft.CacheRegistry.cache(Tables.documents(s, d)
       .select($"doc_id", $"source", $"n_chars")
       .withColumn("blk", explode(expr(
         "sequence(bigint(0), greatest(bigint(1), (n_chars + 63) div 64) - 1)")))
@@ -98,7 +102,7 @@ object MetadataOps {
           ((lit(3L) - $"n_disk") * $"blk_bytes").as("b")))).as("e"))
       .select($"source", $"e.storage_type", $"e.b")
       .groupBy($"source", $"storage_type")
-      .agg(sum($"b").as("bytes_used"))
+      .agg(sum($"b").as("bytes_used")))
     val totals = byType.groupBy($"storage_type")
       .agg(sum($"bytes_used").as("type_total"),
         count(lit(1)).as("n_dirs"))
