@@ -331,6 +331,80 @@ object Dedup {
       .orderBy($"vec_id", $"vec_id2")
   }
 
+  /** SEMANTIC dedup — SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding space with k-means, then call two documents
+    * semantic duplicates when their embeddings' cosine similarity
+    * clears a threshold WITHIN a cluster — catching paraphrases and
+    * re-renderings that share no n-grams (invisible to minhash/simhash/
+    * CDC) without any all-pairs scan. The keep policy is the paper's:
+    * among duplicates, KEEP the example LEAST similar to its cluster
+    * centroid (the most atypical one — retaining diversity), so a doc
+    * is dropped when some same-cell partner with cosine ≥ τ sits
+    * strictly lower on the (centroid_sim, vec_id) order. The
+    * lex-minimal member of every cell is therefore never dropped — each
+    * duplicate group keeps at least one member (gated in DedupSpec).
+    *
+    * Scale posture: clustering IS the blocking — pair enumeration is a
+    * self-equi-join on the cell id, so pair volume is Σ|cell|²/2, and
+    * k is chosen ∝ corpus size to hold E[|cell|] at a few thousand
+    * (the paper runs 11k clusters for 100M docs); training cost does
+    * NOT grow with k·corpus because centroids train on a sample-capped
+    * slice ([[Similarity.trainSlice]]) and each Lloyd round is one
+    * map-side-combined aggregation collecting k×dim doubles
+    * ([[Similarity.kmeansCentroids]]). Assignment is the codegen'd
+    * literal-centroid argmin at scan speed; the assigned stage is
+    * persisted so the argmin kernel runs once, not once per join side.
+    * Scores are exact integer ppm (floor(cos·1e6)) per the family's
+    * cross-engine rule; oracle=rows (re-deriving distributed Lloyd in
+    * DuckDB SQL is not meaningful — the gates live in DedupSpec:
+    * planted-duplicate recall, driver-side cosine soundness of every
+    * emitted pair, determinism, keep-at-least-one). */
+  def dedup_semantic(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .select($"vec_id", VectorFunctions.asDouble($"embedding").as("vec"))
+    semanticDupsFrom(e, Similarity.trainSlice(s, d, e),
+        k = 32, iters = 1, threshPpm = 300000L)
+      .orderBy($"vec_id")
+  }
+
+  /** Library form of [[dedup_semantic]] over any (vec_id, vec:
+    * array<double>) frame: `train` is the (possibly sample-capped)
+    * slice centroids learn from; returns one row per DROPPED doc —
+    * (cell, vec_id, centroid_sim_ppm, dup_of, cos_ppm) where dup_of is
+    * the highest-cosine partner that out-ranks it (ties to the lower
+    * id), which may itself be dropped in a chain (the row justifies
+    * the drop; transitive resolution is [[dedup_clusters]]'s job). The
+    * pair join is DIRECTED by the lexicographic (centroid_sim, id)
+    * order, so each unordered pair is scored exactly once. */
+  def semanticDupsFrom(vecs: DataFrame, train: DataFrame, k: Int,
+      iters: Int, threshPpm: Long): DataFrame = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    val cents = Similarity.kmeansCentroids(train, k, iters)
+    val assigned = CacheRegistry.cache(
+      vecs.select($"vec_id", $"vec",
+          array_min(Similarity.centroidDists(cents, $"vec")).as("best"))
+        .select($"vec_id", $"vec", $"best.cid".as("cell"),
+          floor((lit(1.0) - $"best.dist") * 1e6).cast("long")
+            .as("centroid_sim_ppm")))
+    val x = assigned.select($"cell", $"vec_id", $"vec", $"centroid_sim_ppm")
+    val y = assigned.select($"cell".as("cell_y"), $"vec_id".as("vec_id2"),
+      $"vec".as("vec2"), $"centroid_sim_ppm".as("csim2"))
+    x.join(y, $"cell" === $"cell_y" &&
+        ($"csim2" < $"centroid_sim_ppm" ||
+          ($"csim2" === $"centroid_sim_ppm" && $"vec_id2" < $"vec_id")))
+      .select($"cell", $"vec_id", $"centroid_sim_ppm", $"vec_id2",
+        floor(VectorFunctions.cosine($"vec", $"vec2") * 1e6).cast("long")
+          .as("cos_ppm"))
+      .filter($"cos_ppm" >= threshPpm)
+      .groupBy($"cell", $"vec_id", $"centroid_sim_ppm")
+      .agg(max_by(struct($"vec_id2".as("dup_of"), $"cos_ppm"),
+        struct($"cos_ppm", -$"vec_id2")).as("best"))
+      .select($"cell", $"vec_id", $"centroid_sim_ppm",
+        $"best.dup_of".as("dup_of"), $"best.cos_ppm".as("cos_ppm"))
+  }
+
   /** CONTAINMENT near-dup detection — the embedded-document case
     * resemblance dedup misses: a short doc fully contained in a long
     * one (a quoted article, a boilerplate-wrapped page) has
@@ -720,6 +794,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> dedup_ngram_jaccard _,
     "dedup_containment" -> dedup_containment _,
     "dedup_embedding" -> dedup_embedding _,
+    "dedup_semantic" -> dedup_semantic _,
     "dedup_clusters" -> dedup_clusters _,
     "dedup_resolve_best" -> dedup_resolve_best _)
 

@@ -137,42 +137,48 @@ object Similarity {
   /** Argmin / sorted-probe helpers: one struct(dist, cid) per centroid,
     * compared lexicographically (distance first). Cosine distance on
     * the double-cast vector; the cast column is shared across the K
-    * kernel calls. */
-  private def centroidDists(cents: Array[Array[Double]], v: Column): Column =
+    * kernel calls. Shared with [[Dedup.dedup_semantic]]'s cluster
+    * assignment, hence operators-private rather than object-private. */
+  private[graft] def centroidDists(cents: Array[Array[Double]], v: Column): Column =
     array(cents.zipWithIndex.map { case (c, i) =>
       struct((lit(1.0) - cosine(v, typedLit(c.toSeq))).as("dist"),
         lit(i).as("cid"))
     }: _*)
 
-  def annIvf(s: SparkSession, d: String, k: Int, nprobe: Int,
-      iters: Int): DataFrame = {
+  /** Sample-bounded training slice for centroid training: corpora at or
+    * under the cap train on everything; larger ones on a deterministic
+    * hash-mod sample (coarse-quantizer quality needs ~100s of vectors
+    * per centroid, so Lloyd over the full corpus is wasted work at
+    * scale — 100 TB of embeddings would re-scan everything per round
+    * for centroids a 100k-row sample determines just as well). The
+    * corpus size (only needed to pick the sampling modulus) comes from
+    * parquet FOOTER metadata — [[Tables.parquetRowCount]], zero Spark
+    * jobs — not a count() scan. */
+  private[graft] def trainSlice(s: SparkSession, d: String,
+      e: DataFrame, trainCap: Long = 100000L): DataFrame = {
     import s.implicits._
-    val e = Tables.embeddings(s, d)
-      .select($"vec_id", asDouble($"embedding").as("vec"))
-
-    // TRAIN ON A SAMPLE, not the corpus: coarse-quantizer quality needs
-    // ~100s of vectors per centroid, so Lloyd over the full corpus is
-    // wasted work at scale (100 TB of embeddings would re-scan
-    // everything per round for centroids a 100k-row sample determines
-    // just as well). Deterministic hash-mod sample, ~trainCap rows;
-    // corpora at or under the cap train on everything. The corpus size
-    // (only needed to pick the sampling modulus) comes from parquet
-    // FOOTER metadata — Tables.parquetRowCount, zero Spark jobs — not
-    // a count() scan.
-    val trainCap = 100000L
     val n = Tables.parquetRowCount(s, d, "embeddings")
-    val train =
-      if (n <= trainCap) e
-      else e.filter(pmod(xxhash64($"vec_id"), lit(n / trainCap + 1)) === 0)
+    if (n <= trainCap) e
+    else e.filter(pmod(xxhash64($"vec_id"), lit(n / trainCap + 1)) === 0)
+  }
 
-    // deterministic seed centroids: k sample vectors with the smallest
-    // vec_id hash (stable across runs/partitionings; k×dim is tiny)
+  /** Deterministic distributed k-means over a (vec_id, vec) training
+    * DataFrame: seed = the k smallest-vec_id-hash sample vectors
+    * (stable across runs/partitionings; k×dim is tiny), then `iters`
+    * Lloyd rounds — each round is ONE map-side-combined aggregation
+    * (assign to nearest centroid via the codegen'd literal-centroid
+    * argmin, posexplode, per-(cell, pos) mean) collecting only
+    * k×dim doubles to the driver. Empty cells keep their seed
+    * centroid. Shared by [[annIvf]], [[annIvfPq]] (coarse quantizer)
+    * and [[Dedup.dedup_semantic]] (SemDeDup clustering). */
+  private[graft] def kmeansCentroids(train: DataFrame, k: Int,
+      iters: Int): Array[Array[Double]] = {
+    import train.sparkSession.implicits._
     var cents: Array[Array[Double]] = train
       .orderBy(xxhash64($"vec_id"), $"vec_id").limit(k)
       .select($"vec_id", $"vec").collect()
       .sortBy(_.getLong(0))
       .map(_.getSeq[Double](1).toArray)
-
     for (_ <- 0 until iters) {
       val means = train
         .select(array_min(centroidDists(cents, $"vec")).getField("cid").as("cell"),
@@ -190,6 +196,19 @@ object Similarity {
         }
       }
     }
+    cents
+  }
+
+  def annIvf(s: SparkSession, d: String, k: Int, nprobe: Int,
+      iters: Int): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .select($"vec_id", asDouble($"embedding").as("vec"))
+
+    // Sample-bounded training set (see trainSlice) + seed-and-Lloyd
+    // centroid training (see kmeansCentroids).
+    val train = trainSlice(s, d, e)
+    val cents = kmeansCentroids(train, k, iters)
 
     val corpus = e.select($"vec_id".as("nid"), $"vec".as("nvec"),
       array_min(centroidDists(cents, $"vec")).getField("cid").as("cell"))
@@ -315,13 +334,8 @@ object Similarity {
     val e = Tables.embeddings(s, d)
       .select($"vec_id", asDouble($"embedding").as("vec"))
 
-    // Sample-bounded training set, footer-metadata row count (see
-    // annIvf for the rationale).
-    val trainCap = 100000L
-    val n = Tables.parquetRowCount(s, d, "embeddings")
-    val train =
-      if (n <= trainCap) e
-      else e.filter(pmod(xxhash64($"vec_id"), lit(n / trainCap + 1)) === 0)
+    // Sample-bounded training set (see trainSlice).
+    val train = trainSlice(s, d, e)
 
     // Seed codebooks: subvectors of the ks smallest-hash sample rows.
     val books: Array[Array[Array[Double]]] = {
@@ -438,35 +452,10 @@ object Similarity {
     val e = Tables.embeddings(s, d)
       .select($"vec_id", asDouble($"embedding").as("vec"))
 
-    // Sample-bounded training set, footer-metadata row count (see
-    // annIvf for the rationale).
-    val trainCap = 100000L
-    val n = Tables.parquetRowCount(s, d, "embeddings")
-    val train =
-      if (n <= trainCap) e
-      else e.filter(pmod(xxhash64($"vec_id"), lit(n / trainCap + 1)) === 0)
-
-    // Coarse quantizer: seed + one distributed Lloyd round (annIvf).
-    var cents: Array[Array[Double]] = train
-      .orderBy(xxhash64($"vec_id"), $"vec_id").limit(k)
-      .select($"vec_id", $"vec").collect()
-      .sortBy(_.getLong(0))
-      .map(_.getSeq[Double](1).toArray)
-    val coarseMeans = train
-      .select(array_min(centroidDists(cents, $"vec")).getField("cid").as("cell"),
-        posexplode($"vec").as(Seq("pos", "x")))
-      .groupBy($"cell", $"pos").agg(avg($"x").as("m"))
-      .collect()
-      .groupBy(_.getInt(0))
-    cents = cents.zipWithIndex.map { case (old, cid) =>
-      coarseMeans.get(cid) match {
-        case Some(rows) =>
-          val mm = old.clone()
-          rows.foreach(r => mm(r.getInt(1)) = r.getDouble(2))
-          mm
-        case None => old
-      }
-    }
+    // Sample-bounded training set + coarse quantizer: seed + one
+    // distributed Lloyd round (trainSlice / kmeansCentroids).
+    val train = trainSlice(s, d, e)
+    val cents = kmeansCentroids(train, k, iters = 1)
     val centsLit = typedLit(cents.map(_.toSeq).toSeq)
     def withCellRes(df: DataFrame): DataFrame =
       df.select($"vec_id", $"vec",

@@ -366,8 +366,86 @@ object Sources {
       .orderBy($"source")
   }
 
+  /** Avro container-file ingest — the OTHER canonical Hadoop
+    * serialization format next to SequenceFile (the reference ships
+    * Avro serializer bindings: hadoop-common-project/hadoop-common/src/
+    * main/java/org/apache/hadoop/io/serializer/avro/
+    * AvroSerialization.java:1; data-exchange pipelines land Avro files
+    * where MapReduce pipelines land SequenceFiles, and a
+    * Hadoop-distribution replacement must read both in place). Export
+    * an orders projection once as a schema'd Avro object-container file
+    * via AvroKeyOutputFormat (setup), read it back with
+    * AvroKeyInputFormat, lift to a DataFrame, and aggregate. The
+    * parquet-side oracle hash-match proves the GenericRecord
+    * round-trip preserved every value (the balance aggregate is an
+    * exact integer cent sum, per the family's double-rounding rule).
+    *
+    * Scale: Avro container files are block-splittable via sync
+    * markers, like SequenceFiles — the read parallelizes across
+    * blocks. The RDD seam is confined to the (de)serialization
+    * boundary: field values are extracted to primitives inside the
+    * same map (Avro's record reader REUSES its key wrapper, so
+    * records must not be buffered across iterator steps), and the
+    * parsed rows immediately re-enter the DataFrame world so the
+    * aggregate keeps codegen + partial aggregation. */
+  def src_avro_agg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericData, GenericRecord}
+    import org.apache.avro.mapred.AvroKey
+    import org.apache.avro.mapreduce.{AvroJob, AvroKeyInputFormat, AvroKeyOutputFormat}
+    import org.apache.hadoop.io.NullWritable
+    import org.apache.hadoop.mapreduce.Job
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_avro_${dirTag(d)}")
+    val schemaJson =
+      """{"type":"record","name":"OrderRow","fields":[
+        |{"name":"o_orderkey","type":"long"},
+        |{"name":"o_orderpriority","type":"string"},
+        |{"name":"o_totalprice","type":"double"}]}""".stripMargin
+    exportOnce(s"avro:$d") {
+      deleteRecursively(dir)
+      val job = Job.getInstance(s.sparkContext.hadoopConfiguration)
+      AvroJob.setOutputKeySchema(job, new Schema.Parser().parse(schemaJson))
+      Tables.orders(s, d)
+        .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+        .as[(Long, String, Double)]
+        .rdd.mapPartitions { it =>
+          val schema = new Schema.Parser().parse(schemaJson)
+          it.map { case (k, pr, tp) =>
+            val r = new GenericData.Record(schema)
+            r.put("o_orderkey", k)
+            r.put("o_orderpriority", pr)
+            r.put("o_totalprice", tp)
+            (new AvroKey[GenericRecord](r), NullWritable.get())
+          }
+        }
+        .saveAsNewAPIHadoopFile(dir.getPath,
+          classOf[AvroKey[GenericRecord]], classOf[NullWritable],
+          classOf[AvroKeyOutputFormat[GenericRecord]], job.getConfiguration)
+    }
+    val readJob = Job.getInstance(s.sparkContext.hadoopConfiguration)
+    AvroJob.setInputKeySchema(readJob, new Schema.Parser().parse(schemaJson))
+    s.sparkContext.newAPIHadoopFile(dir.getPath,
+        classOf[AvroKeyInputFormat[GenericRecord]],
+        classOf[AvroKey[GenericRecord]], classOf[NullWritable],
+        readJob.getConfiguration)
+      .mapPartitions(_.map { case (k, _) =>
+        val r = k.datum()
+        (r.get("o_orderkey").asInstanceOf[Long],
+          r.get("o_orderpriority").toString,
+          r.get("o_totalprice").asInstanceOf[Double])
+      })
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round($"o_totalprice" * 100).cast("long")).as("totalprice_cents"))
+      .orderBy($"o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_sequencefile_agg" -> src_sequencefile_agg _,
+    "src_avro_agg" -> src_avro_agg _,
     "src_text_gz_agg" -> src_text_gz_agg _,
     "src_jdbc_pageview" -> src_jdbc_pageview _,
     "src_jdbc_writeback" -> src_jdbc_writeback _,
@@ -382,6 +460,10 @@ object Sources {
       """SELECT c_nationkey, count(*) AS n_customers,
         | CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src_avro_agg" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS totalprice_cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "src_text_gz_agg" ->
       """SELECT source, count(*) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS total_chars

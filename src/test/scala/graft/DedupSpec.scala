@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
 
 /** Ground-truth gates for the END-TO-END dedup queries (the kernels
   * have their own KernelSpec reference checks; these verify the query
@@ -146,6 +146,70 @@ class DedupSpec extends SparkSpec {
     }
     assert(spanBytes.forall(_ >= 400),
       s"planted 120-token span shares too few bytes: ${spanBytes.min}")
+  }
+
+  test("dedup_semantic: planted exact duplicate is dropped, pairs are sound, run is deterministic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    import graft.functions.VectorFunctions
+    val e = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", VectorFunctions.asDouble($"embedding").as("vec"))
+    // plant an exact copy of vector 7 under a fresh id: identical vec
+    // => identical centroid distances => same cell, cosine == 1
+    val planted = e.union(
+      e.filter($"vec_id" === 7).select(lit(1000000007L).as("vec_id"), $"vec"))
+    val out = Dedup.semanticDupsFrom(planted,
+        Similarity.trainSlice(spark, sf0001, e), k = 16, iters = 1,
+        threshPpm = 300000L)
+      .collect()
+    assert(out.nonEmpty, "dedup_semantic produced no rows at sf0.001")
+    // (a) the planted copy must be dropped: it ties vector 7 on
+    // centroid similarity and loses the id tie-break
+    val copy = out.find(_.getLong(1) == 1000000007L)
+    assert(copy.isDefined, "planted exact duplicate was not dropped")
+    assert(copy.get.getLong(4) >= 999990L,
+      s"planted pair cosine not ~1: ${copy.get.getLong(4)}")
+    // (b) soundness: every emitted (vec_id, dup_of) pair really clears
+    // the threshold — recompute the cosine driver-side from raw vecs
+    val vecsById = planted.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var ip = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { ip += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else ip / (math.sqrt(na) * math.sqrt(nb))
+    }
+    out.foreach { r =>
+      val c = cos(vecsById(r.getLong(1)), vecsById(r.getLong(3)))
+      assert(c >= 0.3 - 1e-9,
+        s"pair (${r.getLong(1)}, ${r.getLong(3)}) below threshold: $c")
+      assert(r.getLong(1) != r.getLong(3), "self-pair emitted")
+    }
+    // (c) deterministic end to end (hash-seeded kmeans, no RNG)
+    val again = Dedup.semanticDupsFrom(planted,
+        Similarity.trainSlice(spark, sf0001, e), k = 16, iters = 1,
+        threshPpm = 300000L)
+      .collect()
+    assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
+  test("dedup_semantic never drops the least-typical member of a cell") {
+    import spark.implicits._
+    val out = Dedup.dedup_semantic(spark, sf0001).collect()
+    assert(out.nonEmpty, "registered dedup_semantic empty at sf0.001")
+    // the keep policy drops a doc only when a LOWER (centroid_sim, id)
+    // partner exists, so per cell the minimal dropped row must still
+    // out-rank its own justifying partner — and transitively the cell's
+    // lex-min member survives. Verify the local invariant on every row:
+    // dup_of out-ranks the dropped doc on (centroid_sim, id).
+    val bySim = out.map(r => r.getLong(1) -> r.getLong(2)).toMap
+    out.foreach { r =>
+      bySim.get(r.getLong(3)).foreach { dupSim =>
+        val ok = dupSim < r.getLong(2) ||
+          (dupSim == r.getLong(2) && r.getLong(3) < r.getLong(1))
+        assert(ok, s"dup_of ${r.getLong(3)} does not out-rank ${r.getLong(1)}")
+      }
+    }
   }
 
   test("dedup_clusters matches an independent union-find on the same pair graph") {

@@ -93,6 +93,32 @@ class SourcesSpec extends SparkSpec {
     assert(viaSeq.toSeq == direct.toSeq)
   }
 
+  test("Avro container round-trip preserves every record (GenericRecord boundary)") {
+    import spark.implicits._
+    val viaAvro = Sources.src_avro_agg(spark, sf0001).collect()
+    val direct = Tables.orders(spark, sf0001)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round($"o_totalprice" * 100).cast("long")).as("totalprice_cents"))
+      .orderBy($"o_orderpriority")
+      .collect()
+    assert(viaAvro.nonEmpty)
+    assert(viaAvro.toSeq == direct.toSeq)
+    // the export must really be Avro object-container files (magic
+    // bytes "Obj\x01") — otherwise the serialization path under test
+    // silently degraded to something else
+    val dirs = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().filter(_.getName.startsWith("graft_avro_"))
+    assert(dirs.nonEmpty)
+    val parts = dirs.head.listFiles().filter(_.getName.endsWith(".avro"))
+    assert(parts.nonEmpty, "expected .avro part files")
+    val magic = new Array[Byte](4)
+    val in = new java.io.FileInputStream(parts.head)
+    try in.read(magic) finally in.close()
+    assert(magic.toSeq == Seq[Byte]('O', 'b', 'j', 1),
+      s"not an Avro container: ${magic.toSeq}")
+  }
+
   test("gzip text export actually compresses and round-trips the aggregate") {
     import spark.implicits._
     val viaGz = Sources.src_text_gz_agg(spark, sf0001).collect()
