@@ -90,6 +90,18 @@ object Multimodal {
     * operators. Frame explode and feature map are shuffle-free; the
     * only shuffle is the per-doc pooling groupBy — map-side combined,
     * one pass at 100 TB. */
+  /** Pooled per-doc features as EXACT INTEGER SUMS (r13, was
+    * round(avg(double), 6)): each stub frame feature is an integer in
+    * [-1e6, 1e6] ppm units (`(h >>> 11) % 2000001 − 1e6` — same
+    * uniform [-1, 1] distribution as the old 2^-53 scaling once
+    * divided by 1e6), and pooling emits the per-dim SUM plus the frame
+    * count. Integer sums are ORDER-INDEPENDENT, which the old double
+    * avg was not (partial-aggregation combine order varies with
+    * partitioning), and that is exactly what lets mm_features carry a
+    * cross-engine hash oracle: DuckDB re-derives the full
+    * decode → sample → fingerprint → feature → pool chain and matches
+    * bit for bit. The mean (sum / (n·1e6)) is recovered by
+    * [[meansRaw]] for the float consumers. */
   private def pooledRaw(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val dim = 16
@@ -101,35 +113,46 @@ object Multimodal {
         it.map { case (docId, frameIdx, fp) =>
           val feat = Array.tabulate(dim) { i =>
             // stub feature: deterministic hash-mix per (frame, channel),
-            // bounded to [-1, 1] where a real extractor emits activations
+            // integer ppm in [-1e6, 1e6] where a real extractor emits
+            // float activations in [-1, 1]
             val h = fp * 6364136223846793005L + (i + 1) * 1442695040888963407L
-            (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+            (h >>> 11) % 2000001L - 1000000L
           }
           (docId, frameIdx, feat)
         }
       }
       .toDF("doc_id", "frame_idx", "feat")
-    // fixed dim → pool as dim scalar avgs (ONE map-side-combined
+    // fixed dim → pool as dim scalar sums (ONE map-side-combined
     // shuffle), not posexplode + per-(doc, pos) aggregation
     frames
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_frames_pooled"),
-        array((0 until dim).map(i => round(avg($"feat"(i)), 6)): _*).as("doc_embedding"))
+        array((0 until dim).map(i => sum($"feat"(i))): _*).as("doc_embedding"))
   }
 
-  /** Public sorted form of [[pooledRaw]] — the typed `array<double>`
-    * embedding surface the §2.6 operators consume. */
+  /** Sort-free mean-pooled form: the ppm sums divided back to the
+    * [-1, 1] double scale a vision tower would emit — the embedding
+    * surface the §2.6 operators and [[mm_near_dups]] consume. */
+  private def meansRaw(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    pooledRaw(s, d).withColumn("doc_embedding",
+      transform($"doc_embedding",
+        x => x.cast("double") / ($"n_frames_pooled" * 1000000.0)))
+  }
+
+  /** Public sorted form of [[meansRaw]] — the typed `array<double>`
+    * embedding surface pipelines consume. */
   def featureVectors(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    pooledRaw(s, d).orderBy($"doc_id")
+    meansRaw(s, d).orderBy($"doc_id")
   }
 
-  /** Registered form of [[featureVectors]]: identical pooling, with the
-    * embedding flattened to one comma-joined string column. The
-    * driver's correctness harness canonicalizes results through a
-    * row-sort that cannot order raw array cells (r4: the compare
-    * crashed rather than reporting rows) — pipelines wanting the
-    * typed `array<double>` call [[featureVectors]] directly. */
+  /** Registered form of the pooled features: the exact integer sum
+    * vector flattened to one comma-joined string column (the driver's
+    * correctness harness canonicalizes results through a row-sort that
+    * cannot order raw array cells — r4: the compare crashed rather
+    * than reporting rows). Pipelines wanting the typed mean
+    * `array<double>` call [[featureVectors]]. */
   def mm_features(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     pooledRaw(s, d)
@@ -178,7 +201,7 @@ object Multimodal {
     // run twice — this, plus the interior orderBys the raw stages now
     // avoid, was the bulk of r10's unexplained 3.7 s. The cached rows
     // are one (id, 16-dim vec) per doc: tiny.
-    val base = graft.CacheRegistry.cache(pooledRaw(s, d)
+    val base = graft.CacheRegistry.cache(meansRaw(s, d)
       .select($"doc_id".as("id"), $"doc_embedding".as("vec")))
     val variants = base.filter($"id" % 10 === 0)
       .select($"id".bitwiseOR(lit(1L << 62)).as("id"),
@@ -205,15 +228,78 @@ object Multimodal {
     "mm_features" -> mm_features _,
     "mm_near_dups" -> mm_near_dups _)
 
-  // mm_meta's stub decode is pure arithmetic over the payload bytes, so
-  // it IS DuckDB-expressible: the 31-multiply byte fold runs as a
-  // HUGEINT mod-2^64 list_reduce (the ec_parity technique), and Java's
-  // arithmetic shifts + floorMod are re-expressed with exact
-  // floor-division identities ((h - floorMod(h, m)) // m is exact for
-  // either // semantics because the numerator is divisible). The other
-  // three stay rows-only: frame_fp/feature hashing is xxhash64-based,
-  // which DuckDB lacks.
+  // The stub decode chain is pure arithmetic over the payload bytes,
+  // so three of the four queries ARE DuckDB-expressible: the
+  // 31-multiply byte fold runs as a HUGEINT mod-2^64 list_reduce (the
+  // ec_parity technique), Java's arithmetic shifts + floorMod are
+  // re-expressed with exact floor-division identities
+  // ((h - floorMod(h, m)) // m is exact for either // semantics
+  // because the numerator is divisible), the frame fingerprint via the
+  // fmix64 32/32-split multiply chain, and the per-frame features +
+  // per-doc pooling as exact integer ppm sums (r13). Only mm_near_dups
+  // stays rows-only: its hyperplane-LSH blocking over double means is
+  // the same non-SQL-expressible class as ann_lsh, recall-gated in
+  // MultimodalSpec instead.
   val oracle: Map[String, String] = Map(
+    // mm_framesample's chain through f5 (the frame fingerprint as an
+    // unsigned HUGEINT `a`), then per (frame, dim) the stub feature
+    // hash-mix — h = fp·6364136223846793005 + (dim+1)·1442695040888963407
+    // mod 2^64; feat = (h >>> 11) % 2000001 − 1e6 with >>> 11 as exact
+    // unsigned floor-division by 2048 — summed per (doc, dim): the
+    // whole decode → sample → fingerprint → feature → pool pipeline
+    // re-derived on the second engine.
+    "mm_features" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS len
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, len, i,
+        |         ('0x' || substr(hx, CAST(2*i+1 AS BIGINT), 2))::BIGINT AS byte
+        |  FROM b, LATERAL unnest(range(len)) AS t(i)),
+        |folded AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(1125899906842597::HUGEINT, list(byte ORDER BY i)),
+        |      (acc, x) -> (acc::HUGEINT * 31 + x::HUGEINT)
+        |                  % 18446744073709551616::HUGEINT) AS hu
+        |  FROM pos GROUP BY doc_id),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+        |         THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT) AS h
+        |  FROM folded),
+        |nf AS (
+        |  SELECT doc_id,
+        |    1 + ((((h - (((h % 256) + 256) % 256)) // 256) % 240 + 240) % 240)
+        |      AS n_frames
+        |  FROM s),
+        |fr AS (
+        |  SELECT doc_id, CAST(t.i AS BIGINT) AS frame_idx
+        |  FROM nf, LATERAL unnest(range(0, n_frames, 10)) AS t(i)),
+        |a0 AS (
+        |  SELECT doc_id, frame_idx,
+        |    (CAST(doc_id AS HUGEINT) * 11400714819323198485::HUGEINT
+        |     + frame_idx + 1) % 18446744073709551616::HUGEINT AS a
+        |  FROM fr),
+        |f1 AS (SELECT doc_id, frame_idx, xor(a, a // 8589934592::HUGEINT) AS a FROM a0),
+        |f2 AS (SELECT doc_id, frame_idx, (((a) % 4294967296::HUGEINT) * 18397679294719823053::HUGEINT % 18446744073709551616::HUGEINT + ((((a) // 4294967296::HUGEINT) * 3981806797::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS a FROM f1),
+        |f3 AS (SELECT doc_id, frame_idx, xor(a, a // 8589934592::HUGEINT) AS a FROM f2),
+        |f4 AS (SELECT doc_id, frame_idx, (((a) % 4294967296::HUGEINT) * 14181476777654086739::HUGEINT % 18446744073709551616::HUGEINT + ((((a) // 4294967296::HUGEINT) * 444984403::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS a FROM f3),
+        |f5 AS (SELECT doc_id, frame_idx, xor(a, a // 8589934592::HUGEINT) AS a FROM f4),
+        |feat AS (
+        |  SELECT doc_id, frame_idx, t.i AS dim,
+        |    CAST(((a * 6364136223846793005::HUGEINT
+        |           + (t.i + 1)::HUGEINT * 1442695040888963407::HUGEINT)
+        |          % 18446744073709551616::HUGEINT) // 2048
+        |         % 2000001 - 1000000 AS BIGINT) AS f
+        |  FROM f5, LATERAL unnest(range(16)) AS t(i)),
+        |agg AS (
+        |  SELECT doc_id, dim, CAST(sum(f) AS BIGINT) AS sm,
+        |    CAST(count(*) AS BIGINT) AS nf
+        |  FROM feat GROUP BY doc_id, dim)
+        |SELECT doc_id, any_value(nf) AS n_frames_pooled,
+        |  array_to_string(list(sm ORDER BY dim), ',') AS doc_embedding
+        |FROM agg GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Same payload-hash chain as the mm_meta oracle through n_frames,
     // then every 10th frame index via range(0, n, 10) and the frame
     // fingerprint re-derived with the standard fmix64 chain (32/32-

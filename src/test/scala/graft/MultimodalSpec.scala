@@ -37,27 +37,26 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("mm_features pooling matches a driver-side reference") {
-    // reference: recompute the stub per-frame features from frame_fp
-    // and mean-pool — the query's groupBy(avg) must agree
+    // reference: recompute the stub per-frame integer-ppm features
+    // from frame_fp and sum-pool — the query's groupBy(sum) must agree
+    // EXACTLY (integer sums are order-independent, so no tolerance)
     val dim = 16
-    def feat(fp: Long): Array[Double] = Array.tabulate(dim) { i =>
+    def feat(fp: Long): Array[Long] = Array.tabulate(dim) { i =>
       val h = fp * 6364136223846793005L + (i + 1) * 1442695040888963407L
-      (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+      (h >>> 11) % 2000001L - 1000000L
     }
     val byDoc = Multimodal.mm_framesample(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(2)))
       .groupBy(_._1).map { case (d, xs) => d -> xs.map(x => feat(x._2)) }
-    val got = Multimodal.featureVectors(spark, sf0001).collect()
+    val got = Multimodal.mm_features(spark, sf0001).collect()
     assert(got.map(_.getLong(0)).toSet == byDoc.keySet)
     got.take(50).foreach { r =>
       val doc = r.getLong(0)
       val feats = byDoc(doc)
       assert(r.getLong(1) == feats.length, s"doc $doc frame count")
-      val expect = Array.tabulate(dim)(i => feats.map(_(i)).sum / feats.length)
-      val emb = r.getSeq[Double](2)
-      expect.zip(emb).zipWithIndex.foreach { case ((e, g), i) =>
-        assert(math.abs(e - g) < 1e-5, s"doc $doc dim $i: $g vs $e")
-      }
+      val expect = Array.tabulate(dim)(i => feats.map(_(i)).sum)
+      val emb = r.getString(2).split(",").map(_.toLong).toSeq
+      assert(emb == expect.toSeq, s"doc $doc pooled sums diverged")
     }
   }
 
@@ -84,13 +83,17 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("mm_features string form carries the same embeddings as featureVectors") {
+    // featureVectors = the ppm sums divided back to means; the single
+    // double division is the same FP op both sides, so equality is exact
     val typed = Multimodal.featureVectors(spark, sf0001).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
     val flat = Multimodal.mm_features(spark, sf0001).collect()
     assert(flat.map(_.getLong(0)).toSet == typed.keySet)
     flat.take(50).foreach { r =>
-      val emb = r.getString(2).split(",").map(_.toDouble).toSeq
-      assert(emb == typed(r.getLong(0)), s"doc ${r.getLong(0)} string form diverged")
+      val n = r.getLong(1)
+      val means = r.getString(2).split(",")
+        .map(x => x.toLong.toDouble / (n * 1000000.0)).toSeq
+      assert(means == typed(r.getLong(0)), s"doc ${r.getLong(0)} string form diverged")
     }
   }
 }
