@@ -47,6 +47,28 @@ object MetadataOps {
       .limit(20)
   }
 
+  /** `hdfs find`-style metadata SEARCH (reference: hadoop-hdfs-project/
+    * hadoop-hdfs/src/main/java/org/apache/hadoop/fs/shell/find/ — the
+    * find CLI walks the namespace evaluating predicate expressions per
+    * inode; HopsFS's pitch is that the same search is ONE SQL query
+    * over the metadata DB, no tree walk). Multi-predicate inode
+    * search — size range, language/extension class, name pattern
+    * (doc_id suffix stands in for the filename glob) — returning the
+    * matched paths with sizes. Pure filter + project: every predicate
+    * pushes to the parquet scan and only two columns are read, the
+    * posture that makes namespace search O(matching metadata) instead
+    * of O(namespace) at 100 TB. */
+  def fs_find(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .filter($"n_chars" >= 150 && $"lang".isin("en", "de") &&
+        $"doc_id" % 10 === 3)
+      .select(concat(lit("/"), $"source", lit("/"), $"lang",
+          lit("/doc_"), $"doc_id".cast("string"), lit(".txt")).as("path"),
+        $"n_chars".as("size"))
+      .orderBy($"path")
+  }
+
   /** Quota enforcement — directories above 1.05× the mean usage. */
   def fs_quota_check(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -797,6 +819,7 @@ object MetadataOps {
     "fs_fsck" -> fs_fsck _,
     "fs_mover_plan" -> fs_mover_plan _,
     "fs_du" -> fs_du _,
+    "fs_find" -> fs_find _,
     "fs_size_percentiles" -> fs_size_percentiles _,
     "fs_small_files" -> fs_small_files _,
     "fs_du_tree" -> fs_du_tree _,
@@ -1088,6 +1111,12 @@ object MetadataOps {
       """SELECT source, count(*) AS n_files, CAST(sum(n_chars) AS BIGINT) AS bytes_used,
         | round(avg(n_chars),2) AS avg_file_size, max(n_chars) AS max_file_size
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "fs_find" ->
+      """SELECT '/' || source || '/' || lang || '/doc_' || doc_id::VARCHAR || '.txt' AS path,
+        | CAST(n_chars AS BIGINT) AS size
+        |FROM documents
+        |WHERE n_chars >= 150 AND lang IN ('en','de') AND doc_id % 10 = 3
+        |ORDER BY 1""".stripMargin,
     "fs_block_histogram" ->
       """SELECT CAST(floor(n_chars / 64) * 64 AS BIGINT) AS bucket, count(*) AS n_files
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -43,6 +43,16 @@ class PlanSpec extends SparkSpec {
       s"scan reads unprojected columns: $readSchema")
   }
 
+  test("fs_find pushes every predicate to the scan and prunes to the projected columns") {
+    val plan = physical("fs_find")
+    assert(plan.contains("PushedFilters: ["), s"no pushed filters:\n${plan.take(1500)}")
+    for (f <- Seq("GreaterThanOrEqual(n_chars,150", "In(lang"))
+      assert(plan.contains(f), s"predicate $f not pushed:\n${plan.take(1500)}")
+    val readSchema = "ReadSchema: ([^\\n]+)".r.findFirstMatchIn(plan).map(_.group(1))
+    assert(readSchema.exists(s => !s.contains("text")),
+      s"metadata search reads file CONTENT column: $readSchema")
+  }
+
   test("global top-k compiles to TakeOrderedAndProject (q9_topk)") {
     assert(physical("q9_topk").contains("TakeOrderedAndProject"))
   }
