@@ -70,6 +70,23 @@ object Scale {
       }
       copies.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+      // Embeddings inflate alongside (dedup_semantic's input): copy i
+      // ROTATES the vector components by i % 64 positions — norm
+      // preserved, direction decorrelated (component rotation of a
+      // near-uniform unit vector is another near-uniform unit vector),
+      // so copies add corpus VOLUME without adding planted duplicate
+      // mass, the growth mode a linear-posture measurement needs.
+      val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+      val embCopies = (0 until factor).map { i =>
+        val s = i % 64
+        val vec = if (s == 0) col("embedding")
+          else concat(slice(col("embedding"), s + 1, 64 - s),
+            slice(col("embedding"), 1, s))
+        emb.select((col("vec_id") + lit(i.toLong * (1L << 40))).as("vec_id"),
+          vec.as("embedding"), col("label"))
+      }
+      embCopies.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
       outDir
     }
 
@@ -100,13 +117,28 @@ object Scale {
       "dedup_incremental" -> (Dedup.dedup_incremental _),
       "dedup_clusters" -> (Dedup.dedup_clusters _),
       "mm_near_dups" -> (graft.operators.Multimodal.mm_near_dups _))
-    val queries = queryFilter
-      .map(f => allQueries.filter(q => f(q._1))).getOrElse(allQueries)
+    // r13: SemDeDup rides along with its DOCUMENTED posture applied —
+    // k grows with the corpus (32·factor), holding E[|cell|] flat, so
+    // per-cell pair volume (and wall time) should stay ~linear; past
+    // k=64 the assignment takes Similarity.bestCell's constant-code-
+    // size HOF path, which is itself under measurement here.
+    def semanticAt(factor: Int): (SparkSession, String) => DataFrame =
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir).select(col("vec_id"),
+          graft.functions.VectorFunctions.asDouble(col("embedding")).as("vec"))
+        Dedup.semanticDupsFrom(e,
+          graft.operators.Similarity.trainSlice(s, dir, e),
+          k = 32 * factor, iters = 1, threshPpm = 300000L)
+      }
+    def queriesFor(factor: Int): Seq[(String, (SparkSession, String) => DataFrame)] = {
+      val all = allQueries :+ ("dedup_semantic" -> semanticAt(factor))
+      queryFilter.map(f => all.filter(q => f(q._1))).getOrElse(all)
+    }
 
     final case class Obs(factor: Int, query: String, sec: Double, rows: Long,
         caps: Map[String, BucketCapMetrics.Cap])
 
-    def runAt(factor: Int, dir: String): Seq[Obs] = queries.map { case (name, fn) =>
+    def runAt(factor: Int, dir: String): Seq[Obs] = queriesFor(factor).map { case (name, fn) =>
       CacheRegistry.releaseAll()
       spark.catalog.clearCache()
       BucketCapMetrics.drained()

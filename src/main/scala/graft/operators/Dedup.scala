@@ -384,7 +384,7 @@ object Dedup {
     val cents = Similarity.kmeansCentroids(train, k, iters)
     val assigned = CacheRegistry.cache(
       vecs.select($"vec_id", $"vec",
-          array_min(Similarity.centroidDists(cents, $"vec")).as("best"))
+          Similarity.bestCell(cents, $"vec").as("best"))
         .select($"vec_id", $"vec", $"best.cid".as("cell"),
           floor((lit(1.0) - $"best.dist") * 1e6).cast("long")
             .as("centroid_sim_ppm")))

@@ -145,6 +145,28 @@ object Similarity {
         lit(i).as("cid"))
     }: _*)
 
+  /** Nearest-centroid assignment at ANY k. For k ≤ 64 the centroids
+    * bake into the codegen'd literal argmin ([[centroidDists]] — one
+    * struct per centroid; fastest, but GENERATED-CODE SIZE grows with
+    * k, and a k ∝ corpus deployment pushes k into the hundreds or
+    * thousands). Past 64 the centroid matrix becomes ONE
+    * array-of-arrays literal and the argmin is a transform + array_min
+    * HOF over it — constant code size at any k, same lexicographic
+    * (dist, cid) result (equivalence spec-gated in SimilaritySpec);
+    * the fused cosine kernel keeps its interpreted eval inside the
+    * lambda. This is what lets [[Dedup.dedup_semantic]]'s documented
+    * "k grows with the corpus" posture actually run. */
+  private[graft] def bestCell(cents: Array[Array[Double]], v: Column): Column =
+    if (cents.length <= 64) array_min(centroidDists(cents, v))
+    else {
+      val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+      // inside a lambda, Column.as aliases don't survive analysis —
+      // the struct cast is what names the fields
+      array_min(transform(centsLit, (c, i) =>
+        struct(lit(1.0) - cosine(v, c), i)
+          .cast("struct<dist:double,cid:int>")))
+    }
+
   /** Sample-bounded training slice for centroid training: corpora at or
     * under the cap train on everything; larger ones on a deterministic
     * hash-mod sample (coarse-quantizer quality needs ~100s of vectors
@@ -181,7 +203,7 @@ object Similarity {
       .map(_.getSeq[Double](1).toArray)
     for (_ <- 0 until iters) {
       val means = train
-        .select(array_min(centroidDists(cents, $"vec")).getField("cid").as("cell"),
+        .select(bestCell(cents, $"vec").getField("cid").as("cell"),
           posexplode($"vec").as(Seq("pos", "x")))
         .groupBy($"cell", $"pos").agg(avg($"x").as("m"))
         .collect()

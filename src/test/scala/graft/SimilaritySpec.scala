@@ -17,6 +17,37 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall@5 $recall < 0.8")
   }
 
+  test("bestCell HOF assignment (k > 64) equals the literal-argmin form and a naive reference") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", graft.functions.VectorFunctions.asDouble($"embedding").as("vec"))
+    // 70 centroids forces the constant-code-size HOF path; the same 70
+    // through centroidDists is the codegen'd form it must agree with
+    val cents = Similarity.kmeansCentroids(
+      Similarity.trainSlice(spark, sf0001, e), k = 70, iters = 1)
+    assert(cents.length == 70)
+    val both = e.select($"vec_id", $"vec",
+        Similarity.bestCell(cents, $"vec").getField("cid").as("hof"),
+        array_min(Similarity.centroidDists(cents, $"vec")).getField("cid").as("lit"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getInt(2) == r.getInt(3),
+      s"vec ${r.getLong(0)}: HOF cell ${r.getInt(2)} != literal cell ${r.getInt(3)}"))
+    // and against a naive driver-side argmin (same lexicographic
+    // (dist, cid) tie-break)
+    def cos(a: Seq[Double], b: Array[Double]): Double = {
+      var ip = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { ip += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      if (na == 0 || nb == 0) 0.0 else ip / (math.sqrt(na) * math.sqrt(nb))
+    }
+    both.take(100).foreach { r =>
+      val v = r.getSeq[Double](1)
+      val naive = cents.zipWithIndex
+        .map { case (c, i) => (1.0 - cos(v, c), i) }.min._2
+      assert(r.getInt(2) == naive, s"vec ${r.getLong(0)}: ${r.getInt(2)} != naive $naive")
+    }
+  }
+
   test("multi-probe ann_lsh holds recall with half the corpus-side keys") {
     val brute = Similarity.ann_topk_brute(spark, sf001)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
