@@ -572,7 +572,53 @@ object Similarity {
     "ann_pq" -> ann_pq _,
     "ann_ivfpq" -> ann_ivfpq _)
 
+  /** DuckDB re-derivation of [[ann_lsh]] — the hyperplane-LSH
+    * candidate generation itself verified on a second engine (the
+    * embedding analogue of the r11 minhash-LSH oracle): the 64
+    * seed-42 Gaussian hyperplanes are inlined as a DOUBLE[][] literal
+    * (Double.toString round-trips exactly, so both engines hold
+    * bit-identical planes), each signature bit is the sign of
+    * `list_inner_product(vec, plane)` — the same left-to-right
+    * widened-float accumulation as the codegen'd HyperplaneSigExpr, so
+    * doubles match bit for bit exactly as the list_cosine_similarity
+    * oracles already rely on — 4-bit band keys re-assembled per
+    * (band, key), candidates via the band equi-join + DISTINCT, exact
+    * cosine rescoring and the (cos DESC, nid) top-5 window, identical
+    * on both engines. A single sign flip anywhere in the 64 × corpus
+    * dot products would change the candidate set and fail the hash —
+    * this is the strongest available check that the LSH blocking is
+    * deterministic and engine-independent. */
+  private def annLshOracleSql: String = {
+    val planes = randomPlanes(16 * 4, 64)
+    val pl = planes.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd FROM embeddings),
+       |pl AS (SELECT CAST($pl AS DOUBLE[][]) AS planes),
+       |keys AS (
+       |  SELECT vec_id, b.band,
+       |    CAST(sum(CASE WHEN list_inner_product(vd,
+       |          planes[CAST(b.band * 4 + j.j + 1 AS BIGINT)]) >= 0
+       |        THEN (1 << j.j) ELSE 0 END) AS BIGINT) AS bkey
+       |  FROM v, pl, unnest(range(16)) AS b(band), unnest(range(4)) AS j(j)
+       |  GROUP BY vec_id, b.band),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+       |  FROM keys q JOIN keys c ON q.band = c.band AND q.bkey = c.bkey
+       |  WHERE q.vec_id < 16 AND c.vec_id <> q.vec_id),
+       |ranked AS (
+       |  SELECT cand.qid, cand.nid,
+       |    list_cosine_similarity(a.vd, b2.vd) AS cos,
+       |    row_number() OVER (PARTITION BY cand.qid
+       |      ORDER BY list_cosine_similarity(a.vd, b2.vd) DESC, cand.nid) AS rank
+       |  FROM cand
+       |  JOIN v a ON a.vec_id = cand.qid
+       |  JOIN v b2 ON b2.vec_id = cand.nid)
+       |SELECT qid, CAST(rank AS INTEGER) AS rank, nid, round(cos, 6) AS cos_sim
+       |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "ann_lsh" -> annLshOracleSql,
     "ann_topk_brute" ->
       """SELECT qid, rank, nid, round(cos, 6) AS cos_sim FROM (
         |  SELECT q.vec_id AS qid, c.vec_id AS nid,

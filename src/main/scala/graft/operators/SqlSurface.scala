@@ -92,11 +92,27 @@ object SqlSurface {
     * would reach for is proven reachable through `spark.sql`, not just
     * the Scala API. Each entry is the module's own oracle string, so
     * the two surfaces can never drift. */
+  /** TEXT-family coverage needs its own statement: every §2.7 oracle
+    * leans on DuckDB-only constructs (HUGEINT ppm divisions, UBIGINT
+    * md5 slicing, regexp_extract_all), so none runs verbatim on Spark.
+    * This one is text analysis in dialect-neutral SQL: per-language
+    * corpus accounting with a LENGTH-DIFFERENCE whitespace token count
+    * (tokens = spaces + 1 — exact on this corpus because the documents
+    * are single-space normalized; SqlParitySpec asserts it equals the
+    * independent split-based DataFrame formulation, so the two token
+    * definitions cannot silently drift). */
+  private val textCorpusStatsSql =
+    """SELECT lang, count(*) AS n_docs,
+      | CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS total_ws_tokens,
+      | CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   private val crossFamily: Seq[(String, String)] = Seq(
     "dedup_exact" -> Dedup.oracle("dedup_exact"),
     "fs_du" -> MetadataOps.oracle("fs_du"),
     "mr_join" -> MapReduceOps.oracle("mr_join"),
-    "ev_window_agg" -> EventOps.oracle("ev_window_agg"))
+    "ev_window_agg" -> EventOps.oracle("ev_window_agg"),
+    "text_corpus_stats" -> textCorpusStatsSql)
 
   private def viaText(sql: String)(s: SparkSession, d: String): DataFrame = {
     registerViews(s, d)

@@ -35,6 +35,27 @@ class SqlParitySpec extends SparkSpec {
     }
   }
 
+  test("spark.sql(text_corpus_stats) == independent split-based DataFrame formulation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the SQL text counts tokens as spaces + 1 (length difference);
+    // the DataFrame twin counts split-array elements — two genuinely
+    // different token-count formulations that must agree on the
+    // single-space-normalized corpus
+    val sqlDf = SqlSurface.queries("sql_text_corpus_stats")(spark, sf001)
+    val api = Tables.documents(spark, sf001)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split($"text", " ")).cast("long")).as("total_ws_tokens"),
+        sum($"n_chars").as("total_chars"))
+      .orderBy($"lang")
+    assert(sqlDf.columns.toSeq == api.columns.toSeq,
+      s"column mismatch: ${sqlDf.columns.toSeq} vs ${api.columns.toSeq}")
+    val sqlRows = sqlDf.collect().toSeq
+    assert(sqlRows.nonEmpty)
+    assert(sqlRows == api.collect().toSeq)
+  }
+
   test("spark.sql(ann_cos_range via graft_cosine) == DataFrame ann_cos_range") {
     // The graft-kernel SQL surface: the SQL text resolves the
     // extension-registered graft_cosine to the same codegen'd
