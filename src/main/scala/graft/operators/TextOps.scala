@@ -366,6 +366,36 @@ object TextOps {
       .limit(25)
   }
 
+  /** First-round BPE merge mining (Sennrich et al. 2016, "Neural
+    * Machine Translation of Rare Words with Subword Units"): the
+    * adjacent character-pair frequencies over the corpus — the
+    * statistic each BPE training round maximizes — as the top-20
+    * merge candidates. Computed the way real BPE trainers do: the
+    * corpus collapses to its DISTINCT word VOCABULARY with counts
+    * first (one map-side-combined shuffle over the token stream —
+    * Zipf's law makes the vocabulary orders of magnitude smaller than
+    * the corpus), and pair enumeration + weighting-by-frequency runs
+    * over that small vocab, NOT the corpus. Subsequent training
+    * rounds would re-run the same plan with the winning merge applied
+    * to the vocab — each round's cost is vocab-sized, which is what
+    * makes BPE training tractable at 100 TB. Deterministic
+    * (count DESC, pair) tie-break; `substr` is character-based on
+    * both engines so multibyte (zh) pairs count identically. */
+  def text_bpe_pairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vocab = Tables.documents(s, d)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") >= 2)
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+    vocab
+      .select($"freq", explode(transform(
+        sequence(lit(1), length($"w") - 1),
+        i => $"w".substr(i, lit(2)))).as("pair"))
+      .groupBy($"pair").agg(sum($"freq").as("n"))
+      .orderBy($"n".desc, $"pair")
+      .limit(20)
+  }
+
   /** REPETITION quality signals (the Gopher/C4-class heuristic the
     * quality score doesn't capture: a doc can have fine length and
     * stopword ratios while being one phrase stamped 200 times — a
@@ -761,6 +791,7 @@ object TextOps {
     "text_normalize" -> text_normalize _,
     "text_pii_scrub" -> text_pii_scrub _,
     "text_bigrams" -> text_bigrams _,
+    "text_bpe_pairs" -> text_bpe_pairs _,
     "text_quality" -> text_quality _,
     "text_tokens" -> text_tokens _,
     "text_langid" -> text_langid _,
@@ -1095,6 +1126,17 @@ object TextOps {
         | FROM u a JOIN u c ON a.doc_id = c.doc_id AND c.i = a.i + 1)
         |SELECT bigram, count(*) AS n FROM b
         |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 25""".stripMargin,
+    "text_bpe_pairs" ->
+      """WITH vocab AS (
+        |  SELECT w, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) >= 2 GROUP BY w),
+        |pairs AS (
+        |  SELECT substr(w, CAST(t.i AS BIGINT), 2) AS pair, freq
+        |  FROM vocab, LATERAL unnest(range(1, length(w))) AS t(i)),
+        |agg AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+        |        FROM pairs GROUP BY pair)
+        |SELECT pair, n FROM agg ORDER BY n DESC, pair LIMIT 20""".stripMargin,
     // Exact integer ppm mirror of the Spark side (integral division on
     // both engines) — the rounded-double form hash-broke at sf0.1 on
     // the 0.5 × .xxxx5 midpoint (HALF_UP vs float round).

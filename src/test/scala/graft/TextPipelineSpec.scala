@@ -34,6 +34,22 @@ class TextPipelineSpec extends SparkSpec {
       "planted duplicate docs must produce duplicate chunks")
   }
 
+  test("text_bpe_pairs equals a naive driver-side pair count over the raw corpus") {
+    // the query counts pairs via the vocab-with-frequency optimization;
+    // the reference brute-forces every adjacent pair in every word of
+    // every doc — the two must agree exactly, proving the vocab
+    // collapse loses no pair mass
+    val texts = Tables.documents(spark, sf0001)
+      .select($"text").collect().map(_.getString(0))
+    val counts = new scala.collection.mutable.HashMap[String, Long]()
+    for (t <- texts; w <- t.split(" ") if w.length >= 2; i <- 0 until w.length - 1)
+      counts.updateWith(w.substring(i, i + 2))(c => Some(c.getOrElse(0L) + 1))
+    val expect = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    val got = TextOps.text_bpe_pairs(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expect, s"got ${got.take(5)}... vs ${expect.take(5)}...")
+  }
+
   test("text_pack's two-phase prefix sum equals the flat global cumsum") {
     // Width 100 (not the 10⁶ production default) so the test corpus
     // genuinely spans several buckets and the cross-bucket offset
