@@ -396,6 +396,194 @@ object TextOps {
       .limit(20)
   }
 
+  /** Apply ONE BPE merge rule (a,b)→ab to a token array, left-to-right
+    * non-overlapping — the standard BPE application order ("aaa" under
+    * (a,a) becomes [aa, a], and the new merged token only pairs again
+    * in LATER rounds). Expressed as a codegen-free `aggregate` fold:
+    * if the accumulator's last token is `a` and the current element is
+    * `b`, replace the last token with the merged literal; otherwise
+    * append. The `size(acc) > 0` guard short-circuits (Catalyst `And`)
+    * so the ANSI `element_at` never sees an empty array. */
+  private[operators] def applyBpeMerge(toks: Column, a: String, b: String): Column =
+    aggregate(toks, array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 &&
+             element_at(acc, size(acc)) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Adjacent token pairs of an array as (l, r) structs; empty for
+    * arrays shorter than 2 (guards `sequence` against its descending
+    * start>stop behavior). */
+  private def adjacentTokenPairs(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => struct(element_at(toks, i).as("l"), element_at(toks, i + 1).as("r"))))
+      .otherwise(array().cast("array<struct<l:string,r:string>>"))
+
+  /** FULL iterative BPE merge training (Sennrich et al. 2016) — the
+    * loop [[text_bpe_pairs]] mines one round of. The corpus collapses
+    * ONCE to its distinct word vocabulary with counts (the only
+    * corpus-sized shuffle; Zipf's law makes the vocab orders of
+    * magnitude smaller), words become character-token arrays, and each
+    * round then (1) counts adjacent token pairs weighted by word
+    * frequency — one vocab-sized map-side-combined aggregation, (2)
+    * collects the single argmax pair ((n DESC, l, r) deterministic
+    * tie-break — one row to the driver, the ann_ivf Lloyd-loop
+    * coordination shape), (3) rewrites the vocab's token arrays with
+    * the winning merge applied (per-row fold, no shuffle) and drops
+    * words reduced to one token (they can never pair again, so the
+    * frontier only shrinks). Each round's frontier is persisted and
+    * REBOUND to its materialized rows (the dedup_clusters LogicalRDD
+    * rule) — 16 rounds of nested fold projections otherwise stack into
+    * one plan tree whose analysis cost grows per round. At 100 TB:
+    * round cost is vocab-sized (a ~10M-row cached table), which is
+    * exactly why production BPE trainers run on the vocab, never the
+    * corpus. Raw (case-preserving) tokens, same convention as
+    * [[text_bpe_pairs]] — round 1's winner IS bpe_pairs' top row
+    * (spec-gated cross-check). */
+  private[graft] def bpeMerges(s: SparkSession, d: String,
+                                   rounds: Int): Seq[(Int, String, String, Long)] = {
+    import s.implicits._
+    var cur: DataFrame = graft.CacheRegistry.cache(
+      Tables.documents(s, d)
+        .select(explode(split($"text", " ")).as("w"))
+        .filter(length($"w") >= 2)
+        .groupBy($"w").agg(count(lit(1)).as("freq"))
+        .select(split($"w", "").as("toks"), $"freq"))
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = cur
+        .select($"freq", explode(adjacentTokenPairs($"toks")).as("p"))
+        .groupBy($"p.l".as("l"), $"p.r".as("r")).agg(sum($"freq").as("n"))
+        .orderBy($"n".desc, $"l", $"r")
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += ((r, a, b, n))
+        val next = graft.CacheRegistry.cache(
+          cur.select(applyBpeMerge($"toks", a, b).as("toks"), $"freq")
+            .filter(size($"toks") >= 2))
+        cur = s.createDataFrame(next.rdd, next.schema)
+        r += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** Registered form of [[bpeMerges]]: the 16-round merge table
+    * (rank, lhs, rhs, merged, freq) — the artifact a tokenizer trainer
+    * ships. The result rows are driver-held (16 of them — the merge
+    * table IS small by construction); the WORK per round is the
+    * distributed vocab aggregation above. No DuckDB oracle: each
+    * round's argmax feeds the next round's data (an iterative
+    * data-dependent fixpoint, the ann_ivf class); instead the spec
+    * gates exact equality against an independently-coded in-memory
+    * BPE trainer over the same vocab AND round 1 against
+    * text_bpe_pairs' hash-oracled top row. */
+  def text_bpe_train(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val merges = bpeMerges(s, d, rounds = 16)
+    s.createDataFrame(merges).toDF("rank", "lhs", "rhs", "freq")
+      .select($"rank", $"lhs", $"rhs", concat($"lhs", $"rhs").as("merged"), $"freq")
+      .orderBy($"rank")
+  }
+
+  /** Tokenize a word column with a trained merge table: chars, then
+    * each merge folded in RANK order (the canonical BPE encode — rank
+    * order IS priority order). Shared by [[text_bpe_encode]] and the
+    * spec's round-trip gate. */
+  private[graft] def bpeEncodeTokens(w: Column,
+                                         merges: Seq[(Int, String, String, Long)]): Column =
+    merges.foldLeft(split(w, ""))((c, m) => applyBpeMerge(c, m._2, m._3))
+
+  /** BPE ENCODING pass — the apply half of the tokenizer loop: train
+    * the 16-round merge table ([[bpeMerges]], vocab-sized rounds),
+    * then tokenize the WHOLE corpus with it and report per-doc token
+    * counts and the chars-per-token compression ratio (integer ppm) —
+    * the fertility statistic tokenizer teams actually monitor.
+    *
+    * Plan shape — the SAME vocab collapse that makes training
+    * tractable makes encoding-for-stats cheap: a word's token count
+    * depends only on the word, so the 16-merge fold chain (interpreted
+    * HOFs — deliberately NOT run per occurrence) encodes each DISTINCT
+    * word exactly once over the cached vocab, and the corpus sees only
+    * a per-(doc, word) count + an equi-join back to the vocab's
+    * (word → n_tokens) map + a map-side-combined per-doc rollup. At
+    * 100 TB the vocab join is a plain shuffle equi-join on the word
+    * (broadcast when the vocab fits); the fold never touches
+    * corpus-sized data. A pipeline that needs the token STREAM (not
+    * counts) applies [[bpeEncodeTokens]] per row at scan cost instead.
+    * Round-trip (concat(tokens) = word), char/word bounds, and
+    * compression-fired gates in TextPipelineSpec. */
+  def text_bpe_encode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val merges = bpeMerges(s, d, rounds = 16)
+    val occ = Tables.documents(s, d)
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .filter(length($"w") >= 1)
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
+    val encoded = occ.select($"w").distinct()
+      .select($"w", length($"w").cast("long").as("n_chars_w"),
+        size(bpeEncodeTokens($"w", merges)).cast("long").as("n_toks"))
+    occ.join(encoded, "w")
+      .groupBy($"doc_id")
+      .agg(sum($"tf").as("n_words"),
+        sum($"tf" * $"n_chars_w").as("n_chars_nosp"),
+        sum($"tf" * $"n_toks").as("n_bpe_tokens"))
+      .select($"doc_id", $"n_words", $"n_chars_nosp", $"n_bpe_tokens",
+        expr("n_chars_nosp * 1000000 div n_bpe_tokens").as("chars_per_token_ppm"))
+      .orderBy($"doc_id")
+  }
+
+  /** Bigram-LM quality score (the CCNet/KenLM-class signal one rung up
+    * from [[text_unigram_score]]'s unigram MLE, in the same
+    * integer-exact form so it hash-verifies cross-engine with no
+    * log/transcendental): per doc, the mean and min conditional bigram
+    * probability in ppm, where p(w2|w1) = corpus bigram count over the
+    * PREFIX mass (sum of all bigram counts starting with w1 — a proper
+    * conditional: probabilities sum to 1 per prefix, no final-token
+    * denominator mismatch). Low mean = ill-attested word sequences
+    * (word salad, OCR noise — invisible to unigram frequency, which
+    * only sees vocabulary); min is the weakest-link transition. Plan:
+    * the corpus collapses to per-(doc, bigram) counts once (persisted
+    * — three consumers), bigram totals and prefix masses are two
+    * map-side-combined aggregations over THAT (already a fraction of
+    * the corpus), scoring is two linear equi-joins + a per-doc rollup.
+    * Zipf-skewed bigram keys ride AQE's skew handling like
+    * text_unigram_score's. Docs with <2 tokens have no bigrams and are
+    * absent by definition (both engines agree). */
+  def text_bigram_lm(s: SparkSession, d: String): DataFrame =
+    bigramLmStats(Tables.documents(s, d))
+
+  /** Core of [[text_bigram_lm]], parameterized for the spec's planted
+    * word-salad fixtures: input any relation with (doc_id, text). */
+  def bigramLmStats(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val bi = graft.CacheRegistry.cache(
+      docs
+        .select($"doc_id", explode(wordNgramsAll($"text", 2)).as("g"))
+        .groupBy($"doc_id", $"g").agg(count(lit(1)).as("tf")))
+    val bgCnt = graft.CacheRegistry.cache(
+      bi.groupBy($"g").agg(sum($"tf").as("bg")))
+    val pref = bgCnt
+      .groupBy(split($"g", " ").getItem(0).as("w1")).agg(sum($"bg").as("pref"))
+    val cond = bgCnt.join(pref, split(bgCnt("g"), " ").getItem(0) === pref("w1"))
+      .select($"g", expr("bg * 1000000 div pref").as("cond_ppm"))
+    bi.join(cond, "g")
+      .groupBy($"doc_id")
+      .agg(sum($"tf").as("n_bigrams"),
+        sum($"tf" * $"cond_ppm").as("sum_cond"),
+        min($"cond_ppm").as("min_cond_ppm"))
+      .select($"doc_id", $"n_bigrams",
+        expr("sum_cond div n_bigrams").as("mean_cond_ppm"),
+        $"min_cond_ppm")
+      .orderBy($"doc_id")
+  }
+
   /** REPETITION quality signals (the Gopher/C4-class heuristic the
     * quality score doesn't capture: a doc can have fine length and
     * stopword ratios while being one phrase stamped 200 times — a
@@ -792,6 +980,9 @@ object TextOps {
     "text_pii_scrub" -> text_pii_scrub _,
     "text_bigrams" -> text_bigrams _,
     "text_bpe_pairs" -> text_bpe_pairs _,
+    "text_bpe_train" -> text_bpe_train _,
+    "text_bpe_encode" -> text_bpe_encode _,
+    "text_bigram_lm" -> text_bigram_lm _,
     "text_quality" -> text_quality _,
     "text_tokens" -> text_tokens _,
     "text_langid" -> text_langid _,
@@ -1137,6 +1328,38 @@ object TextOps {
         |agg AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n
         |        FROM pairs GROUP BY pair)
         |SELECT pair, n FROM agg ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    // Same integer-exact discipline as text_unigram_score: conditional
+    // probabilities as bg*1e6 // prefix-mass (integral division both
+    // engines), bigrams re-derived via the text_bigrams subscript join.
+    "text_bigram_lm" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+        | FROM documents),
+        |u AS (
+        | SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS i
+        | FROM t),
+        |bi AS (
+        | SELECT a.doc_id, a.word || ' ' || c.word AS g,
+        |        count(*)::BIGINT AS tf
+        | FROM u a JOIN u c ON a.doc_id = c.doc_id AND c.i = a.i + 1
+        | GROUP BY 1, 2),
+        |bg AS (SELECT g, CAST(sum(tf) AS BIGINT) AS bg FROM bi GROUP BY 1),
+        |pref AS (
+        | SELECT string_split(g, ' ')[1] AS w1, CAST(sum(bg) AS BIGINT) AS pref
+        | FROM bg GROUP BY 1),
+        |cond AS (
+        | SELECT g, bg * 1000000 // pref AS cond_ppm
+        | FROM bg JOIN pref ON string_split(bg.g, ' ')[1] = pref.w1),
+        |agg AS (
+        | SELECT bi.doc_id,
+        |   CAST(sum(bi.tf) AS BIGINT) AS n_bigrams,
+        |   CAST(sum(bi.tf * cond.cond_ppm) AS BIGINT) AS sum_cond,
+        |   CAST(min(cond.cond_ppm) AS BIGINT) AS min_cond_ppm
+        | FROM bi JOIN cond USING (g) GROUP BY 1)
+        |SELECT doc_id, n_bigrams, sum_cond // n_bigrams AS mean_cond_ppm,
+        |       min_cond_ppm
+        |FROM agg ORDER BY doc_id""".stripMargin,
     // Exact integer ppm mirror of the Spark side (integral division on
     // both engines) — the rounded-double form hash-broke at sf0.1 on
     // the 0.5 × .xxxx5 midpoint (HALF_UP vs float round).

@@ -50,6 +50,91 @@ class TextPipelineSpec extends SparkSpec {
     assert(got == expect, s"got ${got.take(5)}... vs ${expect.take(5)}...")
   }
 
+  test("text_bpe_train equals an independent in-memory BPE trainer; round 1 is bpe_pairs' top row") {
+    // independent trainer: same vocab collapse, same (n DESC, l, r)
+    // tie-break, same left-to-right non-overlapping merge application —
+    // coded against the Sennrich et al. algorithm, not the Spark plan
+    var vocab = Tables.documents(spark, sf0001)
+      .select($"text").collect().map(_.getString(0))
+      .flatMap(_.split(" ")).filter(_.length >= 2)
+      .groupBy(identity).map { case (w, ws) =>
+        (w.map(_.toString).toVector, ws.length.toLong) }.toVector
+    val expect = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    for (r <- 1 to 16) {
+      val counts = new scala.collection.mutable.HashMap[(String, String), Long]()
+      for ((toks, f) <- vocab; i <- 0 until toks.length - 1)
+        counts.updateWith((toks(i), toks(i + 1)))(c => Some(c.getOrElse(0L) + f))
+      if (counts.nonEmpty) {
+        val ((a, b), n) = counts.minBy { case ((l, rr), m) => (-m, l, rr) }
+        expect += ((r, a, b, n))
+        vocab = vocab.map { case (toks, f) =>
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          for (t <- toks) {
+            if (out.nonEmpty && out.last == a && t == b) out(out.length - 1) = a + b
+            else out += t
+          }
+          (out.toVector, f)
+        }.filter(_._1.length >= 2)
+      }
+    }
+    val got = TextOps.text_bpe_train(spark, sf0001).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[Long]("freq"))).toSeq
+    assert(got == expect.toSeq, s"got ${got.take(4)}... vs ${expect.take(4)}...")
+    assert(got.size == 16, "corpus supports fewer than 16 merge rounds?")
+    // cross-gate with the hash-oracled miner: round 1's winner IS
+    // text_bpe_pairs' top row (all round-1 tokens are single chars,
+    // so the pair string is exactly the 2-char substring bpe_pairs counts)
+    val top = TextOps.text_bpe_pairs(spark, sf0001).collect()(0)
+    assert(got(0)._2 + got(0)._3 == top.getString(0) && got(0)._4 == top.getLong(1))
+  }
+
+  test("text_bpe_encode round-trips every word and is bounded by chars and words") {
+    val merges = TextOps.bpeMerges(spark, sf0001, rounds = 16)
+    // round-trip: tokenization must lose no characters on any word
+    val rt = Tables.documents(spark, sf0001).limit(60)
+      .select(explode(split($"text", " ")).as("w")).filter(length($"w") >= 1)
+      .select($"w", concat_ws("", TextOps.bpeEncodeTokens($"w", merges)).as("back"),
+        size(TextOps.bpeEncodeTokens($"w", merges)).as("n"))
+      .collect()
+    rt.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"round-trip broke: '${r.getString(0)}' vs '${r.getString(1)}'"))
+    assert(rt.exists(r => r.getInt(2) < r.getString(0).length),
+      "no merge ever fired on 60 docs of words")
+    val enc = TextOps.text_bpe_encode(spark, sf0001).collect()
+    assert(enc.nonEmpty)
+    enc.foreach { r =>
+      assert(r.getAs[Long]("n_bpe_tokens") <= r.getAs[Long]("n_chars_nosp"))
+      assert(r.getAs[Long]("n_bpe_tokens") >= r.getAs[Long]("n_words"))
+      assert(r.getAs[Long]("chars_per_token_ppm") >= 1000000L)
+    }
+    // 16 merges genuinely compress vs the character baseline somewhere
+    assert(enc.exists(r => r.getAs[Long]("n_bpe_tokens") < r.getAs[Long]("n_chars_nosp")))
+  }
+
+  test("text_bigram_lm scores a word-salad doc below well-attested docs, exactly") {
+    // 4 docs of "x y x y x y" + 1 salad "x z": bg(xy)=12 bg(yx)=8
+    // bg(xz)=1, pref(x)=13 pref(y)=8 → cond(xy)=923076 cond(yx)=1000000
+    // cond(xz)=76923; natural mean = (3*923076+2*1000000) div 5 = 953845
+    val fixtures = ((1 to 4).map(i => (i.toLong, "x y x y x y")) :+ (9L, "x z"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bigramLmStats(fixtures).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("mean_cond_ppm"),
+          r.getAs[Long]("min_cond_ppm"))).toMap
+    for (i <- 1L to 4L)
+      assert(got(i) == ((5L, 953845L, 923076L)), s"doc $i: ${got(i)}")
+    assert(got(9L) == ((1L, 76923L, 76923L)), s"salad: ${got(9L)}")
+    // registered query: sane bounds at sf0.001
+    val full = TextOps.text_bigram_lm(spark, sf0001).collect()
+    assert(full.nonEmpty)
+    full.foreach { r =>
+      val m = r.getAs[Long]("mean_cond_ppm")
+      assert(m > 0L && m <= 1000000L)
+      assert(r.getAs[Long]("min_cond_ppm") <= m)
+    }
+  }
+
   test("text_pack's two-phase prefix sum equals the flat global cumsum") {
     // Width 100 (not the 10⁶ production default) so the test corpus
     // genuinely spans several buckets and the cross-bucket offset
