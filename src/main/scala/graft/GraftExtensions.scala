@@ -53,6 +53,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => WinnowStatsExpr(args.head, intArg(args, 1, "graft_winnow_stats"),
         intArg(args, 2, "graft_winnow_stats")))
     register("graft_fnv64_fold", 1, args => Fnv64FoldExpr(args.head))
+    register("graft_fnv64_string", 1, args => Fnv64StringExpr(args.head))
     register("graft_jaccard_sorted", 2, args => JaccardSortedExpr(args(0), args(1)))
     register("graft_intersect_count_sorted", 2,
       args => IntersectCountSortedExpr(args(0), args(1)))

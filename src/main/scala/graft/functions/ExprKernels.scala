@@ -282,6 +282,21 @@ object ExprKernels {
     out.toArray
   }
 
+  /** FNV-1a 64-bit over a string's UTF-8 bytes (wrapping multiply) —
+    * the ENGINE-PORTABLE row/content fingerprint: DuckDB recomputes it
+    * as a `list_reduce` over `ascii(ch)` HUGEINTs (the gramSql device)
+    * while the fingerprinted text stays ASCII, where bytes ==
+    * codepoints (the documented Verify precondition). Used by the
+    * snapshot-apply fingerprints so the physical-round-trip
+    * verification hash-matches a second engine — xxhash64 can't. */
+  def fnv64String(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val n = s.numBytes()
+    var h = 1469598103934665603L
+    var i = 0
+    while (i < n) { h = (h ^ (s.getByte(i) & 0xff)) * 1099511628211L; i += 1 }
+    h
+  }
+
   /** FNV-1a-style 64-bit fold over a long array (wrapping multiply —
     * the HOF `aggregate` form throws ARITHMETIC_OVERFLOW under ANSI). */
   def fnv64Fold(hashes: ArrayData): Long = {

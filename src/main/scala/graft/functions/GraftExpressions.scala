@@ -168,6 +168,22 @@ case class FrameFpExpr(left: Expression, right: Expression) extends BinaryExpres
   override def prettyName: String = "graft_frame_fp"
 }
 
+/** fnv64_string(string) -> long: FNV-1a over the UTF-8 bytes — the
+  * oracle-re-derivable content fingerprint ([[ExprKernels.fnv64String]];
+  * DuckDB mirror = list_reduce over ascii(ch) while text is ASCII). */
+case class Fnv64StringExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftExpressions.checkString(prettyName, child)
+  override protected def nullSafeEval(input: Any): Any =
+    ExprKernels.fnv64String(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.fnv64String($c)")
+  override protected def withNewChildInternal(newChild: Expression): Fnv64StringExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_fnv64_string"
+}
+
 /** fnv64_fold(array<long>) -> long (wrapping FNV-1a-style fold). */
 case class Fnv64FoldExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType

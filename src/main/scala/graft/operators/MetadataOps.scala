@@ -316,14 +316,42 @@ object MetadataOps {
     * per side; at 100 TB raise `buckets` so each bucket stays a sane
     * audit unit (the summary is 3 longs per bucket regardless). */
   def copyFingerprints(df: DataFrame, side: String,
-                       buckets: Int = 64): DataFrame = {
-    val rowFp = xxhash64(df.columns.sorted.map(col).toIndexedSeq: _*)
+                       buckets: Int = 64): DataFrame =
+    bucketedFingerprints(df,
+      xxhash64(df.columns.sorted.map(col).toIndexedSeq: _*), side, buckets)
+
+  /** [[copyFingerprints]] with an ENGINE-PORTABLE row hash: FNV-1a
+    * over the sorted columns' values joined by \u0001 (codegen'd
+    * [[graft.functions.Fnv64StringExpr]]). DuckDB re-derives the same
+    * fold over `ascii(ch)` HUGEINTs, which is what buys
+    * [[fs_snapshot_apply]] a full hash oracle — xxhash64's internals
+    * aren't available to a second engine. Fit for tables of
+    * bigint/ASCII-string columns, where the decimal/string rendering
+    * is identical across engines (both fingerprint sides use the SAME
+    * canonicalization, so the VERIFICATION itself is as strong either
+    * way; lineitem-shaped tables with double columns stay on
+    * [[copyFingerprints]] because shortest-repr double formatting is
+    * not engine-portable). Bucket = fp mod buckets is identical on
+    * both engines for any buckets dividing 2^64 (the unsigned-vs-
+    * signed residue coincides). NULL-free inputs only: concat_ws
+    * silently drops nulls, which would alias (1,NULL,2)/(1,2,NULL). */
+  def fnvFingerprints(df: DataFrame, side: String,
+                      buckets: Int = 64): DataFrame = {
+    import graft.functions.{Fnv64StringExpr, GraftExpressions}
+    val canon = concat_ws("\u0001",
+      df.columns.sorted.map(c => col(c).cast("string")).toIndexedSeq: _*)
+    val rowFp = GraftExpressions.toColumn(
+      Fnv64StringExpr(GraftExpressions.toExpr(canon)))
+    bucketedFingerprints(df, rowFp, side, buckets)
+  }
+
+  private def bucketedFingerprints(df: DataFrame, rowFp: org.apache.spark.sql.Column,
+                                   side: String, buckets: Int): DataFrame =
     df.select(pmod(rowFp, lit(buckets.toLong)).as("bucket"), rowFp.as("fp"))
       .groupBy("bucket")
       .agg(count(lit(1)).as(s"${side}_rows"),
         expr("bit_xor(fp)").as(s"${side}_xor"),
         sum(pmod(col("fp"), lit(1L << 40))).as(s"${side}_sum"))
-  }
 
   /** DistCp-shape bulk copy + checksum verify (reference:
     * hadoop-tools/hadoop-distcp/src/main/java/org/apache/hadoop/tools/
@@ -477,7 +505,12 @@ object MetadataOps {
     * slice every file back out of the physical artifact, and
     * fingerprint-verify per bin. Report: one row per bin — files_in,
     * bytes_in, files_out=1, verified (all-true gated in MetadataSpec).
-    * oracle=rows (the artifact lives outside the oracle's view).
+    * HASH-ORACLED since r13: the report exposes no raw hashes, so
+    * DuckDB re-derives the BINNING itself (the same per-directory
+    * cumsum over n_chars, bin = start_off // 1024) and asserts
+    * verified=true per bin — a packing/slicing/fingerprint failure
+    * anywhere in the physical round trip flips `verified` and the
+    * hash mismatches.
     *
     * Scale: binning is one window per directory key; packing is one
     * shuffle of small-file bytes (inherent — compaction must co-locate
@@ -566,14 +599,18 @@ object MetadataOps {
     * diff against snapshot A (anti-join the DELETEs/MODIFYs out,
     * union the CREATEs/MODIFYs' new values in — one anti-join + one
     * union, both linear), and verify the reconstruction against the
-    * physically-written snapshot B with the same order-independent
-    * bucketed-fingerprint machinery as [[fs_copy_verify]] (full-outer
+    * physically-written snapshot B with [[fs_copy_verify]]'s
+    * order-independent bucketed-fingerprint machinery (full-outer
     * on the bucket, so a whole lost bucket surfaces unverified —
     * tamper-tested in MetadataSpec via [[applySnapshotDiff]]). One
     * verified=true row per fingerprint bucket; any false row means
-    * the diff does not reproduce B. oracle=rows (the snapshots are
-    * physical artifacts outside the oracle's view; the DIFF itself is
-    * hash-oracled separately by fs_snapshot_diff). */
+    * the diff does not reproduce B. Fingerprints use the
+    * ENGINE-PORTABLE [[fnvFingerprints]] (snapshot rows are pure
+    * bigint/ASCII-string), so since r13 the whole leg is HASH-ORACLED:
+    * DuckDB recomputes snapshot B logically (the fs_snapshot_diff
+    * mutation arithmetic), re-derives every row's FNV fingerprint,
+    * buckets, and fold/sum/count — one bit out of place anywhere in
+    * the write→read→replay→fingerprint chain and the hash mismatches. */
   def fs_snapshot_apply(s: SparkSession, d: String,
                         destDir: Option[String] = None): DataFrame = {
     import s.implicits._
@@ -589,8 +626,8 @@ object MetadataOps {
     val a = s.read.parquet(s"$base/snap_a")
     val b = s.read.parquet(s"$base/snap_b")
     val rebuilt = applySnapshotDiff(a, diff)
-    copyFingerprints(rebuilt, "src")
-      .join(copyFingerprints(b, "dst"), Seq("bucket"), "full_outer")
+    fnvFingerprints(rebuilt, "src")
+      .join(fnvFingerprints(b, "dst"), Seq("bucket"), "full_outer")
       .withColumn("verified",
         $"src_rows" <=> $"dst_rows" && $"src_xor" <=> $"dst_xor" &&
           $"src_sum" <=> $"dst_sum")
@@ -832,6 +869,69 @@ object MetadataOps {
     "ec_reconstruct" -> ec_reconstruct _)
 
   val oracle: Map[String, String] = Map(
+    // fs_compact's report exposes no raw hashes, so the oracle
+    // re-derives the BINNING (per-directory cumsum over n_chars,
+    // bin = start_off // 1024 — the smallBinned contract) and asserts
+    // verified=true per bin: any packing/slicing/fingerprint failure
+    // in the physical round trip flips `verified` on the Spark side
+    // and the hash mismatches.
+    "fs_compact" ->
+      """WITH small AS (
+        |  SELECT doc_id, source, n_chars, strlen(text)::BIGINT AS pbytes
+        |  FROM documents WHERE n_chars < 256),
+        |off AS (
+        |  SELECT source, doc_id, pbytes,
+        |    COALESCE(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+        |  FROM small),
+        |bins AS (
+        |  SELECT source, CAST(start_off // 1024 AS BIGINT) AS bin_id,
+        |    CAST(count(*) AS BIGINT) AS files_in,
+        |    CAST(sum(pbytes) AS BIGINT) AS bytes_in
+        |  FROM off GROUP BY 1, 2)
+        |SELECT source, bin_id, files_in, bytes_in,
+        |  1::BIGINT AS files_out, TRUE AS verified
+        |FROM bins ORDER BY source, bin_id""".stripMargin,
+    // Snapshot B recomputed logically (the fs_snapshot_diff mutation
+    // arithmetic), then every row's FNV-1a fingerprint re-derived over
+    // the \x01-joined sorted-column rendering (the fnvFingerprints
+    // canonicalization) with the gramSql HUGEINT mod-2^64 device;
+    // bucket/sum residues coincide signed-vs-unsigned because 64 and
+    // 2^40 divide 2^64; the xor fold converts to signed BIGINT first
+    // so bit_xor matches Spark's. src_* = dst_* by construction — the
+    // Spark side only matches when its physical write→read→replay
+    // chain reproduces B exactly.
+    "fs_snapshot_apply" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 11 = 5 THEN n_chars * 2 + 7 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id % 17 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 1099511627776, source, n_chars + 11
+        |  FROM documents WHERE doc_id % 13 = 7),
+        |fp AS (
+        |  SELECT list_reduce(
+        |    list_prepend(1469598103934665603::HUGEINT,
+        |      list_transform(string_split(
+        |        CAST(doc_id AS VARCHAR) || chr(1) || CAST(n_chars AS VARCHAR)
+        |          || chr(1) || source, ''), ch -> ascii(ch)::HUGEINT)),
+        |    (acc, c) -> (xor(acc, c) * 1099511628211::HUGEINT)
+        |                % 18446744073709551616::HUGEINT) AS h
+        |  FROM b),
+        |sfp AS (
+        |  SELECT CAST(h % 64 AS BIGINT) AS bucket,
+        |    CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |         THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS fps,
+        |    CAST(h % 1099511627776::HUGEINT AS BIGINT) AS fpm
+        |  FROM fp),
+        |agg AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(bit_xor(fps) AS BIGINT) AS xr,
+        |    CAST(sum(fpm) AS BIGINT) AS sm
+        |  FROM sfp GROUP BY 1)
+        |SELECT bucket, n AS src_rows, xr AS src_xor, sm AS src_sum,
+        |       n AS dst_rows, xr AS dst_xor, sm AS dst_sum, TRUE AS verified
+        |FROM agg ORDER BY bucket""".stripMargin,
     // Same RS(4,2) striping model as ec_parity_rs; all-integer
     // arithmetic (ceil via (sz+3)//4 on non-negative sizes, sums cast
     // from HUGEINT, per-group Euclidean ppm).

@@ -25,6 +25,31 @@ class KernelSpec extends SparkSpec {
     }
   }
 
+  test("fnv64String matches an independent FNV-1a-style byte loop and the SQL function resolves") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // the graft FNV family's offset basis (1469598103934665603 — shared
+    // by the CDC/gram kernels and every DuckDB gramSql re-derivation;
+    // NOT the textbook 0xcbf29ce484222325, which overflows a signed
+    // literal and predates the repo's cross-engine constant), with the
+    // standard FNV prime
+    def ref(bytes: Array[Byte]): Long = {
+      var h = 1469598103934665603L
+      bytes.foreach(b => h = (h ^ (b & 0xff)) * 1099511628211L)
+      h
+    }
+    val rnd = new scala.util.Random(13)
+    (0 until 200).foreach { _ =>
+      val s = scala.util.Random.javaRandomToRandom(new java.util.Random(rnd.nextLong()))
+        .alphanumeric.take(rnd.nextInt(60)).mkString
+      assert(ExprKernels.fnv64String(UTF8String.fromString(s)) ===
+        ref(s.getBytes("UTF-8")))
+    }
+    assert(ExprKernels.fnv64String(UTF8String.fromString("")) === 1469598103934665603L)
+    // extension-registered SQL name resolves and agrees with the kernel
+    val viaSql = spark.sql("SELECT graft_fnv64_string('abc')").collect()(0).getLong(0)
+    assert(viaSql === ref("abc".getBytes("UTF-8")))
+  }
+
   test("minhash signature: identical sets agree, disjoint sets do not") {
     val a = new GenericArrayData(Array.tabulate(50)(i => i * 0x9e3779b97f4a7c15L))
     val b = new GenericArrayData(Array.tabulate(50)(i => i * 0x9e3779b97f4a7c15L))

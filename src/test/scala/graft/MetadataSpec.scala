@@ -269,8 +269,9 @@ class MetadataSpec extends SparkSpec {
       .orderBy($"doc_id").select($"doc_id").as[Long].head()
     val tampered = diff.filter(!($"change" === "CREATE" && $"doc_id" === victim))
     val rebuilt = MetadataOps.applySnapshotDiff(a, tampered)
-    val report = MetadataOps.copyFingerprints(rebuilt, "src")
-      .join(MetadataOps.copyFingerprints(b, "dst"), Seq("bucket"), "full_outer")
+    // the same engine-portable FNV fingerprints the query now uses
+    val report = MetadataOps.fnvFingerprints(rebuilt, "src")
+      .join(MetadataOps.fnvFingerprints(b, "dst"), Seq("bucket"), "full_outer")
       .withColumn("verified",
         $"src_rows" <=> $"dst_rows" && $"src_xor" <=> $"dst_xor" &&
           $"src_sum" <=> $"dst_sum")
