@@ -203,10 +203,17 @@ object Multimodal {
     // are one (id, 16-dim vec) per doc: tiny.
     val base = graft.CacheRegistry.cache(meansRaw(s, d)
       .select($"doc_id".as("id"), $"doc_embedding".as("vec")))
+    // Jitter hash = the frameFp fmix64 mix (NOT xxhash64): frameFp's
+    // whole stage chain is already re-derived in DuckDB for the
+    // mm_framesample/mm_features oracles, which is what lets THIS
+    // query's oracle recompute the planted variants bit-for-bit.
     val variants = base.filter($"id" % 10 === 0)
       .select($"id".bitwiseOR(lit(1L << 62)).as("id"),
         transform($"vec", (x, i) =>
-          x + (pmod(xxhash64($"id", i), lit(2001)) - 1000)
+          x + (pmod(graft.functions.GraftExpressions.toColumn(
+            graft.functions.FrameFpExpr(
+              graft.functions.GraftExpressions.toExpr($"id".bitwiseOR(lit(1L << 62))),
+              graft.functions.GraftExpressions.toExpr(i.cast("long")))), lit(2001)) - 1000)
             .cast("double") / 1000000.0).as("vec"))
     // 16x16-bit bands (vs the former 8x8): planted re-encode pairs sit
     // at cos ~0.9953 (plane-agreement p ~0.969), so a 16-bit band
@@ -218,7 +225,11 @@ object Multimodal {
     val pairs = Dedup.embeddingLshPairs(
       base.unionByName(variants), threshold = 0.995, bands = 16, r = 16, dim = 16)
     pairs
-      .select($"id", $"id2", round($"cos_sim", 6).as("cos_sim"))
+      // floor-ppm score (NOT round(,6)): floor of the same IEEE double
+      // is engine-stable; DuckDB's CAST(DOUBLE AS BIGINT) rounds, so
+      // the oracle floors explicitly too
+      .select($"id", $"id2",
+        floor($"cos_sim" * 1000000.0).cast("long").as("cos_ppm"))
       .orderBy($"id", $"id2")
   }
 
@@ -228,6 +239,126 @@ object Multimodal {
     "mm_features" -> mm_features _,
     "mm_near_dups" -> mm_near_dups _)
 
+  /** DuckDB re-derivation of the ENTIRE mm_near_dups pipeline —
+    * decode → frame-sample → feature → pool → mean → planted variant →
+    * 16×16-bit hyperplane banding → bucket-capped candidate pairs →
+    * exact cosine rescore — so the multimodal composition is verified
+    * end-to-end on a second engine. Building blocks: the mm_features
+    * byte-fold/fmix64/feature chain (same CTE text), the jitter
+    * recomputed through the SAME fmix64 stages seeded by the VARIANT
+    * id (graft_frame_fp(vid, dim) — pmod(·, 2001) mirrored on the
+    * SIGNED value because 2001 ∤ 2^64), the 256 seed-42 hyperplanes
+    * inlined as a DOUBLE[][] literal (the annLshOracleSql device),
+    * signature bit j = sign of the left-to-right inner product
+    * against plane b·16+j, the 2..1000 bucket qualification, and
+    * cos = dot/(√na·√nb) exactly as [[ExprKernels.cosineDD]]
+    * accumulates it. One sign flip, one jitter bit, one dropped
+    * frame anywhere — and the hash mismatches. */
+  private def mmNearDupsOracleSql: String = {
+    val planes = graft.functions.VectorFunctions.randomPlanes(16 * 16, 16)
+    val pl = planes.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    s"""WITH b AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS len
+       |  FROM documents),
+       |pos AS (
+       |  SELECT doc_id, len, i,
+       |         ('0x' || substr(hx, CAST(2*i+1 AS BIGINT), 2))::BIGINT AS byte
+       |  FROM b, LATERAL unnest(range(len)) AS t(i)),
+       |folded AS (
+       |  SELECT doc_id,
+       |    list_reduce(
+       |      list_prepend(1125899906842597::HUGEINT, list(byte ORDER BY i)),
+       |      (acc, x) -> (acc::HUGEINT * 31 + x::HUGEINT)
+       |                  % 18446744073709551616::HUGEINT) AS hu
+       |  FROM pos GROUP BY doc_id),
+       |sgn AS (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+       |         THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT) AS h
+       |  FROM folded),
+       |nf AS (
+       |  SELECT doc_id,
+       |    1 + ((((h - (((h % 256) + 256) % 256)) // 256) % 240 + 240) % 240)
+       |      AS n_frames
+       |  FROM sgn),
+       |fr AS (
+       |  SELECT doc_id, CAST(t.i AS BIGINT) AS frame_idx
+       |  FROM nf, LATERAL unnest(range(0, n_frames, 10)) AS t(i)),
+       |a0 AS (
+       |  SELECT doc_id, frame_idx,
+       |    (CAST(doc_id AS HUGEINT) * 11400714819323198485::HUGEINT
+       |     + frame_idx + 1) % 18446744073709551616::HUGEINT AS a
+       |  FROM fr),
+       |f1 AS (SELECT doc_id, frame_idx, xor(a, a // 8589934592::HUGEINT) AS a FROM a0),
+       |f2 AS (SELECT doc_id, frame_idx, (((a) % 4294967296::HUGEINT) * 18397679294719823053::HUGEINT % 18446744073709551616::HUGEINT + ((((a) // 4294967296::HUGEINT) * 3981806797::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS a FROM f1),
+       |f3 AS (SELECT doc_id, frame_idx, xor(a, a // 8589934592::HUGEINT) AS a FROM f2),
+       |f4 AS (SELECT doc_id, frame_idx, (((a) % 4294967296::HUGEINT) * 14181476777654086739::HUGEINT % 18446744073709551616::HUGEINT + ((((a) // 4294967296::HUGEINT) * 444984403::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS a FROM f3),
+       |f5 AS (SELECT doc_id, frame_idx, xor(a, a // 8589934592::HUGEINT) AS a FROM f4),
+       |feat AS (
+       |  SELECT doc_id, frame_idx, t.i AS dim,
+       |    CAST(((a * 6364136223846793005::HUGEINT
+       |           + (t.i + 1)::HUGEINT * 1442695040888963407::HUGEINT)
+       |          % 18446744073709551616::HUGEINT) // 2048
+       |         % 2000001 - 1000000 AS BIGINT) AS f
+       |  FROM f5, LATERAL unnest(range(16)) AS t(i)),
+       |pool AS (
+       |  SELECT doc_id, dim, CAST(sum(f) AS BIGINT) AS sm,
+       |    CAST(count(*) AS BIGINT) AS nfp
+       |  FROM feat GROUP BY doc_id, dim),
+       |mvals AS (
+       |  SELECT doc_id AS id, dim, sm::DOUBLE / (nfp * 1000000.0) AS mv
+       |  FROM pool),
+       |j0 AS (
+       |  SELECT id, dim, mv,
+       |    (CAST(id + 4611686018427387904 AS HUGEINT)
+       |     * 11400714819323198485::HUGEINT + dim + 1)
+       |    % 18446744073709551616::HUGEINT AS a
+       |  FROM mvals WHERE id % 10 = 0),
+       |j1 AS (SELECT id, dim, mv, xor(a, a // 8589934592::HUGEINT) AS a FROM j0),
+       |j2 AS (SELECT id, dim, mv, (((a) % 4294967296::HUGEINT) * 18397679294719823053::HUGEINT % 18446744073709551616::HUGEINT + ((((a) // 4294967296::HUGEINT) * 3981806797::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS a FROM j1),
+       |j3 AS (SELECT id, dim, mv, xor(a, a // 8589934592::HUGEINT) AS a FROM j2),
+       |j4 AS (SELECT id, dim, mv, (((a) % 4294967296::HUGEINT) * 14181476777654086739::HUGEINT % 18446744073709551616::HUGEINT + ((((a) // 4294967296::HUGEINT) * 444984403::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS a FROM j3),
+       |j5 AS (SELECT id, dim, mv, xor(a, a // 8589934592::HUGEINT) AS a FROM j4),
+       |jit AS (
+       |  SELECT id, dim, mv,
+       |    ((CAST(CASE WHEN a >= 9223372036854775808::HUGEINT
+       |           THEN a - 18446744073709551616::HUGEINT ELSE a END AS BIGINT)
+       |      % 2001) + 2001) % 2001 - 1000 AS jp
+       |  FROM j5),
+       |allv AS (
+       |  SELECT id, list(mv ORDER BY dim) AS vec FROM mvals GROUP BY id
+       |  UNION ALL
+       |  SELECT id + 4611686018427387904 AS id,
+       |    list(mv + jp::DOUBLE / 1000000.0 ORDER BY dim) AS vec
+       |  FROM jit GROUP BY id),
+       |pl AS (SELECT CAST($pl AS DOUBLE[][]) AS planes),
+       |keys AS (
+       |  SELECT id, bb.band,
+       |    CAST(sum(CASE WHEN list_inner_product(vec,
+       |          planes[CAST(bb.band * 16 + j.j + 1 AS BIGINT)]) >= 0
+       |        THEN (1::BIGINT << j.j) ELSE 0 END) AS BIGINT) AS bkey
+       |  FROM allv, pl, unnest(range(16)) AS bb(band), unnest(range(16)) AS j(j)
+       |  GROUP BY id, bb.band),
+       |bsize AS (
+       |  SELECT band, bkey, count(*) AS cnt FROM keys GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id, c.id AS id2
+       |  FROM keys a
+       |  JOIN keys c ON a.band = c.band AND a.bkey = c.bkey AND a.id < c.id
+       |  JOIN bsize s ON s.band = a.band AND s.bkey = a.bkey
+       |  WHERE s.cnt <= 1000),
+       |sc AS (
+       |  SELECT cand.id, cand.id2,
+       |    list_inner_product(x.vec, y.vec)
+       |      / (sqrt(list_inner_product(x.vec, x.vec))
+       |         * sqrt(list_inner_product(y.vec, y.vec))) AS cos
+       |  FROM cand
+       |  JOIN allv x ON x.id = cand.id
+       |  JOIN allv y ON y.id = cand.id2)
+       |SELECT id, id2, CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_ppm
+       |FROM sc WHERE cos >= 0.995 ORDER BY id, id2""".stripMargin
+  }
+
   // The stub decode chain is pure arithmetic over the payload bytes,
   // so three of the four queries ARE DuckDB-expressible: the
   // 31-multiply byte fold runs as a HUGEINT mod-2^64 list_reduce (the
@@ -236,11 +367,14 @@ object Multimodal {
   // ((h - floorMod(h, m)) // m is exact for either // semantics
   // because the numerator is divisible), the frame fingerprint via the
   // fmix64 32/32-split multiply chain, and the per-frame features +
-  // per-doc pooling as exact integer ppm sums (r13). Only mm_near_dups
-  // stays rows-only: its hyperplane-LSH blocking over double means is
-  // the same non-SQL-expressible class as ann_lsh, recall-gated in
-  // MultimodalSpec instead.
+  // per-doc pooling as exact integer ppm sums (r13). Since r13 ALL
+  // FOUR queries carry oracles: mm_near_dups follows ann_lsh's
+  // playbook — the seed-42 hyperplanes inlined as a DOUBLE[][]
+  // literal, signature bits as list_inner_product signs, the planted
+  // variants recomputed from the frameFp fmix64 jitter chain — on top
+  // of this file's pooled-mean re-derivation (see mmNearDupsOracleSql).
   val oracle: Map[String, String] = Map(
+    "mm_near_dups" -> mmNearDupsOracleSql,
     // mm_framesample's chain through f5 (the frame fingerprint as an
     // unsigned HUGEINT `a`), then per (frame, dim) the stub feature
     // hash-mix — h = fp·6364136223846793005 + (dim+1)·1442695040888963407

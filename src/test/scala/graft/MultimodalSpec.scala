@@ -63,7 +63,7 @@ class MultimodalSpec extends SparkSpec {
   test("mm_near_dups finds every planted re-encoded variant through the LSH path") {
     import spark.implicits._
     val pairs = Multimodal.mm_near_dups(spark, sf0001).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     // Every 10th doc gets a jittered variant at id | 1<<62; the jitter
     // perturbs all 16 dims, so each planted pair must survive the
     // banded-LSH blocking AND the exact cosine rescore (recall 1.0
@@ -77,8 +77,9 @@ class MultimodalSpec extends SparkSpec {
     val missed = planted -- found
     assert(missed.isEmpty, s"planted near-dup pairs missed: $missed")
     // and the rescore is honest: every reported pair really is ≥ threshold
-    pairs.foreach { case (a, b, cos) =>
-      assert(cos >= 0.995, s"pair ($a,$b) below threshold: $cos")
+    // (integer ppm since r13 — floor(cos·1e6) ≥ 995000 ⟺ cos ≥ 0.995)
+    pairs.foreach { case (a, b, ppm) =>
+      assert(ppm >= 995000L, s"pair ($a,$b) below threshold: $ppm ppm")
     }
   }
 
