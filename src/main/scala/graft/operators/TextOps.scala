@@ -478,12 +478,14 @@ object TextOps {
     * (rank, lhs, rhs, merged, freq) — the artifact a tokenizer trainer
     * ships. The result rows are driver-held (16 of them — the merge
     * table IS small by construction); the WORK per round is the
-    * distributed vocab aggregation above. No DuckDB oracle: each
-    * round's argmax feeds the next round's data (an iterative
-    * data-dependent fixpoint, the ann_ivf class); instead the spec
-    * gates exact equality against an independently-coded in-memory
-    * BPE trainer over the same vocab AND round 1 against
-    * text_bpe_pairs' hash-oracled top row. */
+    * distributed vocab aggregation above. HASH-ORACLED despite being
+    * an iterative data-dependent fixpoint (the class that normally
+    * rules an oracle out — ann_ivf's Lloyd, CC's pointer jumping):
+    * BPE's per-round state is one argmax + a vocab-sized table, so
+    * the oracle UNROLLS all 16 rounds as generated MATERIALIZED CTE
+    * stages ([[bpeTrainOracleSql]]). The spec additionally gates
+    * exact equality against an independently-coded in-memory trainer
+    * and round 1 against text_bpe_pairs' top row. */
   def text_bpe_train(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val merges = bpeMerges(s, d, rounds = 16)
@@ -518,7 +520,9 @@ object TextOps {
     * corpus-sized data. A pipeline that needs the token STREAM (not
     * counts) applies [[bpeEncodeTokens]] per row at scan cost instead.
     * Round-trip (concat(tokens) = word), char/word bounds, and
-    * compression-fired gates in TextPipelineSpec. */
+    * compression-fired gates in TextPipelineSpec; hash-oracled via
+    * the unrolled training chain + an unfiltered word-encode chain
+    * ([[bpeEncodeOracleSql]]). */
   def text_bpe_encode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val merges = bpeMerges(s, d, rounds = 16)
@@ -996,7 +1000,104 @@ object TextOps {
     "text_split" -> text_split _,
     "text_token_hist" -> text_token_hist _)
 
+  /** DuckDB re-derivation of the FULL iterative BPE training loop —
+    * the "data-dependent fixpoint" class (ann_ivf's Lloyd, CC's
+    * pointer jumping) is normally out of a SQL oracle's reach, but
+    * BPE's per-round STATE is one (l, r) argmax plus a vocab-sized
+    * token table, small enough to UNROLL: 16 generated CTE stages,
+    * each = pair count over the previous vocab, a deterministic
+    * (n DESC, l, r) argmax, and the same left-to-right
+    * non-overlapping merge fold as [[applyBpeMerge]] expressed as a
+    * `list_reduce` over singleton-wrapped tokens (DuckDB's fold takes
+    * the first element as the seed accumulator, so wrapping each
+    * token as a one-element list makes acc/element types line up;
+    * `acc[:-2]` is the drop-last slice — negative slice bounds are
+    * INCLUSIVE). Stages MUST be `AS MATERIALIZED`: each stage
+    * references its predecessor twice, and DuckDB inlines plain CTEs,
+    * which makes the expansion exponential (2^16 scans — measured as
+    * "too many open files" before it even runs). */
+  private def bpeStageSql(k: Int): String = {
+    val p = k - 1
+    s"""pairs_$k AS (
+       |  SELECT toks[u.i] AS l, toks[u.i + 1] AS r, CAST(sum(freq) AS BIGINT) AS n
+       |  FROM vocab_$p, LATERAL unnest(range(1, len(toks))) AS u(i)
+       |  GROUP BY 1, 2),
+       |best_$k AS MATERIALIZED (SELECT l, r, n FROM pairs_$k ORDER BY n DESC, l, r LIMIT 1),
+       |vocab_$k AS MATERIALIZED (
+       |  SELECT toks, freq FROM (
+       |    SELECT list_reduce(list_transform(toks, x -> [x]),
+       |      (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l AND x[1] = b.r
+       |                  THEN list_append(acc[:-2], b.l || b.r)
+       |                  ELSE list_concat(acc, x) END) AS toks, freq
+       |    FROM vocab_$p, best_$k b)
+       |  WHERE len(toks) >= 2)""".stripMargin
+  }
+
+  private val bpeRounds = 16
+
+  private def bpeTrainChainSql: String =
+    ("""WITH vocab_0 AS MATERIALIZED (
+       |  SELECT string_split(w, '') AS toks, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) >= 2 GROUP BY w)""".stripMargin +:
+      (1 to bpeRounds).map(bpeStageSql)).mkString(",\n")
+
+  private def bpeTrainOracleSql: String = {
+    val sel = (1 to bpeRounds).map(k =>
+      s"SELECT $k AS rank, l AS lhs, r AS rhs, l || r AS merged, n AS freq FROM best_$k")
+      .mkString(" UNION ALL ")
+    s"$bpeTrainChainSql\nSELECT * FROM ($sel) ORDER BY rank"
+  }
+
+  /** The encode oracle rides the SAME generated training chain, then
+    * applies each round's argmax to the UNFILTERED distinct-word
+    * table (wt_k — no length-2 filter, no merged-away drop: encoding
+    * must cover every word, mirroring the Spark side's vocab-collapse
+    * encode), and joins per-(doc, word) occurrence counts back —
+    * exactly [[text_bpe_encode]]'s plan re-expressed. LEFT JOIN ON
+    * TRUE against the 1-row best_k keeps all words even if a late
+    * round ran out of pairs (empty best_k would otherwise wipe the
+    * vocab). */
+  private def bpeEncodeOracleSql: String = {
+    val wtStages = (1 to bpeRounds).map { k =>
+      val p = k - 1
+      s"""wt_$k AS MATERIALIZED (
+         |  SELECT w, CASE WHEN len(toks) < 2 THEN toks ELSE
+         |    list_reduce(list_transform(toks, x -> [x]),
+         |      (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l AND x[1] = b.r
+         |                  THEN list_append(acc[:-2], b.l || b.r)
+         |                  ELSE list_concat(acc, x) END) END AS toks
+         |  FROM wt_$p LEFT JOIN best_$k b ON TRUE)""".stripMargin
+    }
+    val wt0 =
+      """wt_0 AS MATERIALIZED (
+        |  SELECT w, string_split(w, '') AS toks
+        |  FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) >= 1)""".stripMargin
+    s"""$bpeTrainChainSql,
+       |$wt0,
+       |${wtStages.mkString(",\n")},
+       |occ AS (
+       |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) >= 1 GROUP BY 1, 2),
+       |enc AS (
+       |  SELECT w, CAST(len(toks) AS BIGINT) AS n_toks,
+       |         CAST(length(w) AS BIGINT) AS n_chars_w
+       |  FROM wt_$bpeRounds),
+       |agg AS (
+       |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_words,
+       |    CAST(sum(tf * n_chars_w) AS BIGINT) AS n_chars_nosp,
+       |    CAST(sum(tf * n_toks) AS BIGINT) AS n_bpe_tokens
+       |  FROM occ JOIN enc USING (w) GROUP BY 1)
+       |SELECT doc_id, n_words, n_chars_nosp, n_bpe_tokens,
+       |  n_chars_nosp * 1000000 // n_bpe_tokens AS chars_per_token_ppm
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "text_bpe_train" -> bpeTrainOracleSql,
+    "text_bpe_encode" -> bpeEncodeOracleSql,
     // The FULL winnowing kernel re-expressed in DuckDB: per-position
     // FNV char-5-gram hashes (hex-byte extraction — the corpus is
     // ASCII, where char ops = byte ops), the murmur fmix64 finalizer
