@@ -329,17 +329,39 @@ object MetadataOps {
     * bigint/ASCII-string columns, where the decimal/string rendering
     * is identical across engines (both fingerprint sides use the SAME
     * canonicalization, so the VERIFICATION itself is as strong either
-    * way; lineitem-shaped tables with double columns stay on
-    * [[copyFingerprints]] because shortest-repr double formatting is
-    * not engine-portable). Bucket = fp mod buckets is identical on
+    * way). Doubles and timestamps render through the typed
+    * canonicalization documented at the `canon` builder below (cents /
+    * epoch micros) — that is what lets lineitem-shaped tables
+    * fingerprint portably too (r13). Bucket = fp mod buckets is identical on
     * both engines for any buckets dividing 2^64 (the unsigned-vs-
     * signed residue coincides). NULL-free inputs only: concat_ws
     * silently drops nulls, which would alias (1,NULL,2)/(1,2,NULL). */
   def fnvFingerprints(df: DataFrame, side: String,
                       buckets: Int = 64): DataFrame = {
     import graft.functions.{Fnv64StringExpr, GraftExpressions}
+    // Per-type canonical rendering - each case has an exact DuckDB
+    // mirror, which is the whole point of this fingerprint family:
+    //  - integers/strings: decimal/identity rendering (identical);
+    //  - doubles: CENTS - floor(x*100 + 0.5) - both engines floor the
+    //    same IEEE double (shortest-repr double FORMATTING is the one
+    //    rendering that is NOT portable). Detection granularity is
+    //    therefore 1/100 semantically, which for 2-decimal TPC-H
+    //    money columns is value-lossless; missing a corruption below
+    //    cents on a raw double is the accepted trade for a
+    //    second-engine gate;
+    //  - timestamps: epoch MICROS (unix_micros = DuckDB epoch_us; the
+    //    NTZ-to-TZ cast at the session's UTC shifts nothing).
     val canon = concat_ws("\u0001",
-      df.columns.sorted.map(c => col(c).cast("string")).toIndexedSeq: _*)
+      df.columns.sorted.map { c =>
+        df.schema(c).dataType match {
+          case org.apache.spark.sql.types.DoubleType =>
+            floor(col(c) * 100 + 0.5).cast("long").cast("string")
+          case org.apache.spark.sql.types.TimestampType |
+               org.apache.spark.sql.types.TimestampNTZType =>
+            unix_micros(col(c).cast("timestamp")).cast("string")
+          case _ => col(c).cast("string")
+        }
+      }.toIndexedSeq: _*)
     val rowFp = GraftExpressions.toColumn(
       Fnv64StringExpr(GraftExpressions.toExpr(canon)))
     bucketedFingerprints(df, rowFp, side, buckets)
@@ -377,8 +399,12 @@ object MetadataOps {
     * one directory instead of accumulating copies. NOTE the copy is an
     * EAGER side effect of constructing the query — DistCp *is* a copy
     * job; the returned DataFrame is the verification report over the
-    * artifact just written. oracle=rows (the copy artifact lives
-    * outside the oracle's view); the all-true `verified` column is
+    * artifact just written. HASH-ORACLED since r13 via
+    * [[fnvFingerprints]]' typed canonicalization (money doubles →
+    * cents, timestamps → epoch micros): DuckDB re-derives every
+    * lineitem row's FNV fingerprint and the bucket folds, so the
+    * whole copy → read-back → fingerprint chain is verified on a
+    * second engine; the all-true `verified` column is additionally
     * gated in MetadataSpec. */
   def fs_copy_verify(s: SparkSession, d: String,
                      destDir: Option[String] = None): DataFrame = {
@@ -394,8 +420,8 @@ object MetadataOps {
       }
     src.repartition(16).write.mode("overwrite").parquet(copyDir)
     val copy = s.read.parquet(copyDir)
-    copyFingerprints(src, "src")
-      .join(copyFingerprints(copy, "dst"), Seq("bucket"), "full_outer")
+    fnvFingerprints(src, "src")
+      .join(fnvFingerprints(copy, "dst"), Seq("bucket"), "full_outer")
       .withColumn("verified",
         $"src_rows" <=> $"dst_rows" && $"src_xor" <=> $"dst_xor" &&
           $"src_sum" <=> $"dst_sum")
@@ -892,6 +918,48 @@ object MetadataOps {
         |SELECT source, bin_id, files_in, bytes_in,
         |  1::BIGINT AS files_out, TRUE AS verified
         |FROM bins ORDER BY source, bin_id""".stripMargin,
+    // Every lineitem row's FNV fingerprint re-derived over the typed
+    // canonical rendering (cents for the 2-decimal money doubles —
+    // floor(x*100+0.5) on the identical IEEE value both engines read
+    // from parquet — epoch micros for the timestamp), then the same
+    // bucket/xor/sum folds as the snapshot-apply oracle. src_* = dst_*
+    // by construction: the Spark side only matches when the physical
+    // repartition-write → read-back round trip preserved every row.
+    "fs_copy_verify" ->
+      """WITH canon AS (
+        |  SELECT
+        |    CAST(CAST(floor(l_discount*100 + 0.5) AS BIGINT) AS VARCHAR) || chr(1) ||
+        |    CAST(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS VARCHAR) || chr(1) ||
+        |    CAST(l_linenumber AS VARCHAR) || chr(1) ||
+        |    l_linestatus || chr(1) ||
+        |    CAST(l_orderkey AS VARCHAR) || chr(1) ||
+        |    CAST(l_partkey AS VARCHAR) || chr(1) ||
+        |    CAST(CAST(floor(l_quantity*100 + 0.5) AS BIGINT) AS VARCHAR) || chr(1) ||
+        |    l_returnflag || chr(1) ||
+        |    CAST(epoch_us(l_shipdate) AS VARCHAR) || chr(1) ||
+        |    CAST(l_suppkey AS VARCHAR) || chr(1) ||
+        |    CAST(CAST(floor(l_tax*100 + 0.5) AS BIGINT) AS VARCHAR) AS cs
+        |  FROM lineitem),
+        |fp AS (
+        |  SELECT list_reduce(
+        |    list_prepend(1469598103934665603::HUGEINT,
+        |      list_transform(string_split(cs, ''), ch -> ascii(ch)::HUGEINT)),
+        |    (acc, c) -> (xor(acc, c) * 1099511628211::HUGEINT)
+        |                % 18446744073709551616::HUGEINT) AS h
+        |  FROM canon),
+        |sfp AS (
+        |  SELECT CAST(h % 64 AS BIGINT) AS bucket,
+        |    CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |         THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS fps,
+        |    CAST(h % 1099511627776::HUGEINT AS BIGINT) AS fpm
+        |  FROM fp),
+        |agg AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(bit_xor(fps) AS BIGINT) AS xr, CAST(sum(fpm) AS BIGINT) AS sm
+        |  FROM sfp GROUP BY 1)
+        |SELECT bucket, n AS src_rows, xr AS src_xor, sm AS src_sum,
+        |       n AS dst_rows, xr AS dst_xor, sm AS dst_sum, TRUE AS verified
+        |FROM agg ORDER BY bucket""".stripMargin,
     // Snapshot B recomputed logically (the fs_snapshot_diff mutation
     // arithmetic), then every row's FNV-1a fingerprint re-derived over
     // the \x01-joined sorted-column rendering (the fnvFingerprints
