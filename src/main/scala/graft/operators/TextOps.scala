@@ -679,6 +679,82 @@ object TextOps {
       .withColumnRenamed("shared_grams", "shared_8grams")
   }
 
+  /** Core of [[text_dup_spans]], parameterized for the spec's planted-
+    * duplication fixtures: input any relation with (doc_id, text) and
+    * the gram width `k`. A token position is DUPLICATED when at least
+    * one k-word gram covering it also occurs in ANOTHER document;
+    * overlapping/adjacent duplicated gram windows merge into maximal
+    * spans (gaps-and-islands over sorted gram start positions — a new
+    * island starts when the gap to the previous duplicated gram
+    * exceeds `k`, since every gram covers exactly `k` tokens). Output
+    * one row per doc that has ≥1 duplicated span. */
+  def dupSpans(docs: DataFrame, k: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val grams = docs.select($"doc_id",
+      posexplode(wordNgramsAll($"text", k)).as(Seq("pos", "g")))
+    // Grams seen in >= 2 DISTINCT docs (a gram repeated inside one doc
+    // is text_repetition's business, not cross-doc duplication).
+    val dup = grams.groupBy($"g")
+      .agg(count_distinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2).select($"g")
+    // posexplode positions are Int; promote once so every downstream
+    // span stat (and the oracle's BIGINT schema) is uniformly long
+    val hits = grams.join(dup, "g")
+      .select($"doc_id", $"pos".cast("long").as("pos"))
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val spans = hits
+      .withColumn("ns",
+        when(lag($"pos", 1).over(w).isNull ||
+          $"pos" - lag($"pos", 1).over(w) > k, 1L).otherwise(0L))
+      .withColumn("span_id", sum($"ns").over(w))
+      .groupBy($"doc_id", $"span_id")
+      .agg(min($"pos").as("st"), (max($"pos") + k).as("en"))
+    val perDoc = spans.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum($"en" - $"st").as("dup_tokens"),
+        max($"en" - $"st").as("longest_span"))
+    val nTok = docs.select($"doc_id",
+      size(wordNgramsAll($"text", 1)).cast("long").as("n_tokens"))
+    perDoc.join(nTok, "doc_id")
+      .select($"doc_id", $"n_spans", $"dup_tokens", $"longest_span",
+        expr("dup_tokens * 1000000 div n_tokens").as("dup_ppm"))
+      .orderBy($"doc_id")
+  }
+
+  /** EXACT SUBSTRING-level duplication — the SPAN form of dedup that
+    * document-level minhash cannot see (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better": a
+    * meaningful fraction of web-corpus tokens sit in verbatim runs
+    * repeated across otherwise-distinct documents — boilerplate,
+    * licenses, navigation chrome — and removing the SPANS, not whole
+    * documents, is the effective treatment). Here the signal is
+    * 8-word grams: for each doc, every maximal token span covered by
+    * grams that also occur in another document, reported as span
+    * count, duplicated-token total, longest span, and the duplicated
+    * fraction of the doc (exact integer ppm).
+    *
+    * Plan shape at 100 TB: gram generation is the codegen'd
+    * [[wordNgramsAll]] kernel with positions from `posexplode` (one
+    * pass per doc); the duplicated-gram table is one map-side-combined
+    * groupBy on the gram; the mark-back is a shuffle equi-join on the
+    * gram (AQE broadcasts it when the dup set is small — the common
+    * case); span merging is two windows partitioned BY DOC (bounded
+    * per-doc work, no global window). The join key here is the raw
+    * 8-word string because the DuckDB oracle re-derives literal grams
+    * (the text_decontam convention); the production-scale variant
+    * keys gram tables on `xxhash64(g)` instead, cutting shuffle width
+    * ~5x at a vanishing 64-bit collision risk (a collision merely
+    * flags one extra 8-gram as duplicated). Planted gates in
+    * TextPipelineSpec: a shared 12-word run yields one 12-token span
+    * on both sides; a 7-word shared run is invisible at width 8; two
+    * disjoint shared runs yield n_spans=2.
+    *
+    * Reference analogue: hops-format corpus hygiene has no native
+    * counterpart — this is the training-pipeline extension family
+    * (SURVEY §2.7). */
+  def text_dup_spans(s: SparkSession, d: String): DataFrame =
+    dupSpans(Tables.documents(s, d), 8)
+
   /** Sequence PACKING — map each document onto its token offsets in
     * the concatenate-and-chunk layout every LM training run feeds its
     * dataloader (docs joined in doc_id order, the token stream cut
@@ -996,6 +1072,7 @@ object TextOps {
     "text_pipeline_near" -> text_pipeline_near _,
     "text_decontam" -> text_decontam _,
     "text_decontam_bloom" -> text_decontam_bloom _,
+    "text_dup_spans" -> text_dup_spans _,
     "text_repetition" -> text_repetition _,
     "text_split" -> text_split _,
     "text_token_hist" -> text_token_hist _)
@@ -1405,6 +1482,45 @@ object TextOps {
         |FROM g JOIN e USING (g)
         |WHERE doc_id % 10 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Same literal-gram derivation, now POSITIONAL: gaps-and-islands
+    // over duplicated gram starts (new island when the gap > 8), span
+    // end = last start + 8. Positions are 1-based here vs Spark's
+    // 0-based posexplode — only gaps and end-start differences reach
+    // the output, so the base cancels.
+    "text_dup_spans" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+        | FROM documents),
+        |g AS (
+        | SELECT doc_id, u.i AS pos, array_to_string(ws[u.i:u.i+7], ' ') AS g
+        | FROM t, LATERAL unnest(range(1, len(ws) - 6)) AS u(i)
+        | WHERE len(ws) >= 8),
+        |dup AS (
+        | SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
+        | WHERE nd >= 2),
+        |h AS (SELECT doc_id, pos FROM g JOIN dup USING (g)),
+        |isl AS (
+        | SELECT doc_id, pos,
+        |  CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 8
+        |       THEN 1 ELSE 0 END AS ns
+        | FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |sp AS (
+        | SELECT doc_id, span_id, min(pos) AS st, max(pos) + 8 AS en
+        | FROM (SELECT doc_id, pos,
+        |        sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+        |       FROM isl)
+        | GROUP BY 1, 2),
+        |agg AS (
+        | SELECT doc_id, count(*) AS n_spans,
+        |  CAST(sum(en - st) AS BIGINT) AS dup_tokens,
+        |  CAST(max(en - st) AS BIGINT) AS longest_span
+        | FROM sp GROUP BY 1)
+        |SELECT a.doc_id, n_spans, dup_tokens, longest_span,
+        | dup_tokens * 1000000 // n_tokens AS dup_ppm
+        |FROM agg a
+        |JOIN (SELECT doc_id, len(ws) AS n_tokens FROM t) n USING (doc_id)
+        |ORDER BY a.doc_id""".stripMargin,
     "text_bigrams" ->
       """WITH t AS (
         | SELECT doc_id,

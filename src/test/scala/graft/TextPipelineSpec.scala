@@ -274,6 +274,43 @@ class TextPipelineSpec extends SparkSpec {
       s"expected {1->1, 2->3}, got $got")
   }
 
+  test("dupSpans merges shared runs into exact spans and ignores sub-width runs") {
+    import spark.implicits._
+    val run12 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val run7 = "mike november oscar papa quebec romeo sierra"
+    val runA = "one two three four five six seven eight"
+    val runB = "red orange yellow green blue indigo violet ultra"
+    val fixtures = Seq(
+      // docs 1/2 share a verbatim 12-word run (5 dup 8-grams -> ONE
+      // merged span of 12 tokens on each side)
+      (1L, s"aa bb $run12 cc dd"),
+      (2L, s"$run12 tail words here"),
+      // doc 3 shares only a 7-word run with doc 4 — below gram width,
+      // must NOT be flagged
+      (3L, s"$run7 filler words beyond the shared part"),
+      (4L, s"unrelated lead $run7 something else entirely follows now"),
+      // docs 5/6 share TWO disjoint 8-word runs -> n_spans = 2,
+      // 16 dup tokens each
+      (5L, s"$runA gap1x gap2x gap3x $runB"),
+      (6L, s"$runB other1 other2 other3 $runA"),
+      // clean doc
+      (7L, "zz yy xx ww vv uu tt ss rr qq pp oo"))
+      .toDF("doc_id", "text")
+    val got = TextOps.dupSpans(fixtures, 8).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // doc 1: 16 tokens, one 12-token span; doc 2: 15 tokens
+    assert(got(1L) == ((1L, 12L, 12L, 12L * 1000000L / 16L)), s"doc1 ${got.get(1L)}")
+    assert(got(2L) == ((1L, 12L, 12L, 12L * 1000000L / 15L)), s"doc2 ${got.get(2L)}")
+    // docs 5/6: two disjoint 8-token spans, 19 tokens each
+    assert(got(5L) == ((2L, 16L, 8L, 16L * 1000000L / 19L)), s"doc5 ${got.get(5L)}")
+    assert(got(6L) == ((2L, 16L, 8L, 16L * 1000000L / 19L)), s"doc6 ${got.get(6L)}")
+    assert(!got.contains(3L) && !got.contains(4L),
+      "7-word shared run must be invisible at gram width 8")
+    assert(!got.contains(7L), "clean doc must not be flagged")
+  }
+
   test("text_decontam_bloom equals the exact variant (FPs removed by the join)") {
     val exact = TextOps.text_decontam(spark, sf001).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
