@@ -688,10 +688,33 @@ object TextOps {
     * island starts when the gap to the previous duplicated gram
     * exceeds `k`, since every gram covers exactly `k` tokens). Output
     * one row per doc that has ≥1 duplicated span. */
+  /** Gaps-and-islands merge shared by [[dupSpans]]/[[dupStrip]]:
+    * input (doc_id, pos: long) gram starts, output one row per merged
+    * maximal span (doc_id, span_id, st, en) where the span covers
+    * token positions [st, en). Fixed gram width `k` makes the merge a
+    * pure lag test: windows [p, p+k) and [p', p'+k) overlap or touch
+    * exactly when p' - p <= k for sorted starts. Both windows are
+    * partitioned BY DOC — bounded per-doc work, no global sort. */
+  private def spanIslands(hits: DataFrame, k: Int): DataFrame = {
+    import hits.sparkSession.implicits._
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    hits
+      .withColumn("ns",
+        when(lag($"pos", 1).over(w).isNull ||
+          $"pos" - lag($"pos", 1).over(w) > k, 1L).otherwise(0L))
+      .withColumn("span_id", sum($"ns").over(w))
+      .groupBy($"doc_id", $"span_id")
+      .agg(min($"pos").as("st"), (max($"pos") + k).as("en"))
+  }
+
   def dupSpans(docs: DataFrame, k: Int): DataFrame = {
     import docs.sparkSession.implicits._
-    val grams = docs.select($"doc_id",
-      posexplode(wordNgramsAll($"text", k)).as(Seq("pos", "g")))
+    // The gram pass feeds BOTH sides of the mark-back join (and the
+    // token counts below) — self-joins recompute their lineage per
+    // side, so persist it once (released by the consumer via
+    // CacheRegistry, the dedup-signature convention).
+    val grams = graft.CacheRegistry.cache(docs.select($"doc_id",
+      posexplode(wordNgramsAll($"text", k)).as(Seq("pos", "g"))))
     // Grams seen in >= 2 DISTINCT docs (a gram repeated inside one doc
     // is text_repetition's business, not cross-doc duplication).
     val dup = grams.groupBy($"g")
@@ -701,20 +724,15 @@ object TextOps {
     // span stat (and the oracle's BIGINT schema) is uniformly long
     val hits = grams.join(dup, "g")
       .select($"doc_id", $"pos".cast("long").as("pos"))
-    val w = Window.partitionBy($"doc_id").orderBy($"pos")
-    val spans = hits
-      .withColumn("ns",
-        when(lag($"pos", 1).over(w).isNull ||
-          $"pos" - lag($"pos", 1).over(w) > k, 1L).otherwise(0L))
-      .withColumn("span_id", sum($"ns").over(w))
-      .groupBy($"doc_id", $"span_id")
-      .agg(min($"pos").as("st"), (max($"pos") + k).as("en"))
-    val perDoc = spans.groupBy($"doc_id")
+    val perDoc = spanIslands(hits, k).groupBy($"doc_id")
       .agg(count(lit(1)).as("n_spans"),
         sum($"en" - $"st").as("dup_tokens"),
         max($"en" - $"st").as("longest_span"))
-    val nTok = docs.select($"doc_id",
-      size(wordNgramsAll($"text", 1)).cast("long").as("n_tokens"))
+    // n_tokens from the SAME persisted gram pass, not a third scan of
+    // docs: a doc with g grams of width k has g + k - 1 = max(pos) + k
+    // tokens (0-based starts), and every doc in perDoc has >= 1 gram.
+    val nTok = grams.groupBy($"doc_id")
+      .agg((max($"pos") + k).cast("long").as("n_tokens"))
     perDoc.join(nTok, "doc_id")
       .select($"doc_id", $"n_spans", $"dup_tokens", $"longest_span",
         expr("dup_tokens * 1000000 div n_tokens").as("dup_ppm"))
@@ -754,6 +772,57 @@ object TextOps {
     * (SURVEY §2.7). */
   def text_dup_spans(s: SparkSession, d: String): DataFrame =
     dupSpans(Tables.documents(s, d), 8)
+
+  /** Core of [[text_dup_strip]]: the REMOVAL counterpart of
+    * [[dupSpans]]. Every duplicated gram gets one CANONICAL owner —
+    * the smallest doc_id containing it — and a doc removes exactly
+    * the token positions covered by duplicated grams it does NOT own.
+    * The corpus keeps one copy of every duplicated run (in its owner
+    * doc) and strips the rest — Lee et al. 2022's
+    * keep-one-occurrence treatment made deterministic. Output one row
+    * per doc that strips ≥1 token: total/removed/kept token counts
+    * and the removed fraction (integer ppm); owner docs don't appear
+    * (they keep their copy). */
+  def dupStrip(docs: DataFrame, k: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    // Persisted once for the same three consumers as [[dupSpans]].
+    val grams = graft.CacheRegistry.cache(docs.select($"doc_id",
+      posexplode(wordNgramsAll($"text", k)).as(Seq("pos", "g"))))
+    val owners = grams.groupBy($"g")
+      .agg(count_distinct($"doc_id").as("nd"), min($"doc_id").as("owner"))
+      .filter($"nd" >= 2).select($"g", $"owner")
+    val hits = grams.join(owners, "g")
+      .filter($"doc_id" =!= $"owner")
+      .select($"doc_id", $"pos".cast("long").as("pos"))
+    val perDoc = spanIslands(hits, k).groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_removed_spans"),
+        sum($"en" - $"st").as("removed_tokens"))
+    val nTok = grams.groupBy($"doc_id")
+      .agg((max($"pos") + k).cast("long").as("n_tokens"))
+    perDoc.join(nTok, "doc_id")
+      .select($"doc_id", $"n_tokens", $"n_removed_spans", $"removed_tokens",
+        ($"n_tokens" - $"removed_tokens").as("kept_tokens"),
+        expr("removed_tokens * 1000000 div n_tokens").as("removed_ppm"))
+      .orderBy($"doc_id")
+  }
+
+  /** DUPLICATE-SPAN STRIPPING — what a curation run actually DOES
+    * with [[text_dup_spans]]' findings: keep ONE canonical occurrence
+    * of every duplicated verbatim run (the smallest-doc_id holder of
+    * each duplicated 8-word gram) and cut the repeats everywhere
+    * else, reporting per affected doc the tokens stripped and kept.
+    * min-doc_id ownership makes the keep-one choice deterministic and
+    * engine-portable — no dependence on scan order or partitioning.
+    *
+    * Plan shape at 100 TB is [[dupSpans]]' (one positional codegen'd
+    * gram pass, one map-side-combined gram groupBy now also carrying
+    * `min(doc_id)`, equi-join mark-back, per-doc island windows) plus
+    * one extra filter — ownership adds no shuffle. Oracle re-derives
+    * owners as `min(doc_id) OVER` the literal gram groups in DuckDB;
+    * owner-keeps-copy / repeat-strips-span / sub-width-invisible
+    * gates in TextPipelineSpec. */
+  def text_dup_strip(s: SparkSession, d: String): DataFrame =
+    dupStrip(Tables.documents(s, d), 8)
 
   /** Sequence PACKING — map each document onto its token offsets in
     * the concatenate-and-chunk layout every LM training run feeds its
@@ -1073,6 +1142,7 @@ object TextOps {
     "text_decontam" -> text_decontam _,
     "text_decontam_bloom" -> text_decontam_bloom _,
     "text_dup_spans" -> text_dup_spans _,
+    "text_dup_strip" -> text_dup_strip _,
     "text_repetition" -> text_repetition _,
     "text_split" -> text_split _,
     "text_token_hist" -> text_token_hist _)
@@ -1518,6 +1588,45 @@ object TextOps {
         | FROM sp GROUP BY 1)
         |SELECT a.doc_id, n_spans, dup_tokens, longest_span,
         | dup_tokens * 1000000 // n_tokens AS dup_ppm
+        |FROM agg a
+        |JOIN (SELECT doc_id, len(ws) AS n_tokens FROM t) n USING (doc_id)
+        |ORDER BY a.doc_id""".stripMargin,
+    // dup_spans' derivation plus per-gram ownership: owner =
+    // min(doc_id) over the gram group; only NON-owned hits feed the
+    // island merge, so the owner doc keeps its copy.
+    "text_dup_strip" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+        | FROM documents),
+        |g AS (
+        | SELECT doc_id, u.i AS pos, array_to_string(ws[u.i:u.i+7], ' ') AS g
+        | FROM t, LATERAL unnest(range(1, len(ws) - 6)) AS u(i)
+        | WHERE len(ws) >= 8),
+        |own AS (
+        | SELECT g, min(doc_id) AS owner FROM g GROUP BY 1
+        | HAVING count(DISTINCT doc_id) >= 2),
+        |h AS (
+        | SELECT doc_id, pos FROM g JOIN own USING (g)
+        | WHERE doc_id <> owner),
+        |isl AS (
+        | SELECT doc_id, pos,
+        |  CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 8
+        |       THEN 1 ELSE 0 END AS ns
+        | FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |sp AS (
+        | SELECT doc_id, span_id, min(pos) AS st, max(pos) + 8 AS en
+        | FROM (SELECT doc_id, pos,
+        |        sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+        |       FROM isl)
+        | GROUP BY 1, 2),
+        |agg AS (
+        | SELECT doc_id, count(*) AS n_removed_spans,
+        |  CAST(sum(en - st) AS BIGINT) AS removed_tokens
+        | FROM sp GROUP BY 1)
+        |SELECT a.doc_id, n_tokens, n_removed_spans, removed_tokens,
+        | n_tokens - removed_tokens AS kept_tokens,
+        | removed_tokens * 1000000 // n_tokens AS removed_ppm
         |FROM agg a
         |JOIN (SELECT doc_id, len(ws) AS n_tokens FROM t) n USING (doc_id)
         |ORDER BY a.doc_id""".stripMargin,

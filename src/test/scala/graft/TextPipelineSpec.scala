@@ -311,6 +311,43 @@ class TextPipelineSpec extends SparkSpec {
     assert(!got.contains(7L), "clean doc must not be flagged")
   }
 
+  test("dupStrip keeps the owner copy and strips repeats, per-gram ownership") {
+    import spark.implicits._
+    val run12 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val runA = "one two three four five six seven eight"
+    val runB = "red orange yellow green blue indigo violet ultra"
+    val runX = "ax bx cx dx ex fx gx hx"
+    val runY = "ay by cy dy ey fy gy hy"
+    val fixtures = Seq(
+      // doc 1 owns run12 (smallest id) -> keeps its copy, absent from
+      // output; doc 2 strips the 12-token span
+      (1L, s"aa bb $run12 cc dd"),
+      (2L, s"$run12 tail words here"),
+      // doc 5 owns BOTH disjoint runs -> doc 6 strips two spans
+      (5L, s"$runA gap1x gap2x gap3x $runB"),
+      (6L, s"$runB other1 other2 other3 $runA"),
+      // per-gram ownership: doc 8 owns runX, doc 9 owns runY; doc 9
+      // strips only the runX span, doc 10 strips the runY span
+      (8L, s"$runX f1 f2 f3"),
+      (9L, s"$runX m1 $runY"),
+      (10L, s"l1 l2 $runY"))
+      .toDF("doc_id", "text")
+    val got = TextOps.dupStrip(fixtures, 8).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got.keySet == Set(2L, 6L, 9L, 10L),
+      s"owners must keep their copies; got ${got.keySet}")
+    // doc 2: 15 tokens, one 12-token span stripped
+    assert(got(2L) == ((15L, 1L, 12L, 3L, 12L * 1000000L / 15L)), s"doc2 ${got(2L)}")
+    // doc 6: 19 tokens, two 8-token spans stripped
+    assert(got(6L) == ((19L, 2L, 16L, 3L, 16L * 1000000L / 19L)), s"doc6 ${got(6L)}")
+    // doc 9: 17 tokens, strips runX (8) but KEEPS its owned runY
+    assert(got(9L) == ((17L, 1L, 8L, 9L, 8L * 1000000L / 17L)), s"doc9 ${got(9L)}")
+    // doc 10: 10 tokens, strips runY (8)
+    assert(got(10L) == ((10L, 1L, 8L, 2L, 800000L)), s"doc10 ${got(10L)}")
+  }
+
   test("text_decontam_bloom equals the exact variant (FPs removed by the join)") {
     val exact = TextOps.text_decontam(spark, sf001).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
