@@ -116,7 +116,16 @@ object Scale {
       // (only delta-touching buckets enumerate).
       "dedup_incremental" -> (Dedup.dedup_incremental _),
       "dedup_clusters" -> (Dedup.dedup_clusters _),
-      "mm_near_dups" -> (graft.operators.Multimodal.mm_near_dups _))
+      "mm_near_dups" -> (graft.operators.Multimodal.mm_near_dups _),
+      // r13: substring-span dedup — positional gram candidate gen.
+      // Below the wrap every copy's grams are copy-local, so span rows
+      // scale exactly N×; wrapped copies (factor >= 27) share EVERY
+      // gram with their rotation-mate, so each wrapped doc collapses
+      // to one whole-doc span (dup_spans) and the higher-id mate
+      // strips its full text (dup_strip) — whole-corpus duplication,
+      // the regime Lee et al. removal exists for, exercised for free.
+      "text_dup_spans" -> (graft.operators.TextOps.text_dup_spans _),
+      "text_dup_strip" -> (graft.operators.TextOps.text_dup_strip _))
     // r13: SemDeDup rides along with its DOCUMENTED posture applied —
     // k grows with the corpus (32·factor), holding E[|cell|] flat, so
     // per-cell pair volume (and wall time) should stay ~linear; past
