@@ -199,6 +199,40 @@ object Sources {
       .orderBy($"s_nationkey")
   }
 
+  /** XML ingest — the reference ships a dedicated XML record reader
+    * for exactly this shape (hadoop-tools/hadoop-streaming/src/main/
+    * java/org/apache/hadoop/streaming/StreamXmlRecordReader.java:1 —
+    * record boundaries found by scanning for the row tag), because
+    * config dumps and legacy feeds arrive as XML in any long-lived
+    * Hadoop shop. Spark 4 carries the XML datasource natively:
+    * export a projection once to tmp (setup, like the other flat-file
+    * sources), read it back by `rowTag` with an EXPLICIT schema
+    * (schema inference would scan twice), aggregate. Reads split per
+    * FILE (the writer emits one file per input partition, so
+    * parallelism survives the round-trip; a single giant XML file
+    * would serialize — the same caveat the reference's reader answers
+    * by splitting on tag boundaries). Money stays in integer cents
+    * through the engine boundary. The parquet-side oracle proves the
+    * XML round-trip preserved keys, strings and values. */
+  def src_xml_agg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_xml_${dirTag(d)}")
+    val cust = Tables.customer(s, d)
+      .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+    exportOnce(s"xml:$d") {
+      cust.write.mode("overwrite").option("rowTag", "customer")
+        .format("xml").save(dir.getPath)
+    }
+    s.read.option("rowTag", "customer")
+      .schema(cust.schema)
+      .format("xml").load(dir.getPath)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(round($"c_acctbal" * 100).cast("long")).as("acctbal_cents"))
+      .orderBy($"c_mktsegment")
+  }
+
   /** Bucketed-table names for a source dir (path-addressed so
     * different sf dirs coexist in one warehouse); memoized on SUCCESS
     * only and serialized, like [[pageviewTable]]. */
@@ -452,6 +486,7 @@ object Sources {
     "src_csv_agg" -> src_csv_agg _,
     "src_jsonl_agg" -> src_jsonl_agg _,
     "src_orc_agg" -> src_orc_agg _,
+    "src_xml_agg" -> src_xml_agg _,
     "src_bucketed_join" -> src_bucketed_join _,
     "src_partitioned_prune" -> src_partitioned_prune _)
 
@@ -488,6 +523,10 @@ object Sources {
       """SELECT s_nationkey, count(*) AS n_suppliers,
         | round(avg(s_acctbal),2) AS avg_acctbal
         |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src_xml_agg" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        | CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
     "src_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
         | round(sum(o_totalprice),2) AS total_price

@@ -93,6 +93,19 @@ class SourcesSpec extends SparkSpec {
     assert(viaSeq.toSeq == direct.toSeq)
   }
 
+  test("XML round-trip preserves keys, strings and money") {
+    import spark.implicits._
+    val viaXml = Sources.src_xml_agg(spark, sf0001).collect()
+    val direct = Tables.customer(spark, sf0001)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(round($"c_acctbal" * 100).cast("long")).as("acctbal_cents"))
+      .orderBy($"c_mktsegment")
+      .collect()
+    assert(viaXml.nonEmpty)
+    assert(viaXml.toSeq == direct.toSeq)
+  }
+
   test("Avro container round-trip preserves every record (GenericRecord boundary)") {
     import spark.implicits._
     val viaAvro = Sources.src_avro_agg(spark, sf0001).collect()
