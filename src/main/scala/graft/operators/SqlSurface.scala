@@ -119,13 +119,60 @@ object SqlSurface {
     s.sql(sql)
   }
 
+  /** Substring-span dedup as pure SQL TEXT — the [[TextOps
+    * .text_dup_spans]] semantics written the way a Hive/SQL-text user
+    * would have to: the codegen'd positional gram kernel reached
+    * through the extension-registered `graft_word_ngrams` via LATERAL
+    * VIEW posexplode, the duplicated-gram set as a HAVING over a
+    * distinct count, and the gaps-and-islands merge as named-window
+    * lag/running-sum — no Scala anywhere. Hash-compared against the
+    * same DuckDB oracle as the DataFrame form (which derives literal
+    * grams by list slicing — two engines, two formulations, one
+    * result), and SqlParitySpec asserts SQL ≡ DataFrame rows. Token
+    * counts come from the gram positions (max(pos) + 8), the same
+    * no-extra-scan identity the DataFrame form uses. */
+  private val textDupSpansSql =
+    """WITH g AS (
+      | SELECT doc_id, p.pos, p.gm
+      | FROM documents
+      | LATERAL VIEW posexplode(graft_word_ngrams(text, 8)) p AS pos, gm),
+      |dup AS (
+      | SELECT gm FROM g GROUP BY gm HAVING count(DISTINCT doc_id) >= 2),
+      |h AS (
+      | SELECT g.doc_id, CAST(g.pos AS BIGINT) AS pos
+      | FROM g JOIN dup USING (gm)),
+      |isl AS (
+      | SELECT doc_id, pos,
+      |  CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 8
+      |       THEN 1 ELSE 0 END AS ns
+      | FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |sp AS (
+      | SELECT doc_id, span_id, min(pos) AS st, max(pos) + 8 AS en
+      | FROM (SELECT doc_id, pos,
+      |        sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+      |       FROM isl)
+      | GROUP BY doc_id, span_id),
+      |agg AS (
+      | SELECT doc_id, count(*) AS n_spans, sum(en - st) AS dup_tokens,
+      |  max(en - st) AS longest_span
+      | FROM sp GROUP BY doc_id),
+      |nt AS (
+      | SELECT doc_id, CAST(max(pos) + 8 AS BIGINT) AS n_tokens
+      | FROM g GROUP BY doc_id)
+      |SELECT a.doc_id, n_spans, dup_tokens, longest_span,
+      | dup_tokens * 1000000 div n_tokens AS dup_ppm
+      |FROM agg a JOIN nt USING (doc_id)
+      |ORDER BY a.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     shared.map(k => s"sql_$k" -> viaSql(k) _).toMap ++
       crossFamily.map { case (k, sql) => s"sql_$k" -> viaText(sql) _ } +
-      ("sql_ann_cos_range" -> (sqlAnnCosRange _))
+      ("sql_ann_cos_range" -> (sqlAnnCosRange _)) +
+      ("sql_text_dup_spans" -> (viaText(textDupSpansSql) _))
 
   val oracle: Map[String, String] =
     shared.map(k => s"sql_$k" -> Relational.oracle(k)).toMap ++
       crossFamily.map { case (k, sql) => s"sql_$k" -> sql } +
-      ("sql_ann_cos_range" -> Similarity.oracle("ann_cos_range"))
+      ("sql_ann_cos_range" -> Similarity.oracle("ann_cos_range")) +
+      ("sql_text_dup_spans" -> TextOps.oracle("text_dup_spans"))
 }

@@ -20,7 +20,11 @@ class SqlParitySpec extends SparkSpec {
     "dedup_exact" -> Dedup.dedup_exact _,
     "fs_du" -> MetadataOps.fs_du _,
     "mr_join" -> MapReduceOps.mr_join _,
-    "ev_window_agg" -> EventOps.ev_window_agg _)
+    "ev_window_agg" -> EventOps.ev_window_agg _,
+    // substring-span dedup: the SQL text re-derives grams through the
+    // extension-registered kernel + named-window islands, the
+    // DataFrame form through posexplode + Column windows
+    "text_dup_spans" -> graft.operators.TextOps.text_dup_spans _)
 
   pairs.foreach { case (key, dfForm) =>
     test(s"spark.sql($key) == DataFrame $key") {
