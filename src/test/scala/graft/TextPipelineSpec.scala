@@ -348,6 +348,64 @@ class TextPipelineSpec extends SparkSpec {
     assert(got(10L) == ((10L, 1L, 8L, 2L, 800000L)), s"doc10 ${got(10L)}")
   }
 
+  test("dupSpans/dupStrip equal a position-coverage brute force on dense random corpora") {
+    import spark.implicits._
+    // 6-word vocab at k=4 → heavy cross-doc gram collisions, so island
+    // merging (overlap, adjacency, multi-span, whole-doc coverage) is
+    // stressed far beyond the planted fixtures; seeded for determinism
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 6).map(i => s"w$i")
+    val k = 4
+    val docs: Seq[(Long, String)] = (1L to 40L).map { id =>
+      val n = 5 + rnd.nextInt(36)
+      id -> Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val grams: Map[Long, Seq[(Int, String)]] = toks.map { case (id, ws) =>
+      id -> (if (ws.length >= k)
+        (0 to ws.length - k).map(i => i -> ws.slice(i, i + k).mkString(" "))
+      else Seq.empty)
+    }
+    val holders: Map[String, Seq[Long]] = grams.toSeq
+      .flatMap { case (id, gs) => gs.map(g => g._2 -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
+    // coverage truth: position t duplicated iff some covering gram is
+    // held elsewhere (spans), or held by a smaller doc_id (strip)
+    def brute(remove: (Long, String) => Boolean): Map[Long, (Long, Long, Long)] =
+      grams.flatMap { case (id, gs) =>
+        val covered = Array.fill(toks(id).length)(false)
+        gs.foreach { case (p, g) =>
+          if (remove(id, g)) (p until p + k).foreach(covered(_) = true) }
+        val spans = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+        var i = 0
+        while (i < covered.length) {
+          if (covered(i)) {
+            var j = i; while (j < covered.length && covered(j)) j += 1
+            spans += ((i, j)); i = j
+          } else i += 1
+        }
+        if (spans.isEmpty) None
+        else Some(id -> (spans.length.toLong,
+          spans.map(s => (s._2 - s._1).toLong).sum,
+          spans.map(s => (s._2 - s._1).toLong).max))
+      }
+    val df = docs.toDF("doc_id", "text")
+
+    val gotSpans = TextOps.dupSpans(df, k).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val expSpans = brute((id, g) => holders(g).exists(_ != id))
+    assert(gotSpans == expSpans,
+      s"dupSpans diverged from brute force: ${gotSpans.size} vs ${expSpans.size} docs")
+    assert(expSpans.size >= 30, s"fixture too sparse (${expSpans.size} flagged) — not a stress test")
+
+    val gotStrip = TextOps.dupStrip(df, k).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val expStrip = brute((id, g) => holders(g).exists(_ != id) && holders(g).min != id)
+      .map { case (id, (n, tot, _)) => id -> (n, tot) }
+    assert(gotStrip == expStrip,
+      s"dupStrip diverged from brute force: ${gotStrip.size} vs ${expStrip.size} docs")
+  }
+
   test("text_decontam_bloom equals the exact variant (FPs removed by the join)") {
     val exact = TextOps.text_decontam(spark, sf001).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
