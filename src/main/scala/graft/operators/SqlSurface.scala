@@ -130,7 +130,16 @@ object SqlSurface {
     * grams by list slicing — two engines, two formulations, one
     * result), and SqlParitySpec asserts SQL ≡ DataFrame rows. Token
     * counts come from the gram positions (max(pos) + 8), the same
-    * no-extra-scan identity the DataFrame form uses. */
+    * no-extra-scan identity the DataFrame form uses.
+    *
+    * Known cost of the single-statement form: Catalyst INLINES
+    * deterministic CTEs, so the three references to `g` re-run the
+    * gram pass three times (verified in the physical plan — three
+    * Generates over three scans). The DataFrame form persists the
+    * gram pass once via CacheRegistry and is the production path; a
+    * SQL-text user at scale gets the same effect with CACHE TABLE
+    * around the statement. This query exists to prove REACHABILITY
+    * from the SQL persona, verified against the same oracle. */
   private val textDupSpansSql =
     """WITH g AS (
       | SELECT doc_id, p.pos, p.gm
