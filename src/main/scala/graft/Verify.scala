@@ -41,8 +41,10 @@ object Verify {
           s"[verify] WARNING: $nonAscii documents contain non-ASCII text — " +
             "the byte-vs-codepoint identity behind the dedup/text gram oracles " +
             "no longer holds; expect hash mismatches on dedup_minhash_lsh/" +
-            "dedup_incremental/dedup_ngram_jaccard/dedup_simhash/dedup_cdc " +
-            "and the winnowing/CDC text oracles")
+            "dedup_incremental/dedup_ngram_jaccard/dedup_simhash/dedup_cdc, " +
+            "the winnowing/CDC text oracles, and the dup-span family " +
+            "(text_dup_spans/text_dup_strip/sql_text_dup_spans — kernel " +
+            "per-char lowercase vs SQL lower())")
     }
     val failed = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
