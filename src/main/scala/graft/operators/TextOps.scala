@@ -679,6 +679,64 @@ object TextOps {
       .withColumnRenamed("shared_grams", "shared_8grams")
   }
 
+  /** Core of [[text_ccnet_buckets]], parameterized for the spec's
+    * synthetic score fixtures: input any relation with (doc_id, lang,
+    * mean_cond_ppm). Cutoffs c1/c2 are the largest scores whose
+    * DESCENDING cumulative doc count reaches ceil(n/3) and ceil(2n/3)
+    * per language; head = score ≥ c1, middle = score ≥ c2, tail =
+    * rest. Value ties share a bucket by construction (cutoffs are
+    * score thresholds, not ranks), so bucket sizes deviate from exact
+    * terciles only by tie mass — deterministic on both engines with
+    * no rank tie-break. */
+  def ccnetBucketsFrom(scored: DataFrame): DataFrame = {
+    import scored.sparkSession.implicits._
+    val hist = scored.groupBy($"lang", $"mean_cond_ppm".as("sc"))
+      .agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum",
+      sum($"c").over(Window.partitionBy($"lang").orderBy($"sc".desc)))
+    val cuts = cum
+      .join(hist.groupBy($"lang").agg(sum($"c").as("n")), "lang")
+      .groupBy($"lang")
+      .agg(max(when($"cum" >= expr("(n + 2) div 3"), $"sc")).as("c1"),
+        max(when($"cum" >= expr("(2 * n + 2) div 3"), $"sc")).as("c2"))
+    scored.join(broadcast(cuts), "lang")
+      .select($"doc_id", $"lang", $"mean_cond_ppm",
+        when($"mean_cond_ppm" >= $"c1", lit("head"))
+          .when($"mean_cond_ppm" >= $"c2", lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .orderBy($"doc_id")
+  }
+
+  /** CCNet-style per-language QUALITY BUCKETING (Wenzek et al. 2020:
+    * split each language's corpus into head/middle/tail terciles by
+    * LM score, then train on head+middle and drop or re-weight tail —
+    * the curation step between scoring and sampling). Score =
+    * [[text_bigram_lm]]'s mean conditional bigram probability in
+    * integer ppm (higher = better-attested word sequences).
+    *
+    * The tercile cutoffs come from an exact integer score HISTOGRAM,
+    * not a per-language sort: per-(lang, score) counts + one running
+    * sum over that histogram yield the thresholds, and bucketing is a
+    * broadcast join + two comparisons per doc. At 100 TB the obvious
+    * ntile/row_number window would range-sort every language
+    * partition — and a 3-language corpus hands that shuffle 3 keys
+    * (maximal skew, unfixable by AQE splitting because ranking needs
+    * the whole partition); the histogram form shuffles only DISTINCT
+    * (lang, score) pairs, bounded by |langs|·10^6 rows regardless of
+    * corpus size, and never sorts the corpus. Docs with <2 tokens
+    * have no bigram score and are absent, as in text_bigram_lm.
+    * Oracle extends the text_bigram_lm re-derivation with the same
+    * histogram/threshold arithmetic; exact-tercile, tie-mass and
+    * per-language-independence gates in TextPipelineSpec. */
+  def text_ccnet_buckets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val scored = graft.CacheRegistry.cache(
+      bigramLmStats(docs).select($"doc_id", $"mean_cond_ppm")
+        .join(docs.select($"doc_id", $"lang"), "doc_id"))
+    ccnetBucketsFrom(scored)
+  }
+
   /** Core of [[text_dup_spans]], parameterized for the spec's planted-
     * duplication fixtures: input any relation with (doc_id, text) and
     * the gram width `k`. A token position is DUPLICATED when at least
@@ -1132,6 +1190,7 @@ object TextOps {
     "text_bpe_train" -> text_bpe_train _,
     "text_bpe_encode" -> text_bpe_encode _,
     "text_bigram_lm" -> text_bigram_lm _,
+    "text_ccnet_buckets" -> text_ccnet_buckets _,
     "text_quality" -> text_quality _,
     "text_tokens" -> text_tokens _,
     "text_langid" -> text_langid _,
@@ -1686,6 +1745,55 @@ object TextOps {
         |SELECT doc_id, n_bigrams, sum_cond // n_bigrams AS mean_cond_ppm,
         |       min_cond_ppm
         |FROM agg ORDER BY doc_id""".stripMargin,
+    // text_bigram_lm's re-derivation extended with the histogram
+    // threshold arithmetic: c1/c2 = largest scores whose descending
+    // cumulative count reaches ceil(n/3) / ceil(2n/3) per language.
+    "text_ccnet_buckets" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+        | FROM documents),
+        |u AS (
+        | SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS i
+        | FROM t),
+        |bi AS (
+        | SELECT a.doc_id, a.word || ' ' || c.word AS g,
+        |        count(*)::BIGINT AS tf
+        | FROM u a JOIN u c ON a.doc_id = c.doc_id AND c.i = a.i + 1
+        | GROUP BY 1, 2),
+        |bg AS (SELECT g, CAST(sum(tf) AS BIGINT) AS bg FROM bi GROUP BY 1),
+        |pref AS (
+        | SELECT string_split(g, ' ')[1] AS w1, CAST(sum(bg) AS BIGINT) AS pref
+        | FROM bg GROUP BY 1),
+        |cond AS (
+        | SELECT g, bg * 1000000 // pref AS cond_ppm
+        | FROM bg JOIN pref ON string_split(bg.g, ' ')[1] = pref.w1),
+        |agg AS (
+        | SELECT bi.doc_id,
+        |   CAST(sum(bi.tf) AS BIGINT) AS n_bigrams,
+        |   CAST(sum(bi.tf * cond.cond_ppm) AS BIGINT) AS sum_cond
+        | FROM bi JOIN cond USING (g) GROUP BY 1),
+        |scj AS (
+        | SELECT a.doc_id, d.lang, a.sum_cond // a.n_bigrams AS mean_cond_ppm
+        | FROM agg a JOIN documents d ON d.doc_id = a.doc_id),
+        |hist AS (
+        | SELECT lang, mean_cond_ppm AS sc, count(*)::BIGINT AS c
+        | FROM scj GROUP BY 1, 2),
+        |cum AS (
+        | SELECT lang, sc, c,
+        |  CAST(sum(c) OVER (PARTITION BY lang ORDER BY sc DESC) AS BIGINT) AS cum
+        | FROM hist),
+        |tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM hist GROUP BY 1),
+        |cuts AS (
+        | SELECT lang,
+        |  max(CASE WHEN cum >= (n + 2) // 3 THEN sc END) AS c1,
+        |  max(CASE WHEN cum >= (2 * n + 2) // 3 THEN sc END) AS c2
+        | FROM cum JOIN tot USING (lang) GROUP BY lang)
+        |SELECT doc_id, lang, mean_cond_ppm,
+        | CASE WHEN mean_cond_ppm >= c1 THEN 'head'
+        |      WHEN mean_cond_ppm >= c2 THEN 'middle'
+        |      ELSE 'tail' END AS bucket
+        |FROM scj JOIN cuts USING (lang) ORDER BY doc_id""".stripMargin,
     // Exact integer ppm mirror of the Spark side (integral division on
     // both engines) — the rounded-double form hash-broke at sf0.1 on
     // the 0.5 × .xxxx5 midpoint (HALF_UP vs float round).

