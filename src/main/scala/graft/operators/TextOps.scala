@@ -882,6 +882,54 @@ object TextOps {
   def text_dup_strip(s: SparkSession, d: String): DataFrame =
     dupStrip(Tables.documents(s, d), 8)
 
+  /** Core of [[text_decontam_spans]], parameterized like
+    * [[decontamShared]]: input any relation with (doc_id, text), an
+    * eval-membership predicate, and the gram width. For each NON-eval
+    * doc, the maximal token spans covered by k-grams that appear in
+    * the eval slice — the ranges an excision pass would cut. */
+  def decontamSpans(docs: DataFrame, isEval: Column, k: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val grams = graft.CacheRegistry.cache(docs.select($"doc_id",
+      isEval.as("is_eval"),
+      posexplode(wordNgramsAll($"text", k)).as(Seq("pos", "g"))))
+    val evalGrams = grams.filter($"is_eval").select($"g").distinct()
+    val hits = grams.filter(!$"is_eval")
+      .join(broadcast(evalGrams), "g")
+      .select($"doc_id", $"pos".cast("long").as("pos"))
+    val perDoc = spanIslands(hits, k).groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_excised_spans"),
+        sum($"en" - $"st").as("excised_tokens"))
+    val nTok = grams.filter(!$"is_eval").groupBy($"doc_id")
+      .agg((max($"pos") + k).cast("long").as("n_tokens"))
+    perDoc.join(nTok, "doc_id")
+      .select($"doc_id", $"n_tokens", $"n_excised_spans", $"excised_tokens",
+        ($"n_tokens" - $"excised_tokens").as("kept_tokens"),
+        expr("excised_tokens * 1000000 div n_tokens").as("excised_ppm"))
+      .orderBy($"doc_id")
+  }
+
+  /** SPAN-LEVEL DECONTAMINATION — [[text_decontam]] tells you WHICH
+    * train docs overlap the eval slice; this tells you WHERE, as
+    * maximal token ranges, so a curation run can EXCISE the
+    * contaminated spans instead of dropping whole documents (the
+    * surgical treatment when the overlap is a quoted benchmark
+    * question inside an otherwise-clean page). Same 8-word gram
+    * signal and `doc_id % 10` eval stand-in as text_decontam; same
+    * gaps-and-islands merge as [[text_dup_spans]].
+    *
+    * Plan shape at 100 TB: one positional codegen'd gram pass
+    * (persisted once for the three consumers), the eval gram set
+    * BROADCASTS (real eval slices are tiny — text_decontam's
+    * caveat about the 10% stand-in applies verbatim), islands in
+    * per-doc windows, token counts from gram positions. Oracle
+    * re-derives eval grams and islands in DuckDB; planted
+    * excised-run / sub-width / eval-absence gates in
+    * TextPipelineSpec. */
+  def text_decontam_spans(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    decontamSpans(Tables.documents(s, d), $"doc_id" % 10 === 0, 8)
+  }
+
   /** Sequence PACKING — map each document onto its token offsets in
     * the concatenate-and-chunk layout every LM training run feeds its
     * dataloader (docs joined in doc_id order, the token stream cut
@@ -1200,6 +1248,7 @@ object TextOps {
     "text_pipeline_near" -> text_pipeline_near _,
     "text_decontam" -> text_decontam _,
     "text_decontam_bloom" -> text_decontam_bloom _,
+    "text_decontam_spans" -> text_decontam_spans _,
     "text_dup_spans" -> text_dup_spans _,
     "text_dup_strip" -> text_dup_strip _,
     "text_repetition" -> text_repetition _,
@@ -1611,6 +1660,43 @@ object TextOps {
         |FROM g JOIN e USING (g)
         |WHERE doc_id % 10 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // dup_strip's island derivation against the EVAL gram set instead
+    // of ownership: positions covered by grams the doc_id % 10 slice
+    // also contains, merged to maximal spans.
+    "text_decontam_spans" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+        | FROM documents),
+        |g AS (
+        | SELECT doc_id, u.i AS pos, array_to_string(ws[u.i:u.i+7], ' ') AS g
+        | FROM t, LATERAL unnest(range(1, len(ws) - 6)) AS u(i)
+        | WHERE len(ws) >= 8),
+        |e AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 = 0),
+        |h AS (
+        | SELECT doc_id, pos FROM g JOIN e USING (g)
+        | WHERE doc_id % 10 <> 0),
+        |isl AS (
+        | SELECT doc_id, pos,
+        |  CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 8
+        |       THEN 1 ELSE 0 END AS ns
+        | FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |sp AS (
+        | SELECT doc_id, span_id, min(pos) AS st, max(pos) + 8 AS en
+        | FROM (SELECT doc_id, pos,
+        |        sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+        |       FROM isl)
+        | GROUP BY 1, 2),
+        |agg AS (
+        | SELECT doc_id, count(*) AS n_excised_spans,
+        |  CAST(sum(en - st) AS BIGINT) AS excised_tokens
+        | FROM sp GROUP BY 1)
+        |SELECT a.doc_id, n_tokens, n_excised_spans, excised_tokens,
+        | n_tokens - excised_tokens AS kept_tokens,
+        | excised_tokens * 1000000 // n_tokens AS excised_ppm
+        |FROM agg a
+        |JOIN (SELECT doc_id, len(ws) AS n_tokens FROM t) n USING (doc_id)
+        |ORDER BY a.doc_id""".stripMargin,
     // Same literal-gram derivation, now POSITIONAL: gaps-and-islands
     // over duplicated gram starts (new island when the gap > 8), span
     // end = last start + 8. Positions are 1-based here vs Spark's

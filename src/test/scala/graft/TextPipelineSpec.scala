@@ -445,6 +445,32 @@ class TextPipelineSpec extends SparkSpec {
     }
   }
 
+  test("decontamSpans excises merged eval-overlap ranges, never eval docs") {
+    import spark.implicits._
+    val evalDoc = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val fixtures = Seq(
+      (10L, evalDoc),
+      // eval's first 8 words verbatim -> one excised 8-token span
+      (1L, "xx yy alpha bravo charlie delta echo foxtrot golf hotel zz"),
+      // all 10 eval words -> 3 overlapping grams merge to ONE 10-token span
+      (2L, s"prefix words $evalDoc suffix words"),
+      // 7-word run -> below gram width, absent
+      (3L, "alpha bravo charlie delta echo foxtrot golf nothing more here at all"),
+      (4L, "one two three four five six seven eight nine ten eleven"))
+      .toDF("doc_id", "text")
+    val got = TextOps.decontamSpans(fixtures, $"doc_id" % 10 === 0, 8)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // doc 1: 11 tokens, one 8-token span at positions 2..9
+    assert(got(1L) == ((11L, 1L, 8L, 3L, 8L * 1000000L / 11L)), s"doc1 ${got.get(1L)}")
+    // doc 2: 14 tokens, one merged 10-token span
+    assert(got(2L) == ((14L, 1L, 10L, 4L, 10L * 1000000L / 14L)), s"doc2 ${got.get(2L)}")
+    assert(got.keySet == Set(1L, 2L),
+      s"only contaminated train docs may appear; got ${got.keySet}")
+  }
+
   test("text_decontam_bloom equals the exact variant (FPs removed by the join)") {
     val exact = TextOps.text_decontam(spark, sf001).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
