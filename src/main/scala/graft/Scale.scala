@@ -125,7 +125,19 @@ object Scale {
       // strips its full text (dup_strip) — whole-corpus duplication,
       // the regime Lee et al. removal exists for, exercised for free.
       "text_dup_spans" -> (graft.operators.TextOps.text_dup_spans _),
-      "text_dup_strip" -> (graft.operators.TextOps.text_dup_strip _))
+      "text_dup_strip" -> (graft.operators.TextOps.text_dup_strip _),
+      // r13: histogram-quantile bucketing — rows must be exactly
+      // (docs with >= 1 bigram) x factor; the histogram's distinct
+      // (lang, score) key count is what must stay bounded as the
+      // corpus grows (the posture claim under measurement).
+      "text_ccnet_buckets" -> (graft.operators.TextOps.text_ccnet_buckets _),
+      // r13: span-level decontam — the %10 eval slice ROTATES per copy
+      // (doc_id offset 2^40 ≡ 6 mod 10), so each copy is contaminated
+      // against a different 10% slice of itself: flagged volume is
+      // ~Nx (linear, slice-composition variation), not exactly Nx.
+      // Wrapped copies add whole-doc eval overlap wherever a doc's
+      // rotation-mate lands in the eval slice.
+      "text_decontam_spans" -> (graft.operators.TextOps.text_decontam_spans _))
     // r13: SemDeDup rides along with its DOCUMENTED posture applied —
     // k grows with the corpus (32·factor), holding E[|cell|] flat, so
     // per-cell pair volume (and wall time) should stay ~linear; past
