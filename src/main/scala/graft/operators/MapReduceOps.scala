@@ -150,8 +150,28 @@ object MapReduceOps {
     val (firstPrice, lastPrice) =
       if (summaries.isEmpty) (0.0, 0.0)
       else (summaries.head._2._1, summaries.last._3._1)
+    // TeraChecksum leg (reference: hadoop-mapreduce-examples/.../
+    // terasort/TeraChecksum.java — a separate job proving the sorted
+    // output is a PERMUTATION of the input, because an ordered output
+    // that lost or duplicated records still validates on order alone):
+    // order-independent FNV multiset fingerprints (the fs_copy_verify
+    // machinery, one global bucket) over the pre-sort projection and
+    // the sort output. Both fingerprint jobs are distributed
+    // aggregations to ONE row; the crossJoins below are the
+    // broadcast-scalar pattern, not data joins.
+    val proj = Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_linenumber",
+        round($"l_extendedprice", 2).as("l_extendedprice"))
+    val inFp = MetadataOps.fnvFingerprints(proj, "in", buckets = 1)
+    val outFp = MetadataOps.fnvFingerprints(mr_sort(s, d), "out", buckets = 1)
     Seq((totalRows, totalInv, firstPrice, lastPrice))
       .toDF("total_rows", "n_inversions", "first_price", "last_price")
+      .crossJoin(broadcast(inFp.select($"in_rows", $"in_xor", $"in_sum")))
+      .crossJoin(broadcast(outFp.select($"out_rows", $"out_xor", $"out_sum")))
+      .select($"total_rows", $"n_inversions", $"first_price", $"last_price",
+        $"in_xor".as("input_xor"), $"out_xor".as("output_xor"),
+        ($"in_rows" === $"out_rows" && $"in_xor" === $"out_xor" &&
+          $"in_sum" === $"out_sum").cast("long").as("checksum_match"))
   }
 
   /** QuasiMonteCarlo.java — the reference's flagship first example
@@ -396,12 +416,40 @@ object MapReduceOps {
          |   $wl[CAST((i * 2654435761 + k * 40503) % ${GenWords.length} AS BIGINT) + 1]), ' ')) AS BIGINT) AS n_chars
          |FROM range(10000) AS t(i) ORDER BY 1""".stripMargin
     },
+    // The checksum columns re-derive the fs_copy_verify FNV multiset
+    // fingerprint (cents-canonical doubles, chr(1) separators, columns
+    // in sorted-name order: l_extendedprice, l_linenumber, l_orderkey)
+    // over lineitem ONCE — input and output fingerprints are equal by
+    // definition for a permutation, so the oracle emits the same value
+    // twice; a Spark-side sort that loses or duplicates rows flips
+    // checksum_match and the hash mismatches.
     "mr_sort_validate" ->
-      """SELECT CAST(count(*) AS BIGINT) AS total_rows,
+      """WITH canon AS (
+        |  SELECT
+        |    CAST(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS VARCHAR) || chr(1) ||
+        |    CAST(l_linenumber AS VARCHAR) || chr(1) ||
+        |    CAST(l_orderkey AS VARCHAR) AS cs
+        |  FROM lineitem),
+        |fp AS (
+        |  SELECT list_reduce(
+        |    list_prepend(1469598103934665603::HUGEINT,
+        |      list_transform(string_split(cs, ''), ch -> ascii(ch)::HUGEINT)),
+        |    (acc, c) -> (xor(acc, c) * 1099511628211::HUGEINT)
+        |                % 18446744073709551616::HUGEINT) AS h
+        |  FROM canon),
+        |x AS (
+        |  SELECT CAST(bit_xor(
+        |    CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |         THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT))
+        |    AS BIGINT) AS xr
+        |  FROM fp)
+        |SELECT CAST(count(*) AS BIGINT) AS total_rows,
         | CAST(0 AS BIGINT) AS n_inversions,
         | round(max(l_extendedprice),2) AS first_price,
-        | round(min(l_extendedprice),2) AS last_price
-        |FROM lineitem""".stripMargin,
+        | round(min(l_extendedprice),2) AS last_price,
+        | x.xr AS input_xor, x.xr AS output_xor,
+        | CAST(1 AS BIGINT) AS checksum_match
+        |FROM lineitem, x GROUP BY x.xr""".stripMargin,
     "mr_wordcount" ->
       """SELECT word, count(*) AS cnt FROM (
         |  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
