@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** §2.3 HopsFS-metadata-style analytics. HopsFS's pitch is that
@@ -872,7 +873,156 @@ object MetadataOps {
       .orderBy($"source")
   }
 
+  /** HDFS centralized cache-administration report (`hdfs cacheadmin
+    * -listPools -stats` / -listDirectives; reference:
+    * hadoop-hdfs-project/hadoop-hdfs/src/main/java/org/apache/hadoop/
+    * hdfs/server/namenode/CacheManager.java:364 computeNeeded —
+    * a directive's bytesNeeded is the selected file bytes × its cache
+    * replication, accumulated into its CachePool; CachePool.java:290
+    * getBytesOverlimit = max(bytesNeeded − limit, 0); CacheManager
+    * .java:373 checkLimit rejects an addDirective that would push the
+    * pool past its limit).
+    *
+    * Model: a directive per (source, lang) prefix — "cache
+    * /source/lang at replication r(lang)" (hot English corpora at 3×,
+    * zh/fr at 2×, the rest at 1×); pools partition the 20 source
+    * directories by number mod 4; pool limits are deterministic
+    * slices of the global demand ((idx+1) × total/10 — so low-index
+    * pools are oversubscribed and high-index ones admit everything,
+    * both branches exercised at every SF). `admitted` evaluates
+    * checkLimit at plan time: a directive is flagged when the
+    * cumulative pool demand up to it (directive-id = (source, lang)
+    * order) already exceeds the pool limit — i.e. `addDirective`
+    * would throw "would exceed pool limit". (The live NameNode
+    * re-evaluates after each rejection, so a later small directive
+    * may still fit; this is the conservative plan-time report.)
+    *
+    * Scale: the directive table is namespace metadata (|sources| ×
+    * |langs| rows), built by one map-side-combined aggregate over the
+    * corpus; windows run over that metadata table, never the corpus;
+    * the global-demand scalar broadcasts. */
+  def fs_cache_plan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dirs = Tables.documents(s, d)
+      .groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("n_files"), sum($"n_chars").as("bytes"))
+      .withColumn("replication", expr(
+        "CASE lang WHEN 'en' THEN 3L WHEN 'zh' THEN 2L WHEN 'fr' THEN 2L ELSE 1L END"))
+      .withColumn("pool", expr(
+        "concat('pool_', cast(int(substring(source, 4, 10)) % 4 as string))"))
+      .withColumn("bytes_needed", $"bytes" * $"replication")
+    val global = dirs.agg(sum($"bytes_needed").as("g_needed"))
+    val admission = Window.partitionBy($"pool").orderBy($"source", $"lang")
+    val perPool = Window.partitionBy($"pool")
+    dirs.crossJoin(broadcast(global))
+      .withColumn("pool_limit",
+        expr("(int(substring(pool, 6, 10)) + 1) * (g_needed div 10)"))
+      .withColumn("cum_needed", sum($"bytes_needed").over(admission))
+      .withColumn("admitted", $"cum_needed" <= $"pool_limit")
+      .withColumn("pool_needed", sum($"bytes_needed").over(perPool))
+      .withColumn("pool_overlimit_bytes",
+        greatest(lit(0L), $"pool_needed" - $"pool_limit"))
+      .select($"pool", $"source", $"lang", $"replication", $"n_files",
+        $"bytes_needed", $"admitted", $"pool_needed", $"pool_limit",
+        $"pool_overlimit_bytes")
+      .orderBy($"pool", $"source", $"lang")
+  }
+
+  /** Trash expunge plan (`hdfs dfs -expunge` / the NameNode Emptier;
+    * reference: hadoop-common-project/hadoop-common/src/main/java/org/
+    * apache/hadoop/fs/TrashPolicyDefault.java:371 — a checkpoint
+    * directory named by its timestamp is deleted once
+    * `now − deletionInterval > checkpointTime`; :200 createCheckpoint
+    * rolls the live `Current` directory into a new timestamped
+    * checkpoint, so the newest bucket is never expunged).
+    *
+    * Model: `error` events are moveToTrash operations into the acting
+    * user's trash root (`/user/<id>/.Trash`), file size a pure
+    * function of event_id (no double arithmetic near the hash);
+    * checkpoints are day buckets; the audit clock `now` is the
+    * newest deletion in the log (deterministic — no wall clock);
+    * deletionInterval = 3 days. Emits the per-(trash root,
+    * checkpoint) expunge plan: CURRENT for today's un-rolled bucket,
+    * EXPUNGE past the interval, RETAINED between.
+    *
+    * Scale: one filter + one map-side-combined aggregate over the
+    * audit log; the clock is a broadcast scalar; output is
+    * |users| × |days| plan rows. */
+  def fs_trash_expunge(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val del = Tables.events(s, d)
+      .filter($"event_type" === "error")
+      .select($"user_id", date_trunc("day", $"ts").as("checkpoint"),
+        ($"event_id" % 997 + 64).as("sz"))
+    val clock = del.agg(max($"checkpoint").as("now_day"))
+    del.groupBy($"user_id", $"checkpoint")
+      .agg(count(lit(1)).as("n_files"), sum($"sz").as("bytes"))
+      .crossJoin(broadcast(clock))
+      .withColumn("age_days",
+        datediff($"now_day".cast("date"), $"checkpoint".cast("date")).cast("long"))
+      .withColumn("status", expr(
+        """CASE WHEN age_days = 0 THEN 'CURRENT'
+          |     WHEN age_days > 3 THEN 'EXPUNGE'
+          |     ELSE 'RETAINED' END""".stripMargin))
+      .select($"user_id", $"checkpoint", $"n_files", $"bytes", $"age_days",
+        $"status")
+      .orderBy($"user_id", $"checkpoint")
+  }
+
+  /** Block-placement policy audit (reference: hadoop-hdfs .../server/
+    * blockmanagement/BlockPlacementPolicyDefault.java —
+    * verifyBlockPlacement deems a block satisfied when its replicas
+    * span ≥ min(2, replication) racks; replicas must also land on
+    * distinct datanodes, the invariant chooseTarget enforces by
+    * excluding already-chosen nodes). `hdfs fsck -blocks -racks`
+    * surfaces exactly this conformance report.
+    *
+    * Model: the 16-node/2-rack cluster of fs_balancer_plan/fs_fsck
+    * (rack = node div 8), but with a DEGRADED placement function —
+    * replica o of block (doc, blk) sits on node
+    * (doc·(131 + 7o) + 17·blk) mod 16, an o×doc interaction that
+    * (unlike fs_fsck's fixed-offset placement, which is
+    * collision-free by construction) puts two replicas on one node
+    * whenever doc ≡ 0 (mod 8) — the mis-replicated state a placement
+    * audit exists to find. Per block: distinct nodes, distinct racks;
+    * violations roll up per directory with misplaced bytes and an
+    * integer-ppm conformance score.
+    *
+    * Scale: pure per-row expansion (block explode + a 3-element
+    * array transform — no join, no shuffle before the final rollup);
+    * the rollup is map-side combined on |sources| keys. */
+  def fs_placement_audit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", $"source", $"n_chars")
+      .withColumn("blk", explode(expr(
+        "sequence(bigint(0), greatest(bigint(1), (n_chars + 63) div 64) - 1)")))
+      .withColumn("blk_bytes",
+        greatest(lit(0L), least(lit(64L), $"n_chars" - $"blk" * 64)))
+      .withColumn("nodes", expr(
+        "transform(array(0L, 1L, 2L), o -> (doc_id * (131 + 7 * o) + blk * 17) % 16)"))
+      .withColumn("n_nodes", expr("size(array_distinct(nodes))").cast("long"))
+      .withColumn("n_racks",
+        expr("size(array_distinct(transform(nodes, n -> n div 8)))").cast("long"))
+      .withColumn("node_dup", $"n_nodes" < 3)
+      .withColumn("single_rack", $"n_racks" < 2)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when($"node_dup", 1L).otherwise(0L)).as("blocks_node_dup"),
+        sum(when($"single_rack", 1L).otherwise(0L)).as("blocks_single_rack"),
+        sum(when($"node_dup" || $"single_rack", 1L).otherwise(0L))
+          .as("blocks_violating"),
+        sum(when($"node_dup" || $"single_rack", $"blk_bytes").otherwise(0L))
+          .as("bytes_misplaced"))
+      .withColumn("placement_ok_ppm",
+        expr("(n_blocks - blocks_violating) * 1000000 div n_blocks"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fs_cache_plan" -> fs_cache_plan _,
+    "fs_trash_expunge" -> fs_trash_expunge _,
+    "fs_placement_audit" -> fs_placement_audit _,
     "fs_ec_savings" -> fs_ec_savings _,
     "fs_copy_verify" -> ((s, d) => fs_copy_verify(s, d)),
     "fs_compact" -> ((s, d) => fs_compact(s, d)),
@@ -1304,5 +1454,64 @@ object MetadataOps {
         |SELECT source, bytes_used,
         | round((SELECT avg(bytes_used) FROM usage),2) AS mean_used
         |FROM usage WHERE bytes_used > (SELECT avg(bytes_used) FROM usage) * 1.05
-        |ORDER BY source""".stripMargin)
+        |ORDER BY source""".stripMargin,
+    "fs_cache_plan" ->
+      """WITH dirs AS (
+        |  SELECT source, lang, count(*) AS n_files,
+        |    CAST(sum(n_chars) AS BIGINT)
+        |      * (CASE lang WHEN 'en' THEN 3 WHEN 'zh' THEN 2
+        |         WHEN 'fr' THEN 2 ELSE 1 END) AS bytes_needed,
+        |    CAST(CASE lang WHEN 'en' THEN 3 WHEN 'zh' THEN 2
+        |         WHEN 'fr' THEN 2 ELSE 1 END AS BIGINT) AS replication,
+        |    'pool_' || CAST(CAST(substr(source, 4) AS INT) % 4 AS VARCHAR) AS pool
+        |  FROM documents GROUP BY source, lang),
+        |g AS (SELECT CAST(sum(bytes_needed) AS BIGINT) AS g_needed FROM dirs),
+        |lim AS (
+        |  SELECT dirs.*, (CAST(substr(pool, 6) AS INT) + 1) * (g_needed // 10) AS pool_limit,
+        |    CAST(sum(bytes_needed) OVER (PARTITION BY pool ORDER BY source, lang
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_needed,
+        |    CAST(sum(bytes_needed) OVER (PARTITION BY pool) AS BIGINT) AS pool_needed
+        |  FROM dirs, g)
+        |SELECT pool, source, lang, replication, n_files, bytes_needed,
+        |  cum_needed <= pool_limit AS admitted, pool_needed,
+        |  CAST(pool_limit AS BIGINT) AS pool_limit,
+        |  CAST(greatest(0, pool_needed - pool_limit) AS BIGINT) AS pool_overlimit_bytes
+        |FROM lim ORDER BY pool, source, lang""".stripMargin,
+    "fs_trash_expunge" ->
+      """WITH del AS (
+        |  SELECT user_id, date_trunc('day', ts) AS checkpoint,
+        |    event_id % 997 + 64 AS sz
+        |  FROM events WHERE event_type = 'error'),
+        |clock AS (SELECT max(checkpoint) AS now_day FROM del),
+        |cp AS (
+        |  SELECT user_id, checkpoint, count(*) AS n_files,
+        |    CAST(sum(sz) AS BIGINT) AS bytes
+        |  FROM del GROUP BY 1, 2)
+        |SELECT user_id, checkpoint, n_files, bytes,
+        |  CAST(date_diff('day', checkpoint::DATE, now_day::DATE) AS BIGINT) AS age_days,
+        |  CASE WHEN date_diff('day', checkpoint::DATE, now_day::DATE) = 0 THEN 'CURRENT'
+        |       WHEN date_diff('day', checkpoint::DATE, now_day::DATE) > 3 THEN 'EXPUNGE'
+        |       ELSE 'RETAINED' END AS status
+        |FROM cp, clock ORDER BY user_id, checkpoint""".stripMargin,
+    "fs_placement_audit" ->
+      """WITH blocks AS (
+        |  SELECT doc_id, source, t.blk AS blk,
+        |    greatest(0, least(64, n_chars - t.blk * 64)) AS blk_bytes,
+        |    list_transform([0, 1, 2],
+        |      o -> (doc_id * (131 + 7 * o) + t.blk * 17) % 16) AS nodes
+        |  FROM documents,
+        |    LATERAL unnest(range(greatest(1, (n_chars + 63) // 64))) AS t(blk)),
+        |audit AS (
+        |  SELECT source, blk_bytes,
+        |    len(list_distinct(nodes)) < 3 AS node_dup,
+        |    len(list_distinct(list_transform(nodes, n -> n // 8))) < 2 AS single_rack
+        |  FROM blocks)
+        |SELECT source, count(*) AS n_blocks,
+        |  CAST(sum(CASE WHEN node_dup THEN 1 ELSE 0 END) AS BIGINT) AS blocks_node_dup,
+        |  CAST(sum(CASE WHEN single_rack THEN 1 ELSE 0 END) AS BIGINT) AS blocks_single_rack,
+        |  CAST(sum(CASE WHEN node_dup OR single_rack THEN 1 ELSE 0 END) AS BIGINT) AS blocks_violating,
+        |  CAST(sum(CASE WHEN node_dup OR single_rack THEN blk_bytes ELSE 0 END) AS BIGINT) AS bytes_misplaced,
+        |  CAST((count(*) - sum(CASE WHEN node_dup OR single_rack THEN 1 ELSE 0 END))
+        |    * 1000000 // count(*) AS BIGINT) AS placement_ok_ppm
+        |FROM audit GROUP BY source ORDER BY source""".stripMargin)
 }

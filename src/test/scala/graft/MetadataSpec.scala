@@ -39,6 +39,85 @@ class MetadataSpec extends SparkSpec {
     }
   }
 
+  test("fs_cache_plan: admission is a prefix per pool, stats reconcile, both branches populated") {
+    import spark.implicits._
+    val rows = MetadataOps.fs_cache_plan(spark, sf0001)
+      .select($"pool", $"source", $"lang", $"bytes_needed", $"admitted",
+        $"pool_needed", $"pool_limit", $"pool_overlimit_bytes")
+      .collect()
+    val byPool = rows.groupBy(_.getString(0))
+    byPool.foreach { case (pool, dirs) =>
+      // checkLimit admits a plan-time PREFIX of the directive order:
+      // bytes_needed is strictly positive, so once the cumulative
+      // demand crosses the limit no later directive re-admits.
+      val ordered = dirs.sortBy(r => (r.getString(1), r.getString(2)))
+      val admitted = ordered.map(_.getBoolean(4))
+      assert(!admitted.dropWhile(identity).contains(true),
+        s"$pool: admission not a prefix: ${admitted.mkString(",")}")
+      // Pool stats reconcile with the member directives
+      // (CachePool.bytesNeeded accumulation + getBytesOverlimit).
+      val needed = ordered.map(_.getLong(3)).sum
+      assert(ordered.forall(_.getLong(5) == needed))
+      val over = math.max(0L, needed - ordered.head.getLong(6))
+      assert(ordered.forall(_.getLong(7) == over))
+    }
+    // The deterministic limits must exercise BOTH admission branches:
+    // an oversubscribed pool (rejections) and a pool admitting all.
+    assert(byPool.exists(_._2.exists(!_.getBoolean(4))), "no rejected directive")
+    assert(byPool.exists(_._2.forall(_.getBoolean(4))), "no fully-admitted pool")
+  }
+
+  test("fs_trash_expunge: statuses follow the deletionInterval clock exactly") {
+    import spark.implicits._
+    val plan = MetadataOps.fs_trash_expunge(spark, sf0001).collect()
+    assert(plan.nonEmpty)
+    val maxCp = plan.map(_.getTimestamp(1)).max
+    plan.foreach { r =>
+      val age = r.getLong(4)
+      val expect = if (age == 0) "CURRENT" else if (age > 3) "EXPUNGE" else "RETAINED"
+      assert(r.getString(5) == expect, s"row $r")
+      assert(age >= 0, s"checkpoint newer than the clock: $r")
+    }
+    // The newest checkpoint day is the un-rolled Current bucket;
+    // TrashPolicyDefault never expunges it.
+    assert(plan.filter(_.getTimestamp(1) == maxCp).forall(_.getString(5) == "CURRENT"))
+    // Deletions conserve: plan files/bytes == the raw error-event log.
+    val raw = Tables.events(spark, sf0001)
+      .filter($"event_type" === "error")
+      .agg(count(lit(1)), sum($"event_id" % 997 + 64)).head()
+    assert(plan.map(_.getLong(2)).sum == raw.getLong(0))
+    assert(plan.map(_.getLong(3)).sum == raw.getLong(1))
+  }
+
+  test("fs_placement_audit matches a naive per-block recomputation") {
+    import spark.implicits._
+    // Independent driver-side recomputation of the whole sf0.001
+    // placement state (500 docs × ≤9 blocks — test-scale only).
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"source", $"n_chars").as[(Long, String, Long)].collect()
+    val expected = docs.flatMap { case (doc, src, n) =>
+      val nBlk = math.max(1L, (n + 63) / 64)
+      (0L until nBlk).map { blk =>
+        val bytes = math.max(0L, math.min(64L, n - blk * 64))
+        val nodes = Seq(0L, 1L, 2L).map(o => (doc * (131 + 7 * o) + blk * 17) % 16)
+        val dup = nodes.distinct.size < 3
+        val oneRack = nodes.map(_ / 8).distinct.size < 2
+        (src, dup, oneRack, if (dup || oneRack) bytes else 0L)
+      }
+    }.groupBy(_._1).map { case (src, blks) =>
+      src -> (blks.length.toLong, blks.count(_._2).toLong, blks.count(_._3).toLong,
+        blks.count(b => b._2 || b._3).toLong, blks.map(_._4).sum)
+    }
+    val got = MetadataOps.fs_placement_audit(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got == expected)
+    // The degraded placement function must actually produce findings
+    // (doc ≡ 0 mod 8 ⇒ a same-node replica pair) — an all-clean audit
+    // would be vacuous.
+    assert(got.values.map(_._4).sum > 0, "audit found no violations")
+  }
+
   test("fs_balancer_plan conserves bytes/replicas and classifies against the band") {
     import spark.implicits._
     val plan = MetadataOps.fs_balancer_plan(spark, sf0001).collect()
