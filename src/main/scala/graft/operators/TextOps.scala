@@ -1224,7 +1224,77 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** The Gopher rule battery over arbitrary (doc_id, lang, text) rows
+    * — factored out so TextPipelineSpec can drive planted fixtures
+    * (bulleted/ellipsis/symbol/numeric docs the corpus lacks) through
+    * the exact production expressions. All ratios exact integer
+    * ppm/milli; every rule is a per-row codegen'd expression. */
+  def gopherScored(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    docs
+      .withColumn("n_words", size(t).cast("long"))
+      .withColumn("mean_wlen_milli", when(size(t) === 0, 0L).otherwise(
+        expr("length(regexp_replace(text, '\\\\s', '')) * 1000 div size(filter(split(lower(text), ' '), w -> w != ''))")))
+      .withColumn("symbol_ppm", when(size(t) === 0, 0L).otherwise(expr(
+        """(length(text) - length(replace(text, '#', ''))
+          |  + regexp_count(text, '\\.\\.\\.')) * 1000000
+          | div size(filter(split(lower(text), ' '), w -> w != ''))""".stripMargin)))
+      .withColumn("bullet_ppm", expr(
+        """size(filter(split(text, '\n'), l -> ltrim(l) rlike '^[-*]'))
+          | * 1000000 div greatest(1, size(split(text, '\n')))""".stripMargin).cast("long"))
+      .withColumn("ellipsis_ppm", expr(
+        """size(filter(split(text, '\n'), l -> rtrim(l) rlike '\\.\\.\\.$'))
+          | * 1000000 div greatest(1, size(split(text, '\n')))""".stripMargin).cast("long"))
+      .withColumn("alpha_ppm", when(size(t) === 0, 0L).otherwise(expr(
+        """size(filter(filter(split(lower(text), ' '), w -> w != ''),
+          |            w -> w rlike '[a-z]')) * 1000000
+          | div size(filter(split(lower(text), ' '), w -> w != ''))""".stripMargin)))
+      .withColumn("n_stop_hits", size(filter(
+        array(gopherStops.map(lit): _*), sw => array_contains(t, sw))).cast("long"))
+      .withColumn("r_words", col("n_words").between(30L, 100000L))
+      .withColumn("r_wlen", col("mean_wlen_milli").between(3000L, 10000L))
+      .withColumn("r_symbol", col("symbol_ppm") <= 100000L)
+      .withColumn("r_bullet", col("bullet_ppm") <= 900000L)
+      .withColumn("r_ellipsis", col("ellipsis_ppm") <= 300000L)
+      .withColumn("r_alpha", col("alpha_ppm") >= 800000L)
+      .withColumn("r_stop", col("n_stop_hits") >= 2L)
+      .withColumn("keep", col("r_words") && col("r_wlen") && col("r_symbol") &&
+        col("r_bullet") && col("r_ellipsis") && col("r_alpha") && col("r_stop"))
+  }
+
+  /** Gopher's own rule is "≥2 of its 8 English function words"; on
+    * this synthetic corpus only 'the' from that list ever occurs, so
+    * the faithful list would fail every document. The rule keeps its
+    * meaning — attested function words ≥ 2 distinct — over the house
+    * stopword lexicon (the one text_quality scores with). */
+  private val gopherStops =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it")
+
+  /** Gopher-style quality-filter RULE BATTERY (Rae et al. 2021,
+    * "Scaling Language Models: ... Gopher", Table A1 — the document
+    * filters MassiveWeb applies before dedup): word-count bounds,
+    * mean-word-length window, symbol-to-word ratio (# / ellipsis),
+    * bullet-started and ellipsis-ended line fractions, fraction of
+    * words with an alphabetic character, and the ≥2-distinct-stopword
+    * test. Each rule surfaces as its own flag (the curation-debugging
+    * view: WHY a doc fell out), plus the conjunctive keep.
+    *
+    * The corpus being synthetic single-line text, the line-shape
+    * rules pass trivially here; planted bulleted/ellipsis/symbol
+    * fixtures exercise their fail branches through the same
+    * [[gopherScored]] expressions in TextPipelineSpec. Everything is
+    * exact integer ppm/milli (the cross-engine rounding rule) and
+    * per-row — the whole battery is one codegen'd projection, no
+    * shuffle, scan-speed at 100 TB. */
+  def text_gopher_rules(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    gopherScored(Tables.documents(s, d).select($"doc_id", $"lang", $"text"))
+      .drop("text")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_gopher_rules" -> text_gopher_rules _,
     "text_domain_cap" -> text_domain_cap _,
     "text_pack" -> ((s, d) => text_pack(s, d)),
     "text_sample" -> text_sample _,
@@ -1905,6 +1975,44 @@ object TextOps {
         |SELECT doc_id, source, lang, quality_ppm,
         |  CAST(domain_rank AS INTEGER) AS domain_rank
         |FROM r WHERE domain_rank <= 10 ORDER BY doc_id""".stripMargin,
+    "text_gopher_rules" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, text,
+        |    list_filter(string_split(lower(text), ' '), w -> w <> '') AS words,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(words) AS BIGINT) AS n_words,
+        |    CASE WHEN len(words) = 0 THEN CAST(0 AS BIGINT) ELSE
+        |      CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) * 1000 // len(words) END AS mean_wlen_milli,
+        |    CASE WHEN len(words) = 0 THEN CAST(0 AS BIGINT) ELSE
+        |      CAST(length(text) - length(replace(text, '#', ''))
+        |        + len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) * 1000000 // len(words) END AS symbol_ppm,
+        |    CAST(len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*]'))) AS BIGINT)
+        |      * 1000000 // greatest(1, len(lines)) AS bullet_ppm,
+        |    CAST(len(list_filter(lines, l -> regexp_matches(rtrim(l), '\.\.\.$'))) AS BIGINT)
+        |      * 1000000 // greatest(1, len(lines)) AS ellipsis_ppm,
+        |    CASE WHEN len(words) = 0 THEN CAST(0 AS BIGINT) ELSE
+        |      CAST(len(list_filter(words, w -> regexp_matches(w, '[a-z]'))) AS BIGINT)
+        |        * 1000000 // len(words) END AS alpha_ppm,
+        |    CAST(len(list_filter(['the','a','an','of','and','to','in','is','it'],
+        |      sw -> list_contains(words, sw))) AS BIGINT) AS n_stop_hits
+        |  FROM base)
+        |SELECT doc_id, lang, n_words, mean_wlen_milli, symbol_ppm, bullet_ppm,
+        |  ellipsis_ppm, alpha_ppm, n_stop_hits,
+        |  n_words BETWEEN 30 AND 100000 AS r_words,
+        |  mean_wlen_milli BETWEEN 3000 AND 10000 AS r_wlen,
+        |  symbol_ppm <= 100000 AS r_symbol,
+        |  bullet_ppm <= 900000 AS r_bullet,
+        |  ellipsis_ppm <= 300000 AS r_ellipsis,
+        |  alpha_ppm >= 800000 AS r_alpha,
+        |  n_stop_hits >= 2 AS r_stop,
+        |  (n_words BETWEEN 30 AND 100000) AND (mean_wlen_milli BETWEEN 3000 AND 10000)
+        |    AND symbol_ppm <= 100000 AND bullet_ppm <= 900000
+        |    AND ellipsis_ppm <= 300000 AND alpha_ppm >= 800000
+        |    AND n_stop_hits >= 2 AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       """SELECT doc_id, n_chars_m, n_words, stopword_ppm, uniq_ppm, n_punct, avg_wlen_milli,
         | uniq_ppm * (CASE WHEN n_words >= 20 THEN 2 ELSE 1 END)

@@ -12,6 +12,43 @@ import org.apache.spark.sql.functions._
 class TextPipelineSpec extends SparkSpec {
   import spark.implicits._
 
+  test("gopherScored: every rule's fail branch fires on its planted fixture") {
+    // The corpus is single-line synthetic text, so the line-shape and
+    // symbol rules pass trivially in the registered query; planted
+    // fixtures drive each rule's FAIL branch through the exact
+    // production expressions.
+    val passText = (Seq("the", "of", "and", "with") ++
+      Seq.fill(36)("steady")).mkString(" ") // 40 words, stopwords, alpha
+    val fixtures = Seq(
+      (1L, "pass", passText),
+      (2L, "short", "the of brief words here"), // < 30 words
+      (3L, "bullets", (1 to 4).map(i => s"- item $i is listed with the of").mkString("\n")),
+      (4L, "ellipsis", Seq.fill(3)("to be continued with the of...").mkString("\n")),
+      (5L, "symbols", ("# " * 35) + "the of " + ("word " * 5)),
+      (6L, "numeric", (1 to 40).map(_.toString).mkString(" ") + " the of"),
+      (7L, "nostop", Seq.fill(40)("steady").mkString(" ")),
+      (8L, "tinywords", Seq.fill(20)("a b").mkString(" ") + " the of"))
+    val got = TextOps.gopherScored(
+        fixtures.toDF("doc_id", "lang", "text"))
+      .select($"lang", $"r_words", $"r_wlen", $"r_symbol", $"r_bullet",
+        $"r_ellipsis", $"r_alpha", $"r_stop", $"keep")
+      .collect().map(r => r.getString(0) ->
+        (1 to 8).map(r.getBoolean)).toMap
+    def flags(l: String) = got(l)
+    assert(flags("pass") == Seq(true, true, true, true, true, true, true, true))
+    assert(!flags("short")(0) && !flags("short").last)        // r_words fails
+    assert(!flags("bullets")(3) && !flags("bullets").last)    // r_bullet fails
+    assert(!flags("ellipsis")(4) && !flags("ellipsis").last)  // r_ellipsis fails
+    assert(!flags("symbols")(2) && !flags("symbols").last)    // r_symbol fails
+    assert(!flags("numeric")(5) && !flags("numeric").last)    // r_alpha fails
+    assert(!flags("nostop")(6) && !flags("nostop").last)      // r_stop fails
+    assert(!flags("tinywords")(1) && !flags("tinywords").last) // r_wlen fails
+    // the registered corpus query has both keep populations
+    val corpus = TextOps.text_gopher_rules(spark, sf0001)
+      .groupBy($"keep").count().as[(Boolean, Long)].collect().toMap
+    assert(corpus.getOrElse(true, 0L) > 0 && corpus.getOrElse(false, 0L) > 0)
+  }
+
   test("text_cdc_chunks conserves bytes and dedupes the planted duplicate docs") {
     val r = TextOps.text_cdc_chunks(spark, sf0001).collect()
     assert(r.nonEmpty)
