@@ -389,7 +389,43 @@ object EventOps {
       .orderBy($"user_id")
   }
 
+  /** GAP-FILLED hourly time series — ev_window_agg densified: every
+    * (hour, event_type) cell between the stream's first and last hour
+    * exists, zero-filled where no event landed (`filled` marks the
+    * synthesized cells). Dashboards, anomaly baselines and
+    * rate-of-change windows all need the dense grid — a missing hour
+    * silently reads as "no data" rather than "zero events" and a lag()
+    * over the sparse series skips it.
+    *
+    * Spark-first shape: the hour dimension is ONE scalar aggregate
+    * (min/max hour) exploded through sequence() — a broadcast-scalar
+    * cross join, not a second scan-shaped shuffle; event types are the
+    * DECLARED closed set (ev_pivot's rule: no distinct job, grid width
+    * not data-dependent); the dense grid left-joins the aggregated
+    * sparse series on (hour, type). Grid size = hours × 5 — metadata
+    * scale even for years of data — while the corpus is touched by
+    * exactly one map-side-combined aggregate. */
+  def ev_gap_fill(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val sparse = ev.groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"value"), 2).as("total_value"))
+    val grid = ev.agg(date_trunc("hour", min($"ts")).as("h0"),
+        date_trunc("hour", max($"ts")).as("h1"))
+      .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+      .crossJoin(Seq("click", "error", "purchase", "signup", "view")
+        .toDF("event_type"))
+    grid.join(sparse, Seq("hour", "event_type"), "left")
+      .select($"hour", $"event_type",
+        coalesce($"n_events", lit(0L)).as("n_events"),
+        coalesce($"total_value", lit(0.0)).as("total_value"),
+        $"n_events".isNull.as("filled"))
+      .orderBy($"hour", $"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_gap_fill" -> ev_gap_fill _,
     "ev_stragglers" -> ev_stragglers _,
     "ev_resource_skyline" -> ev_resource_skyline _,
     "ev_anomaly" -> ev_anomaly _,
@@ -485,6 +521,27 @@ object EventOps {
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         | count(*) AS n_events, round(sum(value),2) AS total_value
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "ev_gap_fill" ->
+      """WITH sparse AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type,
+        |    count(*) AS n_events, round(sum(value),2) AS total_value
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT date_trunc('hour', min(ts)) AS h0,
+        |         date_trunc('hour', max(ts)) AS h1 FROM events),
+        |grid AS (
+        |  SELECT g.hour, t.event_type
+        |  FROM (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        |        FROM bounds) g,
+        |       (SELECT unnest(['click','error','purchase','signup','view'])
+        |          AS event_type) t)
+        |SELECT g.hour, g.event_type,
+        |  COALESCE(s.n_events, 0) AS n_events,
+        |  COALESCE(s.total_value, CAST(0 AS DOUBLE)) AS total_value,
+        |  s.n_events IS NULL AS filled
+        |FROM grid g LEFT JOIN sparse s
+        |  ON g.hour = s.hour AND g.event_type = s.event_type
+        |ORDER BY 1, 2""".stripMargin,
     "ev_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id, value,

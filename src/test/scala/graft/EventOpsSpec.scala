@@ -10,6 +10,33 @@ import org.apache.spark.sql.functions._
   * count. */
 class EventOpsSpec extends SparkSpec {
 
+  test("ev_gap_fill densifies to the exact grid and preserves the sparse series") {
+    import spark.implicits._
+    val dense = EventOps.ev_gap_fill(spark, sf0001).collect()
+    val hours = dense.map(_.getTimestamp(0)).distinct.sorted(
+      Ordering.by((t: java.sql.Timestamp) => t.getTime))
+    // complete grid: every hour between bounds × the 5 declared types,
+    // hour spine contiguous at exactly 1h steps
+    assert(dense.length == hours.length * 5)
+    hours.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getTime - a.getTime == 3600000L, s"hour gap $a -> $b")
+    }
+    // synthesized cells are zero and flagged; real cells reproduce
+    // ev_window_agg exactly
+    val sparse = EventOps.ev_window_agg(spark, sf0001).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    dense.foreach { r =>
+      val key = (r.getTimestamp(0), r.getString(1))
+      if (r.getBoolean(4)) {
+        assert(!sparse.contains(key) && r.getLong(2) == 0L && r.getDouble(3) == 0.0)
+      } else {
+        assert(sparse(key) == ((r.getLong(2), r.getDouble(3))))
+      }
+    }
+    assert(dense.exists(_.getBoolean(4)), "no gap was actually filled")
+  }
+
   test("ev_range_join equals the naive inequality join") {
     import spark.implicits._
     val ev = Tables.events(spark, sf0001)

@@ -26,7 +26,11 @@ class PlanSpec extends SparkSpec {
         "sql_ann_cos_range", "ann_pq", "text_token_hist",
         // TeraChecksum: two single-row fingerprint frames broadcast
         // onto the one-row validation summary
-        "mr_sort_validate")
+        "mr_sort_validate",
+        // broadcast scalar (global cache demand / trash clock / hour
+        // bounds) onto a metadata-scale frame; ev_gap_fill also
+        // crosses the declared 5-type dim onto the hour spine
+        "fs_cache_plan", "fs_trash_expunge", "ev_gap_fill")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val plan = physical(name)
       assert(!plan.contains("CartesianProduct"),
