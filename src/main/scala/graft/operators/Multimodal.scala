@@ -237,6 +237,7 @@ object Multimodal {
     "mm_meta" -> mm_meta _,
     "mm_framesample" -> mm_framesample _,
     "mm_features" -> mm_features _,
+    "mm_audio_windows" -> mm_audio_windows _,
     "mm_near_dups" -> mm_near_dups _)
 
   /** DuckDB re-derivation of the ENTIRE mm_near_dups pipeline —
@@ -373,8 +374,138 @@ object Multimodal {
   // literal, signature bits as list_inner_product signs, the planted
   // variants recomputed from the frameFp fmix64 jitter chain — on top
   // of this file's pooled-mean re-derivation (see mmNearDupsOracleSql).
+  /** 31·s+7 mod 2^16 sample recurrence in closed form: s_i = (s_0·p_i
+    * + q_i) mod 2^16 with p_i = 31^i, q_i = 7·Σ_{j<i}31^j — literal
+    * 16-element tables, so the per-window fold flattens to a pure
+    * branch-free arithmetic expression (codegen'd end to end, no
+    * CodegenFallback HOF in the hot path) and the DuckDB oracle
+    * evaluates the identical i64 terms. */
+  private[graft] val audioP: Seq[Long] = {
+    var p = 1L; Seq.fill(16) { val r = p; p = p * 31 % 65536; r }
+  }
+  private[graft] val audioQ: Seq[Long] = {
+    var q = 0L; var p = 1L
+    Seq.fill(16) { val r = q; q = (q + 7 * p) % 65536; p = p * 31 % 65536; r }
+  }
+
+  /** Per-window PCM stats for the audio subset — factored so
+    * MultimodalSpec can re-derive every window's energy/zcr from s0
+    * with the direct loop recurrence and diff against the closed
+    * form. */
+  private[graft] def audioWindowStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{FrameFpExpr, GraftExpressions}
+    val wfp = GraftExpressions.toColumn(FrameFpExpr(
+      GraftExpressions.toExpr($"doc_id".cast("long")),
+      GraftExpressions.toExpr($"wnd".cast("long"))))
+    val windows = metaRaw(s, d)
+      .filter($"format" === "wav")
+      .select($"doc_id", explode(sequence(lit(0), $"n_frames" - 1)).as("wnd"))
+      .withColumn("s0", pmod(wfp, lit(65536L)))
+    val samples = (0 until 16).map(i =>
+      pmod($"s0" * audioP(i) + audioQ(i), lit(65536L)) - 32768L)
+    val energy = samples.map(sv => sv * sv).reduce(_ + _)
+    val zcr = (1 until 16)
+      .map(i => ((samples(i) >= 0) =!= (samples(i - 1) >= 0)).cast("long"))
+      .reduce(_ + _)
+    windows.select($"doc_id", $"wnd", $"s0",
+      energy.as("energy"), zcr.as("zcr"))
+  }
+
+  /** Audio-modality window features (the §2.8 audio leg: the
+    * decode / feature-extract stage a speech pipeline runs before
+    * VAD / loudness filtering): the `wav` subset of the corpus is
+    * framed into 16-sample PCM windows (the stub "decoder" derives
+    * each window's samples from the fmix64 window fingerprint via a
+    * 31·s+7 mod 2^16 recurrence — a real impl reads codec output
+    * here; the Spark-side shape is identical), per window the two
+    * canonical cheap audio features — energy (Σ s², the loudness/VAD
+    * signal) and zero-crossing count (the voiced/unvoiced signal) —
+    * then one map-side-combined per-doc rollup (window count, total
+    * and peak energy, total crossings). All integer i64; the whole
+    * window stage is one codegen'd projection off the frame explode —
+    * no shuffle until the final doc rollup, scan-speed at 100 TB. */
+  def mm_audio_windows(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    audioWindowStats(s, d)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum($"energy").as("sum_energy"),
+        sum($"zcr").as("sum_zcr"),
+        max($"energy").as("peak_energy"))
+      .orderBy($"doc_id")
+  }
+
   val oracle: Map[String, String] = Map(
     "mm_near_dups" -> mmNearDupsOracleSql,
+    // The mm_framesample payload-fold + fmix64 chain, restricted to
+    // the wav subset (m4 = 2), windows at step 1, then the closed-form
+    // sample expansion over the literal p/q tables; `a % 65536` on the
+    // unsigned HUGEINT equals pmod(signed fp, 65536) because 65536
+    // divides 2^64.
+    "mm_audio_windows" -> {
+      val pLit = audioP.mkString("[", ", ", "]")
+      val qLit = audioQ.mkString("[", ", ", "]")
+      s"""WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS len
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, len, i,
+        |         ('0x' || substr(hx, CAST(2*i+1 AS BIGINT), 2))::BIGINT AS byte
+        |  FROM b, LATERAL unnest(range(len)) AS t(i)),
+        |folded AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(1125899906842597::HUGEINT, list(byte ORDER BY i)),
+        |      (acc, x) -> (acc::HUGEINT * 31 + x::HUGEINT)
+        |                  % 18446744073709551616::HUGEINT) AS hu
+        |  FROM pos GROUP BY doc_id),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+        |         THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT) AS h
+        |  FROM folded),
+        |nf AS (
+        |  SELECT doc_id,
+        |    1 + ((((h - (((h % 256) + 256) % 256)) // 256) % 240 + 240) % 240)
+        |      AS n_frames
+        |  FROM s WHERE ((h % 4) + 4) % 4 = 2),
+        |fr AS (
+        |  SELECT doc_id, CAST(t.i AS BIGINT) AS wnd
+        |  FROM nf, LATERAL unnest(range(0, n_frames)) AS t(i)),
+        |a0 AS (
+        |  SELECT doc_id, wnd,
+        |    (CAST(doc_id AS HUGEINT) * 11400714819323198485::HUGEINT
+        |     + wnd + 1) % 18446744073709551616::HUGEINT AS a
+        |  FROM fr),
+        |f1 AS (SELECT doc_id, wnd, xor(a, a // 8589934592::HUGEINT) AS a FROM a0),
+        |f2 AS (SELECT doc_id, wnd, (((a) % 4294967296::HUGEINT) * 18397679294719823053::HUGEINT % 18446744073709551616::HUGEINT + ((((a) // 4294967296::HUGEINT) * 3981806797::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS a FROM f1),
+        |f3 AS (SELECT doc_id, wnd, xor(a, a // 8589934592::HUGEINT) AS a FROM f2),
+        |f4 AS (SELECT doc_id, wnd, (((a) % 4294967296::HUGEINT) * 14181476777654086739::HUGEINT % 18446744073709551616::HUGEINT + ((((a) // 4294967296::HUGEINT) * 444984403::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS a FROM f3),
+        |f5 AS (SELECT doc_id, wnd, xor(a, a // 8589934592::HUGEINT) AS a FROM f4),
+        |w0 AS (SELECT doc_id, wnd, CAST(a % 65536 AS BIGINT) AS s0 FROM f5),
+        |samp AS (
+        |  SELECT doc_id, wnd, t.i AS i,
+        |    (s0 * ($pLit[CAST(t.i AS BIGINT) + 1]) + ($qLit[CAST(t.i AS BIGINT) + 1]))
+        |      % 65536 - 32768 AS sv
+        |  FROM w0, LATERAL unnest(range(16)) AS t(i)),
+        |sgn AS (
+        |  SELECT doc_id, wnd, sv,
+        |    CASE WHEN i = 0 THEN 0
+        |         WHEN (sv >= 0) <>
+        |           (lag(sv) OVER (PARTITION BY doc_id, wnd ORDER BY i) >= 0)
+        |         THEN 1 ELSE 0 END AS flip
+        |  FROM samp),
+        |wstat AS (
+        |  SELECT doc_id, wnd, CAST(sum(sv * sv) AS BIGINT) AS energy,
+        |    CAST(sum(flip) AS BIGINT) AS zcr
+        |  FROM sgn GROUP BY 1, 2)
+        |SELECT doc_id, count(*) AS n_windows,
+        |  CAST(sum(energy) AS BIGINT) AS sum_energy,
+        |  CAST(sum(zcr) AS BIGINT) AS sum_zcr,
+        |  CAST(max(energy) AS BIGINT) AS peak_energy
+        |FROM wstat GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     // mm_framesample's chain through f5 (the frame fingerprint as an
     // unsigned HUGEINT `a`), then per (frame, dim) the stub feature
     // hash-mix — h = fp·6364136223846793005 + (dim+1)·1442695040888963407

@@ -60,6 +60,35 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("mm_audio_windows: closed-form window stats equal the direct loop recurrence") {
+    import spark.implicits._
+    // The production expression uses the closed form s_i = (s0·31^i +
+    // 7·Σ31^j) mod 2^16; re-derive every window's energy/zcr from s0
+    // with the direct recurrence and diff.
+    val windows = Multimodal.audioWindowStats(spark, sf0001)
+      .select($"doc_id", $"wnd", $"s0", $"energy", $"zcr")
+      .as[(Long, Int, Long, Long, Long)].collect()
+    assert(windows.nonEmpty)
+    windows.foreach { case (doc, wnd, s0, energy, zcr) =>
+      var s = s0; var e = 0L; var z = 0L; var prev = 0L
+      (0 until 16).foreach { i =>
+        val sv = s - 32768
+        e += sv * sv
+        if (i > 0 && ((sv >= 0) != (prev >= 0))) z += 1
+        prev = sv
+        s = (s * 31 + 7) % 65536
+      }
+      assert(e == energy && z == zcr, s"($doc, $wnd): got ($energy, $zcr), want ($e, $z)")
+    }
+    // the rollup covers exactly the wav subset at its decoded window counts
+    val meta = Multimodal.mm_meta(spark, sf0001)
+      .filter($"format" === "wav")
+      .select($"doc_id", $"n_frames").as[(Long, Int)].collect().toMap
+    val rolled = Multimodal.mm_audio_windows(spark, sf0001)
+      .select($"doc_id", $"n_windows").as[(Long, Long)].collect().toMap
+    assert(rolled == meta.map { case (k, v) => k -> v.toLong })
+  }
+
   test("mm_near_dups finds every planted re-encoded variant through the LSH path") {
     import spark.implicits._
     val pairs = Multimodal.mm_near_dups(spark, sf0001).collect()
