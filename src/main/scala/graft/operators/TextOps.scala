@@ -1224,6 +1224,53 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** DSIR-inspired DISCRIMINATIVE DATA SELECTION (Xie et al. 2023,
+    * arXiv:2302.03169 — importance resampling by hashed-n-gram
+    * likelihood ratios between a target and a raw distribution).
+    * DSIR's log-ratio needs transcendentals; the integer-exact form
+    * scores each raw doc by the LINEAR surrogate
+    * Σ_b c_b(doc) · (t_ppm(b) − r_ppm(b)) over 1024 hashed-bigram
+    * buckets — per-bucket target-vs-raw prevalence difference in
+    * exact ppm, the discriminant a hashed linear classifier
+    * (fastText-class) learns in closed form — and selects docs with
+    * positive target affinity. Target = the doc_id % 10 = 1 curated
+    * reference slice; the raw pool (everything else) is what gets
+    * scored, exactly DSIR's setup.
+    *
+    * Scale shape: ONE bigram explode (codegen'd wordNgrams kernel)
+    * persisted for its two consumers; the weight table is ≤1024 rows
+    * (a map-side-combined aggregate of the explode) and BROADCASTS
+    * into the scoring join, so the corpus-sized side never shuffles
+    * on the bucket key; per-doc scoring is one map-side-combined
+    * rollup. Bucket hash = the engine-portable md5-prefix device
+    * (text_split's rule). */
+  def text_dsir_select(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val grams = graft.CacheRegistry.cache(
+      Tables.documents(s, d)
+        .select($"doc_id", $"lang", explode(wordNgrams($"text", 2)).as("g"))
+        .withColumn("b", (conv(substring(md5($"g"), 1, 8), 16, 10)
+          .cast("long") % 1024).as("b"))
+        .select($"doc_id", $"lang", $"b"))
+    val weights = grams
+      .groupBy($"b")
+      .agg(sum(when($"doc_id" % 10 === 1, 1L).otherwise(0L)).as("ct"),
+        sum(when($"doc_id" % 10 =!= 1, 1L).otherwise(0L)).as("cr"))
+      .crossJoin(broadcast(grams.agg(
+        sum(when($"doc_id" % 10 === 1, 1L).otherwise(0L)).as("tot_t"),
+        sum(when($"doc_id" % 10 =!= 1, 1L).otherwise(0L)).as("tot_r"))))
+      .select($"b",
+        (expr("ct * 1000000 div tot_t") - expr("cr * 1000000 div tot_r"))
+          .as("wt"))
+    grams.filter($"doc_id" % 10 =!= 1)
+      .join(broadcast(weights), Seq("b"))
+      .groupBy($"doc_id")
+      .agg(first($"lang").as("lang"), sum($"wt").as("dsir_score"),
+        count(lit(1)).as("n_bigrams"))
+      .withColumn("selected", $"dsir_score" > 0L)
+      .orderBy($"doc_id")
+  }
+
   /** The Gopher rule battery over arbitrary (doc_id, lang, text) rows
     * — factored out so TextPipelineSpec can drive planted fixtures
     * (bulleted/ellipsis/symbol/numeric docs the corpus lacks) through
@@ -1294,6 +1341,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_dsir_select" -> text_dsir_select _,
     "text_gopher_rules" -> text_gopher_rules _,
     "text_domain_cap" -> text_domain_cap _,
     "text_pack" -> ((s, d) => text_pack(s, d)),
@@ -1975,6 +2023,35 @@ object TextOps {
         |SELECT doc_id, source, lang, quality_ppm,
         |  CAST(domain_rank AS INTEGER) AS domain_rank
         |FROM r WHERE domain_rank <= 10 ORDER BY doc_id""".stripMargin,
+    "text_dsir_select" ->
+      """WITH words AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(t.g), 1, 8))::BIGINT % 1024 AS BIGINT) AS b
+        |  FROM words,
+        |    LATERAL unnest(list_transform(range(1, len(ws)),
+        |      i -> ws[i] || ' ' || ws[i + 1])) AS t(g)),
+        |w AS (
+        |  SELECT b,
+        |    CAST(sum(CASE WHEN doc_id % 10 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |    CAST(sum(CASE WHEN doc_id % 10 <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS cr
+        |  FROM grams GROUP BY b),
+        |tot AS (
+        |  SELECT CAST(sum(ct) AS BIGINT) AS tot_t,
+        |    CAST(sum(cr) AS BIGINT) AS tot_r FROM w),
+        |ww AS (
+        |  SELECT b, ct * 1000000 // tot_t - cr * 1000000 // tot_r AS wt
+        |  FROM w, tot)
+        |SELECT g.doc_id, any_value(g.lang) AS lang,
+        |  CAST(sum(ww.wt) AS BIGINT) AS dsir_score,
+        |  count(*) AS n_bigrams,
+        |  CAST(sum(ww.wt) AS BIGINT) > 0 AS selected
+        |FROM grams g JOIN ww USING (b)
+        |WHERE g.doc_id % 10 <> 1
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
     "text_gopher_rules" ->
       """WITH base AS (
         |  SELECT doc_id, lang, text,

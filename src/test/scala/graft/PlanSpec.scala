@@ -30,7 +30,9 @@ class PlanSpec extends SparkSpec {
         // broadcast scalar (global cache demand / trash clock / hour
         // bounds) onto a metadata-scale frame; ev_gap_fill also
         // crosses the declared 5-type dim onto the hour spine
-        "fs_cache_plan", "fs_trash_expunge", "ev_gap_fill")
+        "fs_cache_plan", "fs_trash_expunge", "ev_gap_fill",
+        // broadcast scalar corpus totals onto the 1024-row weight table
+        "text_dsir_select")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val plan = physical(name)
       assert(!plan.contains("CartesianProduct"),

@@ -12,6 +12,42 @@ import org.apache.spark.sql.functions._
 class TextPipelineSpec extends SparkSpec {
   import spark.implicits._
 
+  test("text_dsir_select matches an independent driver-side rederivation") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def bigramBuckets(text: String): Seq[Long] = {
+      val ws = text.toLowerCase.split(" ").filter(_.nonEmpty)
+      ws.sliding(2).filter(_.length == 2).map { p =>
+        val g = p.mkString(" ")
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(md.take(8), 16) % 1024
+      }.toSeq
+    }
+    val all = docs.map { case (id, t) => id -> bigramBuckets(t) }
+    val isTarget = (id: Long) => id % 10 == 1
+    val ct = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    val cr = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    all.foreach { case (id, bs) =>
+      bs.foreach(b => if (isTarget(id)) ct(b) += 1 else cr(b) += 1)
+    }
+    val (totT, totR) = (ct.values.sum, cr.values.sum)
+    val buckets = (ct.keySet ++ cr.keySet)
+    val wt = buckets.map(b => b -> (ct(b) * 1000000L / totT - cr(b) * 1000000L / totR)).toMap
+    val expected = all.filterNot(d => isTarget(d._1)).filter(_._2.nonEmpty)
+      .map { case (id, bs) => id -> bs.map(wt).sum }.toMap
+    val got = operators.TextOps.text_dsir_select(spark, sf0001)
+      .select($"doc_id", $"dsir_score", $"selected")
+      .as[(Long, Long, Boolean)].collect()
+    assert(got.map(r => r._1 -> r._2).toMap == expected)
+    got.foreach { case (_, sc, sel) => assert(sel == (sc > 0)) }
+    // discriminative signal exists: both populations non-empty, and
+    // the target slice itself is never in the output
+    assert(got.exists(_._3) && got.exists(!_._3))
+    assert(got.forall(_._1 % 10 != 1))
+  }
+
   test("gopherScored: every rule's fail branch fires on its planted fixture") {
     // The corpus is single-line synthetic text, so the line-shape and
     // symbol rules pass trivially in the registered query; planted
