@@ -389,6 +389,62 @@ object EventOps {
       .orderBy($"user_id")
   }
 
+  /** DAU / WAU rolling-active-users report with the stickiness ratio
+    * (DAU/WAU — the engagement metric every product-analytics stack
+    * derives from its event log). Exact distinct counts, not sketches:
+    * the corpus collapses once to distinct (user, day) pairs
+    * (map-side combined), DAU is a count over that, and WAU uses the
+    * EXPLODE-TO-WINDOW device — each (user, day) activity contributes
+    * itself to the 7 window anchors [day .. day+6], so a 7-day
+    * rolling distinct becomes one explode (×7, bounded) + one
+    * count(DISTINCT) per anchor — no 7-way self-join, no per-day
+    * range-window shuffle of raw events, and the heavy input is
+    * touched exactly once. Anchors clipped to the observed day span;
+    * stickiness is exact integer ppm. */
+  def ev_dau_wau(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val userDays = Tables.events(s, d)
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+    val dau = userDays.groupBy($"day")
+      .agg(countDistinct($"user_id").as("dau"))
+    val wau = userDays
+      .select($"user_id",
+        explode(expr("sequence(day, date_add(day, 6))")).as("day"))
+      .groupBy($"day")
+      .agg(countDistinct($"user_id").as("wau"))
+    dau.join(wau, Seq("day"))
+      .select($"day", $"dau", $"wau",
+        expr("dau * 1000000 div wau").as("stickiness_ppm"))
+      .orderBy($"day")
+  }
+
+  /** Per-user event-type TRANSITION MATRIX (first-order Markov view
+    * of the clickstream — "what follows what", the sequence-mining
+    * companion to ev_funnel's fixed pattern): consecutive event pairs
+    * in each user's time-ordered stream, counted per (from, to) with
+    * the row-conditional probability in exact ppm. One window lag
+    * over the per-user partitions (the shuffle is user-keyed — the
+    * same exchange ev_sessionize runs), then a map-side-combined
+    * count over ≤ |types|² keys; the conditional divides by the
+    * from-row mass through a broadcast-scale self-aggregation.
+    * Deterministic within-timestamp order via (ts, event_id). */
+  def ev_markov(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val pairs = Tables.events(s, d)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"next_type".as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromMass = pairs.groupBy($"from_type")
+      .agg(sum($"n").as("from_total"))
+    pairs.join(broadcast(fromMass), Seq("from_type"))
+      .select($"from_type", $"to_type", $"n", $"from_total",
+        expr("n * 1000000 div from_total").as("p_ppm"))
+      .orderBy($"from_type", $"to_type")
+  }
+
   /** GAP-FILLED hourly time series — ev_window_agg densified: every
     * (hour, event_type) cell between the stream's first and last hour
     * exists, zero-filled where no event landed (`filled` marks the
@@ -425,6 +481,8 @@ object EventOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_dau_wau" -> ev_dau_wau _,
+    "ev_markov" -> ev_markov _,
     "ev_gap_fill" -> ev_gap_fill _,
     "ev_stragglers" -> ev_stragglers _,
     "ev_resource_skyline" -> ev_resource_skyline _,
@@ -521,6 +579,33 @@ object EventOps {
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         | count(*) AS n_events, round(sum(value),2) AS total_value
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "ev_dau_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1),
+        |wau AS (
+        |  SELECT day, count(DISTINCT user_id) AS wau FROM (
+        |    SELECT user_id, day + CAST(t.i AS INTEGER) AS day
+        |    FROM ud, LATERAL unnest(range(7)) AS t(i))
+        |  GROUP BY 1)
+        |SELECT d.day, d.dau, w.wau,
+        |  CAST(d.dau * 1000000 // w.wau AS BIGINT) AS stickiness_ppm
+        |FROM dau d JOIN wau w USING (day) ORDER BY d.day""".stripMargin,
+    "ev_markov" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS next_type
+        |  FROM events),
+        |pairs AS (
+        |  SELECT event_type AS from_type, next_type AS to_type,
+        |    count(*) AS n
+        |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |fm AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS from_total
+        |       FROM pairs GROUP BY 1)
+        |SELECT p.from_type, p.to_type, p.n, f.from_total,
+        |  CAST(p.n * 1000000 // f.from_total AS BIGINT) AS p_ppm
+        |FROM pairs p JOIN fm f USING (from_type)
+        |ORDER BY p.from_type, p.to_type""".stripMargin,
     "ev_gap_fill" ->
       """WITH sparse AS (
         |  SELECT date_trunc('hour', ts) AS hour, event_type,

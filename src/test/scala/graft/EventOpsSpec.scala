@@ -10,6 +10,57 @@ import org.apache.spark.sql.functions._
   * count. */
 class EventOpsSpec extends SparkSpec {
 
+  test("ev_dau_wau equals a naive per-day rolling distinct") {
+    import spark.implicits._
+    val ud = Tables.events(spark, sf0001)
+      .select($"user_id", to_date($"ts").as("day"))
+      .as[(Long, java.sql.Date)].collect()
+      .map { case (u, d) => (u, d.toLocalDate) }.distinct
+    val days = ud.map(_._2).distinct
+    val expected = days.map { day =>
+      val dau = ud.count(_._2 == day)
+      val wau = ud.filter { case (_, d) =>
+        !d.isAfter(day) && !d.isBefore(day.minusDays(6))
+      }.map(_._1).distinct.length
+      day -> (dau.toLong, wau.toLong, dau.toLong * 1000000L / wau)
+    }.toMap
+    val got = EventOps.ev_dau_wau(spark, sf0001)
+      .as[(java.sql.Date, Long, Long, Long)].collect()
+      .map(r => r._1.toLocalDate -> (r._2, r._3, r._4)).toMap
+    assert(got == expected)
+    // a rolling window is wider than its last day
+    assert(got.values.forall { case (dau, wau, _) => dau <= wau })
+  }
+
+  test("ev_markov: conditionals normalize per row and pairs equal a naive recount") {
+    import spark.implicits._
+    val got = EventOps.ev_markov(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // naive driver-side recount of consecutive pairs per user stream
+    val streams = Tables.events(spark, sf0001)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .as[(Long, java.sql.Timestamp, Long, String)].collect()
+      .groupBy(_._1)
+    val naive = collection.mutable.Map.empty[(String, String), Long]
+      .withDefaultValue(0L)
+    streams.values.foreach { evs =>
+      evs.sortBy(e => (e._2.getTime, e._3)).map(_._4)
+        .sliding(2).filter(_.length == 2)
+        .foreach { p => naive((p(0), p(1))) = naive((p(0), p(1))) + 1 }
+    }
+    assert(got.view.mapValues(_._1).toMap == naive.toMap)
+    // per-from normalization: sum of p_ppm within a row of the matrix
+    // is 1e6 up to the truncation deficit (< |types| ppm)
+    got.groupBy(_._1._1).foreach { case (from, cells) =>
+      val s = cells.values.map(_._3).sum
+      assert(s <= 1000000L && s > 1000000L - cells.size,
+        s"$from row sums to $s")
+      val tot = cells.values.map(_._1).sum
+      assert(cells.values.forall(_._2 == tot))
+    }
+  }
+
   test("ev_gap_fill densifies to the exact grid and preserves the sparse series") {
     import spark.implicits._
     val dense = EventOps.ev_gap_fill(spark, sf0001).collect()
