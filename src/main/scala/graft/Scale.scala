@@ -137,7 +137,16 @@ object Scale {
       // ~Nx (linear, slice-composition variation), not exactly Nx.
       // Wrapped copies add whole-doc eval overlap wherever a doc's
       // rotation-mate lands in the eval slice.
-      "text_decontam_spans" -> (graft.operators.TextOps.text_decontam_spans _))
+      "text_decontam_spans" -> (graft.operators.TextOps.text_decontam_spans _),
+      // r13: DSIR selection — the posture claim under measurement is
+      // that the weight table is CONSTANT-SIZE (1024 hashed buckets)
+      // no matter how the corpus or its vocabulary grows: rotation
+      // multiplies the bigram vocabulary ×26, but buckets saturate at
+      // 1024 and the broadcast stays fixed. Rows must be exactly
+      // (raw-pool docs with ≥ 2 words) × factor; scores shift with
+      // the global weights (the %10 target slice rotates per copy),
+      // so rows/time are the measured quantities.
+      "text_dsir_select" -> (graft.operators.TextOps.text_dsir_select _))
     // r13: SemDeDup rides along with its DOCUMENTED posture applied —
     // k grows with the corpus (32·factor), holding E[|cell|] flat, so
     // per-cell pair volume (and wall time) should stay ~linear; past

@@ -1248,17 +1248,20 @@ object TextOps {
     import s.implicits._
     val grams = graft.CacheRegistry.cache(
       Tables.documents(s, d)
-        .select($"doc_id", $"lang", explode(wordNgrams($"text", 2)).as("g"))
+        .select($"doc_id", $"lang", explode(wordNgramsAll($"text", 2)).as("g"))
         .withColumn("b", (conv(substring(md5($"g"), 1, 8), 16, 10)
           .cast("long") % 1024).as("b"))
         .select($"doc_id", $"lang", $"b"))
-    val weights = grams
+    // corpus totals come from the ≤1024-row bucket table (cached — its
+    // two consumers must not each replay the gram explode), NOT from a
+    // second pass over the corpus-sized gram stage
+    val counts = graft.CacheRegistry.cache(grams
       .groupBy($"b")
       .agg(sum(when($"doc_id" % 10 === 1, 1L).otherwise(0L)).as("ct"),
-        sum(when($"doc_id" % 10 =!= 1, 1L).otherwise(0L)).as("cr"))
-      .crossJoin(broadcast(grams.agg(
-        sum(when($"doc_id" % 10 === 1, 1L).otherwise(0L)).as("tot_t"),
-        sum(when($"doc_id" % 10 =!= 1, 1L).otherwise(0L)).as("tot_r"))))
+        sum(when($"doc_id" % 10 =!= 1, 1L).otherwise(0L)).as("cr")))
+    val weights = counts
+      .crossJoin(broadcast(counts.agg(
+        sum($"ct").as("tot_t"), sum($"cr").as("tot_r"))))
       .select($"b",
         (expr("ct * 1000000 div tot_t") - expr("cr * 1000000 div tot_r"))
           .as("wt"))
