@@ -292,6 +292,94 @@ object StreamingOps extends Serializable {
       }
   }
 
+  /** Typed event row for the streaming transition operator. */
+  final case class TypedEv(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String)
+
+  /** One sealed clickstream transition (aggregate downstream into
+    * ev_markov's (from, to) matrix). */
+  final case class TransitionOut(user_id: Long, from_ts: Timestamp,
+      from_type: String, to_type: String)
+
+  /** Keyed transition state: the not-yet-sealed event buffer plus the
+    * sealed prefix's tail event (its successor may still arrive). */
+  final case class TransState(buffer: Seq[(Long, Long, String)],
+      lastUs: Long, lastType: String)
+
+  /** Streaming TRANSITIONS (the streaming twin of ev_markov's
+    * first-order clickstream matrix): consecutive event pairs per
+    * user emitted as individual transition rows once the watermark
+    * seals their adjacency.
+    *
+    * Adjacency under out-of-order arrival is the whole problem: an
+    * event can still arrive BETWEEN two already-seen events (anywhere
+    * inside the watermark delay), so pairing on arrival would emit
+    * adjacencies a later batch invalidates — and Append emissions are
+    * final. Events are therefore buffered until the watermark passes
+    * their event time; everything at or below the watermark is a
+    * STABLE PREFIX of the final (ts, event_id)-ordered stream (Spark
+    * drops sub-watermark arrivals before the operator), so its
+    * internal adjacencies are final. The prefix's LAST event stays in
+    * state as the sealed tail — its successor may still be in flight —
+    * and pairs with the first event of the next sealed chunk.
+    *
+    * State is watermark-bounded: sealed events leave the buffer the
+    * batch they seal, keeping one (ts, type) tail plus only
+    * above-watermark arrivals; `tailRetentionHours` bounds the tail
+    * dimension exactly like asofStateful's click retention (a user
+    * who never returns would otherwise hold their tail forever) —
+    * once the watermark passes the horizon a timeout sweep removes
+    * the state, deliberately forgoing a transition whose successor
+    * trails by more than the horizon. Keyed state shards by user —
+    * the same one-exchange shape as the batch window. */
+  def transitionsStream(events: Dataset[TypedEv],
+      tailRetentionHours: Int = 168): Dataset[TransitionOut] = {
+    require(tailRetentionHours >= 1, "tailRetentionHours must be >= 1")
+    val retentionUs = tailRetentionHours.toLong * 3600L * 1000000L
+    implicit val longEnc: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+    implicit val stateEnc: org.apache.spark.sql.Encoder[TransState] =
+      org.apache.spark.sql.Encoders.product[TransState]
+    implicit val outEnc: org.apache.spark.sql.Encoder[TransitionOut] =
+      org.apache.spark.sql.Encoders.product[TransitionOut]
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, TransitionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[TypedEv], state: GroupState[TransState]) =>
+          var st = state.getOption.getOrElse(TransState(Nil, Long.MinValue, ""))
+          batch.foreach { e =>
+            st = st.copy(buffer = st.buffer :+ ((tsToUs(e.ts), e.event_id, e.event_type)))
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000
+          val (ripe, open) = st.buffer.partition(_._1 <= wmUs)
+          val sealedRun = ripe.sortBy(e => (e._1, e._2))
+          val chain =
+            (if (st.lastUs == Long.MinValue) Nil
+             else List((st.lastUs, Long.MinValue, st.lastType))) ++ sealedRun
+          val out = chain.sliding(2).collect {
+            case Seq((fUs, _, fTy), (_, _, tTy)) =>
+              TransitionOut(userId, usToTs(fUs), fTy, tTy)
+          }.toList
+          val (tailUs, tailType) =
+            if (sealedRun.nonEmpty) (sealedRun.last._1, sealedRun.last._3)
+            else (st.lastUs, st.lastType)
+          if (open.isEmpty &&
+              (tailUs == Long.MinValue || tailUs <= wmUs - retentionUs)) {
+            state.remove()
+          } else {
+            state.update(TransState(open, tailUs, tailType))
+            if (open.nonEmpty)
+              state.setTimeoutTimestamp(open.map(_._1).min / 1000 + 1)
+            else
+              // tail-only state: wake when the horizon passes the tail
+              // so the remove path above is reached
+              state.setTimeoutTimestamp((tailUs + retentionUs) / 1000 + 1)
+          }
+          out.iterator
+      }
+  }
+
   def sessionizeStateful(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[SessionOut] = {
     val gapUs = gapMinutes.toLong * 60 * 1000000
     implicit val longEnc: org.apache.spark.sql.Encoder[Long] =

@@ -30,6 +30,69 @@ class StreamingSpec extends SparkSpec {
 
   private def drain(q: StreamingQuery): Unit = q.processAllAvailable()
 
+  test("streaming transitions equal batch ev_markov under out-of-order batched ingest") {
+    import graft.streaming.StreamingOps.{TypedEv, TransitionOut}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = loadEvents().map(e => TypedEv(e.event_id, e.ts, e.user_id, e.event_type))
+    val ms = MemoryStream[TypedEv]
+    val withWm = ms.toDS().withWatermark("ts", "2 hours").as[TypedEv]
+    val q = StreamingOps.transitionsStream(withWm, tailRetentionHours = 24 * 365)
+      .writeStream.format("memory").queryName("t_trans")
+      .outputMode("append").start()
+    try {
+      // three batches, REVERSED within each chunk — every in-chunk
+      // adjacency arrives out of order; chunk boundaries land mid-day
+      // so cross-batch sealing is exercised too
+      val sorted = events.sortBy(e => (e.ts.getTime, e.event_id))
+      sorted.grouped((sorted.size + 2) / 3).foreach { chunk =>
+        ms.addData(chunk.reverse); drain(q)
+      }
+      val maxTs = sorted.last.ts.getTime
+      val sentinel = TypedEv(-1L, new Timestamp(maxTs + 86400000L * 2), -1L, "view")
+      ms.addData(Seq(sentinel)); drain(q)
+      ms.addData(Seq(sentinel.copy(event_id = -2L))); drain(q)
+      val got = spark.table("t_trans").as[TransitionOut].collect()
+        .filter(_.user_id >= 0)
+        .groupBy(t => (t.from_type, t.to_type))
+        .view.mapValues(_.length.toLong).toMap
+      val exp = EventOps.ev_markov(spark, sf0001).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got == exp, s"streamed transition counts diverge from batch")
+    } finally q.stop()
+  }
+
+  test("streaming transitions: a mid-gap event arriving LATE re-threads the chain") {
+    // The case that breaks pair-on-arrival: A(t0) and C(t2) arrive
+    // first, B(t1) arrives in the next batch (inside the watermark).
+    // The final chain must read A->B, B->C — never A->C.
+    import graft.streaming.StreamingOps.{TypedEv, TransitionOut}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Int) = new Timestamp(3600_000L * 24 + min * 60_000L)
+    val ms = MemoryStream[TypedEv]
+    val withWm = ms.toDS().withWatermark("ts", "1 hour").as[TypedEv]
+    val q = StreamingOps.transitionsStream(withWm)
+      .writeStream.format("memory").queryName("t_trans_ooo")
+      .outputMode("append").start()
+    try {
+      ms.addData(Seq(TypedEv(1L, ts(0), 7L, "signup"),
+        TypedEv(3L, ts(20), 7L, "purchase")))
+      drain(q)
+      ms.addData(Seq(TypedEv(2L, ts(10), 7L, "click")))
+      drain(q)
+      val sentinel = TypedEv(-1L, ts(60 * 48), -1L, "view")
+      ms.addData(Seq(sentinel)); drain(q)
+      ms.addData(Seq(sentinel.copy(event_id = -2L))); drain(q)
+      val got = spark.table("t_trans_ooo").as[TransitionOut].collect()
+        .filter(_.user_id == 7L)
+        .sortBy(_.from_ts.getTime)
+        .map(t => (t.from_type, t.to_type)).toSeq
+      assert(got == Seq(("signup", "click"), ("click", "purchase")),
+        s"late mid-gap event must re-thread the chain, got $got")
+    } finally q.stop()
+  }
+
   test("windowed aggregate with watermark matches batch ev_window_agg") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
