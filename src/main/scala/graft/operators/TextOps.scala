@@ -158,13 +158,16 @@ object TextOps {
     * a stateless per-row map — legal in a streaming plan, scan-speed in
     * batch. An `ingest_ts` column, if present, passes through (the
     * streaming form watermarks on it). */
-  def curationScored(docs: DataFrame): DataFrame = {
+  /** [[curationScored]] WITHOUT the keep filter — every doc scored,
+    * for consumers that account for the drops ([[text_curation_funnel]]). */
+  def curationScoredAll(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val t = tokens($"text")
     val nWords = size(t).cast("long")
     val nStop = size(filter(t, w => w.isInCollection(stopwords))).cast("long")
     val nUniq = size(array_distinct(t)).cast("long")
-    val passthrough = docs.columns.filter(_ == "ingest_ts").map(col).toSeq
+    val passthrough =
+      docs.columns.filter(c => c == "ingest_ts" || c == "source").map(col).toSeq
     docs
       .select(Seq($"doc_id", md5($"text".cast("binary")).as("h"),
         nWords.as("n_words"), nStop.as("nstop_tmp"),
@@ -177,7 +180,11 @@ object TextOps {
         expr("""uniq_ppm * (CASE WHEN n_words >= 20 THEN 2 ELSE 1 END)
                | * (CASE WHEN stopword_ppm > 10000 THEN 5 ELSE 4 END) div 10""".stripMargin))
       .drop("nstop_tmp", "nuniq_tmp")
-      .filter($"n_words" >= 10 && $"quality_ppm" >= 500000L)
+  }
+
+  def curationScored(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    curationScoredAll(docs).filter($"n_words" >= 10 && $"quality_ppm" >= 500000L)
   }
 
   /** END-TO-END curation pipeline — the composition a training-data
@@ -1224,6 +1231,62 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** CURATION FUNNEL accounting — the per-stage drop report every
+    * production data pipeline publishes next to its curated set (how
+    * many documents each filter removed, in order): quality gate →
+    * exact-dedup keeper → decontamination (the eval slice held out +
+    * overlapping train docs dropped) → per-domain cap, each stage
+    * applied SEQUENTIALLY to the previous stage's survivors with
+    * docs_in/docs_dropped/docs_out and the drop rate in exact ppm.
+    * Thresholds mirror the registered single-stage operators
+    * (text_pipeline's n_words ≥ 10 ∧ quality ≥ 0.5, text_decontam's
+    * 8-gram/`%10` eval slice, text_domain_cap's cap = 10) so the
+    * funnel is the accounting view OF those stages, not a variant.
+    *
+    * Plan shape: one scored pass persisted (all flags derive from
+    * it), dedup keeper = a conditional min window on the hash,
+    * contamination = the decontam broadcast join reduced to a flag,
+    * cap rank computed on the (small) stage-3 survivor set; the final
+    * report is ONE map-side-combined aggregate emitting four rows. */
+  def text_curation_funnel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val contaminated = decontamShared(docs, $"doc_id" % 10 === 0, 8)
+      .select($"doc_id", lit(true).as("contam"))
+    val base = graft.CacheRegistry.cache(
+      curationScoredAll(docs)
+        .withColumn("q_keep", $"n_words" >= 10 && $"quality_ppm" >= 500000L)
+        .withColumn("k_keep", $"q_keep" &&
+          $"doc_id" === min(when($"q_keep", $"doc_id"))
+            .over(Window.partitionBy($"h")))
+        .join(contaminated, Seq("doc_id"), "left")
+        .withColumn("s3_keep",
+          $"k_keep" && $"doc_id" % 10 =!= 0 && $"contam".isNull))
+    val capped = base.filter($"s3_keep")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"source").orderBy($"quality_ppm".desc, $"doc_id")))
+      .filter($"rnk" <= 10)
+      .agg(count(lit(1)).as("n4"))
+    val counts = base.agg(
+        count(lit(1)).as("n0"),
+        sum(when($"q_keep", 1L).otherwise(0L)).as("n1"),
+        sum(when($"k_keep", 1L).otherwise(0L)).as("n2"),
+        sum(when($"s3_keep", 1L).otherwise(0L)).as("n3"))
+      .crossJoin(broadcast(capped))
+    counts.select(explode(expr(
+        """array(
+          |  named_struct('stage_idx', bigint(1), 'stage', 'quality',    'docs_in', n0, 'docs_out', n1),
+          |  named_struct('stage_idx', bigint(2), 'stage', 'exact_dedup','docs_in', n1, 'docs_out', n2),
+          |  named_struct('stage_idx', bigint(3), 'stage', 'decontam',   'docs_in', n2, 'docs_out', n3),
+          |  named_struct('stage_idx', bigint(4), 'stage', 'domain_cap', 'docs_in', n3, 'docs_out', n4))"""
+          .stripMargin)).as("r"))
+      .select($"r.stage_idx", $"r.stage", $"r.docs_in",
+        ($"r.docs_in" - $"r.docs_out").as("docs_dropped"), $"r.docs_out")
+      .withColumn("drop_ppm",
+        expr("(docs_in - docs_out) * 1000000 div docs_in"))
+      .orderBy($"stage_idx")
+  }
+
   /** DSIR-inspired DISCRIMINATIVE DATA SELECTION (Xie et al. 2023,
     * arXiv:2302.03169 — importance resampling by hashed-n-gram
     * likelihood ratios between a target and a raw distribution).
@@ -1344,6 +1407,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_curation_funnel" -> text_curation_funnel _,
     "text_dsir_select" -> text_dsir_select _,
     "text_gopher_rules" -> text_gopher_rules _,
     "text_domain_cap" -> text_domain_cap _,
@@ -2026,6 +2090,63 @@ object TextOps {
         |SELECT doc_id, source, lang, quality_ppm,
         |  CAST(domain_rank AS INTEGER) AS domain_rank
         |FROM r WHERE domain_rank <= 10 ORDER BY doc_id""".stripMargin,
+    // The funnel composes the text_pipeline scored/kept CTEs, the
+    // text_decontam gram fragment, and text_domain_cap's rank rule;
+    // each stage's count is re-derived from scratch in DuckDB so the
+    // sequential accounting (not just the final survivor set) is
+    // hash-verified.
+    "text_curation_funnel" ->
+      """WITH scored AS (
+        | SELECT doc_id, md5(text) AS h,
+        |  CAST(len(words) AS BIGINT) AS n_words, source,
+        |  (CASE WHEN len(words) = 0 THEN CAST(0 AS BIGINT) ELSE
+        |    CAST(len(list_distinct(words)) AS BIGINT) * 1000000 // len(words) END)
+        |   * (CASE WHEN len(words) >= 20 THEN 2 ELSE 1 END)
+        |   * (CASE WHEN (CASE WHEN len(words) = 0 THEN CAST(0 AS BIGINT) ELSE
+        |      CAST(len(list_filter(words, w -> w IN ('the','a','an','of','and','to','in','is','it'))) AS BIGINT)
+        |      * 1000000 // len(words) END) > 10000 THEN 5 ELSE 4 END) // 10 AS quality_ppm
+        | FROM (SELECT doc_id, text, source,
+        |   list_filter(string_split(lower(text), ' '), w -> w <> '') AS words
+        |  FROM documents)),
+        |q AS (SELECT * FROM scored WHERE n_words >= 10 AND quality_ppm >= 500000),
+        |k AS (
+        | SELECT q.* FROM q
+        | JOIN (SELECT h, min(doc_id) AS doc_id FROM q GROUP BY 1) m
+        |  ON q.h = m.h AND q.doc_id = m.doc_id),
+        |t AS (
+        | SELECT doc_id,
+        |  list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+        | FROM documents),
+        |g AS (
+        | SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 6),
+        |   i -> array_to_string(ws[i:i+7], ' '))) AS g
+        | FROM t WHERE len(ws) >= 8),
+        |e AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 = 0),
+        |contam AS (
+        | SELECT DISTINCT doc_id FROM g JOIN e USING (g) WHERE doc_id % 10 <> 0),
+        |s3 AS (
+        | SELECT * FROM k
+        | WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT doc_id FROM contam)),
+        |s4 AS (
+        | SELECT * FROM (
+        |  SELECT doc_id, row_number() OVER (PARTITION BY source
+        |    ORDER BY quality_ppm DESC, doc_id) AS rnk FROM s3)
+        | WHERE rnk <= 10),
+        |c AS (
+        | SELECT (SELECT count(*) FROM documents) AS n0,
+        |   (SELECT count(*) FROM q) AS n1,
+        |   (SELECT count(*) FROM k) AS n2,
+        |   (SELECT count(*) FROM s3) AS n3,
+        |   (SELECT count(*) FROM s4) AS n4),
+        |f AS (
+        | SELECT 1 AS stage_idx, 'quality' AS stage, n0 AS docs_in, n1 AS docs_out FROM c
+        | UNION ALL SELECT 2, 'exact_dedup', n1, n2 FROM c
+        | UNION ALL SELECT 3, 'decontam', n2, n3 FROM c
+        | UNION ALL SELECT 4, 'domain_cap', n3, n4 FROM c)
+        |SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+        |  docs_in, docs_in - docs_out AS docs_dropped, docs_out,
+        |  CAST((docs_in - docs_out) * 1000000 // docs_in AS BIGINT) AS drop_ppm
+        |FROM f ORDER BY stage_idx""".stripMargin,
     "text_dsir_select" ->
       """WITH words AS (
         |  SELECT doc_id, lang,

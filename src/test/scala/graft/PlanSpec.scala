@@ -32,7 +32,9 @@ class PlanSpec extends SparkSpec {
         // crosses the declared 5-type dim onto the hour spine
         "fs_cache_plan", "fs_trash_expunge", "ev_gap_fill",
         // broadcast scalar corpus totals onto the 1024-row weight table
-        "text_dsir_select")
+        "text_dsir_select",
+        // broadcast one-row capped count onto the one-row funnel counts
+        "text_curation_funnel")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val plan = physical(name)
       assert(!plan.contains("CartesianProduct"),

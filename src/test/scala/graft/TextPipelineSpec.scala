@@ -12,6 +12,39 @@ import org.apache.spark.sql.functions._
 class TextPipelineSpec extends SparkSpec {
   import spark.implicits._
 
+  test("text_curation_funnel reconciles with the registered single-stage operators") {
+    import spark.implicits._
+    val funnel = TextOps.text_curation_funnel(spark, sf0001).collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // chain integrity: each stage's out feeds the next stage's in,
+    // dropped = in − out, counts monotone non-increasing
+    val order = Seq("quality", "exact_dedup", "decontam", "domain_cap")
+    order.sliding(2).foreach { case Seq(a, b) =>
+      assert(funnel(a)._3 == funnel(b)._1, s"$a out != $b in")
+    }
+    funnel.values.foreach { case (in, dropped, out) =>
+      assert(in - out == dropped && out <= in)
+    }
+    // stage 2 out == the registered text_pipeline (quality + exact dedup)
+    assert(funnel("exact_dedup")._3 ==
+      TextOps.text_pipeline(spark, sf0001).count())
+    // stage 3 out == pipeline survivors minus the eval slice minus
+    // decontam-flagged docs (both from the registered operators)
+    val pipeline = TextOps.text_pipeline(spark, sf0001)
+      .select($"doc_id").as[Long].collect().toSet
+    val flagged = TextOps.text_decontam(spark, sf0001)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(funnel("decontam")._3 ==
+      pipeline.count(id => id % 10 != 0 && !flagged(id)))
+    // stage 4 cap: at most 10 survivors per source; the three
+    // discriminating stages each dropped something (the synthetic
+    // corpus has no exact dups, so exact_dedup's 0 is the true count)
+    assert(funnel("domain_cap")._3 <= 10L * 20)
+    Seq("quality", "decontam", "domain_cap").foreach { st =>
+      assert(funnel(st)._2 > 0, s"$st dropped nothing")
+    }
+  }
+
   test("text_dsir_select matches an independent driver-side rederivation") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf0001)
