@@ -389,6 +389,37 @@ object EventOps {
       .orderBy($"user_id")
   }
 
+  /** COHORT RETENTION MATRIX — the standard product-analytics
+    * triangle (signup cohort × weeks since signup → share still
+    * active), generalizing ev_retention's adjacent-day form: users
+    * cohort on their FIRST signup day, each later active day lands in
+    * week bucket (active − cohort) div 7, retention is exact integer
+    * ppm of the cohort size. Three map-side-combined aggregates
+    * (first-signup per user, distinct activity days, the matrix
+    * rollup) and one user-keyed equi-join — at scale both sides
+    * partition on user_id so the join co-locates; the cohort-size
+    * join is |cohorts|-row broadcast. */
+  def ev_cohort_matrix(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val cohorts = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min(to_date($"ts")).as("cohort_day"))
+    val activity = ev.select($"user_id", to_date($"ts").as("day")).distinct()
+    val sizes = cohorts.groupBy($"cohort_day")
+      .agg(count(lit(1)).as("cohort_size"))
+    activity.join(cohorts, Seq("user_id"))
+      .filter($"day" >= $"cohort_day")
+      .select($"user_id", $"cohort_day",
+        expr("bigint(datediff(day, cohort_day)) div 7").as("week_offset"))
+      .distinct()
+      .groupBy($"cohort_day", $"week_offset")
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort_day"))
+      .withColumn("retention_ppm",
+        expr("n_active * 1000000 div cohort_size"))
+      .orderBy($"cohort_day", $"week_offset")
+  }
+
   /** DAU / WAU rolling-active-users report with the stickiness ratio
     * (DAU/WAU — the engagement metric every product-analytics stack
     * derives from its event log). Exact distinct counts, not sketches:
@@ -481,6 +512,7 @@ object EventOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_cohort_matrix" -> ev_cohort_matrix _,
     "ev_dau_wau" -> ev_dau_wau _,
     "ev_markov" -> ev_markov _,
     "ev_gap_fill" -> ev_gap_fill _,
@@ -579,6 +611,25 @@ object EventOps {
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         | count(*) AS n_events, round(sum(value),2) AS total_value
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "ev_cohort_matrix" ->
+      """WITH cohorts AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |activity AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |sizes AS (SELECT cohort_day, count(*) AS cohort_size
+        |          FROM cohorts GROUP BY 1),
+        |cells AS (
+        |  SELECT DISTINCT a.user_id, c.cohort_day,
+        |    date_diff('day', c.cohort_day, a.day) // 7 AS week_offset
+        |  FROM activity a JOIN cohorts c USING (user_id)
+        |  WHERE a.day >= c.cohort_day),
+        |m AS (
+        |  SELECT cohort_day, week_offset, count(*) AS n_active
+        |  FROM cells GROUP BY 1, 2)
+        |SELECT m.cohort_day, m.week_offset, m.n_active, s.cohort_size,
+        |  CAST(m.n_active * 1000000 // s.cohort_size AS BIGINT) AS retention_ppm
+        |FROM m JOIN sizes s USING (cohort_day)
+        |ORDER BY m.cohort_day, m.week_offset""".stripMargin,
     "ev_dau_wau" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1),

@@ -563,7 +563,39 @@ object Similarity {
       .orderBy($"qid", $"rank")
   }
 
+  /** FILTERED vector search — top-k under a metadata predicate (the
+    * retrieval shape every vector store ships as "filtered ANN": only
+    * corpus rows whose `label` matches the query's own qualify as
+    * neighbors). The filter composes INSIDE the search, not as a
+    * post-filter on an unfiltered top-k — post-filtering famously
+    * starves result sets when the predicate is selective (a top-5 of
+    * which 4 fail the predicate returns 1 row; the correct answer is
+    * the top-5 OF the qualifying subset). Same broadcast-query /
+    * streamed-corpus single-pass shape as ann_topk_brute with the
+    * predicate fused into the join condition, so rows failing it are
+    * dropped before any cosine is computed; at scale a label-
+    * partitioned corpus layout would additionally prune whole
+    * partitions (src_partitioned_prune's posture). */
+  def ann_topk_filtered(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val q = e.filter($"vec_id" < 16)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"),
+        $"label".as("qlabel"))
+    val scored = e.select($"vec_id".as("nid"), $"embedding", $"label")
+      .crossJoin(broadcast(q))
+      .filter($"nid" =!= $"qid" && $"label" === $"qlabel")
+      .select($"qid", $"qlabel", $"nid",
+        cosine($"qvec", $"embedding").as("cos"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"qid", $"qlabel", $"rank", $"nid", round($"cos", 6).as("cos_sim"))
+      .orderBy($"qid", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_topk_filtered" -> ann_topk_filtered _,
     "ann_topk_brute" -> ann_topk_brute _,
     "ann_cos_range" -> ann_cos_range _,
     "ann_quantize" -> ann_quantize _,
@@ -619,6 +651,17 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "ann_lsh" -> annLshOracleSql,
+    "ann_topk_filtered" ->
+      """SELECT qid, qlabel, rank, nid, round(cos, 6) AS cos_sim FROM (
+        |  SELECT q.vec_id AS qid, q.label AS qlabel, c.vec_id AS nid,
+        |   list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |     CAST(c.embedding AS DOUBLE[])) AS cos,
+        |   row_number() OVER (PARTITION BY q.vec_id
+        |     ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |       CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 16 AND c.vec_id <> q.vec_id AND c.label = q.label)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "ann_topk_brute" ->
       """SELECT qid, rank, nid, round(cos, 6) AS cos_sim FROM (
         |  SELECT q.vec_id AS qid, c.vec_id AS nid,

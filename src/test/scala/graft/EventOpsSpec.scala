@@ -10,6 +10,38 @@ import org.apache.spark.sql.functions._
   * count. */
 class EventOpsSpec extends SparkSpec {
 
+  test("ev_cohort_matrix: week-0 is full retention and cells match a naive recount") {
+    import spark.implicits._
+    // sf0.01: sf0.001's 15 users are active every week of the span, so
+    // the decay branch under test never fires there
+    val got = EventOps.ev_cohort_matrix(spark, sf001).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // naive driver recount
+    val ev = Tables.events(spark, sf001)
+      .select($"user_id", to_date($"ts").as("day"), $"event_type")
+      .as[(Long, java.sql.Date, String)].collect()
+      .map { case (u, d, t) => (u, d.toLocalDate, t) }
+    val cohort = ev.filter(_._3 == "signup").groupBy(_._1)
+      .view.mapValues(_.map(_._2).min(Ordering.by((d: java.time.LocalDate) => d.toEpochDay))).toMap
+    val cells = ev.filter(e => cohort.contains(e._1))
+      .map(e => (e._1, cohort(e._1), e._2))
+      .filter { case (_, c, d) => !d.isBefore(c) }
+      .map { case (u, c, d) =>
+        (u, c, (d.toEpochDay - c.toEpochDay) / 7) }.distinct
+    val sizes = cohort.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = cells.groupBy(x => (x._2, x._3)).map { case ((c, w), xs) =>
+      (c, w) -> (xs.size.toLong, sizes(c), xs.size.toLong * 1000000L / sizes(c))
+    }
+    assert(got == expected)
+    // every user is active on their signup day, so week 0 is 100%
+    got.filter(_._1._2 == 0L).values.foreach { case (n, sz, ppm) =>
+      assert(n == sz && ppm == 1000000L)
+    }
+    // retention decays somewhere (otherwise the matrix is vacuous)
+    assert(got.exists { case ((_, w), (_, _, ppm)) => w > 0 && ppm < 1000000L })
+  }
+
   test("ev_dau_wau equals a naive per-day rolling distinct") {
     import spark.implicits._
     val ud = Tables.events(spark, sf0001)

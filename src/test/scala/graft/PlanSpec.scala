@@ -23,7 +23,7 @@ class PlanSpec extends SparkSpec {
     val intendedNestedLoop =
       Set("q21_crossjoin_small", "q15_groupby_topk", "fs_quota_check",
         "fs_balancer_plan", "ann_topk_brute", "ann_cos_range",
-        "sql_ann_cos_range", "ann_pq", "text_token_hist",
+        "sql_ann_cos_range", "ann_pq", "ann_topk_filtered", "text_token_hist",
         // TeraChecksum: two single-row fingerprint frames broadcast
         // onto the one-row validation summary
         "mr_sort_validate",

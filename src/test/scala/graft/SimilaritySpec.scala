@@ -7,6 +7,47 @@ import org.apache.spark.sql.functions._
   * from ever regressing to the r1 empty-output state. */
 class SimilaritySpec extends SparkSpec {
 
+  test("ann_topk_filtered: predicate inside the search, not a post-filter") {
+    import spark.implicits._
+    val got = Similarity.ann_topk_filtered(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    // every neighbor shares its query's label
+    val labels = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    got.foreach { case (qid, qlabel, _, nid) =>
+      assert(labels(qid) == qlabel && labels(nid) == qlabel,
+        s"neighbor $nid of query $qid violates the label predicate")
+    }
+    // the filtered top-5 is the top-5 OF the qualifying subset —
+    // driver-side recomputation over the label-restricted corpus
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      (0 until a.length).foreach { i =>
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      val want = vecs.keys.toSeq
+        .filter(n => n != qid && labels(n) == labels(qid))
+        .map(n => (n, cos(vecs(qid), vecs(n))))
+        .sortBy { case (n, c) => (-c, n) }.take(5).map(_._1)
+      val have = rows.sortBy(_._3).map(_._4).toSeq
+      assert(have == want, s"query $qid: $have != $want")
+    }
+    // and it differs from post-filtering the unfiltered top-5 for at
+    // least one query (the starvation case the operator exists for)
+    val brutePost = Similarity.ann_topk_brute(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .filter { case (q, n) => labels(q) == labels(n) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val filteredSets = got.groupBy(_._1).view.mapValues(_.map(_._4).toSet).toMap
+    assert(filteredSets.exists { case (q, s) => brutePost.getOrElse(q, Set.empty) != s },
+      "post-filtered brute equals filtered search everywhere — test corpus degenerate")
+  }
+
   test("ann_lsh recall@5 >= 0.8 vs brute force at sf0.01, and non-empty") {
     val brute = Similarity.ann_topk_brute(spark, sf001)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
