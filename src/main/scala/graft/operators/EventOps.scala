@@ -389,6 +389,32 @@ object EventOps {
       .orderBy($"user_id")
   }
 
+  /** TIME-TO-CONVERT distribution — days from a user's first signup
+    * to their first subsequent purchase, histogrammed, with the
+    * never-converted population as the `-1` bucket (dropping them
+    * would silently survivor-bias every downstream conversion stat).
+    * Two map-side-combined min-aggregates + one user-keyed equi-join
+    * (co-locatable at scale) + a |days|-bucket rollup. */
+  def ev_time_to_convert(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val signups = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("signup_ts"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("p_ts"))
+    val firstConv = purchases.join(signups, Seq("user_id"))
+      .filter($"p_ts" >= $"signup_ts")
+      .groupBy($"user_id").agg(min($"p_ts").as("conv_ts"))
+    signups.join(firstConv, Seq("user_id"), "left")
+      .select($"user_id", $"signup_ts",
+        when($"conv_ts".isNull, lit(-1L))
+          .otherwise(datediff(to_date($"conv_ts"), to_date($"signup_ts"))
+            .cast("long")).as("days_to_convert"))
+      .groupBy($"days_to_convert")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"days_to_convert")
+  }
+
   /** COHORT RETENTION MATRIX — the standard product-analytics
     * triangle (signup cohort × weeks since signup → share still
     * active), generalizing ev_retention's adjacent-day form: users
@@ -512,6 +538,7 @@ object EventOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_time_to_convert" -> ev_time_to_convert _,
     "ev_cohort_matrix" -> ev_cohort_matrix _,
     "ev_dau_wau" -> ev_dau_wau _,
     "ev_markov" -> ev_markov _,
@@ -611,6 +638,24 @@ object EventOps {
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         | count(*) AS n_events, round(sum(value),2) AS total_value
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "ev_time_to_convert" ->
+      """WITH s AS (
+        |  SELECT user_id, min(ts) AS signup_ts
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |fc AS (
+        |  SELECT p.user_id, min(p.ts) AS conv_ts
+        |  FROM events p JOIN s USING (user_id)
+        |  WHERE p.event_type = 'purchase' AND p.ts >= s.signup_ts
+        |  GROUP BY 1),
+        |du AS (
+        |  SELECT s.user_id,
+        |    CASE WHEN fc.conv_ts IS NULL THEN -1
+        |    ELSE date_diff('day', CAST(s.signup_ts AS DATE),
+        |      CAST(fc.conv_ts AS DATE)) END AS days_to_convert
+        |  FROM s LEFT JOIN fc ON s.user_id = fc.user_id)
+        |SELECT CAST(days_to_convert AS BIGINT) AS days_to_convert,
+        |  count(*) AS n_users
+        |FROM du GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_cohort_matrix" ->
       """WITH cohorts AS (
         |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day

@@ -298,7 +298,32 @@ object Relational {
       .orderBy($"o_orderpriority", $"rank")
   }
 
+  /** RANGE-frame interval window — the windowing mode §2.1's q10
+    * (ROWS-frame rank/running-sum) doesn't cover: per customer, each
+    * order's trailing-30-day spend (RANGE BETWEEN 29 days PRECEDING
+    * AND CURRENT ROW over the order date). ROWS frames count
+    * neighbors; RANGE frames bound by VALUE distance, which is what
+    * rolling-period business metrics actually mean, and same-date
+    * peers all share one frame. Money crosses the engine boundary as
+    * exact integer cents (floor(x·100 + 0.5) on the identical IEEE
+    * double — the fs_copy_verify rule); the frame rides one
+    * customer-keyed exchange, partial-aggregated inside the window. */
+  def q23_range_frame(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d).select($"o_orderkey", $"o_custkey",
+      to_date($"o_orderdate").as("o_orderdate"),
+      expr("bigint(floor(o_totalprice * 100 + 0.5))").as("total_cents"))
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy(expr("datediff(o_orderdate, date'1970-01-01')"))
+      .rangeBetween(-29, 0)
+    o.withColumn("trailing30_cents", sum($"total_cents").over(w))
+      .select($"o_custkey", $"o_orderdate", $"o_orderkey", $"total_cents",
+        $"trailing30_cents")
+      .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_range_frame" -> q23_range_frame _,
     "q22_grouptopk" -> q22_grouptopk _,
     "q1_agg" -> q1_agg _,
     "q2_filter_project" -> q2_filter_project _,
@@ -323,6 +348,15 @@ object Relational {
     "q21_crossjoin_small" -> q21_crossjoin_small _)
 
   val oracle: Map[String, String] = Map(
+    "q23_range_frame" ->
+      """SELECT o_custkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderkey,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
+        |    PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+        |    RANGE BETWEEN INTERVAL 29 DAY PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS trailing30_cents
+        |FROM orders
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
     "q22_grouptopk" ->
       """SELECT o_orderpriority, rank, o_orderkey, price FROM (
         | SELECT o_orderpriority,

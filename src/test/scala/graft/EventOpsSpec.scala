@@ -10,6 +10,31 @@ import org.apache.spark.sql.functions._
   * count. */
 class EventOpsSpec extends SparkSpec {
 
+  test("ev_time_to_convert partitions every signup user and keeps the unconverted") {
+    import spark.implicits._
+    val got = EventOps.ev_time_to_convert(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ev = Tables.events(spark, sf0001)
+      .select($"user_id", $"ts", $"event_type")
+      .as[(Long, java.sql.Timestamp, String)].collect()
+    val signup = ev.filter(_._3 == "signup").groupBy(_._1)
+      .view.mapValues(_.map(_._2.getTime).min).toMap
+    val expected = signup.toSeq.map { case (u, st) =>
+      val conv = ev.filter(e => e._1 == u && e._3 == "purchase" && e._2.getTime >= st)
+        .map(_._2.getTime).sorted.headOption
+      conv match {
+        case None => -1L
+        case Some(ct) =>
+          val d = java.time.Instant.ofEpochMilli(ct).atZone(java.time.ZoneOffset.UTC).toLocalDate
+          val s = java.time.Instant.ofEpochMilli(st).atZone(java.time.ZoneOffset.UTC).toLocalDate
+          d.toEpochDay - s.toEpochDay
+      }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == expected)
+    // the histogram partitions the signup population exactly
+    assert(got.values.sum == signup.size.toLong)
+  }
+
   test("ev_cohort_matrix: week-0 is full retention and cells match a naive recount") {
     import spark.implicits._
     // sf0.01: sf0.001's 15 users are active every week of the span, so
