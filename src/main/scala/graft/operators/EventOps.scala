@@ -389,6 +389,37 @@ object EventOps {
       .orderBy($"user_id")
   }
 
+  /** SLO ERROR-BUDGET BURN RATE — the multi-window burn alert (SRE
+    * practice: page when BOTH a fast and a slow window burn above
+    * budget, so spikes don't page and slow leaks still do): per hour,
+    * error rate vs a 25% error budget as the exact-ppm burn multiple
+    * over the hour itself (fast) and the trailing 6 hours (slow,
+    * RANGE frame over the hour spine), alert = both ≥ 1×. One
+    * map-side-combined hourly rollup; the slow window rides a single
+    * unpartitioned-but-hour-keyed RANGE frame over |hours| rows —
+    * metadata-scale regardless of corpus size. */
+  def ev_burn_rate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hourly = Tables.events(s, d)
+      .groupBy(date_trunc("hour", $"ts").as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when($"event_type" === "error", 1L).otherwise(0L)).as("n_errors"))
+    val w = Window
+      .orderBy(expr("bigint(unix_timestamp(hour)) div 3600"))
+      .rangeBetween(-5, 0)
+    hourly
+      .withColumn("slow_events", sum($"n_events").over(w))
+      .withColumn("slow_errors", sum($"n_errors").over(w))
+      .select($"hour", $"n_events", $"n_errors",
+        expr("(n_errors * 1000000 div n_events) * 1000000 div 250000")
+          .as("burn_fast_ppm"),
+        expr("(slow_errors * 1000000 div slow_events) * 1000000 div 250000")
+          .as("burn_slow_ppm"))
+      .withColumn("alert",
+        $"burn_fast_ppm" >= 1000000L && $"burn_slow_ppm" >= 1000000L)
+      .orderBy($"hour")
+  }
+
   /** TIME-TO-CONVERT distribution — days from a user's first signup
     * to their first subsequent purchase, histogrammed, with the
     * never-converted population as the `-1` bucket (dropping them
@@ -538,6 +569,7 @@ object EventOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_burn_rate" -> ev_burn_rate _,
     "ev_time_to_convert" -> ev_time_to_convert _,
     "ev_cohort_matrix" -> ev_cohort_matrix _,
     "ev_dau_wau" -> ev_dau_wau _,
@@ -638,6 +670,28 @@ object EventOps {
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         | count(*) AS n_events, round(sum(value),2) AS total_value
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "ev_burn_rate" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, count(*) AS n_events,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_errors
+        |  FROM events GROUP BY 1),
+        |win AS (
+        |  SELECT hour, n_events, n_errors,
+        |    CAST(sum(n_events) OVER (ORDER BY epoch(hour) // 3600
+        |      RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS slow_events,
+        |    CAST(sum(n_errors) OVER (ORDER BY epoch(hour) // 3600
+        |      RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS slow_errors
+        |  FROM hourly)
+        |SELECT hour, n_events, n_errors,
+        |  CAST((n_errors * 1000000 // n_events) * 1000000 // 250000 AS BIGINT)
+        |    AS burn_fast_ppm,
+        |  CAST((slow_errors * 1000000 // slow_events) * 1000000 // 250000 AS BIGINT)
+        |    AS burn_slow_ppm,
+        |  (n_errors * 1000000 // n_events) * 1000000 // 250000 >= 1000000
+        |    AND (slow_errors * 1000000 // slow_events) * 1000000 // 250000 >= 1000000
+        |    AS alert
+        |FROM win ORDER BY hour""".stripMargin,
     "ev_time_to_convert" ->
       """WITH s AS (
         |  SELECT user_id, min(ts) AS signup_ts

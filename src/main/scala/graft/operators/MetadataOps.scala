@@ -1019,7 +1019,49 @@ object MetadataOps {
       .orderBy($"source")
   }
 
+  /** Storage CHARGEBACK report — the bill a multi-tenant platform
+    * (HopsFS's model: projects own directories, quotas meter them)
+    * renders per tenant from the metadata DB: replica-placement-aware
+    * billed bytes per tier (fs_mover_plan's n_disk model — DISK
+    * replicas at the premium rate, the remaining replicas on ARCHIVE
+    * at the cold rate), tier prices in integer cents per KiB so the
+    * whole bill is exact i64 arithmetic, plus each directory's share
+    * of the total bill in ppm (broadcast scalar). One block explode +
+    * one map-side-combined per-source rollup — the same single-pass
+    * shape as fs_ec_savings. */
+  def fs_chargeback(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val billed = Tables.documents(s, d)
+      .select($"doc_id", $"source", $"n_chars")
+      .withColumn("blk", explode(expr(
+        "sequence(bigint(0), greatest(bigint(1), (n_chars + 63) div 64) - 1)")))
+      .withColumn("blk_bytes",
+        greatest(lit(0L), least(lit(64L), $"n_chars" - $"blk" * 64)))
+      .withColumn("n_disk", expr(
+        """aggregate(array(0L, 5L, 11L), 0L, (acc, o) ->
+          |  acc + IF(pmod(doc_id * 131 + blk * 17 + o, 16) < 12, 1L, 0L))"""
+          .stripMargin))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum($"blk_bytes" * $"n_disk").as("disk_bytes"),
+        sum($"blk_bytes" * (lit(3L) - $"n_disk")).as("archive_bytes"))
+      // DISK 5 ¢/KiB, ARCHIVE 2 ¢/KiB — integer cents, ceil per source
+      .withColumn("bill_cents", expr(
+        "(disk_bytes * 5 + archive_bytes * 2 + 1023) div 1024"))
+    // two consumers (rows + total) — persist the tiny rollup so the
+    // block explode runs once (the one-scan rule)
+    val cached = graft.CacheRegistry.cache(billed)
+    cached
+      .crossJoin(broadcast(cached.agg(sum($"bill_cents").as("total_cents"))))
+      .withColumn("bill_share_ppm",
+        expr("bill_cents * 1000000 div total_cents"))
+      .select($"source", $"n_blocks", $"disk_bytes", $"archive_bytes",
+        $"bill_cents", $"bill_share_ppm")
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fs_chargeback" -> fs_chargeback _,
     "fs_cache_plan" -> fs_cache_plan _,
     "fs_trash_expunge" -> fs_trash_expunge _,
     "fs_placement_audit" -> fs_placement_audit _,
@@ -1455,6 +1497,31 @@ object MetadataOps {
         | round((SELECT avg(bytes_used) FROM usage),2) AS mean_used
         |FROM usage WHERE bytes_used > (SELECT avg(bytes_used) FROM usage) * 1.05
         |ORDER BY source""".stripMargin,
+    "fs_chargeback" ->
+      """WITH blocks AS (
+        |  SELECT doc_id, source, t.blk AS blk,
+        |         greatest(0, least(64, n_chars - t.blk * 64)) AS blk_bytes
+        |  FROM documents,
+        |       LATERAL unnest(range(greatest(1, (n_chars + 63) // 64))) AS t(blk)),
+        |m AS (
+        |  SELECT source, blk_bytes,
+        |    CAST(sum(CASE WHEN (doc_id * 131 + blk * 17 + o.off) % 16 < 12
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_disk
+        |  FROM blocks, LATERAL unnest([0, 5, 11]) AS o(off)
+        |  GROUP BY doc_id, source, blk, blk_bytes),
+        |b AS (
+        |  SELECT source, count(*) AS n_blocks,
+        |    CAST(sum(blk_bytes * n_disk) AS BIGINT) AS disk_bytes,
+        |    CAST(sum(blk_bytes * (3 - n_disk)) AS BIGINT) AS archive_bytes
+        |  FROM m GROUP BY source),
+        |bb AS (
+        |  SELECT *, (disk_bytes * 5 + archive_bytes * 2 + 1023) // 1024
+        |    AS bill_cents FROM b),
+        |tot AS (SELECT CAST(sum(bill_cents) AS BIGINT) AS total_cents FROM bb)
+        |SELECT source, n_blocks, disk_bytes, archive_bytes,
+        |  CAST(bill_cents AS BIGINT) AS bill_cents,
+        |  CAST(bill_cents * 1000000 // total_cents AS BIGINT) AS bill_share_ppm
+        |FROM bb, tot ORDER BY source""".stripMargin,
     "fs_cache_plan" ->
       """WITH dirs AS (
         |  SELECT source, lang, count(*) AS n_files,

@@ -1231,6 +1231,35 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** RAG-style OVERLAPPING CHUNK manifest — the chunking pass a
+    * retrieval pipeline runs before embedding (fixed window, fixed
+    * stride, tail kept): per doc, token spans [start, end) at width
+    * 32 / stride 24 (sized to this corpus's 10–99-word docs; the
+    * 256/192 production shape is the same arithmetic), the final
+    * chunk truncated at the doc boundary and flagged. Distinct from
+    * text_pack (which packs MANY docs into fixed context windows) and
+    * text_split (doc-level routing): this subdivides WITHIN docs with
+    * overlap so retrieval hits don't straddle chunk edges. Chunk
+    * starts are a pure sequence() expansion off the token count — one
+    * codegen'd per-row explode, no shuffle, scan-speed at 100 TB. */
+  def text_window_chunks(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val width = 32L
+    val stride = 24L
+    Tables.documents(s, d)
+      .select($"doc_id", size(tokens($"text")).cast("long").as("n_tokens"))
+      .filter($"n_tokens" > 0)
+      .withColumn("chunk_idx", explode(expr(
+        s"sequence(bigint(0), greatest(bigint(0), (n_tokens - $width + $stride - 1) div $stride))")))
+      .select($"doc_id", $"chunk_idx",
+        ($"chunk_idx" * stride).as("tok_start"),
+        least($"chunk_idx" * stride + width, $"n_tokens").as("tok_end"),
+        (least($"chunk_idx" * stride + width, $"n_tokens") -
+          $"chunk_idx" * stride).as("n_tokens_chunk"),
+        ($"chunk_idx" * stride + width >= $"n_tokens").as("is_last"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
   /** CURATION FUNNEL accounting — the per-stage drop report every
     * production data pipeline publishes next to its curated set (how
     * many documents each filter removed, in order): quality gate →
@@ -1407,6 +1436,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_window_chunks" -> text_window_chunks _,
     "text_curation_funnel" -> text_curation_funnel _,
     "text_dsir_select" -> text_dsir_select _,
     "text_gopher_rules" -> text_gopher_rules _,
@@ -2090,6 +2120,21 @@ object TextOps {
         |SELECT doc_id, source, lang, quality_ppm,
         |  CAST(domain_rank AS INTEGER) AS domain_rank
         |FROM r WHERE domain_rank <= 10 ORDER BY doc_id""".stripMargin,
+    "text_window_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(lower(text), ' '), w -> w <> ''))
+        |      AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n, CAST(t2.k AS BIGINT) AS chunk_idx
+        |  FROM t, LATERAL unnest(range(greatest(0, (n - 32 + 23) // 24) + 1)) AS t2(k)
+        |  WHERE n > 0)
+        |SELECT doc_id, chunk_idx, chunk_idx * 24 AS tok_start,
+        |  least(chunk_idx * 24 + 32, n) AS tok_end,
+        |  least(chunk_idx * 24 + 32, n) - chunk_idx * 24 AS n_tokens_chunk,
+        |  chunk_idx * 24 + 32 >= n AS is_last
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     // The funnel composes the text_pipeline scored/kept CTEs, the
     // text_decontam gram fragment, and text_domain_cap's rank rule;
     // each stage's count is re-derived from scratch in DuckDB so the

@@ -10,6 +10,24 @@ import org.apache.spark.sql.functions._
   * count. */
 class EventOpsSpec extends SparkSpec {
 
+  test("ev_burn_rate: window sums and burn multiples match a naive recomputation") {
+    import spark.implicits._
+    val got = EventOps.ev_burn_rate(spark, sf0001).collect()
+      .map(r => r.getTimestamp(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    val hourly = got.map { case (h, (n, e, _, _, _)) => h.getTime -> (n, e) }.toMap
+    got.foreach { case (h, (n, e, fast, slow, alert)) =>
+      assert(fast == (e * 1000000L / n) * 1000000L / 250000L)
+      val (sn, se) = (0 to 5).map(k => hourly.getOrElse(h.getTime - k * 3600000L, (0L, 0L)))
+        .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+      assert(slow == (se * 1000000L / sn) * 1000000L / 250000L,
+        s"$h slow window")
+      assert(alert == (fast >= 1000000L && slow >= 1000000L))
+    }
+    // the 25% budget must split this corpus into both alert branches
+    assert(got.exists(_._2._5) && got.exists(!_._2._5))
+  }
+
   test("ev_time_to_convert partitions every signup user and keeps the unconverted") {
     import spark.implicits._
     val got = EventOps.ev_time_to_convert(spark, sf0001).collect()

@@ -39,6 +39,27 @@ class MetadataSpec extends SparkSpec {
     }
   }
 
+  test("fs_chargeback: tier bytes conserve replicas and shares sum to ~1e6") {
+    import spark.implicits._
+    val got = MetadataOps.fs_chargeback(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.nonEmpty)
+    // every replica is billed exactly once: disk + archive = 3 × logical
+    val logical = Tables.documents(spark, sf0001).filter($"n_chars" >= 0)
+      .groupBy($"source").agg(sum($"n_chars").as("b"))
+      .as[(String, Long)].collect().toMap
+    got.foreach { case (src, (_, disk, arch, cents, _)) =>
+      assert(disk + arch == 3 * logical(src), s"$src replica bytes leak")
+      assert(cents == (disk * 5 + arch * 2 + 1023) / 1024, s"$src bill formula")
+    }
+    // shares partition the bill (truncation deficit < |sources| ppm)
+    val shares = got.map(_._2._5).sum
+    assert(shares <= 1000000L && shares > 1000000L - got.length)
+    // the placement model actually splits tiers (both nonzero somewhere)
+    assert(got.exists(_._2._2 > 0) && got.exists(_._2._3 > 0))
+  }
+
   test("fs_cache_plan: admission is a prefix per pool, stats reconcile, both branches populated") {
     import spark.implicits._
     val rows = MetadataOps.fs_cache_plan(spark, sf0001)

@@ -34,7 +34,9 @@ class PlanSpec extends SparkSpec {
         // broadcast scalar corpus totals onto the 1024-row weight table
         "text_dsir_select",
         // broadcast one-row capped count onto the one-row funnel counts
-        "text_curation_funnel")
+        "text_curation_funnel",
+        // broadcast one-row bill total onto the per-source rollup
+        "fs_chargeback")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val plan = physical(name)
       assert(!plan.contains("CartesianProduct"),

@@ -12,6 +12,38 @@ import org.apache.spark.sql.functions._
 class TextPipelineSpec extends SparkSpec {
   import spark.implicits._
 
+  test("text_window_chunks tiles every doc with the declared width/stride/overlap") {
+    import spark.implicits._
+    val chunks = TextOps.text_window_chunks(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+      .groupBy(_._1)
+    val nTokens = Tables.documents(spark, sf0001)
+      .select($"doc_id",
+        size(expr("filter(split(lower(text), ' '), w -> w != '')")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(chunks.keySet == nTokens.keySet.filter(nTokens(_) > 0))
+    chunks.foreach { case (doc, cs) =>
+      val n = nTokens(doc)
+      val sorted = cs.sortBy(_._2)
+      // first chunk anchors at 0; indices contiguous
+      assert(sorted.head._3 == 0L)
+      assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong))
+      sorted.foreach { case (_, idx, start, end, len, _) =>
+        assert(start == idx * 24 && end == math.min(start + 32, n) && len == end - start)
+      }
+      // consecutive chunks overlap by exactly width − stride (8),
+      // except at the clipped tail where overlap can only grow
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 == a._3 + 24 && b._3 < a._4,
+          s"doc $doc: chunks ${a._2}/${b._2} don't overlap")
+        case _ =>
+      }
+      // exactly one last chunk, and it reaches the doc end
+      assert(sorted.count(_._6) == 1 && sorted.last._6 && sorted.last._4 == n)
+    }
+  }
+
   test("text_curation_funnel reconciles with the registered single-stage operators") {
     import spark.implicits._
     val funnel = TextOps.text_curation_funnel(spark, sf0001).collect()
