@@ -70,6 +70,26 @@ class PlanSpec extends SparkSpec {
     assert(physical("q9_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("text_window_chunks stays shuffle-free below its presentation sort") {
+    // the scaladoc's scale claim, held mechanically: the chunk
+    // expansion is a pure per-row explode — the ONLY Exchange in the
+    // plan is the final orderBy's range partitioning
+    val exchanges = "Exchange".r.findAllIn(physical("text_window_chunks")).length
+    assert(exchanges <= 1, s"chunk manifest plans $exchanges exchanges")
+  }
+
+  test("ann_topk_filtered keeps its WindowGroupLimit and broadcast query side") {
+    val plan = physical("ann_topk_filtered")
+    assert(plan.contains("WindowGroupLimit"), "filtered top-k lost partial pushdown")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      "query side not broadcast")
+  }
+
+  test("text_dsir_select broadcasts the weight table (corpus never shuffles on buckets)") {
+    assert(physical("text_dsir_select").contains("BroadcastHashJoin"),
+      "weight join is not broadcast")
+  }
+
   test("q5_multijoin broadcasts its dimension tables") {
     val plan = physical("q5_multijoin")
     val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
