@@ -594,7 +594,79 @@ object Similarity {
       .orderBy($"qid", $"rank")
   }
 
+  /** HYBRID retrieval with RECIPROCAL-RANK FUSION (the production
+    * search-stack shape: a lexical ranker and a vector ranker each
+    * produce a top-k, fused as Σ 1/(60 + rank) — Cormack et al.'s RRF,
+    * the fusion every hybrid vector store ships because it needs no
+    * score calibration between legs). Items are the ids carrying BOTH
+    * text and an embedding (documents ⋈ embeddings); queries are the
+    * standard id < 16 slice.
+    *
+    * Integer-exact throughout so the whole composition hash-verifies:
+    * the lexical score is word-3-gram Jaccard in exact ppm (distinct
+    * literal grams — candidate pairs arise from a gram equi-join
+    * against the BROADCAST query gram set, so only overlapping pairs
+    * ever materialize), the vector score is floor(cos·1e6)
+    * (ann_cos_range's rule — ranks order on an INTEGER, so a 1-ULP
+    * cross-engine cosine wobble cannot flip adjacent ranks), both
+    * legs keep rank ≤ 50 via WindowGroupLimit, and the fused score is
+    * Σ 1000000 div (60 + rank) over the legs a pair appears in.
+    *
+    * Scale: the query side (grams and vectors) broadcasts; the corpus
+    * is scanned once per leg (gram explode + equi-join; fused cosine
+    * map); per-leg ranking ships ≤ 50·tasks rows per query; fusion is
+    * a map-side-combined rollup over ≤ 100 rows per query. */
+  def ann_hybrid_rrf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.wordNgramSet
+    val items = Tables.documents(s, d).select($"doc_id", $"text")
+      .join(Tables.embeddings(s, d)
+        .select($"vec_id".as("doc_id"), $"embedding"), Seq("doc_id"))
+    val queries = items.filter($"doc_id" < 16)
+
+    // vector leg: integer score, rank <= 50
+    val vec = items.select($"doc_id".as("nid"), $"embedding")
+      .crossJoin(broadcast(queries
+        .select($"doc_id".as("qid"), $"embedding".as("qvec"))))
+      .filter($"nid" =!= $"qid")
+      .select($"qid", $"nid",
+        floor(cosine($"qvec", $"embedding") * 1e6).cast("long").as("score"))
+    val wV = Window.partitionBy($"qid").orderBy($"score".desc, $"nid")
+    val vecRanked = vec.withColumn("rank", row_number().over(wV))
+      .filter($"rank" <= 50).select($"qid", $"nid", $"rank", lit("vec").as("leg"))
+
+    // lexical leg: distinct word-3-gram Jaccard in exact ppm
+    val qG = queries.select($"doc_id".as("qid"),
+      explode(wordNgramSet($"text", 3)).as("g"))
+    val qN = qG.groupBy($"qid").agg(count(lit(1)).as("nq"))
+    val dG = items.select($"doc_id".as("nid"),
+      explode(wordNgramSet($"text", 3)).as("g"))
+    val dN = dG.groupBy($"nid").agg(count(lit(1)).as("nd"))
+    val lex = dG.join(broadcast(qG), Seq("g"))
+      .filter($"nid" =!= $"qid")
+      .groupBy($"qid", $"nid").agg(count(lit(1)).as("inter"))
+      .join(broadcast(qN), Seq("qid"))
+      .join(dN, Seq("nid"))
+      .select($"qid", $"nid",
+        expr("inter * 1000000 div (nq + nd - inter)").as("score"))
+    val lexRanked = lex.withColumn("rank", row_number().over(wV))
+      .filter($"rank" <= 50).select($"qid", $"nid", $"rank", lit("lex").as("leg"))
+
+    // reciprocal-rank fusion + final top-10
+    val fused = vecRanked.unionByName(lexRanked)
+      .groupBy($"qid", $"nid")
+      .agg(sum(expr("1000000 div (60 + rank)")).as("rrf_score"),
+        max(when($"leg" === "vec", $"rank").otherwise(-1L)).as("vec_rank"),
+        max(when($"leg" === "lex", $"rank").otherwise(-1L)).as("lex_rank"))
+    val wF = Window.partitionBy($"qid").orderBy($"rrf_score".desc, $"nid")
+    fused.withColumn("fused_rank", row_number().over(wF))
+      .filter($"fused_rank" <= 10)
+      .select($"qid", $"fused_rank", $"nid", $"rrf_score", $"vec_rank", $"lex_rank")
+      .orderBy($"qid", $"fused_rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_hybrid_rrf" -> ann_hybrid_rrf _,
     "ann_topk_filtered" -> ann_topk_filtered _,
     "ann_topk_brute" -> ann_topk_brute _,
     "ann_cos_range" -> ann_cos_range _,
