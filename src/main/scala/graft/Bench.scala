@@ -137,6 +137,64 @@ object Bench {
     val ioSec = (1 to 3).map(_ => ioCanaryOnce()).min
     val driftIo = ioSec / ioPin
     System.err.println(f"[bench] io canary $ioSec%.3f s, drift ${driftIo}%.2fx vs idle pin $ioPin%.2f")
+    // Drift-NORMALIZED round-over-round ratios (r13 verdict): with
+    // drift_cpu emitted on both sides, per-query comparisons against
+    // the last committed round stop eyeballing host speed —
+    //   ratio_norm(q) = (t_now / t_prev) · (drift_cpu_prev / drift_cpu_now)
+    // so a uniform host slowdown cancels and only real code movement
+    // survives (r13's raw 0.72× median was ~3/4 host speed). The
+    // previous round's file is the highest-numbered committed
+    // BENCH_r*.json (override: SPARK_GRAFT_PREV_BENCH); parse errors
+    // degrade to no normalization, never a bench failure. CPU drift is
+    // the normalizer because it is the code-independent one; when
+    // drift_io and drift_cpu disagree, the stderr tail says so and
+    // I/O-bound outliers should be read against drift_io by hand.
+    case class PrevBench(name: String, queries: Map[String, Double], driftCpu: Double)
+    val prevBench: Option[PrevBench] = try {
+      val dir = new java.io.File(".")
+      val cand = sys.env.get("SPARK_GRAFT_PREV_BENCH").map(new java.io.File(_))
+        .orElse(Option(dir.listFiles()).toSeq.flatten
+          .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+          .sortBy(f => f.getName.replaceAll("\\D", "").toInt).lastOption)
+      cand.flatMap { f =>
+        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        val qBlock = "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r
+          .findFirstMatchIn(txt).map(_.group(1))
+        val drift = "\"drift_cpu\"\\s*:\\s*([0-9.]+)".r
+          .findFirstMatchIn(txt).map(_.group(1).toDouble)
+          .orElse("\"drift\"\\s*:\\s*([0-9.]+)".r
+            .findFirstMatchIn(txt).map(_.group(1).toDouble))
+        qBlock.map { b =>
+          val qs = "\"([^\"]+)\"\\s*:\\s*(-?[0-9.]+)".r.findAllMatchIn(b)
+            .map(m => m.group(1) -> m.group(2).toDouble)
+            .filter(_._2 > 0).toMap
+          PrevBench(f.getName, qs, drift.getOrElse(1.0))
+        }
+      }
+    } catch { case _: Throwable => None }
+    val normRatios: Map[String, Double] = prevBench match {
+      case Some(p) if p.driftCpu > 0 && drift > 0 =>
+        val adj = p.driftCpu / drift
+        results.collect {
+          case (n, Right(t)) if p.queries.get(n).exists(_ > 0) =>
+            n -> t / p.queries(n) * adj
+        }.toMap
+      case _ => Map.empty
+    }
+    if (normRatios.nonEmpty) {
+      val sorted = normRatios.values.toSeq.sorted
+      val median = sorted(sorted.size / 2)
+      val worst = normRatios.toSeq.sortBy(-_._2).take(5)
+        .map { case (n, r) => f"$n ${r}%.2fx" }.mkString(", ")
+      System.err.println(
+        f"[bench] drift-normalized vs ${prevBench.get.name}: median ${median}%.2fx " +
+          f"over ${normRatios.size} common queries (cpu-drift adj ${prevBench.get.driftCpu / drift}%.2f); " +
+          s"worst: $worst")
+      if (math.abs(driftIo - drift) > 0.25)
+        System.err.println(
+          f"[bench] NOTE drift_io ${driftIo}%.2f vs drift_cpu ${drift}%.2f disagree — " +
+            "read I/O-bound outliers against drift_io")
+    }
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "'") + "\""
     val qs = results.map { case (k, v) =>
@@ -145,10 +203,17 @@ object Bench {
     val errs = results.collect { case (k, Left(m)) => jstr(k) + ":" + jstr(m) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, Right(v)) => v }.sum
+    val normTail = if (normRatios.isEmpty) "" else {
+      val sorted = normRatios.values.toSeq.sorted
+      val rs = normRatios.toSeq.sortBy(_._1)
+        .map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }.mkString("{", ",", "}")
+      f""","norm_vs":${jstr(prevBench.get.name)},"norm_median":${sorted(sorted.size / 2)}%.3f,""" +
+        s""""norm_ratios":$rs"""
+    }
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,""" +
         f""""canary_sec":$canarySec%.3f,"drift":$drift%.3f,"drift_cpu":$drift%.3f,""" +
-        f""""canary_io_sec":$ioSec%.3f,"drift_io":$driftIo%.3f,"sf":"$sfDir"}"""
+        f""""canary_io_sec":$ioSec%.3f,"drift_io":$driftIo%.3f$normTail,"sf":"$sfDir"}"""
     println(json)
     // Also drop the line in a file: harness log capture tends to prefix
     // stdout (e.g. sbt's "[info] "), which breaks parse-the-last-line

@@ -355,18 +355,33 @@ object Dedup {
     * literal-centroid argmin at scan speed; the assigned stage is
     * persisted so the argmin kernel runs once, not once per join side.
     * Scores are exact integer ppm (floor(cos·1e6)) per the family's
-    * cross-engine rule; oracle=rows (re-deriving distributed Lloyd in
-    * DuckDB SQL is not meaningful — the gates live in DedupSpec:
-    * planted-duplicate recall, driver-side cosine soundness of every
-    * emitted pair, determinism, keep-at-least-one). */
+    * cross-engine rule. Verification is two-layer: training quality
+    * gates live in DedupSpec (planted-duplicate recall, driver-side
+    * cosine soundness of every emitted pair, determinism,
+    * keep-at-least-one); everything DOWNSTREAM of training is
+    * hash-verified by the DuckDB literal-replay oracle
+    * ([[semanticOracleSql]] — this run's centroids inlined, the rest
+    * re-derived independently). */
   def dedup_semantic(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, d)
       .select($"vec_id", VectorFunctions.asDouble($"embedding").as("vec"))
-    semanticDupsFrom(e, Similarity.trainSlice(s, d, e),
-        k = 32, iters = 1, threshPpm = 300000L)
+    val cents = Similarity.kmeansCentroids(
+      Similarity.trainSlice(s, d, e), k = 32, iters = 1)
+    lastSemanticCents.set(cents)
+    semanticDupsWithCents(e, cents, threshPpm = 300000L)
       .orderBy($"vec_id")
   }
+
+  /** Centroids [[dedup_semantic]] trained in THIS run, replayed into
+    * its literal-replay oracle (same contract as
+    * [[Similarity.lastIvfCents]]: Lloyd's avg() reduction order bars
+    * re-training on the second engine, so the oracle inlines the run's
+    * exact floats and independently re-derives everything downstream —
+    * assignment, directed pair generation, scoring, best-partner
+    * resolution). */
+  private[graft] val lastSemanticCents =
+    new java.util.concurrent.atomic.AtomicReference[Array[Array[Double]]]()
 
   /** Library form of [[dedup_semantic]] over any (vec_id, vec:
     * array<double>) frame: `train` is the (possibly sample-capped)
@@ -378,10 +393,18 @@ object Dedup {
     * pair join is DIRECTED by the lexicographic (centroid_sim, id)
     * order, so each unordered pair is scored exactly once. */
   def semanticDupsFrom(vecs: DataFrame, train: DataFrame, k: Int,
-      iters: Int, threshPpm: Long): DataFrame = {
+      iters: Int, threshPpm: Long): DataFrame =
+    semanticDupsWithCents(vecs,
+      Similarity.kmeansCentroids(train, k, iters), threshPpm)
+
+  /** [[semanticDupsFrom]] downstream of training: everything after the
+    * centroids are known (assignment, directed within-cell pair join,
+    * ppm scoring, best-partner resolution) — the exact stage span the
+    * literal-replay oracle re-derives in DuckDB. */
+  def semanticDupsWithCents(vecs: DataFrame, cents: Array[Array[Double]],
+      threshPpm: Long): DataFrame = {
     val s = vecs.sparkSession
     import s.implicits._
-    val cents = Similarity.kmeansCentroids(train, k, iters)
     val assigned = CacheRegistry.cache(
       vecs.select($"vec_id", $"vec",
           Similarity.bestCell(cents, $"vec").as("best"))
@@ -971,7 +994,55 @@ object Dedup {
     }.mkString(", ")
   }
 
-  val oracle: Map[String, String] = Map(
+  /** DuckDB literal-replay oracle for [[dedup_semantic]] (the
+    * [[Similarity.annIvfOracleSql]] playbook): the run's trained
+    * centroids inlined as a DOUBLE[][] literal, then cell assignment
+    * (lexicographic (dist, cid) argmin; centroid_sim_ppm =
+    * floor((1.0 − dist)·1e6) with dist = 1.0 −
+    * list_cosine_similarity, the same IEEE op sequence as the
+    * codegen'd argmin), the DIRECTED within-cell pair join on the
+    * (centroid_sim, id) order, exact floor-ppm cosine scoring, the
+    * ≥ threshold filter, and the max-by (cos_ppm, −vec_id2)
+    * best-partner resolution all re-derived on the second engine. */
+  private def semanticOracleSql(cents: Array[Array[Double]],
+      threshPpm: Long): String = {
+    val cl = cents.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd FROM embeddings),
+       |ce AS (SELECT CAST($cl AS DOUBLE[][]) AS cents),
+       |ad AS (
+       |  SELECT vec_id, vd, u.cid AS cid,
+       |    1.0 - list_cosine_similarity(vd, cents[CAST(u.cid + 1 AS BIGINT)])
+       |      AS dist
+       |  FROM v, ce, unnest(range(${cents.length})) AS u(cid)),
+       |asg AS (
+       |  SELECT vec_id, vd, CAST(cid AS INTEGER) AS cell,
+       |    CAST(floor((1.0 - dist) * 1e6) AS BIGINT) AS centroid_sim_ppm
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY dist, cid) AS rn FROM ad)
+       |  WHERE rn = 1),
+       |pairs AS (
+       |  SELECT x.cell, x.vec_id, x.centroid_sim_ppm, y.vec_id AS vec_id2,
+       |    CAST(floor(list_cosine_similarity(x.vd, y.vd) * 1e6) AS BIGINT)
+       |      AS cos_ppm
+       |  FROM asg x JOIN asg y ON x.cell = y.cell
+       |    AND (y.centroid_sim_ppm < x.centroid_sim_ppm OR
+       |         (y.centroid_sim_ppm = x.centroid_sim_ppm
+       |          AND y.vec_id < x.vec_id)))
+       |SELECT cell, vec_id, centroid_sim_ppm, vec_id2 AS dup_of, cos_ppm
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cos_ppm DESC, vec_id2) AS rn
+       |  FROM pairs WHERE cos_ppm >= $threshPpm)
+       |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  }
+
+  /** def, not val: the dedup_semantic entry replays THIS run's
+    * trained centroids ([[lastSemanticCents]]) — see
+    * [[Similarity.oracle]] for the populate-before-dump contract. */
+  def oracle: Map[String, String] = Option(lastSemanticCents.get())
+    .map(c => Map("dedup_semantic" -> semanticOracleSql(c, 300000L)))
+    .getOrElse(Map.empty) ++ Map(
     // Same independently-rebuilt CDC kernel as the text_cdc_chunks
     // oracle (gear table from fmix64, boundaries as 10-term lag-window
     // sums mod 1024, per-chunk FNV64), then the operator's own

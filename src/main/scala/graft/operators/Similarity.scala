@@ -132,7 +132,19 @@ object Similarity {
     * in SimilaritySpec alongside an nprobe=k sanity check (probing all
     * cells must reproduce brute force). */
   def ann_ivf(s: SparkSession, d: String): DataFrame =
-    annIvf(s, d, k = 32, nprobe = 8, iters = 1)
+    annIvf(s, d, k = 32, nprobe = 8, iters = 1, memo = lastIvfCents)
+
+  /** Centroids the registered [[ann_ivf]] config trained in THIS run,
+    * for the literal-replay oracle (see [[annIvfOracleSql]]): Lloyd's
+    * distributed avg() has no cross-run bit determinism (reduction
+    * order), so the oracle can't re-train — instead the exact floats
+    * this run trained are inlined into the SQL and everything
+    * downstream of training (assignment, probe choice, candidate
+    * join, rescoring, ranking) is re-derived independently. Verify
+    * materializes every query BEFORE dumping oracle SQL, so the memo
+    * is always populated when it is read. */
+  private[graft] val lastIvfCents =
+    new java.util.concurrent.atomic.AtomicReference[Array[Array[Double]]]()
 
   /** Argmin / sorted-probe helpers: one struct(dist, cid) per centroid,
     * compared lexicographically (distance first). Cosine distance on
@@ -222,7 +234,9 @@ object Similarity {
   }
 
   def annIvf(s: SparkSession, d: String, k: Int, nprobe: Int,
-      iters: Int): DataFrame = {
+      iters: Int,
+      memo: java.util.concurrent.atomic.AtomicReference[Array[Array[Double]]] = null)
+      : DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, d)
       .select($"vec_id", asDouble($"embedding").as("vec"))
@@ -231,6 +245,7 @@ object Similarity {
     // centroid training (see kmeansCentroids).
     val train = trainSlice(s, d, e)
     val cents = kmeansCentroids(train, k, iters)
+    if (memo != null) memo.set(cents)
 
     val corpus = e.select($"vec_id".as("nid"), $"vec".as("nvec"),
       array_min(centroidDists(cents, $"vec")).getField("cid").as("cell"))
@@ -612,10 +627,14 @@ object Similarity {
     * legs keep rank ≤ 50 via WindowGroupLimit, and the fused score is
     * Σ 1000000 div (60 + rank) over the legs a pair appears in.
     *
-    * Scale: the query side (grams and vectors) broadcasts; the corpus
-    * is scanned once per leg (gram explode + equi-join; fused cosine
-    * map); per-leg ranking ships ≤ 50·tasks rows per query; fusion is
-    * a map-side-combined rollup over ≤ 100 rows per query. */
+    * Scale: the query side (grams and vectors) broadcasts; the vector
+    * leg is one fused-cosine map over the corpus; the lexical leg's
+    * only corpus-scale shuffle is the candidate-pair rollup (the gram
+    * stream is probed map-side against the broadcast query grams, and
+    * the per-doc denominators are counted only for candidate nids via
+    * a broadcast left-semi — not a full-corpus gram shuffle); per-leg
+    * ranking ships ≤ 50·tasks rows per query; fusion is a
+    * map-side-combined rollup over ≤ 100 rows per query. */
   def ann_hybrid_rrf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.functions.TextFunctions.wordNgramSet
@@ -635,16 +654,27 @@ object Similarity {
     val vecRanked = vec.withColumn("rank", row_number().over(wV))
       .filter($"rank" <= 50).select($"qid", $"nid", $"rank", lit("vec").as("leg"))
 
-    // lexical leg: distinct word-3-gram Jaccard in exact ppm
+    // lexical leg: distinct word-3-gram Jaccard in exact ppm.
+    // Candidate (qid, nid) pairs arise from the corpus gram stream
+    // equi-joined against the BROADCAST query gram set — a map-side
+    // probe, no corpus shuffle. The per-doc denominators dN are then
+    // computed ONLY for candidate nids (broadcast left-semi before the
+    // aggregate), so the one corpus-scale shuffle in this leg is the
+    // candidate-pair rollup; r13 shipped a second full-corpus gram
+    // shuffle here just to count grams of docs that could never score.
     val qG = queries.select($"doc_id".as("qid"),
       explode(wordNgramSet($"text", 3)).as("g"))
     val qN = qG.groupBy($"qid").agg(count(lit(1)).as("nq"))
     val dG = items.select($"doc_id".as("nid"),
       explode(wordNgramSet($"text", 3)).as("g"))
-    val dN = dG.groupBy($"nid").agg(count(lit(1)).as("nd"))
-    val lex = dG.join(broadcast(qG), Seq("g"))
-      .filter($"nid" =!= $"qid")
-      .groupBy($"qid", $"nid").agg(count(lit(1)).as("inter"))
+    val cand = graft.CacheRegistry.cache(
+      dG.join(broadcast(qG), Seq("g"))
+        .filter($"nid" =!= $"qid")
+        .groupBy($"qid", $"nid").agg(count(lit(1)).as("inter")))
+    val dN = dG
+      .join(broadcast(cand.select($"nid").distinct()), Seq("nid"), "left_semi")
+      .groupBy($"nid").agg(count(lit(1)).as("nd"))
+    val lex = cand
       .join(broadcast(qN), Seq("qid"))
       .join(dN, Seq("nid"))
       .select($"qid", $"nid",
@@ -721,7 +751,124 @@ object Similarity {
        |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   }
 
-  val oracle: Map[String, String] = Map(
+  /** DuckDB re-derivation of [[ann_hybrid_rrf]] end to end: both
+    * legs' integer scores (floor-ppm cosine per the ann_cos_range
+    * rule; distinct word-3-gram Jaccard in exact ppm per the
+    * dedup_ngram_jaccard tokenization — lowercase, space-split,
+    * empties dropped, distinct literal grams), both rank-≤ 50 windows
+    * with the (score DESC, nid) tiebreak, and the integer
+    * Σ 1000000 div (60 + rank) fusion with the final top-10 window.
+    * Every rank orders on an INTEGER, so a 1-ULP cross-engine cosine
+    * wobble cannot flip adjacent ranks and the whole composition
+    * hash-verifies. */
+  private def annHybridRrfOracleSql: String =
+    """WITH it AS (
+      |  SELECT d.doc_id, d.text, CAST(e.embedding AS DOUBLE[]) AS vd
+      |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+      |vec AS (
+      |  SELECT q.doc_id AS qid, c.doc_id AS nid,
+      |    CAST(floor(list_cosine_similarity(q.vd, c.vd) * 1e6) AS BIGINT)
+      |      AS score
+      |  FROM it q, it c WHERE q.doc_id < 16 AND c.doc_id <> q.doc_id),
+      |vr AS (
+      |  SELECT qid, nid, rank FROM (
+      |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+      |      ORDER BY score DESC, nid) AS rank FROM vec)
+      |  WHERE rank <= 50),
+      |t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+      |  FROM it),
+      |g AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+      |    i -> array_to_string(ws[i:i+2], ' '))) AS g
+      |  FROM t WHERE len(ws) >= 3),
+      |nn AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+      |lx AS (
+      |  SELECT qg.doc_id AS qid, dg.doc_id AS nid, count(*) AS inter
+      |  FROM g dg JOIN g qg USING (g)
+      |  WHERE qg.doc_id < 16 AND dg.doc_id <> qg.doc_id
+      |  GROUP BY 1, 2),
+      |ls AS (
+      |  SELECT qid, nid, inter * 1000000 // (qn.n + dn.n - inter) AS score
+      |  FROM lx JOIN nn qn ON qn.doc_id = lx.qid
+      |          JOIN nn dn ON dn.doc_id = lx.nid),
+      |lr AS (
+      |  SELECT qid, nid, rank FROM (
+      |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+      |      ORDER BY score DESC, nid) AS rank FROM ls)
+      |  WHERE rank <= 50),
+      |legs AS (
+      |  SELECT qid, nid, rank, 'vec' AS leg FROM vr
+      |  UNION ALL
+      |  SELECT qid, nid, rank, 'lex' AS leg FROM lr),
+      |fused AS (
+      |  SELECT qid, nid,
+      |    CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_score,
+      |    CAST(max(CASE WHEN leg = 'vec' THEN rank ELSE -1 END) AS BIGINT)
+      |      AS vec_rank,
+      |    CAST(max(CASE WHEN leg = 'lex' THEN rank ELSE -1 END) AS BIGINT)
+      |      AS lex_rank
+      |  FROM legs GROUP BY 1, 2)
+      |SELECT qid, CAST(fused_rank AS INTEGER) AS fused_rank, nid,
+      |  rrf_score, vec_rank, lex_rank
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY qid
+      |    ORDER BY rrf_score DESC, nid) AS fused_rank FROM fused)
+      |WHERE fused_rank <= 10 ORDER BY qid, fused_rank""".stripMargin
+
+  /** DuckDB literal-replay oracle for [[ann_ivf]] — the ann_lsh
+    * playbook extended to TRAINED parameters: the centroids this run's
+    * Lloyd pass produced are inlined as a DOUBLE[][] literal
+    * (Double.toString round-trips exactly), and every stage downstream
+    * of training is re-derived on the second engine — corpus cell
+    * assignment as the lexicographic (dist, cid) argmin over the 32
+    * literal centroids (dist = 1.0 − list_cosine_similarity, the same
+    * two IEEE ops as the codegen'd argmin), per-query probe choice as
+    * the 8 smallest (dist, cid) cells, candidates via the cell
+    * equi-join, exact cosine rescore, (cos DESC, nid) top-5 window.
+    * A single flipped assignment or probe anywhere would change the
+    * candidate set and fail the hash. Training itself is covered by
+    * SimilaritySpec's recall + nprobe=k≡brute gates; its avg()
+    * reduction order is why the oracle replays rather than re-trains. */
+  private def annIvfOracleSql(cents: Array[Array[Double]], nprobe: Int): String = {
+    val cl = cents.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd FROM embeddings),
+       |ce AS (SELECT CAST($cl AS DOUBLE[][]) AS cents),
+       |ad AS (
+       |  SELECT vec_id, vd, u.cid AS cid,
+       |    1.0 - list_cosine_similarity(vd, cents[CAST(u.cid + 1 AS BIGINT)])
+       |      AS dist
+       |  FROM v, ce, unnest(range(${cents.length})) AS u(cid)),
+       |rn AS (
+       |  SELECT vec_id, vd, cid, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY dist, cid) AS rn FROM ad),
+       |corpus AS (
+       |  SELECT vec_id AS nid, vd AS nvd, cid AS cell FROM rn WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS qid, vd AS qvd, cid AS cell FROM rn
+       |  WHERE vec_id < 16 AND rn <= $nprobe),
+       |scored AS (
+       |  SELECT p.qid, c.nid, list_cosine_similarity(p.qvd, c.nvd) AS cos
+       |  FROM corpus c JOIN probes p USING (cell) WHERE c.nid <> p.qid)
+       |SELECT qid, CAST(rank AS INTEGER) AS rank, nid, round(cos, 6) AS cos_sim
+       |FROM (
+       |  SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid
+       |    ORDER BY cos DESC, nid) AS rank FROM scored)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
+
+  /** def, not val: the ann_ivf entry replays THIS run's trained
+    * centroids ([[lastIvfCents]]) and so can only be rendered after
+    * the query has executed — Verify/VerifySubset run every query
+    * before dumping oracle SQL. Absent a prior run the entry is
+    * omitted and the driver records the rows-only check, never a
+    * stale or fabricated oracle. */
+  def oracle: Map[String, String] = Option(lastIvfCents.get())
+    .map(c => Map("ann_ivf" -> annIvfOracleSql(c, nprobe = 8)))
+    .getOrElse(Map.empty) ++ Map(
+    "ann_hybrid_rrf" -> annHybridRrfOracleSql,
     "ann_lsh" -> annLshOracleSql,
     "ann_topk_filtered" ->
       """SELECT qid, qlabel, rank, nid, round(cos, 6) AS cos_sim FROM (

@@ -400,6 +400,89 @@ object Sources {
       .orderBy($"source")
   }
 
+  /** MapFile ingest — the SORTED-KEY sibling of SequenceFile and the
+    * last io container the reference ships that a replacement engine
+    * must read in place (hadoop-common-project/hadoop-common/src/main/
+    * java/org/apache/hadoop/io/MapFile.java:1 — a directory of
+    * `data`, a key-sorted SequenceFile, plus `index`, a sparse key →
+    * file-offset SequenceFile enabling O(log n) random lookups;
+    * MapReduce reducers emit them via MapFileOutputFormat).
+    *
+    * Setup writes the part table exactly the way a reducer fleet
+    * would: RANGE-partition on the key, sort within partitions (so
+    * keys are globally ordered across the output MapFiles — the
+    * MapFileOutputFormat contract, enforced by MapFile.Writer itself,
+    * which throws on out-of-order keys), one MapFile per task via
+    * saveAsNewAPIHadoopFile. The scan-side read goes through the
+    * `data` SequenceFiles (block-splittable, parallel like any Hadoop
+    * input); the `index` half's random-access contract is exercised in
+    * SourcesSpec with a point MapFile.Reader.get lookup. The
+    * parquet-side oracle hash-match proves the Writable round-trip
+    * value-exact (integer-cent sum per the family's rule). */
+  def src_mapfile_agg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.hadoop.io.{LongWritable, Text}
+    import org.apache.hadoop.mapreduce.lib.output.MapFileOutputFormat
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_mapfile_${dirTag(d)}")
+    exportOnce(s"mapfile:$d") {
+      deleteRecursively(dir)
+      val rdd = Tables.part(s, d)
+        .select($"p_partkey", $"p_type", $"p_retailprice")
+        .as[(Long, String, Double)]
+        .rdd.map { case (k, t, p) => (k, s"$t\t$p") }
+      rdd.repartitionAndSortWithinPartitions(
+          new org.apache.spark.RangePartitioner(4, rdd))
+        .mapPartitions(_.map { case (k, v) =>
+          (new LongWritable(k), new Text(v)) }, preservesPartitioning = true)
+        .saveAsNewAPIHadoopFile(dir.getPath, classOf[LongWritable],
+          classOf[Text], classOf[MapFileOutputFormat])
+    }
+    s.sparkContext.sequenceFile[Long, String](s"${dir.getPath}/part-*/data")
+      .toDF("p_partkey", "v")
+      .select(split($"v", "\t").getItem(0).as("p_type"),
+        split($"v", "\t").getItem(1).cast("double").as("p_retailprice"))
+      .groupBy($"p_type")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(round($"p_retailprice" * 100).cast("long")).as("retail_cents"))
+      .orderBy($"p_type")
+  }
+
+  /** SPLITTABLE compressed-text ingest — the scale counterpart of
+    * [[src_text_gz_agg]]. bzip2 is the reference's splittable codec
+    * (hadoop-common-project/hadoop-common/src/main/java/org/apache/
+    * hadoop/io/compress/BZip2Codec.java:1 implements
+    * SplittableCompressionCodec): readers can seek to the next
+    * 48-bit block magic from ANY byte offset, so one huge .bz2 file
+    * still fans out across tasks — the posture that actually
+    * parallelizes a 100 TB compressed-text lake, where gzip's
+    * one-task-per-file rule makes parallelism hostage to file layout.
+    * To make the contrast honest the export is COALESCED TO ONE FILE
+    * (the exact case that serializes a gzip scan); SourcesSpec
+    * asserts the single .bz2 still yields a multi-split scan under a
+    * small maxPartitionBytes. Same TSV projection discipline as the
+    * gzip query (no free-text in bare TSV); the parquet-side oracle
+    * proves the compressed round-trip value-exact. */
+  def src_text_bz2_agg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_textbz2_${dirTag(d)}")
+    exportOnce(s"textbz2:$d") {
+      Tables.documents(s, d)
+        .select(concat_ws("\t", $"doc_id", $"lang", $"n_chars").as("value"))
+        .coalesce(1)
+        .write.mode("overwrite").option("compression", "bzip2").text(dir.getPath)
+    }
+    s.read.text(dir.getPath)
+      .select(split($"value", "\t").as("f"))
+      .select($"f".getItem(0).cast("long").as("doc_id"),
+        $"f".getItem(1).as("lang"),
+        $"f".getItem(2).cast("long").as("n_chars"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+      .orderBy($"lang")
+  }
+
   /** Avro container-file ingest — the OTHER canonical Hadoop
     * serialization format next to SequenceFile (the reference ships
     * Avro serializer bindings: hadoop-common-project/hadoop-common/src/
@@ -481,6 +564,8 @@ object Sources {
     "src_sequencefile_agg" -> src_sequencefile_agg _,
     "src_avro_agg" -> src_avro_agg _,
     "src_text_gz_agg" -> src_text_gz_agg _,
+    "src_text_bz2_agg" -> src_text_bz2_agg _,
+    "src_mapfile_agg" -> src_mapfile_agg _,
     "src_jdbc_pageview" -> src_jdbc_pageview _,
     "src_jdbc_writeback" -> src_jdbc_writeback _,
     "src_csv_agg" -> src_csv_agg _,
@@ -503,6 +588,14 @@ object Sources {
       """SELECT source, count(*) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src_text_bz2_agg" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src_mapfile_agg" ->
+      """SELECT p_type, count(*) AS n_parts,
+        | CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS retail_cents
+        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
     "src_jdbc_pageview" ->
       """SELECT user_id, count(*) AS n_views FROM events
         |WHERE event_type = 'view' GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -75,6 +75,55 @@ object StreamingOps extends Serializable {
       .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
       .select(col("window.start").as("day"), col("event_type"), col("approx_users"))
 
+  /** Streaming SLO ERROR-BUDGET BURN RATE — the multi-window burn
+    * alert ([[graft.operators.EventOps.ev_burn_rate]]) as the
+    * continuous query it natively is: SRE practice pages on LIVE
+    * telemetry, not a nightly batch. The batch form's trailing-6-hour
+    * RANGE frame has no streaming equivalent (window functions over an
+    * aggregated stream are unsupported), so the slow leg is
+    * re-expressed as CONTRIBUTION SPREADING — each event is flat-mapped
+    * to the 6 hour-buckets whose trailing window it feeds (offset 0 =
+    * the hour itself, flagged `is_self` for the fast leg), and ONE
+    * stateful windowed aggregation computes both legs: fast counts
+    * over is_self rows, slow counts over all rows. Identical
+    * arithmetic to the batch RANGE frame (bucket H sums events with
+    * hour ∈ [H−5, H]); hours with no events of their own are filtered
+    * (the batch hourly rollup never emits them).
+    *
+    * Watermark slack: the default lateness tolerance (2 h) is widened
+    * by the 5-hour spread span — an event's furthest contribution
+    * lands 5 h ahead of its own hour and advances the watermark
+    * accordingly, so tolerating 2 h of source lateness needs
+    * max(target_ts) − 7 h, not − 2 h. State is one row per open hour
+    * bucket per leg — metadata-scale, watermark-bounded.
+    *
+    * Scale: the spread is a 6× map-side row duplication (no shuffle);
+    * the aggregation is the same map-side-combined hourly rollup as
+    * every windowed agg here, keyed on the hour bucket. */
+  def burnRateStream(events: DataFrame, delay: String = "7 hours"): DataFrame =
+    events
+      .select(col("ts"), col("event_type"))
+      .withColumn("k", explode(expr("sequence(0, 5)")))
+      .select(
+        expr("timestampadd(HOUR, k, date_trunc('HOUR', ts))").as("target_ts"),
+        (col("k") === 0).as("is_self"),
+        (col("event_type") === "error").as("is_err"))
+      .withWatermark("target_ts", delay)
+      .groupBy(window(col("target_ts"), "1 hour"))
+      .agg(
+        sum(when(col("is_self"), 1L).otherwise(0L)).as("n_events"),
+        sum(when(col("is_self") && col("is_err"), 1L).otherwise(0L)).as("n_errors"),
+        count(lit(1)).as("slow_events"),
+        sum(when(col("is_err"), 1L).otherwise(0L)).as("slow_errors"))
+      .filter(col("n_events") > 0)
+      .select(col("window.start").as("hour"), col("n_events"), col("n_errors"),
+        expr("(n_errors * 1000000 div n_events) * 1000000 div 250000")
+          .as("burn_fast_ppm"),
+        expr("(slow_errors * 1000000 div slow_events) * 1000000 div 250000")
+          .as("burn_slow_ppm"))
+      .withColumn("alert",
+        col("burn_fast_ppm") >= 1000000L && col("burn_slow_ppm") >= 1000000L)
+
   /** STREAM-STATIC enrichment join — the dimension-lookup every event
     * pipeline runs: each micro-batch joins against the static (batch)
     * dimension with no state at all (the static side re-resolves per

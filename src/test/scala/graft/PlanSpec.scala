@@ -23,7 +23,10 @@ class PlanSpec extends SparkSpec {
     val intendedNestedLoop =
       Set("q21_crossjoin_small", "q15_groupby_topk", "fs_quota_check",
         "fs_balancer_plan", "ann_topk_brute", "ann_cos_range",
-        "sql_ann_cos_range", "ann_pq", "ann_topk_filtered", "text_token_hist",
+        "sql_ann_cos_range", "ann_pq", "ann_topk_filtered",
+        // ann_hybrid_rrf's vector leg is the same ann-brute posture:
+        // the broadcast 16-query side crossed onto the corpus scan
+        "ann_hybrid_rrf", "text_token_hist",
         // TeraChecksum: two single-row fingerprint frames broadcast
         // onto the one-row validation summary
         "mr_sort_validate",
@@ -115,6 +118,19 @@ class PlanSpec extends SparkSpec {
       s"eval-gram join is not broadcast:\n${plan.take(1500)}")
     assert(!plan.contains("SortMergeJoin"),
       "overlap join fell back to a sort-merge shuffle on the gram string")
+  }
+
+  test("ann_hybrid_rrf counts lexical denominators only for candidates (broadcast semi-join)") {
+    // The r13 ADVICE shuffle: dN (per-doc gram counts) was aggregated
+    // over a full second corpus-wide gram explode. The fix restricts
+    // the gram stream to candidate nids with a broadcast LeftSemi
+    // BEFORE the aggregate, so the leg's only corpus-scale shuffle is
+    // the candidate-pair rollup. Pin the semi-join's presence and
+    // that it is broadcast (a shuffled LeftSemi would reintroduce a
+    // corpus-scale exchange on nid).
+    val plan = physical("ann_hybrid_rrf")
+    assert("BroadcastHashJoin.*LeftSemi".r.findFirstIn(plan).isDefined,
+      s"no broadcast left-semi candidate restriction in:\n${plan.take(2000)}")
   }
 
   test("grouped aggregates keep map-side partial aggregation (q1_agg)") {

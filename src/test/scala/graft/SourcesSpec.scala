@@ -151,4 +151,87 @@ class SourcesSpec extends SparkSpec {
     assert(parts.nonEmpty && parts.forall(_.getName.endsWith(".gz")),
       s"expected .gz parts, got: ${parts.map(_.getName).mkString(", ")}")
   }
+
+  test("MapFile export is key-sorted per file, range-ordered across files, and seekable") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.hadoop.io.{LongWritable, MapFile, Text}
+    import spark.implicits._
+    val viaMapfile = Sources.src_mapfile_agg(spark, sf0001).collect()
+    val direct = Tables.part(spark, sf0001)
+      .groupBy($"p_type")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(round($"p_retailprice" * 100).cast("long")).as("retail_cents"))
+      .orderBy($"p_type")
+      .collect()
+    assert(viaMapfile.nonEmpty)
+    assert(viaMapfile.toSeq == direct.toSeq)
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().filter(_.getName.startsWith("graft_mapfile_"))
+    assert(dir.nonEmpty)
+    val parts = dir.head.listFiles().filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    assert(parts.length > 1, "expected multiple MapFiles (one per range partition)")
+    // each part is a MapFile DIRECTORY: data + index
+    parts.foreach { p =>
+      assert(p.isDirectory && new java.io.File(p, "data").exists() &&
+        new java.io.File(p, "index").exists(),
+        s"${p.getName} is not a MapFile directory")
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    // keys ascending within each file, ranges non-overlapping across
+    // the sorted part list (the MapFileOutputFormat total-order shape)
+    var prevMax = Long.MinValue
+    val allKeys = parts.flatMap { p =>
+      val keys = spark.sparkContext
+        .sequenceFile[Long, String](new java.io.File(p, "data").getPath)
+        .map(_._1).collect().toSeq
+      assert(keys == keys.sorted, s"${p.getName} keys not ascending")
+      assert(keys.head > prevMax,
+        s"${p.getName} range overlaps the previous file")
+      prevMax = keys.last
+      keys
+    }
+    // the index half: a point lookup through MapFile.Reader must find
+    // a key via the sparse index (the format's reason to exist); the
+    // probe's owning part is unknown, so try each in turn
+    val probe = allKeys(allKeys.length / 2)
+    val hit = parts.exists { p =>
+      val r = new MapFile.Reader(new Path(p.getPath), conf)
+      try r.get(new LongWritable(probe), new Text()) != null finally r.close()
+    }
+    assert(hit, s"MapFile.Reader.get($probe) found nothing in any part")
+  }
+
+  test("bzip2 text export round-trips AND one .bz2 file splits across tasks") {
+    import spark.implicits._
+    val viaBz2 = Sources.src_text_bz2_agg(spark, sf0001).collect()
+    val direct = Tables.documents(spark, sf0001)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+      .orderBy($"lang")
+      .collect()
+    assert(viaBz2.nonEmpty)
+    assert(viaBz2.toSeq == direct.toSeq)
+    // the export coalesced to ONE .bz2 part — the exact layout that
+    // serializes a gzip scan
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().filter(_.getName.startsWith("graft_textbz2_"))
+    assert(dir.nonEmpty)
+    val parts = dir.head.listFiles().filter(_.getName.startsWith("part-"))
+    assert(parts.length == 1 && parts.head.getName.endsWith(".bz2"),
+      s"expected exactly one .bz2 part, got: ${parts.map(_.getName).mkString(", ")}")
+    // splittability: under a small maxPartitionBytes the SINGLE file
+    // must still fan out into multiple scan tasks (BZip2Codec is a
+    // SplittableCompressionCodec; gzip here would plan 1 partition)
+    val before = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      val nSplits = spark.read.text(dir.head.getPath).rdd.getNumPartitions
+      assert(nSplits > 1,
+        s"single .bz2 file planned $nSplits scan partition(s) — codec not splitting")
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", before)
+      spark.conf.unset("spark.sql.files.openCostInBytes")
+    }
+  }
 }

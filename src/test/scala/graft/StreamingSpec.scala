@@ -119,6 +119,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming burn-rate alerts equal batch ev_burn_rate under split ingest") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[EvFull]
+    val q = StreamingOps.burnRateStream(ms.toDF())
+      .writeStream.format("memory").queryName("t_burn")
+      .outputMode("complete").start()
+    try {
+      // split ingest: both legs must accumulate correctly ACROSS
+      // micro-batches (the slow leg's spread rows for one hour arrive
+      // in different batches)
+      val evs = loadEvents()
+      val (a, b) = evs.splitAt(evs.length / 2)
+      ms.addData(a)
+      drain(q)
+      ms.addData(b)
+      drain(q)
+      def key(r: org.apache.spark.sql.Row) =
+        r.getTimestamp(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))
+      val got = spark.table("t_burn").collect().map(key).toMap
+      val exp = EventOps.ev_burn_rate(spark, sf0001).collect().map(key).toMap
+      assert(got == exp)
+      assert(exp.nonEmpty)
+    } finally q.stop()
+  }
+
   test("SQL-text streaming windowed aggregate matches batch ev_window_agg") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
