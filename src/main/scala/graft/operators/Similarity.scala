@@ -360,10 +360,21 @@ object Similarity {
     * SimilaritySpec alongside the exactness sanity `rerank ≥ corpus ⇒
     * ≡ brute` (ADC only orders candidates, it never drops anyone). */
   def ann_pq(s: SparkSession, d: String): DataFrame =
-    annPq(s, d, m = 8, ks = 16, rerank = 64)
+    annPq(s, d, m = 8, ks = 16, rerank = 64, memo = lastPqTrained)
+
+  /** (codebooks, per-query ADC tables) the registered [[ann_pq]]
+    * config trained/derived in THIS run — both are driver-held
+    * constants baked into the Spark plan as literals, so inlining the
+    * same values into the DuckDB replay oracle replays the plan
+    * exactly (see [[lastIvfCents]] for the populate-before-dump
+    * contract). */
+  private[graft] val lastPqTrained = new java.util.concurrent.atomic.AtomicReference[
+    (Array[Array[Array[Double]]], Seq[(Long, Seq[Double])])]()
 
   def annPq(s: SparkSession, d: String, m: Int, ks: Int,
-      rerank: Int): DataFrame = {
+      rerank: Int,
+      memo: java.util.concurrent.atomic.AtomicReference[
+        (Array[Array[Array[Double]]], Seq[(Long, Seq[Double])])] = null): DataFrame = {
     import s.implicits._
     val dim = 64
     require(dim % m == 0, s"m=$m must divide dim=$dim")
@@ -419,6 +430,7 @@ object Similarity {
           books(mi).map(c => (0 until ds).map(j => q(mi * ds + j) * c(j)).sum)
         })
       }.toSeq
+    if (memo != null) memo.set((books.map(_.map(_.clone())), qTabs))
     val queries = qTabs.toDF("qid", "tab")
 
     val adc = (0 until m)
@@ -478,10 +490,22 @@ object Similarity {
     * gated ≥ 0.5 in SimilaritySpec next to the exactness sanity
     * `nprobe=k ∧ rerank ≥ corpus ⇒ ≡ brute force`. */
   def ann_ivfpq(s: SparkSession, d: String): DataFrame =
-    annIvfPq(s, d, k = 16, nprobe = 4, m = 8, ks = 16, rerank = 64)
+    annIvfPq(s, d, k = 16, nprobe = 4, m = 8, ks = 16, rerank = 64,
+      memo = lastIvfPqTrained)
+
+  /** (coarse centroids, residual codebooks, probe rows) the registered
+    * [[ann_ivfpq]] config trained/derived in THIS run — all
+    * driver-held plan literals, inlined into the replay oracle (see
+    * [[lastIvfCents]]). */
+  private[graft] val lastIvfPqTrained = new java.util.concurrent.atomic.AtomicReference[
+    (Array[Array[Double]], Array[Array[Array[Double]]],
+      Seq[(Long, Int, Double, Seq[Double])])]()
 
   def annIvfPq(s: SparkSession, d: String, k: Int, nprobe: Int, m: Int,
-      ks: Int, rerank: Int): DataFrame = {
+      ks: Int, rerank: Int,
+      memo: java.util.concurrent.atomic.AtomicReference[
+        (Array[Array[Double]], Array[Array[Array[Double]]],
+          Seq[(Long, Int, Double, Seq[Double])])] = null): DataFrame = {
     import s.implicits._
     val dim = 64
     require(dim % m == 0, s"m=$m must divide dim=$dim")
@@ -553,6 +577,8 @@ object Similarity {
       }.sortBy(t => (t._1, t._2)).take(nprobe)
         .map { case (_, cid, ip) => (qid, cid, ip, tab) }
     }
+    if (memo != null)
+      memo.set((cents.map(_.clone()), books.map(_.map(_.clone())), probeRows))
     val probes = probeRows.toDF("qid", "cell", "qcip", "tab")
 
     val adc = $"qcip" + (0 until m)
@@ -859,15 +885,153 @@ object Similarity {
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   }
 
-  /** def, not val: the ann_ivf entry replays THIS run's trained
-    * centroids ([[lastIvfCents]]) and so can only be rendered after
-    * the query has executed — Verify/VerifySubset run every query
-    * before dumping oracle SQL. Absent a prior run the entry is
-    * omitted and the driver records the rows-only check, never a
-    * stale or fabricated oracle. */
+  /** DuckDB literal-replay oracle for [[ann_pq]]: the trained
+    * codebooks AND the per-query ADC lookup tables are driver-held
+    * constants baked into the Spark plan as literals, so both are
+    * inlined verbatim (the |c|² argmin constants re-rendered with the
+    * identical driver arithmetic) and the second engine re-derives
+    * per-subspace encoding (lexicographic (dist, code) argmin over
+    * |c|² − 2⟨sub,c⟩ — list_inner_product matches the fused dot
+    * kernel bit for bit), the 8-term left-associated ADC sum, the
+    * (adc DESC, nid) top-`rerank` window, and the exact-cosine top-5
+    * rescore. One flipped code or ADC bit changes the rerank set and
+    * fails the hash. */
+  private def annPqOracleSql(books: Array[Array[Array[Double]]],
+      qTabs: Seq[(Long, Seq[Double])], rerank: Int): String = {
+    val m = books.length; val ks = books(0).length; val ds = books(0)(0).length
+    val bl = books.map(_.map(_.mkString("[", ",", "]"))
+      .mkString("[", ",", "]")).mkString("[", ",", "]")
+    // identical driver arithmetic to the plan's lit(c.map(x => x*x).sum)
+    val csq = books.map(_.map(c => c.map(x => x * x).sum)
+      .mkString("[", ",", "]")).mkString("[", ",", "]")
+    val qv = qTabs.map { case (qid, tab) =>
+      s"(CAST($qid AS BIGINT), CAST(${tab.mkString("[", ",", "]")} AS DOUBLE[]))"
+    }.mkString(",")
+    val adcChain = (0 until m).map(mi =>
+      s"qt.tab[${mi * ks} + c.codes[${mi + 1}] + 1]").mkString(" + ")
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd FROM embeddings),
+       |bk AS (SELECT CAST($bl AS DOUBLE[][][]) AS books,
+       |  CAST($csq AS DOUBLE[][]) AS csq),
+       |sub AS (
+       |  SELECT vec_id, mi.mi AS mi, kk.k AS k,
+       |    csq[mi.mi + 1][kk.k + 1] - 2.0 * list_inner_product(
+       |      vd[mi.mi * $ds + 1:mi.mi * $ds + $ds],
+       |      books[mi.mi + 1][kk.k + 1]) AS dist
+       |  FROM v, bk, unnest(range($m)) AS mi(mi), unnest(range($ks)) AS kk(k)),
+       |codes AS (
+       |  SELECT vec_id, list(k ORDER BY mi) AS codes FROM (
+       |    SELECT vec_id, mi, k, row_number() OVER (PARTITION BY vec_id, mi
+       |      ORDER BY dist, k) AS rn FROM sub)
+       |  WHERE rn = 1 GROUP BY vec_id),
+       |qt AS (SELECT * FROM (VALUES $qv) AS t(qid, tab)),
+       |adc AS (
+       |  SELECT qt.qid, c.vec_id AS nid, $adcChain AS adc
+       |  FROM codes c, qt WHERE c.vec_id <> qt.qid),
+       |cand AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+       |      ORDER BY adc DESC, nid) AS rk FROM adc)
+       |  WHERE rk <= $rerank)
+       |SELECT qid, CAST(rank AS INTEGER) AS rank, nid, round(cos, 6) AS cos_sim
+       |FROM (
+       |  SELECT cand.qid, cand.nid, list_cosine_similarity(a.vd, b.vd) AS cos,
+       |    row_number() OVER (PARTITION BY cand.qid
+       |      ORDER BY list_cosine_similarity(a.vd, b.vd) DESC, cand.nid) AS rank
+       |  FROM cand JOIN v a ON a.vec_id = cand.qid
+       |            JOIN v b ON b.vec_id = cand.nid)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
+
+  /** DuckDB literal-replay oracle for [[ann_ivfpq]] — [[annPqOracleSql]]
+    * composed with the coarse quantizer: coarse centroids, residual
+    * codebooks AND the driver-computed probe rows (qid, probed cell,
+    * ⟨q,c⟩ scalar, ADC table) all inlined; the second engine
+    * re-derives cell assignment (the ann_ivf argmin), the elementwise
+    * residual vec − centroid[cell], residual encoding, the
+    * qcip + (8-term ADC chain) score over the probed-cell equi-join,
+    * top-`rerank`, and the exact-cosine top-5 rescore. */
+  private def annIvfPqOracleSql(cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]],
+      probeRows: Seq[(Long, Int, Double, Seq[Double])], rerank: Int): String = {
+    val m = books.length; val ks = books(0).length; val ds = books(0)(0).length
+    val dim = cents(0).length
+    val cl = cents.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    val bl = books.map(_.map(_.mkString("[", ",", "]"))
+      .mkString("[", ",", "]")).mkString("[", ",", "]")
+    val csq = books.map(_.map(c => c.map(x => x * x).sum)
+      .mkString("[", ",", "]")).mkString("[", ",", "]")
+    val pv = probeRows.map { case (qid, cell, qcip, tab) =>
+      s"(CAST($qid AS BIGINT), $cell, CAST($qcip AS DOUBLE), " +
+        s"CAST(${tab.mkString("[", ",", "]")} AS DOUBLE[]))"
+    }.mkString(",")
+    val adcChain = (0 until m).map(mi =>
+      s"pr.tab[${mi * ks} + c.codes[${mi + 1}] + 1]").mkString(" + ")
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd FROM embeddings),
+       |ce AS (SELECT CAST($cl AS DOUBLE[][]) AS cents),
+       |bk AS (SELECT CAST($bl AS DOUBLE[][][]) AS books,
+       |  CAST($csq AS DOUBLE[][]) AS csq),
+       |ad AS (
+       |  SELECT vec_id, vd, u.cid AS cid,
+       |    1.0 - list_cosine_similarity(vd, cents[u.cid + 1]) AS dist
+       |  FROM v, ce, unnest(range(${cents.length})) AS u(cid)),
+       |asg AS (
+       |  SELECT vec_id, vd, cid AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dist, cid) AS rn FROM ad)
+       |  WHERE rn = 1),
+       |res AS (
+       |  SELECT vec_id, cell, list_transform(range(1, ${dim + 1}),
+       |    j -> vd[j] - cents[cell + 1][j]) AS rs
+       |  FROM asg, ce),
+       |sub AS (
+       |  SELECT vec_id, cell, mi.mi AS mi, kk.k AS k,
+       |    csq[mi.mi + 1][kk.k + 1] - 2.0 * list_inner_product(
+       |      rs[mi.mi * $ds + 1:mi.mi * $ds + $ds],
+       |      books[mi.mi + 1][kk.k + 1]) AS dist
+       |  FROM res, bk, unnest(range($m)) AS mi(mi), unnest(range($ks)) AS kk(k)),
+       |codes AS (
+       |  SELECT vec_id, cell, list(k ORDER BY mi) AS codes FROM (
+       |    SELECT vec_id, cell, mi, k, row_number() OVER (
+       |      PARTITION BY vec_id, mi ORDER BY dist, k) AS rn FROM sub)
+       |  WHERE rn = 1 GROUP BY vec_id, cell),
+       |pr AS (SELECT * FROM (VALUES $pv) AS t(qid, cell, qcip, tab)),
+       |adc AS (
+       |  SELECT pr.qid, c.vec_id AS nid, pr.qcip + ($adcChain) AS adc
+       |  FROM codes c JOIN pr ON c.cell = pr.cell AND c.vec_id <> pr.qid),
+       |cand AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+       |      ORDER BY adc DESC, nid) AS rk FROM adc)
+       |  WHERE rk <= $rerank)
+       |SELECT qid, CAST(rank AS INTEGER) AS rank, nid, round(cos, 6) AS cos_sim
+       |FROM (
+       |  SELECT cand.qid, cand.nid, list_cosine_similarity(a.vd, b.vd) AS cos,
+       |    row_number() OVER (PARTITION BY cand.qid
+       |      ORDER BY list_cosine_similarity(a.vd, b.vd) DESC, cand.nid) AS rank
+       |  FROM cand JOIN v a ON a.vec_id = cand.qid
+       |            JOIN v b ON b.vec_id = cand.nid)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
+
+  /** def, not val: the ann_ivf / ann_pq / ann_ivfpq entries replay
+    * THIS run's trained parameters ([[lastIvfCents]],
+    * [[lastPqTrained]], [[lastIvfPqTrained]]) and so can only be
+    * rendered after the queries have executed — Verify/VerifySubset
+    * run every query before dumping oracle SQL. Absent a prior run
+    * each entry is omitted and the driver records the rows-only
+    * check, never a stale or fabricated oracle. */
   def oracle: Map[String, String] = Option(lastIvfCents.get())
     .map(c => Map("ann_ivf" -> annIvfOracleSql(c, nprobe = 8)))
-    .getOrElse(Map.empty) ++ Map(
+    .getOrElse(Map.empty) ++
+    Option(lastPqTrained.get())
+      .map { case (b, t) => Map("ann_pq" -> annPqOracleSql(b, t, rerank = 64)) }
+      .getOrElse(Map.empty) ++
+    Option(lastIvfPqTrained.get())
+      .map { case (c, b, p) =>
+        Map("ann_ivfpq" -> annIvfPqOracleSql(c, b, p, rerank = 64)) }
+      .getOrElse(Map.empty) ++ Map(
     "ann_hybrid_rrf" -> annHybridRrfOracleSql,
     "ann_lsh" -> annLshOracleSql,
     "ann_topk_filtered" ->
