@@ -146,7 +146,18 @@ object Scale {
       // (raw-pool docs with ≥ 2 words) × factor; scores shift with
       // the global weights (the %10 target slice rotates per copy),
       // so rows/time are the measured quantities.
-      "text_dsir_select" -> (graft.operators.TextOps.text_dsir_select _))
+      "text_dsir_select" -> (graft.operators.TextOps.text_dsir_select _),
+      // r14: hybrid RRF retrieval — the FIXED-QUERY-SET posture under
+      // corpus growth: the 16 queries live in copy 0 only (doc_id <
+      // 16), so output stays EXACTLY 160 rows (top-10 × 16) at every
+      // factor while both legs' corpus scans grow N× — wall time must
+      // be ~linear and candidate volume ~flat below the wrap (copy-0
+      // grams only match copy 0; the broadcast-left-semi dN
+      // restriction is what keeps the denominator count
+      // candidate-sized rather than corpus-sized as N grows). Wrapped
+      // copies (factor >= 27) are exact-text lexical mates of copy 0:
+      // lexical candidates jump by the wrap count, output stays 160.
+      "ann_hybrid_rrf" -> (graft.operators.Similarity.ann_hybrid_rrf _))
     // r13: SemDeDup rides along with its DOCUMENTED posture applied —
     // k grows with the corpus (32·factor), holding E[|cell|] flat, so
     // per-cell pair volume (and wall time) should stay ~linear; past

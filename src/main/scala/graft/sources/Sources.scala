@@ -400,6 +400,56 @@ object Sources {
       .orderBy($"source")
   }
 
+  /** BLOCK-compressed SequenceFile ingest — the compression × container
+    * matrix cell real warehouses actually hold (reference:
+    * hadoop-common-project/hadoop-common/src/main/java/org/apache/
+    * hadoop/io/SequenceFile.java:1 — `BlockCompressWriter`, the
+    * CompressionType.BLOCK leg next to src_sequencefile_agg's
+    * uncompressed leg): keys and values are batched and compressed
+    * PER BLOCK, so the codec amortizes across records (RECORD
+    * compression compresses each tiny value alone and barely shrinks
+    * anything) while sync markers BETWEEN blocks keep the file
+    * splittable — the compressed container posture at 100 TB. Codec is
+    * Snappy (hadoop's SnappyCodec, pure-Java via snappy-java since
+    * Hadoop 3.3 — no native hadoop lib needed), the
+    * warehouse-default speed/ratio point. Setup exports a lineitem
+    * projection once via saveAsHadoopFile with the
+    * mapreduce.output.fileoutputformat.compress{,.type,.codec} job
+    * keys — exactly how a MapReduce job requests it; SourcesSpec
+    * asserts the container header really records SnappyCodec + block
+    * compression. The parquet-side oracle proves the compressed
+    * Writable round-trip value-exact. */
+  def src_sequencefile_snappy_agg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.hadoop.io.{LongWritable, Text}
+    import org.apache.hadoop.io.compress.SnappyCodec
+    import org.apache.hadoop.mapred.{JobConf, SequenceFileOutputFormat}
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_seqsnappy_${dirTag(d)}")
+    exportOnce(s"seqsnappy:$d") {
+      deleteRecursively(dir)
+      val conf = new JobConf(s.sparkContext.hadoopConfiguration)
+      conf.set("mapreduce.output.fileoutputformat.compress", "true")
+      conf.set("mapreduce.output.fileoutputformat.compress.type", "BLOCK")
+      conf.set("mapreduce.output.fileoutputformat.compress.codec",
+        classOf[SnappyCodec].getName)
+      Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_returnflag", $"l_quantity")
+        .as[(Long, String, Double)]
+        .rdd.map { case (k, rf, q) => (new LongWritable(k), new Text(s"$rf\t$q")) }
+        .saveAsHadoopFile(dir.getPath, classOf[LongWritable], classOf[Text],
+          classOf[SequenceFileOutputFormat[LongWritable, Text]], conf)
+    }
+    s.sparkContext.sequenceFile[Long, String](dir.getPath)
+      .toDF("l_orderkey", "v")
+      .select(split($"v", "\t").getItem(0).as("l_returnflag"),
+        split($"v", "\t").getItem(1).cast("double").as("l_quantity"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        sum(round($"l_quantity" * 100).cast("long")).as("qty_cents"))
+      .orderBy($"l_returnflag")
+  }
+
   /** MapFile ingest — the SORTED-KEY sibling of SequenceFile and the
     * last io container the reference ships that a replacement engine
     * must read in place (hadoop-common-project/hadoop-common/src/main/
@@ -566,6 +616,7 @@ object Sources {
     "src_text_gz_agg" -> src_text_gz_agg _,
     "src_text_bz2_agg" -> src_text_bz2_agg _,
     "src_mapfile_agg" -> src_mapfile_agg _,
+    "src_sequencefile_snappy_agg" -> src_sequencefile_snappy_agg _,
     "src_jdbc_pageview" -> src_jdbc_pageview _,
     "src_jdbc_writeback" -> src_jdbc_writeback _,
     "src_csv_agg" -> src_csv_agg _,
@@ -596,6 +647,10 @@ object Sources {
       """SELECT p_type, count(*) AS n_parts,
         | CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS retail_cents
         |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src_sequencefile_snappy_agg" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        | CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "src_jdbc_pageview" ->
       """SELECT user_id, count(*) AS n_views FROM events
         |WHERE event_type = 'view' GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -152,6 +152,40 @@ class SourcesSpec extends SparkSpec {
       s"expected .gz parts, got: ${parts.map(_.getName).mkString(", ")}")
   }
 
+  test("snappy BLOCK SequenceFile really block-compresses and round-trips") {
+    import spark.implicits._
+    val via = Sources.src_sequencefile_snappy_agg(spark, sf0001).collect()
+    val direct = Tables.lineitem(spark, sf0001)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        sum(round($"l_quantity" * 100).cast("long")).as("qty_cents"))
+      .orderBy($"l_returnflag")
+      .collect()
+    assert(via.nonEmpty)
+    assert(via.toSeq == direct.toSeq)
+    // the container header must record BOTH the codec and block
+    // compression — otherwise the setup silently degraded to RECORD
+    // or none (SequenceFile v6 header: magic, key/value class names,
+    // compress flag, blockCompress flag, codec class name)
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().filter(_.getName.startsWith("graft_seqsnappy_"))
+    assert(dir.nonEmpty)
+    val part = dir.head.listFiles().filter(_.getName.startsWith("part-")).head
+    val head = new Array[Byte](512)
+    val in = new java.io.FileInputStream(part)
+    try in.read(head) finally in.close()
+    val headStr = new String(head, "ISO-8859-1")
+    assert(headStr.startsWith("SEQ"), "not a SequenceFile")
+    assert(headStr.contains("org.apache.hadoop.io.compress.SnappyCodec"),
+      "header does not record SnappyCodec")
+    // compress and blockCompress boolean bytes sit between the
+    // key/value class names and the codec name's VInt length prefix
+    // (= 41, the codec class-name length); both must be 1
+    val codecIdx = headStr.indexOf("org.apache.hadoop.io.compress.SnappyCodec")
+    assert(head(codecIdx - 3) == 1 && head(codecIdx - 2) == 1,
+      "compress/blockCompress flags not both set (not BLOCK compression)")
+  }
+
   test("MapFile export is key-sorted per file, range-ordered across files, and seekable") {
     import org.apache.hadoop.fs.Path
     import org.apache.hadoop.io.{LongWritable, MapFile, Text}
