@@ -498,6 +498,63 @@ object Sources {
       .orderBy($"p_type")
   }
 
+  /** BloomMapFile ingest — MapFile plus a PER-FILE DYNAMIC BLOOM
+    * FILTER over the keys (hadoop-common-project/hadoop-common/src/
+    * main/java/org/apache/hadoop/io/BloomMapFile.java:1 — the third
+    * file in the directory, `bloom`, lets a reader reject absent keys
+    * WITHOUT touching data or index; with many MapFiles per table,
+    * point lookups probe every file's bloom and open only the ones
+    * that probably hold the key — the io-side ancestor of every
+    * log-structured store's SSTable bloom). Setup range-partitions and
+    * sorts like [[src_mapfile_agg]], then each task writes its own
+    * BloomMapFile via the Writer API inside foreachPartition (the
+    * reducer shape; MapFileOutputFormat has no bloom variant, so this
+    * is how MapReduce jobs that want blooms actually write them —
+    * reference: BloomMapFile.Writer wraps MapFile.Writer and folds
+    * every appended key into a DynamicBloomFilter flushed on close).
+    * Scan-side read goes through the `data` SequenceFiles as usual;
+    * SourcesSpec exercises the bloom contract directly:
+    * probablyHasKey == true for every present key (no false
+    * negatives, the bloom guarantee) and false for at least most of a
+    * far-absent key range (the filter actually filters). */
+  def src_bloommapfile_agg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import org.apache.hadoop.io.{BloomMapFile, LongWritable, MapFile, SequenceFile, Text}
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_bloommapfile_${dirTag(d)}")
+    exportOnce(s"bloommapfile:$d") {
+      deleteRecursively(dir)
+      val base = dir.getPath
+      val rdd = Tables.orders(s, d)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        .as[(Long, String, Double)]
+        .rdd.map { case (k, st, tp) => (k, s"$st\t$tp") }
+      rdd.repartitionAndSortWithinPartitions(
+          new org.apache.spark.RangePartitioner(4, rdd))
+        .foreachPartition { it =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val conf = new Configuration()
+          val w = new BloomMapFile.Writer(conf,
+            new Path(f"$base/part-r-$pid%05d"),
+            MapFile.Writer.keyClass(classOf[LongWritable]),
+            SequenceFile.Writer.valueClass(classOf[Text]))
+          try it.foreach { case (k, v) =>
+            w.append(new LongWritable(k), new Text(v))
+          } finally w.close()
+        }
+    }
+    s.sparkContext.sequenceFile[Long, String](s"${dir.getPath}/part-*/data")
+      .toDF("o_orderkey", "v")
+      .select(split($"v", "\t").getItem(0).as("o_orderstatus"),
+        split($"v", "\t").getItem(1).cast("double").as("o_totalprice"))
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round($"o_totalprice" * 100).cast("long")).as("totalprice_cents"))
+      .orderBy($"o_orderstatus")
+  }
+
   /** SPLITTABLE compressed-text ingest — the scale counterpart of
     * [[src_text_gz_agg]]. bzip2 is the reference's splittable codec
     * (hadoop-common-project/hadoop-common/src/main/java/org/apache/
@@ -617,6 +674,7 @@ object Sources {
     "src_text_bz2_agg" -> src_text_bz2_agg _,
     "src_mapfile_agg" -> src_mapfile_agg _,
     "src_sequencefile_snappy_agg" -> src_sequencefile_snappy_agg _,
+    "src_bloommapfile_agg" -> src_bloommapfile_agg _,
     "src_jdbc_pageview" -> src_jdbc_pageview _,
     "src_jdbc_writeback" -> src_jdbc_writeback _,
     "src_csv_agg" -> src_csv_agg _,
@@ -651,6 +709,10 @@ object Sources {
       """SELECT l_returnflag, count(*) AS n_items,
         | CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src_bloommapfile_agg" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS totalprice_cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "src_jdbc_pageview" ->
       """SELECT user_id, count(*) AS n_views FROM events
         |WHERE event_type = 'view' GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -235,6 +235,49 @@ class SourcesSpec extends SparkSpec {
     assert(hit, s"MapFile.Reader.get($probe) found nothing in any part")
   }
 
+  test("BloomMapFile blooms have no false negatives and actually reject absent keys") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.hadoop.io.{BloomMapFile, LongWritable, Text}
+    import spark.implicits._
+    val via = Sources.src_bloommapfile_agg(spark, sf0001).collect()
+    val direct = Tables.orders(spark, sf0001)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round($"o_totalprice" * 100).cast("long")).as("totalprice_cents"))
+      .orderBy($"o_orderstatus")
+      .collect()
+    assert(via.nonEmpty)
+    assert(via.toSeq == direct.toSeq)
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().filter(_.getName.startsWith("graft_bloommapfile_"))
+    assert(dir.nonEmpty)
+    val parts = dir.head.listFiles().filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    assert(parts.nonEmpty)
+    parts.foreach { p =>
+      assert(new java.io.File(p, "bloom").exists(), s"${p.getName} has no bloom file")
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val keys = Tables.orders(spark, sf0001)
+      .select($"o_orderkey").as[Long].collect().toSeq
+    val readers = parts.map(p => new BloomMapFile.Reader(new Path(p.getPath), conf))
+    try {
+      // no false negatives: every present key must pass SOME part's bloom
+      val sample = keys.sorted.take(200)
+      sample.foreach { k =>
+        assert(readers.exists(_.probablyHasKey(new LongWritable(k))),
+          s"present key $k rejected by every bloom (false negative)")
+      }
+      // the filter filters: far-absent keys must be rejected by (nearly)
+      // all blooms — with the default 0.5% error rate, expect overwhelming
+      // rejection over 200 probes x |parts| blooms
+      val absent = (1000000L to 1000199L)
+      val falsePos = absent.count(k =>
+        readers.exists(_.probablyHasKey(new LongWritable(k))))
+      assert(falsePos < 20,
+        s"$falsePos/200 absent keys passed a bloom — filter not filtering")
+    } finally readers.foreach(_.close())
+  }
+
   test("bzip2 text export round-trips AND one .bz2 file splits across tasks") {
     import spark.implicits._
     val viaBz2 = Sources.src_text_bz2_agg(spark, sf0001).collect()
