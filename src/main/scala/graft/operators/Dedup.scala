@@ -218,7 +218,7 @@ object Dedup {
     val hs = sh.select($"simhash").distinct()
     val widths = Array(11, 11, 11, 11, 10, 10)
     val offsets = widths.scanLeft(0)(_ + _)
-    val chunkKeys = array(widths.indices.combinations(3).toArray.zipWithIndex.map {
+    val chunkKeys = array(widths.indices.combinations(3).toIndexedSeq.zipWithIndex.map {
       case (chunks, ci) =>
         var shift = 0
         val parts = chunks.map { c =>

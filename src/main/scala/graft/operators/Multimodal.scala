@@ -233,7 +233,56 @@ object Multimodal {
       .orderBy($"id", $"id2")
   }
 
+  /** CROSS-MODAL retrieval — CLIP-style caption matching, the
+    * image↔text training-pair miner every multimodal pipeline runs:
+    * for each query image, the top-5 captions by cosine in a SHARED
+    * embedding space. The vision side is [[featureVectors]]' pooled
+    * stub embeddings; the TEXT TOWER is stubbed as the aligned space
+    * a trained text encoder would land in — the image vector plus a
+    * deterministic ±1e-3 per-dim jitter (the [[mm_near_dups]]
+    * re-encode chain under a different id-namespace salt, 1<<61, so
+    * caption jitter and re-encode jitter are independent streams).
+    * Alignment is the POINT of the stub: contrastive training pulls a
+    * caption's embedding toward its image, so "own caption ranks
+    * first" is the semantic contract — gated ≥ 0.9 recall@1 in
+    * MultimodalSpec (in this stub space own-caption cosine is
+    * ~0.999998 while unrelated pairs land far lower).
+    *
+    * Plan shape: the 16-image query side broadcasts across the
+    * caption corpus (the ann-brute BNLJ posture), fused single-pass
+    * cosine, per-query WindowGroupLimit top-5. Scale: one corpus scan
+    * per query batch; at 100 TB the caption side would come
+    * pre-encoded (a real text tower) and this exact plan applies
+    * unchanged. Scores are floor-ppm so the full composition — both
+    * towers re-derived from the payload-byte fold up — hash-verifies
+    * in DuckDB. */
+  def mm_caption_topk(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val img = graft.CacheRegistry.cache(meansRaw(s, d)
+      .select($"doc_id".as("id"), $"doc_embedding".as("vec")))
+    val captions = img.select($"id".as("cap_id"),
+      transform($"vec", (x, i) =>
+        x + (pmod(graft.functions.GraftExpressions.toColumn(
+          graft.functions.FrameFpExpr(
+            graft.functions.GraftExpressions.toExpr($"id".bitwiseOR(lit(1L << 61))),
+            graft.functions.GraftExpressions.toExpr(i.cast("long")))), lit(2001)) - 1000)
+          .cast("double") / 1000000.0).as("tvec"))
+    val queries = img.filter($"id" < 16)
+      .select($"id".as("qid"), $"vec".as("qvec"))
+    captions.crossJoin(broadcast(queries))
+      .select($"qid", $"cap_id",
+        graft.functions.VectorFunctions.cosine($"qvec", $"tvec").as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"qid").orderBy($"cos".desc, $"cap_id")))
+      .filter($"rank" <= 5)
+      .select($"qid", $"rank", $"cap_id",
+        floor($"cos" * 1000000.0).cast("long").as("cos_ppm"))
+      .orderBy($"qid", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_caption_topk" -> mm_caption_topk _,
     "mm_meta" -> mm_meta _,
     "mm_framesample" -> mm_framesample _,
     "mm_features" -> mm_features _,
@@ -255,60 +304,111 @@ object Multimodal {
     * cos = dot/(√na·√nb) exactly as [[ExprKernels.cosineDD]]
     * accumulates it. One sign flip, one jitter bit, one dropped
     * frame anywhere — and the hash mismatches. */
+  /** Shared DuckDB re-derivation of the pooled vision tower — payload
+    * byte fold → frame count → frame fingerprints (fmix64 chain) →
+    * per-frame ppm features → per-doc pooled means (`mvals`). The
+    * WITH-clause prefix both the [[mm_near_dups]] and
+    * [[mm_caption_topk]] oracles build on. */
+  private def towerStagesSql: String =
+    """b AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS len
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, len, i,
+      |         ('0x' || substr(hx, CAST(2*i+1 AS BIGINT), 2))::BIGINT AS byte
+      |  FROM b, LATERAL unnest(range(len)) AS t(i)),
+      |folded AS (
+      |  SELECT doc_id,
+      |    list_reduce(
+      |      list_prepend(1125899906842597::HUGEINT, list(byte ORDER BY i)),
+      |      (acc, x) -> (acc::HUGEINT * 31 + x::HUGEINT)
+      |                  % 18446744073709551616::HUGEINT) AS hu
+      |  FROM pos GROUP BY doc_id),
+      |sgn AS (
+      |  SELECT doc_id,
+      |    CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+      |         THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT) AS h
+      |  FROM folded),
+      |nf AS (
+      |  SELECT doc_id,
+      |    1 + ((((h - (((h % 256) + 256) % 256)) // 256) % 240 + 240) % 240)
+      |      AS n_frames
+      |  FROM sgn),
+      |fr AS (
+      |  SELECT doc_id, CAST(t.i AS BIGINT) AS frame_idx
+      |  FROM nf, LATERAL unnest(range(0, n_frames, 10)) AS t(i)),
+      |a0 AS (
+      |  SELECT doc_id, frame_idx,
+      |    (CAST(doc_id AS HUGEINT) * 11400714819323198485::HUGEINT
+      |     + frame_idx + 1) % 18446744073709551616::HUGEINT AS a
+      |  FROM fr),
+      |f1 AS (SELECT doc_id, frame_idx, xor(a, a // 8589934592::HUGEINT) AS a FROM a0),
+      |f2 AS (SELECT doc_id, frame_idx, (((a) % 4294967296::HUGEINT) * 18397679294719823053::HUGEINT % 18446744073709551616::HUGEINT + ((((a) // 4294967296::HUGEINT) * 3981806797::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS a FROM f1),
+      |f3 AS (SELECT doc_id, frame_idx, xor(a, a // 8589934592::HUGEINT) AS a FROM f2),
+      |f4 AS (SELECT doc_id, frame_idx, (((a) % 4294967296::HUGEINT) * 14181476777654086739::HUGEINT % 18446744073709551616::HUGEINT + ((((a) // 4294967296::HUGEINT) * 444984403::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS a FROM f3),
+      |f5 AS (SELECT doc_id, frame_idx, xor(a, a // 8589934592::HUGEINT) AS a FROM f4),
+      |feat AS (
+      |  SELECT doc_id, frame_idx, t.i AS dim,
+      |    CAST(((a * 6364136223846793005::HUGEINT
+      |           + (t.i + 1)::HUGEINT * 1442695040888963407::HUGEINT)
+      |          % 18446744073709551616::HUGEINT) // 2048
+      |         % 2000001 - 1000000 AS BIGINT) AS f
+      |  FROM f5, LATERAL unnest(range(16)) AS t(i)),
+      |pool AS (
+      |  SELECT doc_id, dim, CAST(sum(f) AS BIGINT) AS sm,
+      |    CAST(count(*) AS BIGINT) AS nfp
+      |  FROM feat GROUP BY doc_id, dim),
+      |mvals AS (
+      |  SELECT doc_id AS id, dim, sm::DOUBLE / (nfp * 1000000.0) AS mv
+      |  FROM pool)""".stripMargin
+
+  /** DuckDB re-derivation of [[mm_caption_topk]] on top of
+    * [[towerStagesSql]]: the caption tower's jitter chain replayed
+    * under the 1<<61 namespace salt for EVERY id, the 16 query
+    * vectors from the un-jittered means, brute cosine, (cos DESC,
+    * cap_id) top-5 window, floor-ppm scores. */
+  private def mmCaptionTopkOracleSql: String =
+    s"""WITH $towerStagesSql,
+       |cj0 AS (
+       |  SELECT id, dim, mv,
+       |    (CAST(id + 2305843009213693952 AS HUGEINT)
+       |     * 11400714819323198485::HUGEINT + dim + 1)
+       |    % 18446744073709551616::HUGEINT AS a
+       |  FROM mvals),
+       |cj1 AS (SELECT id, dim, mv, xor(a, a // 8589934592::HUGEINT) AS a FROM cj0),
+       |cj2 AS (SELECT id, dim, mv, (((a) % 4294967296::HUGEINT) * 18397679294719823053::HUGEINT % 18446744073709551616::HUGEINT + ((((a) // 4294967296::HUGEINT) * 3981806797::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS a FROM cj1),
+       |cj3 AS (SELECT id, dim, mv, xor(a, a // 8589934592::HUGEINT) AS a FROM cj2),
+       |cj4 AS (SELECT id, dim, mv, (((a) % 4294967296::HUGEINT) * 14181476777654086739::HUGEINT % 18446744073709551616::HUGEINT + ((((a) // 4294967296::HUGEINT) * 444984403::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS a FROM cj3),
+       |cj5 AS (SELECT id, dim, mv, xor(a, a // 8589934592::HUGEINT) AS a FROM cj4),
+       |cjit AS (
+       |  SELECT id, dim, mv,
+       |    ((CAST(CASE WHEN a >= 9223372036854775808::HUGEINT
+       |           THEN a - 18446744073709551616::HUGEINT ELSE a END AS BIGINT)
+       |      % 2001) + 2001) % 2001 - 1000 AS jp
+       |  FROM cj5),
+       |cap AS (
+       |  SELECT id AS cap_id, list(mv + jp::DOUBLE / 1000000.0 ORDER BY dim) AS tvec
+       |  FROM cjit GROUP BY id),
+       |qv AS (
+       |  SELECT id AS qid, list(mv ORDER BY dim) AS qvec
+       |  FROM mvals WHERE id < 16 GROUP BY id),
+       |sc AS (
+       |  SELECT qv.qid, cap.cap_id,
+       |    list_inner_product(qvec, tvec)
+       |      / (sqrt(list_inner_product(qvec, qvec))
+       |         * sqrt(list_inner_product(tvec, tvec))) AS cos
+       |  FROM cap, qv)
+       |SELECT qid, CAST(rank AS INTEGER) AS rank, cap_id,
+       |  CAST(floor(cos * 1000000.0) AS BIGINT) AS cos_ppm
+       |FROM (
+       |  SELECT qid, cap_id, cos, row_number() OVER (PARTITION BY qid
+       |    ORDER BY cos DESC, cap_id) AS rank FROM sc)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   private def mmNearDupsOracleSql: String = {
     val planes = graft.functions.VectorFunctions.randomPlanes(16 * 16, 16)
     val pl = planes.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
-    s"""WITH b AS (
-       |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS len
-       |  FROM documents),
-       |pos AS (
-       |  SELECT doc_id, len, i,
-       |         ('0x' || substr(hx, CAST(2*i+1 AS BIGINT), 2))::BIGINT AS byte
-       |  FROM b, LATERAL unnest(range(len)) AS t(i)),
-       |folded AS (
-       |  SELECT doc_id,
-       |    list_reduce(
-       |      list_prepend(1125899906842597::HUGEINT, list(byte ORDER BY i)),
-       |      (acc, x) -> (acc::HUGEINT * 31 + x::HUGEINT)
-       |                  % 18446744073709551616::HUGEINT) AS hu
-       |  FROM pos GROUP BY doc_id),
-       |sgn AS (
-       |  SELECT doc_id,
-       |    CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
-       |         THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT) AS h
-       |  FROM folded),
-       |nf AS (
-       |  SELECT doc_id,
-       |    1 + ((((h - (((h % 256) + 256) % 256)) // 256) % 240 + 240) % 240)
-       |      AS n_frames
-       |  FROM sgn),
-       |fr AS (
-       |  SELECT doc_id, CAST(t.i AS BIGINT) AS frame_idx
-       |  FROM nf, LATERAL unnest(range(0, n_frames, 10)) AS t(i)),
-       |a0 AS (
-       |  SELECT doc_id, frame_idx,
-       |    (CAST(doc_id AS HUGEINT) * 11400714819323198485::HUGEINT
-       |     + frame_idx + 1) % 18446744073709551616::HUGEINT AS a
-       |  FROM fr),
-       |f1 AS (SELECT doc_id, frame_idx, xor(a, a // 8589934592::HUGEINT) AS a FROM a0),
-       |f2 AS (SELECT doc_id, frame_idx, (((a) % 4294967296::HUGEINT) * 18397679294719823053::HUGEINT % 18446744073709551616::HUGEINT + ((((a) // 4294967296::HUGEINT) * 3981806797::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS a FROM f1),
-       |f3 AS (SELECT doc_id, frame_idx, xor(a, a // 8589934592::HUGEINT) AS a FROM f2),
-       |f4 AS (SELECT doc_id, frame_idx, (((a) % 4294967296::HUGEINT) * 14181476777654086739::HUGEINT % 18446744073709551616::HUGEINT + ((((a) // 4294967296::HUGEINT) * 444984403::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS a FROM f3),
-       |f5 AS (SELECT doc_id, frame_idx, xor(a, a // 8589934592::HUGEINT) AS a FROM f4),
-       |feat AS (
-       |  SELECT doc_id, frame_idx, t.i AS dim,
-       |    CAST(((a * 6364136223846793005::HUGEINT
-       |           + (t.i + 1)::HUGEINT * 1442695040888963407::HUGEINT)
-       |          % 18446744073709551616::HUGEINT) // 2048
-       |         % 2000001 - 1000000 AS BIGINT) AS f
-       |  FROM f5, LATERAL unnest(range(16)) AS t(i)),
-       |pool AS (
-       |  SELECT doc_id, dim, CAST(sum(f) AS BIGINT) AS sm,
-       |    CAST(count(*) AS BIGINT) AS nfp
-       |  FROM feat GROUP BY doc_id, dim),
-       |mvals AS (
-       |  SELECT doc_id AS id, dim, sm::DOUBLE / (nfp * 1000000.0) AS mv
-       |  FROM pool),
+    s"""WITH $towerStagesSql,
        |j0 AS (
        |  SELECT id, dim, mv,
        |    (CAST(id + 4611686018427387904 AS HUGEINT)
@@ -438,6 +538,7 @@ object Multimodal {
 
   val oracle: Map[String, String] = Map(
     "mm_near_dups" -> mmNearDupsOracleSql,
+    "mm_caption_topk" -> mmCaptionTopkOracleSql,
     // The mm_framesample payload-fold + fmix64 chain, restricted to
     // the wav subset (m4 = 2), windows at step 1, then the closed-form
     // sample expansion over the literal p/q tables; `a % 65536` on the

@@ -152,7 +152,7 @@ object Similarity {
     * kernel calls. Shared with [[Dedup.dedup_semantic]]'s cluster
     * assignment, hence operators-private rather than object-private. */
   private[graft] def centroidDists(cents: Array[Array[Double]], v: Column): Column =
-    array(cents.zipWithIndex.map { case (c, i) =>
+    array(cents.toIndexedSeq.zipWithIndex.map { case (c, i) =>
       struct((lit(1.0) - cosine(v, typedLit(c.toSeq))).as("dist"),
         lit(i).as("cid"))
     }: _*)
@@ -397,7 +397,7 @@ object Similarity {
     // squared L2 (the row-constant |sub|² cancels), so the per-centroid
     // work is one fused dot.
     def cellCol(mi: Int, sub: Column): Column =
-      array_min(array(books(mi).zipWithIndex.map { case (c, i) =>
+      array_min(array(books(mi).toIndexedSeq.zipWithIndex.map { case (c, i) =>
         struct((lit(c.map(x => x * x).sum) - lit(2.0) * dot(sub, typedLit(c.toSeq)))
           .as("dist"), lit(i).as("cid"))
       }: _*)).getField("cid")
@@ -535,7 +535,7 @@ object Similarity {
       Array.tabulate(m)(mi => seeds.map(_.slice(mi * ds, (mi + 1) * ds)))
     }
     def codeCol(mi: Int, sub: Column): Column =
-      array_min(array(books(mi).zipWithIndex.map { case (c, i) =>
+      array_min(array(books(mi).toIndexedSeq.zipWithIndex.map { case (c, i) =>
         struct((lit(c.map(x => x * x).sum) - lit(2.0) * dot(sub, typedLit(c.toSeq)))
           .as("dist"), lit(i).as("cid"))
       }: _*)).getField("cid")

@@ -112,6 +112,25 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("mm_caption_topk ranks each image's own caption first (aligned-space contract)") {
+    val rows = Multimodal.mm_caption_topk(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val qids = rows.map(_._1).distinct
+    assert(qids.length == 16, s"expected 16 query images, got ${qids.length}")
+    // the stub text tower is the vision embedding ± 1e-3/dim, so each
+    // image's own caption sits at cos ~0.999998 — contrastive alignment
+    // is the semantic contract, measured as recall@1
+    val top1Own = rows.filter(_._2 == 1).count { case (q, _, cap, _) => cap == q }
+    assert(top1Own >= 15, s"own caption ranked first for only $top1Own/16 queries")
+    // ranking is honest: within a query, cos_ppm never increases with rank
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"query $q scores not monotone in rank")
+    }
+  }
+
   test("mm_features string form carries the same embeddings as featureVectors") {
     // featureVectors = the ppm sums divided back to means; the single
     // double division is the same FP op both sides, so equality is exact

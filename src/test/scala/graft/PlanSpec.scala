@@ -24,9 +24,9 @@ class PlanSpec extends SparkSpec {
       Set("q21_crossjoin_small", "q15_groupby_topk", "fs_quota_check",
         "fs_balancer_plan", "ann_topk_brute", "ann_cos_range",
         "sql_ann_cos_range", "ann_pq", "ann_topk_filtered",
-        // ann_hybrid_rrf's vector leg is the same ann-brute posture:
-        // the broadcast 16-query side crossed onto the corpus scan
-        "ann_hybrid_rrf", "text_token_hist",
+        // ann_hybrid_rrf's vector leg and mm_caption_topk are the same
+        // ann-brute posture: broadcast 16-query side × corpus scan
+        "ann_hybrid_rrf", "mm_caption_topk", "text_token_hist",
         // TeraChecksum: two single-row fingerprint frames broadcast
         // onto the one-row validation summary
         "mr_sort_validate",
