@@ -307,6 +307,51 @@ object EventOps {
       .orderBy($"hour", $"event_type")
   }
 
+  /** MERGEABLE quantile sketch — fixed-width histogram percentiles
+    * (p50/p90/p99 of `value` per event type), the single-pass
+    * alternative to [[graft.operators.MetadataOps.fs_size_percentiles]]'s
+    * exact per-group buffer. Exact `percentile` holds every group value
+    * in memory, which an unbounded 100 TB group overflows; the sketch
+    * is a groupBy((type, bucket)) COUNT — map-side combined, trivially
+    * mergeable across partitions/days (sum the bucket counts), with
+    * state bounded at buckets-per-type regardless of event volume.
+    * The estimate for percentile p is the UPPER EDGE of the first
+    * bucket whose cumulative count reaches ceil(p·n/100), so the true
+    * order statistic is within one bucket width below it — a
+    * deterministic ±width guarantee (gated against the exact order
+    * statistic in EventOpsSpec), unlike rank-error sketches
+    * (GK/KLL/t-digest) whose merge order perturbs estimates.
+    *
+    * Everything is integer: values become exact centi-units
+    * (`round(value*100)` — the ev_stragglers rule), buckets are
+    * `cv div 64`, the cumulative is a windowed i64 sum ordered by the
+    * unique bucket id, and rank/threshold arithmetic is pure i64 —
+    * bit-identical in DuckDB, so the sketch carries a full hash
+    * oracle. Plan: one shuffle to (event_type, bucket), then a
+    * per-type window over ≤ ~766 bucket rows — grid-sized, not
+    * event-sized, at any scale. */
+  def ev_quantile_sketch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val width = 64L
+    val hist = Tables.events(s, d)
+      .select($"event_type",
+        (round($"value" * 100).cast("long").as("cv")))
+      // cv ≥ 0 on this table, so truncating `div` is exact floor
+      .groupBy($"event_type", expr(s"cv div $width").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val wCum = Window.partitionBy($"event_type").orderBy($"bucket")
+    val cum = hist
+      .withColumn("cum", sum($"n").over(wCum))
+      .withColumn("total", sum($"n").over(Window.partitionBy($"event_type")))
+    cum.crossJoin(Seq(50L, 90L, 99L).toDF("p"))
+      .withColumn("rank", expr("(total * p + 99) div 100"))
+      .filter($"cum" >= $"rank")
+      .groupBy($"event_type", $"p")
+      .agg(first($"total").as("n_events"),
+        (min($"bucket") * width + width).as("est_centi"))
+      .orderBy($"event_type", $"p")
+  }
+
   /** Straggler detection over a task trace — the question behind the
     * reference's job-history analytics (hadoop-tools/hadoop-rumen/src/
     * main/java/org/apache/hadoop/tools/rumen/JobBuilder.java folds
@@ -578,6 +623,7 @@ object EventOps {
     "ev_stragglers" -> ev_stragglers _,
     "ev_resource_skyline" -> ev_resource_skyline _,
     "ev_anomaly" -> ev_anomaly _,
+    "ev_quantile_sketch" -> ev_quantile_sketch _,
     "ev_heavy_hitters" -> ev_heavy_hitters _,
     "ev_fullouter" -> ev_fullouter _,
     "ev_pivot" -> ev_pivot _,
@@ -591,6 +637,30 @@ object EventOps {
     "ev_approx_uniques" -> ev_approx_uniques _)
 
   val oracle: Map[String, String] = Map(
+    // Same centi-unit basis as ev_stragglers; the bucket id, windowed
+    // cumulative, ceil-rank and upper-edge arithmetic are all i64 so
+    // the sketch replays bit-identically (`div` ≡ `//` on the
+    // non-negative operands here).
+    "ev_quantile_sketch" ->
+      """WITH cv AS (
+        |  SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cv FROM events),
+        |hist AS (
+        |  SELECT event_type, cv // 64 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM cv GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, bucket, n,
+        |    CAST(sum(n) OVER (PARTITION BY event_type ORDER BY bucket)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total
+        |  FROM hist)
+        |SELECT event_type, p.p, any_value(total) AS n_events,
+        |  CAST(min(bucket) * 64 + 64 AS BIGINT) AS est_centi
+        |FROM cum, (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS p) p
+        |WHERE cum >= (total * p.p + 99) // 100
+        |GROUP BY event_type, p.p
+        |ORDER BY event_type, p.p""".stripMargin,
     // Centisecond basis: round(value*100) is exact on both engines
     // (the raw doubles are centi-precision, never near a .5 midpoint);
     // the straggler test is the same i64 cross-multiplication; `div`

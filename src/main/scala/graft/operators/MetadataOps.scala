@@ -259,6 +259,142 @@ object MetadataOps {
       .orderBy($"dir")
   }
 
+  /** The synthesized INODE TABLE backing [[fs_path_resolve]] and
+    * [[fs_nearest_quota]] — the reference's actual namespace
+    * representation: HopsFS replaces the NameNode's in-memory tree
+    * with inode ROWS in a SQL database keyed by (parent_id, name)
+    * (reference README.md:7; hadoop-hdfs-project's INode hierarchy is
+    * the in-memory original). `documents` stands in for the file
+    * inodes (source/lang = the two directory levels, n_chars = size);
+    * directory inodes get dense-rank ids over the sorted distinct
+    * path set — a global window, but over the DIM-sized distinct
+    * directory list (the same driver-scale footprint as the ANN
+    * centroid collects), never the file table. File ids are offset by
+    * 1e6 to keep the id spaces disjoint. Returns
+    * (id, parent_id, name, is_dir, size_bytes); only root has a NULL
+    * parent_id. */
+  private def inodeTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", $"source", $"lang", $"n_chars")
+    val srcDirs = docs.select(concat(lit("/"), $"source").as("path"),
+      lit("").as("parent_path"), $"source".as("name")).distinct()
+    val langDirs = docs.select(
+      concat(lit("/"), $"source", lit("/"), $"lang").as("path"),
+      concat(lit("/"), $"source").as("parent_path"), $"lang".as("name"))
+      .distinct()
+    val root = Seq(("", null: String, "")).toDF("path", "parent_path", "name")
+    val dirs = root.unionByName(srcDirs).unionByName(langDirs)
+      .withColumn("id",
+        dense_rank().over(Window.orderBy($"path")).cast("long"))
+    val dirInodes = dirs.as("c")
+      .join(dirs.select($"path".as("pp"), $"id".as("pid")).as("p"),
+        $"c.parent_path" === $"pp", "left")
+      .select($"c.id", $"pid".as("parent_id"), $"c.name",
+        lit(true).as("is_dir"), lit(0L).as("size_bytes"))
+    val fileInodes = docs
+      .join(dirs.select($"path", $"id".as("pid")),
+        concat(lit("/"), $"source", lit("/"), $"lang") === $"path")
+      .select(($"doc_id" + 1000000L).as("id"), $"pid".as("parent_id"),
+        concat(lit("doc_"), $"doc_id".cast("string"), lit(".txt")).as("name"),
+        lit(false).as("is_dir"), $"n_chars".as("size_bytes"))
+    dirInodes.unionByName(fileInodes)
+  }
+
+  /** PATH RESOLUTION by pointer doubling — the log-depth distributed
+    * form of the reference's hottest metadata operation: every HopsFS
+    * request starts by resolving a path to its inode via repeated
+    * (parent_id, name) primary-key lookups (hadoop-hdfs-project's
+    * INodeDirectory.getChild walk, re-expressed over inode ROWS).
+    * Resolving EVERY inode's full path sequentially is O(depth) round
+    * trips per inode; here each round joins the frontier to itself
+    * (state.anc = state.id), so after k rounds every node has folded
+    * in its 2^k-step ancestor — O(log depth) shuffles TOTAL for the
+    * whole namespace, the same doubling argument as
+    * [[graft.operators.Dedup.connectedComponents]]'s jump step (and
+    * the same loop hygiene: per-round persist, LogicalRDD rebinding
+    * against plan-tree doubling, convergence count riding the
+    * materializing action, loud failure on iteration exhaustion —
+    * MetadataSpec gates a 3000-deep chain resolving in ≤ 13 rounds).
+    *
+    * Input: (id, parent_id, name) — parent_id NULL only at root.
+    * Output: (id, path, depth); the invariant each round preserves is
+    * full_path(id) = full_path(anc) ++ path, so when anc drains to
+    * NULL, `path` IS the full path ('' for root). */
+  def resolvePaths(inodes: DataFrame, maxIter: Int = 40): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val s = inodes.sparkSession
+    val inFlight = scala.collection.mutable.Set[DataFrame]()
+    def persistRound(df: DataFrame): DataFrame = {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK); inFlight += p; p
+    }
+    def dropRound(df: DataFrame): Unit = {
+      df.unpersist(blocking = false); inFlight -= df
+    }
+    var ok = false
+    try {
+      var state = persistRound(inodes.select(col("id"),
+        col("parent_id").as("anc"),
+        when(col("parent_id").isNull, lit(""))
+          .otherwise(concat(lit("/"), col("name"))).as("path"),
+        when(col("parent_id").isNull, lit(0L)).otherwise(lit(1L))
+          .as("depth")))
+      var pending = state.filter(col("anc").isNotNull).count()
+      var prevCached: Option[DataFrame] = Some(state)
+      var i = 0
+      while (pending > 0 && i < maxIter) {
+        val lut = state.select(col("id").as("tid"), col("anc").as("tanc"),
+          col("path").as("tpath"), col("depth").as("tdepth"))
+        val upd = state.join(lut, state("anc") === col("tid"), "left")
+          .select(state("id"), col("tanc").as("anc"),
+            when(col("tid").isNull, state("path"))
+              .otherwise(concat(col("tpath"), state("path"))).as("path"),
+            when(col("tid").isNull, state("depth"))
+              .otherwise(col("tdepth") + state("depth")).as("depth"))
+        val cached = persistRound(upd)
+        // one job materializes the round AND returns the convergence
+        // count (nodes still carrying a non-null ancestor pointer)
+        pending = cached.filter(col("anc").isNotNull).count()
+        state = s.createDataFrame(cached.rdd, cached.schema)
+        prevCached.foreach(dropRound)
+        prevCached = Some(cached)
+        i += 1
+      }
+      if (pending > 0)
+        throw new IllegalStateException(
+          s"resolvePaths did not converge in $maxIter rounds ($pending " +
+            "nodes unresolved) — with doubling this covers depth 2^40; " +
+            "the parent graph has a cycle or a dangling parent_id")
+      prevCached.foreach(graft.CacheRegistry.track)
+      ok = true
+      state.select(col("id"), col("path"), col("depth"))
+    } finally {
+      if (!ok) inFlight.foreach { df =>
+        try df.unpersist(blocking = false) catch { case _: Throwable => () }
+      }
+    }
+  }
+
+  /** Full-namespace path listing — [[resolvePaths]] over the
+    * [[inodeTable]], joined back to inode attributes: the `hdfs dfs
+    * -ls -R /` a HopsFS deployment answers with one SQL query instead
+    * of a tree walk. Root's empty path renders as '/'. Oracle: the
+    * inode synthesis is re-derived in DuckDB (same dense-rank ids
+    * over the same sorted dir paths) and the resolution re-walked as
+    * a RECURSIVE one-step-per-iteration CTE — an independent
+    * sequential fixpoint against which the distributed doubling loop
+    * hash-verifies, the dedup_clusters playbook. */
+  def fs_path_resolve(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val inodes = inodeTable(s, d)
+    resolvePaths(inodes)
+      .join(inodes.select($"id", $"is_dir", $"size_bytes"), "id")
+      .select($"id".as("inode_id"),
+        when($"path" === "", "/").otherwise($"path").as("path"),
+        $"depth", $"is_dir", $"size_bytes")
+      .orderBy($"path")
+  }
+
   /** Small-files report + compaction plan — THE HopsFS workload: the
     * reference's headline deviation from stock HDFS is storing
     * small-file data in the metadata DB because small files dominate
@@ -1074,6 +1210,7 @@ object MetadataOps {
     "fs_fsck" -> fs_fsck _,
     "fs_mover_plan" -> fs_mover_plan _,
     "fs_du" -> fs_du _,
+    "fs_path_resolve" -> fs_path_resolve _,
     "fs_find" -> fs_find _,
     "fs_size_percentiles" -> fs_size_percentiles _,
     "fs_small_files" -> fs_small_files _,
@@ -1087,6 +1224,51 @@ object MetadataOps {
     "ec_reconstruct" -> ec_reconstruct _)
 
   val oracle: Map[String, String] = Map(
+    // The inode synthesis (same dense-rank ids over the same sorted
+    // distinct dir paths — binary string order on ASCII agrees across
+    // engines) plus an independent SEQUENTIAL re-resolution: the
+    // recursive CTE walks ONE ancestor per iteration, so the
+    // distributed doubling loop is verified against a step-by-step
+    // fixpoint, not against itself.
+    "fs_path_resolve" ->
+      """WITH RECURSIVE docs0 AS (
+        |  SELECT doc_id, source, lang, n_chars FROM documents),
+        |sdir AS (SELECT DISTINCT '/' || source AS path, '' AS parent_path,
+        |    source AS name FROM docs0),
+        |ldir AS (SELECT DISTINCT '/' || source || '/' || lang AS path,
+        |    '/' || source AS parent_path, lang AS name FROM docs0),
+        |dirs0 AS (
+        |  SELECT '' AS path, CAST(NULL AS VARCHAR) AS parent_path, '' AS name
+        |  UNION ALL SELECT * FROM sdir UNION ALL SELECT * FROM ldir),
+        |dirs AS (SELECT path, parent_path, name,
+        |  CAST(dense_rank() OVER (ORDER BY path) AS BIGINT) AS id FROM dirs0),
+        |dinode AS (
+        |  SELECT c.id, p.id AS parent_id, c.name, TRUE AS is_dir,
+        |    CAST(0 AS BIGINT) AS size_bytes
+        |  FROM dirs c LEFT JOIN dirs p ON c.parent_path = p.path),
+        |finode AS (
+        |  SELECT CAST(doc_id + 1000000 AS BIGINT) AS id, l.id AS parent_id,
+        |    'doc_' || doc_id || '.txt' AS name, FALSE AS is_dir,
+        |    CAST(n_chars AS BIGINT) AS size_bytes
+        |  FROM docs0 JOIN dirs l ON l.path = '/' || source || '/' || lang),
+        |inodes AS (SELECT * FROM dinode UNION ALL SELECT * FROM finode),
+        |walk(id, cur, path, depth) AS (
+        |  SELECT id, parent_id,
+        |    CASE WHEN parent_id IS NULL THEN '' ELSE '/' || name END,
+        |    CAST(CASE WHEN parent_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+        |  FROM inodes
+        |  UNION ALL
+        |  SELECT w.id, i.parent_id,
+        |    CASE WHEN i.parent_id IS NULL THEN w.path
+        |      ELSE '/' || i.name || w.path END,
+        |    w.depth + CASE WHEN i.parent_id IS NULL THEN 0 ELSE 1 END
+        |  FROM walk w JOIN inodes i ON w.cur = i.id)
+        |SELECT i.id AS inode_id,
+        |  CASE WHEN w.path = '' THEN '/' ELSE w.path END AS path,
+        |  w.depth, i.is_dir, i.size_bytes
+        |FROM walk w JOIN inodes i USING (id)
+        |WHERE w.cur IS NULL
+        |ORDER BY path""".stripMargin,
     // fs_compact's report exposes no raw hashes, so the oracle
     // re-derives the BINNING (per-directory cumsum over n_chars,
     // bin = start_off // 1024 — the smallBinned contract) and asserts

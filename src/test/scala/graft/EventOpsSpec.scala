@@ -278,6 +278,28 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("ev_quantile_sketch estimates sit within one bucket width above the exact order statistic") {
+    import spark.implicits._
+    val exact = Tables.events(spark, sf001)
+      .select($"event_type", round($"value" * 100).cast("long").as("cv"))
+      .as[(String, Long)].collect()
+      .groupBy(_._1).map { case (t, rows) => t -> rows.map(_._2).sorted }
+    val got = EventOps.ev_quantile_sketch(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet.map(_._1) == exact.keySet)
+    got.foreach { case ((t, p), (n, est)) =>
+      val vals = exact(t)
+      assert(n == vals.length, s"$t n_events")
+      // the sketch's contract: est = upper edge of the bucket holding
+      // the ceil(p·n/100)-th order statistic, so exact < est ≤ exact+64
+      val rank = ((vals.length * p + 99) / 100).toInt
+      val os = vals(rank - 1)
+      assert(est > os && est <= os + 64,
+        s"$t p$p: est_centi=$est vs exact order stat $os")
+    }
+  }
+
   test("ev_anomaly's integer moments stay far inside the i64 sum-of-squares bound") {
     import spark.implicits._
     // The windowed sum(n²) fits i64 only while hourly per-type counts

@@ -39,6 +39,45 @@ class MetadataSpec extends SparkSpec {
     }
   }
 
+  test("resolvePaths converges on a 3000-deep chain within the doubling bound") {
+    import spark.implicits._
+    // path chain 1 ← 2 ← … ← 3000 (root = 1): sequential resolution
+    // needs 2999 rounds; pointer doubling must finish in
+    // ceil(log2(2999)) = 12 — maxIter 13 fails loudly if the loop
+    // ever degrades to linear stepping.
+    val inodes = (1 to 3000).map(i =>
+        (i.toLong, if (i == 1) None else Some(i - 1L), s"n$i"))
+      .toDF("id", "parent_id", "name")
+    val got = MetadataOps.resolvePaths(inodes, maxIter = 13)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(got.length == 3000)
+    assert(got.head == ((1L, "", 0L)))
+    assert(got(1) == ((2L, "/n2", 1L)))
+    val deepest = got.last
+    assert(deepest._1 == 3000L && deepest._3 == 2999L)
+    assert(deepest._2 == (2 to 3000).map(i => s"/n$i").mkString)
+  }
+
+  test("fs_path_resolve paths equal the direct source/lang reconstruction") {
+    import spark.implicits._
+    val got = MetadataOps.fs_path_resolve(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4))).toMap
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"source", $"lang", $"n_chars")
+      .as[(Long, String, String, Long)].collect()
+    // every file inode resolves to /source/lang/doc_<id>.txt at depth 3
+    docs.foreach { case (id, src, lang, n) =>
+      assert(got(id + 1000000L) == ((s"/$src/$lang/doc_$id.txt", 3L, false, n)))
+    }
+    // the directory set is exactly root ∪ sources ∪ (source, lang)s
+    val dirs = got.filter(_._2._3).values.map(_._1).toSet
+    val expectDirs = Set("/") ++ docs.map(d => s"/${d._2}").toSet ++
+      docs.map(d => s"/${d._2}/${d._3}").toSet
+    assert(dirs == expectDirs)
+    assert(got(got.filter(_._2._3).keys.min) == (("/", 0L, true, 0L)))
+  }
+
   test("fs_chargeback: tier bytes conserve replicas and shares sum to ~1e6") {
     import spark.implicits._
     val got = MetadataOps.fs_chargeback(spark, sf0001).collect()

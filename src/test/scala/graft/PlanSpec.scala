@@ -39,7 +39,9 @@ class PlanSpec extends SparkSpec {
         // broadcast one-row capped count onto the one-row funnel counts
         "text_curation_funnel",
         // broadcast one-row bill total onto the per-source rollup
-        "fs_chargeback")
+        "fs_chargeback",
+        // broadcast 3-row percentile dim onto the bucket-grid frame
+        "ev_quantile_sketch")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val plan = physical(name)
       assert(!plan.contains("CartesianProduct"),
