@@ -395,6 +395,70 @@ object MetadataOps {
       .orderBy($"path")
   }
 
+  /** QUOTA INHERITANCE by longest-prefix match — HDFS quota
+    * enforcement resolves each write against the NEAREST ancestor
+    * directory carrying a quota directive (hadoop-hdfs-project's
+    * DirectoryWithQuotaFeature walk up the INode parents; HopsFS runs
+    * the same check against inode rows). Directives are synthesized
+    * deterministically over the [[inodeTable]] directory set (root
+    * always; even-numbered source dirs; 'en'/'es' language dirs —
+    * every tree level and the masking case are exercised: a file
+    * under an en/ dir with a quota'd source ancestor counts against
+    * the DEEPER directive only). Resolution is the IP-routing shape:
+    * each file explodes its ≤ depth ancestor prefixes, equi-joins the
+    * BROADCAST directive dim, and keeps the deepest hit via max_by —
+    * no tree walk, one corpus-scale shuffle for the per-directive
+    * rollup. Directives with every file masked by a deeper quota
+    * still report (n_files = 0). Utilization is exact integer ppm.
+    * MetadataSpec gates masking + conservation; the oracle re-derives
+    * the synthesis, the sequential path walk, and the same
+    * longest-prefix resolution in DuckDB. */
+  def fs_nearest_quota(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val inodes = inodeTable(s, d)
+    val res = graft.CacheRegistry.cache(resolvePaths(inodes)
+      .join(inodes.select($"id", $"is_dir", $"size_bytes"), "id"))
+    // root always; even-numbered source dirs; en/es language dirs;
+    // plus EVERY language dir under each 5th source — those sources'
+    // own directives end up fully masked (n_files = 0), the case the
+    // LEFT JOIN below must surface
+    val quotaDirs = res.filter($"is_dir")
+      .filter($"depth" === 0 ||
+        ($"depth" === 1 && substring($"path", 5, 18).cast("long") % 2 === 0) ||
+        ($"depth" === 2 && (element_at(split($"path", "/"), 3)
+          .isin("en", "es") ||
+          substring(element_at(split($"path", "/"), 2), 4, 18).cast("long")
+            % 5 === 0)))
+      // the root directive is deliberately oversubscribed (smaller
+      // multiplier) so the over_quota branch is populated at every SF
+      .select($"path".as("qpath"), (($"id" * 97 + 13) *
+        when($"depth" === 0, 192L).otherwise(256L)).as("quota_bytes"))
+    val ancestors = res.filter(!$"is_dir")
+      .select($"id", $"size_bytes",
+        explode(expr(
+          """transform(sequence(0, cast(depth as int) - 1),
+            |  k -> struct(k as k,
+            |    array_join(slice(split(path, '/'), 1, k + 1), '/') as anc))"""
+            .stripMargin)).as("a"))
+      .select($"id", $"size_bytes", $"a.k", $"a.anc")
+    val governed = ancestors
+      .join(broadcast(quotaDirs), $"anc" === $"qpath")
+      .groupBy($"id")
+      .agg(first($"size_bytes").as("size_bytes"),
+        max_by($"qpath", $"k").as("gov_path"))
+    val rollup = governed.groupBy($"gov_path".as("qpath"))
+      .agg(count(lit(1)).as("n_files"), sum($"size_bytes").as("bytes_used"))
+    quotaDirs.join(rollup, Seq("qpath"), "left")
+      .select(
+        when($"qpath" === "", "/").otherwise($"qpath").as("quota_path"),
+        $"quota_bytes",
+        coalesce($"n_files", lit(0L)).as("n_files"),
+        coalesce($"bytes_used", lit(0L)).as("bytes_used"))
+      .withColumn("used_ppm", expr("bytes_used * 1000000 div quota_bytes"))
+      .withColumn("over_quota", $"bytes_used" > $"quota_bytes")
+      .orderBy($"quota_path")
+  }
+
   /** Small-files report + compaction plan — THE HopsFS workload: the
     * reference's headline deviation from stock HDFS is storing
     * small-file data in the metadata DB because small files dominate
@@ -1211,6 +1275,7 @@ object MetadataOps {
     "fs_mover_plan" -> fs_mover_plan _,
     "fs_du" -> fs_du _,
     "fs_path_resolve" -> fs_path_resolve _,
+    "fs_nearest_quota" -> fs_nearest_quota _,
     "fs_find" -> fs_find _,
     "fs_size_percentiles" -> fs_size_percentiles _,
     "fs_small_files" -> fs_small_files _,
@@ -1223,52 +1288,94 @@ object MetadataOps {
     "ec_parity_rs" -> ec_parity_rs _,
     "ec_reconstruct" -> ec_reconstruct _)
 
+  /** Shared DuckDB prefix for the namespace oracles: the inode
+    * synthesis (same dense-rank ids over the same sorted distinct dir
+    * paths — binary string order on ASCII agrees across engines) plus
+    * an independent SEQUENTIAL re-resolution — the recursive CTE
+    * walks ONE ancestor per iteration, so the distributed doubling
+    * loop is verified against a step-by-step fixpoint, not against
+    * itself. Ends with CTE `res`(id, path, depth, is_dir,
+    * size_bytes); callers prepend WITH RECURSIVE. */
+  private val inodeResolveSql: String =
+    """docs0 AS (
+      |  SELECT doc_id, source, lang, n_chars FROM documents),
+      |sdir AS (SELECT DISTINCT '/' || source AS path, '' AS parent_path,
+      |    source AS name FROM docs0),
+      |ldir AS (SELECT DISTINCT '/' || source || '/' || lang AS path,
+      |    '/' || source AS parent_path, lang AS name FROM docs0),
+      |dirs0 AS (
+      |  SELECT '' AS path, CAST(NULL AS VARCHAR) AS parent_path, '' AS name
+      |  UNION ALL SELECT * FROM sdir UNION ALL SELECT * FROM ldir),
+      |dirs AS (SELECT path, parent_path, name,
+      |  CAST(dense_rank() OVER (ORDER BY path) AS BIGINT) AS id FROM dirs0),
+      |dinode AS (
+      |  SELECT c.id, p.id AS parent_id, c.name, TRUE AS is_dir,
+      |    CAST(0 AS BIGINT) AS size_bytes
+      |  FROM dirs c LEFT JOIN dirs p ON c.parent_path = p.path),
+      |finode AS (
+      |  SELECT CAST(doc_id + 1000000 AS BIGINT) AS id, l.id AS parent_id,
+      |    'doc_' || doc_id || '.txt' AS name, FALSE AS is_dir,
+      |    CAST(n_chars AS BIGINT) AS size_bytes
+      |  FROM docs0 JOIN dirs l ON l.path = '/' || source || '/' || lang),
+      |inodes AS (SELECT * FROM dinode UNION ALL SELECT * FROM finode),
+      |walk(id, cur, path, depth) AS (
+      |  SELECT id, parent_id,
+      |    CASE WHEN parent_id IS NULL THEN '' ELSE '/' || name END,
+      |    CAST(CASE WHEN parent_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+      |  FROM inodes
+      |  UNION ALL
+      |  SELECT w.id, i.parent_id,
+      |    CASE WHEN i.parent_id IS NULL THEN w.path
+      |      ELSE '/' || i.name || w.path END,
+      |    w.depth + CASE WHEN i.parent_id IS NULL THEN 0 ELSE 1 END
+      |  FROM walk w JOIN inodes i ON w.cur = i.id),
+      |res AS (
+      |  SELECT i.id, w.path, w.depth, i.is_dir, i.size_bytes
+      |  FROM walk w JOIN inodes i USING (id)
+      |  WHERE w.cur IS NULL)""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    // The inode synthesis (same dense-rank ids over the same sorted
-    // distinct dir paths — binary string order on ASCII agrees across
-    // engines) plus an independent SEQUENTIAL re-resolution: the
-    // recursive CTE walks ONE ancestor per iteration, so the
-    // distributed doubling loop is verified against a step-by-step
-    // fixpoint, not against itself.
-    "fs_path_resolve" ->
-      """WITH RECURSIVE docs0 AS (
-        |  SELECT doc_id, source, lang, n_chars FROM documents),
-        |sdir AS (SELECT DISTINCT '/' || source AS path, '' AS parent_path,
-        |    source AS name FROM docs0),
-        |ldir AS (SELECT DISTINCT '/' || source || '/' || lang AS path,
-        |    '/' || source AS parent_path, lang AS name FROM docs0),
-        |dirs0 AS (
-        |  SELECT '' AS path, CAST(NULL AS VARCHAR) AS parent_path, '' AS name
-        |  UNION ALL SELECT * FROM sdir UNION ALL SELECT * FROM ldir),
-        |dirs AS (SELECT path, parent_path, name,
-        |  CAST(dense_rank() OVER (ORDER BY path) AS BIGINT) AS id FROM dirs0),
-        |dinode AS (
-        |  SELECT c.id, p.id AS parent_id, c.name, TRUE AS is_dir,
-        |    CAST(0 AS BIGINT) AS size_bytes
-        |  FROM dirs c LEFT JOIN dirs p ON c.parent_path = p.path),
-        |finode AS (
-        |  SELECT CAST(doc_id + 1000000 AS BIGINT) AS id, l.id AS parent_id,
-        |    'doc_' || doc_id || '.txt' AS name, FALSE AS is_dir,
-        |    CAST(n_chars AS BIGINT) AS size_bytes
-        |  FROM docs0 JOIN dirs l ON l.path = '/' || source || '/' || lang),
-        |inodes AS (SELECT * FROM dinode UNION ALL SELECT * FROM finode),
-        |walk(id, cur, path, depth) AS (
-        |  SELECT id, parent_id,
-        |    CASE WHEN parent_id IS NULL THEN '' ELSE '/' || name END,
-        |    CAST(CASE WHEN parent_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
-        |  FROM inodes
-        |  UNION ALL
-        |  SELECT w.id, i.parent_id,
-        |    CASE WHEN i.parent_id IS NULL THEN w.path
-        |      ELSE '/' || i.name || w.path END,
-        |    w.depth + CASE WHEN i.parent_id IS NULL THEN 0 ELSE 1 END
-        |  FROM walk w JOIN inodes i ON w.cur = i.id)
-        |SELECT i.id AS inode_id,
-        |  CASE WHEN w.path = '' THEN '/' ELSE w.path END AS path,
-        |  w.depth, i.is_dir, i.size_bytes
-        |FROM walk w JOIN inodes i USING (id)
-        |WHERE w.cur IS NULL
-        |ORDER BY path""".stripMargin,
+    "fs_path_resolve" -> ("WITH RECURSIVE " + inodeResolveSql + """
+        |SELECT id AS inode_id,
+        |  CASE WHEN path = '' THEN '/' ELSE path END AS path,
+        |  depth, is_dir, size_bytes
+        |FROM res ORDER BY path""".stripMargin),
+    // Directive synthesis, the ancestor-prefix explode, the deepest-
+    // hit max_by and the per-directive rollup all re-derived; the
+    // masked-directive zero rows come from the same LEFT JOIN.
+    "fs_nearest_quota" -> ("WITH RECURSIVE " + inodeResolveSql + """,
+        |qd AS (
+        |  SELECT path AS qpath,
+        |    (id * 97 + 13) * CASE WHEN depth = 0 THEN 192 ELSE 256 END
+        |      AS quota_bytes
+        |  FROM res WHERE is_dir AND (depth = 0
+        |    OR (depth = 1 AND CAST(substr(path, 5) AS BIGINT) % 2 = 0)
+        |    OR (depth = 2 AND (string_split(path, '/')[3] IN ('en', 'es')
+        |      OR CAST(substr(string_split(path, '/')[2], 4) AS BIGINT)
+        |        % 5 = 0)))),
+        |fa AS (
+        |  SELECT r.id, r.size_bytes, CAST(t.k AS BIGINT) AS k,
+        |    array_to_string(list_slice(string_split(r.path, '/'), 1,
+        |      CAST(t.k AS INTEGER) + 1), '/') AS anc
+        |  FROM res r, LATERAL unnest(range(r.depth)) AS t(k)
+        |  WHERE NOT r.is_dir),
+        |gov AS (
+        |  SELECT fa.id, any_value(fa.size_bytes) AS size_bytes,
+        |    max_by(fa.anc, fa.k) AS gov_path
+        |  FROM fa JOIN qd ON fa.anc = qd.qpath GROUP BY fa.id),
+        |ag AS (
+        |  SELECT gov_path AS qpath, CAST(count(*) AS BIGINT) AS n_files,
+        |    CAST(sum(size_bytes) AS BIGINT) AS bytes_used
+        |  FROM gov GROUP BY 1)
+        |SELECT CASE WHEN qd.qpath = '' THEN '/' ELSE qd.qpath END
+        |    AS quota_path,
+        |  CAST(qd.quota_bytes AS BIGINT) AS quota_bytes,
+        |  CAST(COALESCE(ag.n_files, 0) AS BIGINT) AS n_files,
+        |  CAST(COALESCE(ag.bytes_used, 0) AS BIGINT) AS bytes_used,
+        |  COALESCE(ag.bytes_used, 0) * 1000000 // qd.quota_bytes AS used_ppm,
+        |  COALESCE(ag.bytes_used, 0) > qd.quota_bytes AS over_quota
+        |FROM qd LEFT JOIN ag ON ag.qpath = qd.qpath
+        |ORDER BY quota_path""".stripMargin),
     // fs_compact's report exposes no raw hashes, so the oracle
     // re-derives the BINNING (per-directory cumsum over n_chars,
     // bin = start_off // 1024 — the smallBinned contract) and asserts

@@ -78,6 +78,50 @@ class MetadataSpec extends SparkSpec {
     assert(got(got.filter(_._2._3).keys.min) == (("/", 0L, true, 0L)))
   }
 
+  test("fs_nearest_quota equals a naive longest-prefix resolution and covers all branches") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf001)
+      .select($"doc_id", $"source", $"lang", $"n_chars")
+      .as[(Long, String, String, Long)].collect()
+    // driver-side re-synthesis: dense-rank ids over the sorted dir set
+    val dirPaths = (Seq("") ++ docs.map(d => s"/${d._2}").distinct ++
+      docs.map(d => s"/${d._2}/${d._3}").distinct).distinct.sorted
+    val dirId = dirPaths.zipWithIndex.map { case (p, i) => p -> (i + 1L) }.toMap
+    def directive(p: String): Boolean = {
+      val parts = p.split("/")
+      parts.length match {
+        case 0 | 1 => p.isEmpty
+        case 2 => parts(1).drop(3).toLong % 2 == 0
+        case _ => Set("en", "es")(parts(2)) || parts(1).drop(3).toLong % 5 == 0
+      }
+    }
+    val quota = dirPaths.filter(directive)
+      .map(p => p -> (dirId(p) * 97 + 13) * (if (p.isEmpty) 192L else 256L))
+      .toMap
+    // naive per-file nearest-ancestor walk
+    val governed = docs.map { case (_, src, lang, n) =>
+      val anc = Seq(s"/$src/$lang", s"/$src", "").find(quota.contains).get
+      anc -> n
+    }
+    val expect = quota.map { case (p, q) =>
+      val mine = governed.filter(_._1 == p).map(_._2)
+      val used = mine.sum
+      (if (p.isEmpty) "/" else p) ->
+        ((q, mine.size.toLong, used, used * 1000000L / q, used > q))
+    }
+    val got = MetadataOps.fs_nearest_quota(spark, sf001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got == expect)
+    // every branch the operator promises is actually exercised here
+    assert(got.values.map(_._2).sum == docs.length, "files not conserved")
+    assert(got.values.exists(_._5), "no over-quota directive")
+    assert(got.values.exists(_._2 == 0), "no fully-masked directive")
+    // masking: files under a directive'd lang dir never bill the source
+    val src0Files = docs.filter(d => d._2 == "src0")
+    assert(src0Files.nonEmpty && got("/src0")._2 == 0)
+  }
+
   test("fs_chargeback: tier bytes conserve replicas and shares sum to ~1e6") {
     import spark.implicits._
     val got = MetadataOps.fs_chargeback(spark, sf0001).collect()
