@@ -1435,7 +1435,81 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** CENTROID CLASSIFIER over hashed bag-of-bigrams features — the
+    * learned-filter INFERENCE shape every curation pipeline ships (the
+    * fastText-style quality/domain classifier of the GPT-3/CCNet/LLaMA
+    * recipes: linear model over hashed n-gram features, broadcast to
+    * every executor, one map-side pass per document). Training is the
+    * Rocchio/centroid form — per-class bucket frequency minus global
+    * bucket frequency, in exact integer ppm — because its aggregates
+    * are order-independent counts, so unlike SGD the trained model is
+    * bit-deterministic and the WHOLE train+infer composition carries a
+    * DuckDB hash oracle. Same train/test convention as
+    * [[text_dsir_select]] (doc_id % 10 == 1 held out), same 1024-way
+    * md5 feature hashing. Unseen-at-train buckets contribute 0 (inner
+    * join). Prediction = per-doc argmax over the ≤ |classes| unpivoted
+    * scores via a (score DESC, class) window; margin = best − runner-up.
+    *
+    * Scale: one corpus gram explode (cached — two consumers), bucket
+    * counts collapse to a ≤ 1024×|classes| grid before the totals are
+    * read off it (no second corpus pass — the dsir rule), the weight
+    * table broadcasts, scoring is a map-side join + one groupBy(doc).
+    * Accuracy is a property of the corpus, not the plumbing: this
+    * synthetic text is label-independent (the [[text_langid]] note),
+    * so TextPipelineSpec drives planted class-vocabulary fixtures
+    * through this exact code and gates held-out accuracy there. */
+  def centroidClassify(docs: DataFrame, classes: Seq[String]): DataFrame = {
+    val grams = graft.CacheRegistry.cache(docs
+      .select(col("doc_id"), col("label"),
+        explode(wordNgramsAll(col("text"), 2)).as("g"))
+      .withColumn("b", conv(substring(md5(col("g")), 1, 8), 16, 10)
+        .cast("long") % 1024)
+      .select(col("doc_id"), col("label"), col("b")))
+    val counts = grams.filter(col("doc_id") % 10 =!= 1)
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("cnt_all"),
+        classes.map(c => sum(when(col("label") === c, 1L).otherwise(0L))
+          .as(s"cnt_$c")): _*)
+    val tot = counts.agg(sum(col("cnt_all")).as("tot_all"),
+      classes.map(c => sum(col(s"cnt_$c")).as(s"tot_$c")): _*)
+    val weights = counts.crossJoin(broadcast(tot))
+      .select(col("b") +: classes.map(c =>
+        (expr(s"cnt_$c * 1000000 div tot_$c") -
+          expr("cnt_all * 1000000 div tot_all")).as(s"w_$c")): _*)
+    val scored = grams.filter(col("doc_id") % 10 === 1)
+      .join(broadcast(weights), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(first(col("label")).as("label"),
+        classes.map(c => sum(col(s"w_$c")).as(s"s_$c")): _*)
+    val unpivoted = scored.select(col("doc_id"), col("label"),
+      explode(array(classes.map(c =>
+        struct(lit(c).as("class"), col(s"s_$c").as("score"))): _*)).as("cs"))
+      .select(col("doc_id"), col("label"),
+        col("cs.class").as("class"), col("cs.score").as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("class"))
+    unpivoted
+      .withColumn("rn", row_number().over(w))
+      .withColumn("runner_up", lead(col("score"), 1).over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("label"), col("class").as("pred"),
+        col("score").as("pred_score"),
+        (col("score") - col("runner_up")).as("margin"),
+        (col("class") === col("label")).as("correct"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[centroidClassify]] registered over the documents table with
+    * `lang` as the class label. */
+  def text_classify_centroid(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    centroidClassify(
+      Tables.documents(s, d).select($"doc_id", $"lang".as("label"), $"text"),
+      Seq("de", "en", "es", "fr", "zh"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_classify_centroid" -> text_classify_centroid _,
     "text_window_chunks" -> text_window_chunks _,
     "text_curation_funnel" -> text_curation_funnel _,
     "text_dsir_select" -> text_dsir_select _,
@@ -1565,7 +1639,67 @@ object TextOps {
        |FROM agg ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB re-derivation of the FULL [[centroidClassify]] train +
+    * infer composition — generated over the same class list as the
+    * Spark side so the per-class column set cannot drift: the dsir
+    * gram/hash CTEs, per-class bucket counts, ppm centroid weights,
+    * held-out scoring, the 5-way unpivot and the (score DESC, class)
+    * argmax window, all integer-exact. */
+  private val classifyCentroidOracleSql: String = {
+    val cs = Seq("de", "en", "es", "fr", "zh")
+    val cntCols = cs.map(c =>
+      s"CAST(sum(CASE WHEN label = '$c' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_$c")
+      .mkString(",\n    ")
+    val totCols = cs.map(c => s"CAST(sum(cnt_$c) AS BIGINT) AS tot_$c")
+      .mkString(", ")
+    val wCols = cs.map(c =>
+      s"cnt_$c * 1000000 // tot_$c - cnt_all * 1000000 // tot_all AS w_$c")
+      .mkString(",\n    ")
+    val sCols = cs.map(c => s"CAST(sum(w_$c) AS BIGINT) AS s_$c")
+      .mkString(", ")
+    val unpiv = cs.map(c =>
+      s"SELECT doc_id, label, '$c' AS class, s_$c AS score FROM sc")
+      .mkString("\n  UNION ALL ")
+    s"""WITH words AS (
+       |  SELECT doc_id, lang AS label,
+       |    list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, label,
+       |    CAST(('0x' || substr(md5(t.g), 1, 8))::BIGINT % 1024 AS BIGINT) AS b
+       |  FROM words,
+       |    LATERAL unnest(list_transform(range(1, len(ws)),
+       |      i -> ws[i] || ' ' || ws[i + 1])) AS t(g)),
+       |cnt AS (
+       |  SELECT b, CAST(count(*) AS BIGINT) AS cnt_all,
+       |    $cntCols
+       |  FROM grams WHERE doc_id % 10 <> 1 GROUP BY b),
+       |tot AS (
+       |  SELECT CAST(sum(cnt_all) AS BIGINT) AS tot_all, $totCols FROM cnt),
+       |wt AS (
+       |  SELECT b,
+       |    $wCols
+       |  FROM cnt, tot),
+       |sc AS (
+       |  SELECT g.doc_id, any_value(g.label) AS label, $sCols
+       |  FROM grams g JOIN wt USING (b)
+       |  WHERE g.doc_id % 10 = 1 GROUP BY g.doc_id),
+       |up AS (
+       |  $unpiv),
+       |rk AS (
+       |  SELECT doc_id, label, class, score,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, class) AS rn,
+       |    lead(score) OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, class) AS runner_up
+       |  FROM up)
+       |SELECT doc_id, label, class AS pred, score AS pred_score,
+       |  score - runner_up AS margin, class = label AS correct
+       |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "text_classify_centroid" -> classifyCentroidOracleSql,
     "text_bpe_train" -> bpeTrainOracleSql,
     "text_bpe_encode" -> bpeEncodeOracleSql,
     // The FULL winnowing kernel re-expressed in DuckDB: per-position

@@ -41,7 +41,9 @@ class PlanSpec extends SparkSpec {
         // broadcast one-row bill total onto the per-source rollup
         "fs_chargeback",
         // broadcast 3-row percentile dim onto the bucket-grid frame
-        "ev_quantile_sketch")
+        "ev_quantile_sketch",
+        // broadcast one-row class totals onto the 1024-row weight table
+        "text_classify_centroid")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val plan = physical(name)
       assert(!plan.contains("CartesianProduct"),

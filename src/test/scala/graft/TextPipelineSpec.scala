@@ -113,6 +113,33 @@ class TextPipelineSpec extends SparkSpec {
     assert(got.forall(_._1 % 10 != 1))
   }
 
+  test("centroidClassify learns planted class vocabularies and generalizes to held-out docs") {
+    // The registered corpus's text is label-independent (text_langid
+    // note), so accuracy there is chance; here each class gets its own
+    // vocabulary plus shared filler, and the held-out tenth (doc_id %
+    // 10 == 1) must classify correctly — exercising train/test split,
+    // hashing, centroid weights and the argmax through the exact
+    // production code.
+    val classes = Seq("alpha", "beta", "gamma")
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 120).map { i =>
+      val c = classes(i % 3)
+      val own = (0 until 30).map(_ => s"${c}w${rnd.nextInt(12)}")
+      val filler = (0 until 10).map(_ => s"shared${rnd.nextInt(6)}")
+      (i.toLong, c, rnd.shuffle(own ++ filler).mkString(" "))
+    }
+    val got = TextOps.centroidClassify(
+        docs.toDF("doc_id", "label", "text"), classes)
+      .select($"doc_id", $"label", $"pred", $"margin", $"correct")
+      .collect()
+    val held = docs.count(_._1 % 10 == 1)
+    assert(got.length == held && held >= 10)
+    val acc = got.count(_.getBoolean(4)).toDouble / got.length
+    assert(acc >= 0.9, s"held-out accuracy $acc")
+    // separable vocab ⇒ confident decisions: margins strictly positive
+    assert(got.forall(_.getLong(3) > 0L))
+  }
+
   test("gopherScored: every rule's fail branch fires on its planted fixture") {
     // The corpus is single-line synthetic text, so the line-shape and
     // symbol rules pass trivially in the registered query; planted
