@@ -459,6 +459,50 @@ object MetadataOps {
       .orderBy($"quota_path")
   }
 
+  /** 20-bit Morton interleave of two 10-bit dims `a`/`b` — one
+    * generated integer expression, valid in BOTH Spark SQL and DuckDB
+    * (same `>> & <<` operators), so the layout computation is shared
+    * with its oracle by construction. */
+  private[operators] val mortonExpr: String =
+    (0 until 10).map(i =>
+      s"(((a >> $i) & 1) << ${2 * i}) + (((b >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+
+  /** Z-ORDER clustering manifest — the lakehouse `OPTIMIZE ZORDER BY
+    * (user, hour)` layout pass, the multi-dimensional answer to the
+    * single-key sort that [[fs_mover_plan]]-era warehouses used: rows
+    * map to a 20-bit Morton code interleaving the two filter dims
+    * (user bucket, epoch-hour bucket), files = 1024 code-range tiles
+    * (top 10 Morton bits), and the emitted manifest is each tile's
+    * per-dim min/max — exactly the file/row-group statistics a scan
+    * planner prunes with. The Z-property this buys (MetadataSpec
+    * gates it mechanically): every tile is a 32×32-aligned RECTANGLE,
+    * so a selective predicate on EITHER dim (or both) skips ~31/32 of
+    * the files — a single-dim sorted layout prunes one dim and scans
+    * everything for the other (the spec's baseline comparison). At
+    * 100 TB the same plan is `repartitionByRange(morton)` before the
+    * write — one range shuffle, tile-sized files, stats from parquet
+    * footers; here the manifest is computed directly (one groupBy on
+    * the tile id, map-side combined). All-integer bit arithmetic —
+    * the Morton expression string itself is shared with the DuckDB
+    * oracle. */
+  def fs_zorder_layout(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select(pmod($"user_id", lit(1024L)).as("a"),
+        // guarded floor-div hour grid (the ev_anomaly rule), wrapped
+        // to the manifest's 10-bit dim
+        pmod(expr("(unix_timestamp(date_trunc('hour', ts)) - " +
+          "pmod(unix_timestamp(date_trunc('hour', ts)), 3600)) div 3600"),
+          lit(1024L)).as("b"))
+      .withColumn("morton", expr(mortonExpr))
+      .groupBy(expr("morton >> 10").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min($"a").as("a_min"), max($"a").as("a_max"),
+        min($"b").as("b_min"), max($"b").as("b_max"))
+      .orderBy($"bucket")
+  }
+
   /** Small-files report + compaction plan — THE HopsFS workload: the
     * reference's headline deviation from stock HDFS is storing
     * small-file data in the metadata DB because small files dominate
@@ -1276,6 +1320,7 @@ object MetadataOps {
     "fs_du" -> fs_du _,
     "fs_path_resolve" -> fs_path_resolve _,
     "fs_nearest_quota" -> fs_nearest_quota _,
+    "fs_zorder_layout" -> fs_zorder_layout _,
     "fs_find" -> fs_find _,
     "fs_size_percentiles" -> fs_size_percentiles _,
     "fs_small_files" -> fs_small_files _,
@@ -1340,6 +1385,18 @@ object MetadataOps {
         |  CASE WHEN path = '' THEN '/' ELSE path END AS path,
         |  depth, is_dir, size_bytes
         |FROM res ORDER BY path""".stripMargin),
+    // The Morton expression string is the SAME Scala value the Spark
+    // plan compiles — only the hour-grid idiom and the aggregation
+    // are re-spelled.
+    "fs_zorder_layout" -> s"""WITH e AS (
+        |  SELECT CAST(user_id % 1024 AS BIGINT) AS a,
+        |    CAST((epoch_us(date_trunc('hour', ts)) // 3600000000) % 1024
+        |      AS BIGINT) AS b
+        |  FROM events),
+        |m AS (SELECT a, b, $mortonExpr AS morton FROM e)
+        |SELECT morton >> 10 AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(a) AS a_min, max(a) AS a_max, min(b) AS b_min, max(b) AS b_max
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     // Directive synthesis, the ancestor-prefix explode, the deepest-
     // hit max_by and the per-directive rollup all re-derived; the
     // masked-directive zero rows come from the same LEFT JOIN.

@@ -122,6 +122,36 @@ class MetadataSpec extends SparkSpec {
     assert(src0Files.nonEmpty && got("/src0")._2 == 0)
   }
 
+  test("fs_zorder_layout tiles are aligned rectangles and prune where a sorted layout cannot") {
+    import spark.implicits._
+    val man = MetadataOps.fs_zorder_layout(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // recompute (a, b) driver-side for conservation + the baseline
+    val rows = Tables.events(spark, sf001)
+      .select($"user_id", $"ts").as[(Long, java.sql.Timestamp)].collect()
+      .map { case (u, t) => (u % 1024, (t.getTime / 1000 / 3600) % 1024) }
+    assert(man.map(_._2).sum == rows.length, "rows not conserved")
+    // the Z-property: every tile is a 32×32-ALIGNED rectangle in (a, b)
+    man.foreach { case (_, _, amin, amax, bmin, bmax) =>
+      assert(amin / 32 == amax / 32 && bmin / 32 == bmax / 32,
+        s"tile not aligned: $amin..$amax × $bmin..$bmax")
+    }
+    // a b-only predicate over one populated 32-wide window: the
+    // Z-ordered manifest skips all but (roughly) one tile row…
+    val b0 = (man.map(_._5).min / 32 + 2) * 32
+    val zSurv = man.count(t => t._6 >= b0 && t._5 <= b0 + 31)
+    assert(zSurv > 0 && zSurv <= math.max(1, man.length / 8),
+      s"z-order pruned only to $zSurv of ${man.length}")
+    // …while a layout sorted on `a` alone has every file spanning the
+    // full b range: the same predicate prunes (almost) nothing
+    val aSorted = rows.groupBy(_._1 / 32).values
+      .map(g => (g.map(_._2).min, g.map(_._2).max))
+    val aSurv = aSorted.count(t => t._2 >= b0 && t._1 <= b0 + 31)
+    assert(aSurv >= math.ceil(aSorted.size * 0.8).toInt,
+      s"baseline unexpectedly prunable: $aSurv of ${aSorted.size}")
+  }
+
   test("fs_chargeback: tier bytes conserve replicas and shares sum to ~1e6") {
     import spark.implicits._
     val got = MetadataOps.fs_chargeback(spark, sf0001).collect()
