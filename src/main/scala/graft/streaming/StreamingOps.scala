@@ -429,6 +429,92 @@ object StreamingOps extends Serializable {
       }
   }
 
+  /** One sealed hourly anomaly row —
+    * [[graft.operators.EventOps.ev_anomaly]]'s schema, typed. */
+  final case class AnomalyOut(hour: Timestamp, event_type: String,
+      n_events: Long, trailing_total: Long, z_bp: Option[Long])
+
+  /** Keyed anomaly state: not-yet-sealed hourly counts plus the
+    * sealed-hour history the trailing windows read. */
+  final case class AnomState(pending: Seq[(Long, Long)],
+      sealedHist: Seq[(Long, Long)])
+
+  /** Streaming ANOMALY DETECTION — the z-score alert
+    * ([[graft.operators.EventOps.ev_anomaly]]) as the continuous
+    * query an SRE pages on. The batch form's trailing-24-hour RANGE
+    * frame needs each hour's count to be FINAL before it can be a
+    * baseline, so (the transitionsStream sealing argument) hourly
+    * counts accumulate in keyed state until the watermark passes the
+    * hour's end — Spark drops sub-watermark arrivals, so a sealed
+    * count can never change, and an unpopulated hour below the
+    * watermark can never appear (matching the batch rollup, which
+    * emits no empty hours). Sealed hours emit their z-row computed
+    * from the retained history with the batch form's exact
+    * arithmetic: integer (count, sum, sum-of-squares) moments over
+    * the ≤ 24 populated trailing hours, the cnt ≥ 12 baseline
+    * requirement, one closed-form double expression floored to basis
+    * points.
+    *
+    * State per event type is the open hours plus ≤ ~26 sealed
+    * (hour, count) pairs — the trailing horizon, NOT the stream: the
+    * history older than watermark − 25 h can never feed a future
+    * sealable hour and is evicted each batch. The state deliberately
+    * survives quiet periods (no timeout removal): a type silent for a
+    * day still needs its retained baseline when it speaks again,
+    * exactly as the batch RANGE frame would see it. Keyed state
+    * shards by event_type — the same partitioning as the batch
+    * window. */
+  def anomalyStream(events: Dataset[TypedEv]): Dataset[AnomalyOut] = {
+    implicit val strEnc: org.apache.spark.sql.Encoder[String] =
+      org.apache.spark.sql.Encoders.STRING
+    implicit val stateEnc: org.apache.spark.sql.Encoder[AnomState] =
+      org.apache.spark.sql.Encoders.product[AnomState]
+    implicit val outEnc: org.apache.spark.sql.Encoder[AnomalyOut] =
+      org.apache.spark.sql.Encoders.product[AnomalyOut]
+    val hourUs = 3600000000L
+
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[AnomState, AnomalyOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (etype: String, batch: Iterator[TypedEv], state: GroupState[AnomState]) =>
+          val st = state.getOption.getOrElse(AnomState(Nil, Nil))
+          val pend = scala.collection.mutable.Map(st.pending: _*)
+          batch.foreach { e =>
+            val h = tsToUs(e.ts) / hourUs
+            pend(h) = pend.getOrElse(h, 0L) + 1L
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ripe, open) = pend.toSeq.partition {
+            case (h, _) => (h + 1) * hourUs <= wmUs
+          }
+          val hist = scala.collection.mutable.Map(st.sealedHist: _*)
+          // ascending seal order: an hour sealed earlier in this batch
+          // is already baseline history for a later one
+          val out = ripe.sortBy(_._1).flatMap { case (h, c) =>
+            val win = (h - 24 until h).flatMap(hist.get)
+            hist(h) = c
+            if (win.length >= 12) {
+              val cd = win.length.toDouble
+              val s = win.sum
+              val sd = s.toDouble
+              val sq = win.map(x => x * x).sum
+              val variance = (sq.toDouble - sd * sd / cd) / (cd - 1)
+              val z = if (variance > 0)
+                Some(math.floor((c.toDouble - sd / cd)
+                  / math.sqrt(variance) * 10000).toLong)
+              else None
+              Some(AnomalyOut(usToTs(h * hourUs), etype, c, s, z))
+            } else None
+          }
+          val wmHour = wmUs / hourUs
+          state.update(AnomState(open,
+            hist.toSeq.filter(_._1 >= wmHour - 25)))
+          if (open.nonEmpty)
+            state.setTimeoutTimestamp((open.map(_._1).min + 1) * 3600000L + 1)
+          out.iterator
+      }
+  }
+
   def sessionizeStateful(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[SessionOut] = {
     val gapUs = gapMinutes.toLong * 60 * 1000000
     implicit val longEnc: org.apache.spark.sql.Encoder[Long] =

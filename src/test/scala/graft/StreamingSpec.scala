@@ -62,6 +62,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming anomaly z-scores equal batch ev_anomaly under reversed batched ingest") {
+    import graft.streaming.StreamingOps.TypedEv
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // sf0.01: the cnt >= 12 baseline requirement leaves only 2 rows at
+    // sf0.001 — too thin to prove the window arithmetic
+    val events = Tables.events(spark, sf001)
+      .select($"event_id", $"ts", $"user_id", $"event_type")
+      .as[TypedEv].collect().toSeq
+    val ms = MemoryStream[TypedEv]
+    val withWm = ms.toDS().withWatermark("ts", "2 hours").as[TypedEv]
+    val q = StreamingOps.anomalyStream(withWm)
+      .writeStream.format("memory").queryName("t_anom")
+      .outputMode("append").start()
+    try {
+      // four batches, reversed within each chunk: sealing must wait
+      // out in-chunk disorder, and trailing baselines must bridge
+      // chunk boundaries
+      val sorted = events.sortBy(e => (e.ts.getTime, e.event_id))
+      sorted.grouped((sorted.size + 3) / 4).foreach { chunk =>
+        ms.addData(chunk.reverse); drain(q)
+      }
+      val maxTs = sorted.last.ts.getTime
+      val sentinel = TypedEv(-1L,
+        new Timestamp(maxTs + 86400000L * 3), -1L, "zz_sentinel")
+      ms.addData(Seq(sentinel)); drain(q)
+      ms.addData(Seq(sentinel.copy(event_id = -2L))); drain(q)
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))
+      val got = spark.table("t_anom").collect()
+        .filter(_.getString(1) != "zz_sentinel").map(key).toMap
+      val exp = EventOps.ev_anomaly(spark, sf001).collect().map(key).toMap
+      assert(exp.size > 1000, s"batch baseline unexpectedly thin: ${exp.size}")
+      assert(got == exp)
+    } finally q.stop()
+  }
+
   test("streaming transitions: a mid-gap event arriving LATE re-threads the chain") {
     // The case that breaks pair-on-arrival: A(t0) and C(t2) arrive
     // first, B(t1) arrives in the next batch (inside the watermark).
