@@ -322,7 +322,28 @@ object Relational {
       .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
   }
 
+  /** SET OPERATIONS — INTERSECT and EXCEPT, the two ANSI set ops the
+    * surface lacked (q12 covers UNION): customers holding BOTH
+    * finished and open orders, minus overdrawn accounts. Declarative
+    * on purpose: Catalyst rewrites INTERSECT to a distinct left-SEMI
+    * join and EXCEPT to a distinct left-ANTI join (ReplaceIntersect/
+    * ReplaceExcept rules), so the plan is three equi-joins on the
+    * customer key — one shuffle family, partial aggregation for the
+    * distincts, no comparison-based set machinery to hand-roll. */
+  def q24_setops(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+    val finished = o.filter($"o_orderstatus" === "F")
+      .select($"o_custkey".as("custkey"))
+    val open = o.filter($"o_orderstatus" === "O")
+      .select($"o_custkey".as("custkey"))
+    val overdrawn = Tables.customer(s, d).filter($"c_acctbal" < 0)
+      .select($"c_custkey".as("custkey"))
+    finished.intersect(open).except(overdrawn).orderBy($"custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_setops" -> q24_setops _,
     "q23_range_frame" -> q23_range_frame _,
     "q22_grouptopk" -> q22_grouptopk _,
     "q1_agg" -> q1_agg _,
@@ -348,6 +369,13 @@ object Relational {
     "q21_crossjoin_small" -> q21_crossjoin_small _)
 
   val oracle: Map[String, String] = Map(
+    "q24_setops" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |EXCEPT
+        |SELECT c_custkey FROM customer WHERE c_acctbal < 0
+        |ORDER BY custkey""".stripMargin,
     "q23_range_frame" ->
       """SELECT o_custkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderkey,
         |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents,
