@@ -102,10 +102,13 @@ object Multimodal {
     * decode → sample → fingerprint → feature → pool chain and matches
     * bit for bit. The mean (sum / (n·1e6)) is recovered by
     * [[meansRaw]] for the float consumers. */
-  private def pooledRaw(s: SparkSession, d: String): DataFrame = {
+  /** Per-frame stub feature vectors (16-dim integer ppm) — the
+    * frame-level surface shared by the pooling stage and
+    * [[mm_scene_detect]]. */
+  private def frameFeaturesRaw(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val dim = 16
-    val frames = framesRaw(s, d)
+    framesRaw(s, d)
       .select($"doc_id", $"frame_idx", $"frame_fp")
       .as[(Long, Int, Long)]
       .mapPartitions { it =>
@@ -122,9 +125,18 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "frame_idx", "feat")
+  }
+
+  /** Public frame-feature surface for spec-side recomputation. */
+  def frameFeatures(s: SparkSession, d: String): DataFrame =
+    frameFeaturesRaw(s, d)
+
+  private def pooledRaw(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dim = 16
     // fixed dim → pool as dim scalar sums (ONE map-side-combined
     // shuffle), not posexplode + per-(doc, pos) aggregation
-    frames
+    frameFeaturesRaw(s, d)
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_frames_pooled"),
         array((0 until dim).map(i => sum($"feat"(i))): _*).as("doc_embedding"))
@@ -281,7 +293,48 @@ object Multimodal {
       .orderBy($"qid", $"rank")
   }
 
+  /** SCENE DETECTION — content-based shot segmentation over the
+    * sampled frame stream, the video-curation stage that turns raw
+    * footage into trainable clips (and the video twin of
+    * [[mm_framesample]]'s "decode, then feature" contract): per
+    * document, consecutive sampled frames compare by integer L1
+    * feature distance, a distance above threshold opens a new scene
+    * (the first frame always does), and gaps-and-islands (running sum
+    * of boundary flags) folds frames into (scene, start, end,
+    * n_frames) rows. A real deployment swaps the stub features for
+    * frame histograms / tower activations and nothing else changes —
+    * threshold semantics, windowing and the island fold are the
+    * production shape.
+    *
+    * All-integer (ppm features, L1 sums, flag sums) so the full
+    * decode → sample → feature → delta → segment chain hash-replays
+    * in DuckDB on top of the shared [[towerStagesSql]] prefix. Plan:
+    * ONE exchange on doc_id serves both the lag window and the
+    * scene aggregation (same key family); the frame explode and
+    * feature map are shuffle-free. MultimodalSpec recomputes the
+    * segmentation from [[frameFeatures]] and gates the boundary
+    * invariants. */
+  def mm_scene_detect(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val threshold = 12000000L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"frame_idx")
+    frameFeaturesRaw(s, d)
+      .withColumn("pf", lag($"feat", 1).over(w))
+      .withColumn("l1", expr(
+        "aggregate(zip_with(feat, pf, (a, b) -> abs(a - b)), 0L, (acc, x) -> acc + x)"))
+      .withColumn("nb",
+        when($"l1".isNull || $"l1" > threshold, 1L).otherwise(0L))
+      .withColumn("scene_id", sum($"nb").over(w))
+      .groupBy($"doc_id", $"scene_id")
+      .agg(min($"frame_idx").cast("long").as("start_frame"),
+        max($"frame_idx").cast("long").as("end_frame"),
+        count(lit(1)).as("n_frames"))
+      .orderBy($"doc_id", $"scene_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_scene_detect" -> mm_scene_detect _,
     "mm_caption_topk" -> mm_caption_topk _,
     "mm_meta" -> mm_meta _,
     "mm_framesample" -> mm_framesample _,
@@ -537,6 +590,32 @@ object Multimodal {
   }
 
   val oracle: Map[String, String] = Map(
+    // [[towerStagesSql]]'s per-frame `feat` rows, then per-dim lag
+    // along the frame order, integer L1 per frame pair, the
+    // >-threshold / first-frame boundary flag, and the running-sum
+    // island fold — every stage integer, so one flipped boundary
+    // anywhere fails the hash.
+    "mm_scene_detect" -> s"""WITH $towerStagesSql,
+        |d1 AS (
+        |  SELECT doc_id, frame_idx, dim, f,
+        |    lag(f) OVER (PARTITION BY doc_id, dim ORDER BY frame_idx) AS pf
+        |  FROM feat),
+        |l1 AS (
+        |  SELECT doc_id, frame_idx, CAST(sum(abs(f - pf)) AS BIGINT) AS l1
+        |  FROM d1 WHERE pf IS NOT NULL GROUP BY 1, 2),
+        |bd AS (
+        |  SELECT fr.doc_id, fr.frame_idx,
+        |    CASE WHEN l1.l1 IS NULL OR l1.l1 > 12000000 THEN 1 ELSE 0 END AS nb
+        |  FROM fr LEFT JOIN l1 USING (doc_id, frame_idx)),
+        |sc AS (
+        |  SELECT doc_id, frame_idx,
+        |    CAST(sum(nb) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+        |      AS BIGINT) AS scene_id
+        |  FROM bd)
+        |SELECT doc_id, scene_id, CAST(min(frame_idx) AS BIGINT) AS start_frame,
+        |  CAST(max(frame_idx) AS BIGINT) AS end_frame,
+        |  CAST(count(*) AS BIGINT) AS n_frames
+        |FROM sc GROUP BY 1, 2 ORDER BY doc_id, scene_id""".stripMargin,
     "mm_near_dups" -> mmNearDupsOracleSql,
     "mm_caption_topk" -> mmCaptionTopkOracleSql,
     // The mm_framesample payload-fold + fmix64 chain, restricted to

@@ -89,6 +89,38 @@ class MultimodalSpec extends SparkSpec {
     assert(rolled == meta.map { case (k, v) => k -> v.toLong })
   }
 
+  test("mm_scene_detect equals a driver-side segmentation of the frame features") {
+    import spark.implicits._
+    val feats = Multimodal.frameFeatures(spark, sf0001)
+      .as[(Long, Int, Array[Long])].collect()
+      .groupBy(_._1).map { case (d, fs) => d -> fs.sortBy(_._2) }
+    // independent sequential re-segmentation (same threshold contract)
+    val expect = feats.flatMap { case (doc, frames) =>
+      var scene = 0L
+      var prev: Array[Long] = null
+      val segs = scala.collection.mutable.Map[Long, List[Int]]()
+      frames.foreach { case (_, idx, f) =>
+        val boundary = prev == null ||
+          f.zip(prev).map { case (a, b) => math.abs(a - b) }.sum > 12000000L
+        if (boundary) scene += 1
+        segs(scene) = idx :: segs.getOrElse(scene, Nil)
+        prev = f
+      }
+      segs.map { case (sid, idxs) =>
+        (doc, sid) -> ((idxs.min.toLong, idxs.max.toLong, idxs.length.toLong))
+      }
+    }
+    val got = Multimodal.mm_scene_detect(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expect)
+    // segmentation is non-degenerate on this corpus: multi-scene docs
+    // and multi-frame scenes both occur, and scenes partition frames
+    assert(got.keys.groupBy(_._1).exists(_._2.size > 1))
+    assert(got.values.exists(_._3 > 1))
+    assert(got.values.map(_._3).sum == feats.values.map(_.length).sum)
+  }
+
   test("mm_near_dups finds every planted re-encoded variant through the LSH path") {
     import spark.implicits._
     val pairs = Multimodal.mm_near_dups(spark, sf0001).collect()
