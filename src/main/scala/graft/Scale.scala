@@ -157,7 +157,27 @@ object Scale {
       // candidate-sized rather than corpus-sized as N grows). Wrapped
       // copies (factor >= 27) are exact-text lexical mates of copy 0:
       // lexical candidates jump by the wrap count, output stays 160.
-      "ann_hybrid_rrf" -> (graft.operators.Similarity.ann_hybrid_rrf _))
+      "ann_hybrid_rrf" -> (graft.operators.Similarity.ann_hybrid_rrf _),
+      // r14: namespace path resolution — the posture claim under
+      // measurement is LOG-DEPTH ROUNDS INDEPENDENT OF CORPUS SIZE:
+      // inflation multiplies file inodes N× but the directory tree
+      // (sources × langs, copied unchanged) and its depth stay
+      // constant, so the doubling loop still converges in the same
+      // ~3 rounds and wall time must be ~linear in N. Output rows =
+      // N × files + the constant dir set.
+      "fs_path_resolve" -> (graft.operators.MetadataOps.fs_path_resolve _),
+      // r14: classifier train+infer — the dsir posture at model
+      // level: rotation multiplies the bigram VOCABULARY ×26 but the
+      // hashed weight grid saturates at 1024×5 and the broadcast
+      // stays fixed; the held-out slice rotates per copy (offset 2^40
+      // ≡ 6 mod 10) so test rows are ~N× with slice-composition
+      // variation, wall ~linear.
+      "text_classify_centroid" -> (graft.operators.TextOps.text_classify_centroid _),
+      // r14: scene segmentation — pure frame-local window math: frame
+      // volume scales with docs (rotation re-draws payload hashes, so
+      // per-copy frame counts decorrelate — rows ~N×, not exactly),
+      // and the one doc_id exchange must keep wall ~linear.
+      "mm_scene_detect" -> (graft.operators.Multimodal.mm_scene_detect _))
     // r13: SemDeDup rides along with its DOCUMENTED posture applied —
     // k grows with the corpus (32·factor), holding E[|cell|] flat, so
     // per-cell pair volume (and wall time) should stay ~linear; past
