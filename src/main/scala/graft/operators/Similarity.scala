@@ -99,6 +99,96 @@ object Similarity {
       .orderBy($"qid", $"rank")
   }
 
+  /** One LSH index table per source dir, built once per JVM — the
+    * setup-not-query rule the JDBC/bucketed sources follow: the write
+    * is index CONSTRUCTION (paid once, like a vector store's build
+    * phase), the registered query times the SEARCH path. */
+  private val lshIndexBuilt = new java.util.HashSet[String]()
+  private def lshIndexTable(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val tag = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(d.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+    val tbl = s"lsh_idx_$tag"
+    lshIndexBuilt.synchronized { if (!lshIndexBuilt.contains(d)) {
+      // a previous JVM may have left table files the in-memory catalog
+      // doesn't know about (the bucketedTables rule)
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      val loc = java.nio.file.Paths.get(wh, tbl)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      val planes = randomPlanes(16 * 4, 64)
+      val mask = (1L << 4) - 1
+      val e = Tables.embeddings(s, d)
+        .select($"vec_id", hyperplaneSignature($"embedding", planes).as("sig"))
+      val keys = (0 until 16).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned($"sig", b * 4).bitwiseAND(lit(mask)).as("bkey"))
+      }
+      e.select($"vec_id".as("nid"), explode(array(keys: _*)).as("bk"))
+        .select($"nid", $"bk.band".as("band"), $"bk.bkey".as("bkey"))
+        .write.mode("overwrite")
+        .bucketBy(8, "band", "bkey").sortBy("band", "bkey")
+        .format("parquet").saveAsTable(tbl)
+      lshIndexBuilt.add(d)
+    } }
+    tbl
+  }
+
+  /** PERSISTED-INDEX LSH search — the vector-store LIFECYCLE the
+    * in-flight [[ann_lsh]] computation doesn't show: real deployments
+    * build the index ONCE (a write-time cost, amortized over every
+    * later query) and search against the prebuilt structure. The
+    * index here is the corpus band-key table persisted BUCKETED on
+    * (band, bkey) — at 100 TB that layout means the search join reads
+    * the index pre-partitioned on exactly its join key: NO Exchange
+    * ever touches the corpus-scale side (SimilaritySpec gates the
+    * bucketed scan + sort-merge path mechanically). The query side is
+    * deliberately NOT broadcast (merge hint): this is the
+    * MANY-QUERIES posture — a production search tier joins a large
+    * query batch against the index, where the broadcast shortcut
+    * stops applying and the write-time bucketing is what saves the
+    * corpus shuffle; only the tiny query side exchanges.
+    *
+    * Same planes, same banding, same rescore as [[ann_lsh]] — the
+    * result is IDENTICAL by construction, so it carries the identical
+    * DuckDB oracle: same answer, different physical path, both
+    * hash-verified. */
+  def ann_lsh_index(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tbl = lshIndexTable(s, d)
+    val planes = randomPlanes(16 * 4, 64)
+    val mask = (1L << 4) - 1
+    val e = Tables.embeddings(s, d)
+    val q = e.filter($"vec_id" < 16)
+      .select($"vec_id",
+        hyperplaneSignature($"embedding", planes).as("sig"))
+    val qKeys = (0 until 16).map { b =>
+      struct(lit(b).as("band_q"),
+        shiftrightunsigned($"sig", b * 4).bitwiseAND(lit(mask)).as("bkey_q"))
+    }
+    val qb = q.select($"vec_id".as("qid"), explode(array(qKeys: _*)).as("bk"))
+      .select($"qid", $"bk.band_q".as("band_q"), $"bk.bkey_q".as("bkey_q"))
+    val idx = s.table(tbl)
+    val cand = idx.hint("merge")
+      .join(qb, idx("band") === qb("band_q") && idx("bkey") === qb("bkey_q") &&
+        idx("nid") =!= qb("qid"))
+      .select($"qid", $"nid").distinct()
+    val scored = cand
+      .join(e.select($"vec_id".as("nid"), $"embedding"), "nid")
+      .join(broadcast(e.filter($"vec_id" < 16)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))), "qid")
+      .select($"qid", $"nid", cosine($"qvec", $"embedding").as("cos"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")))
+      .filter($"rank" <= 5)
+      .select($"qid", $"rank", $"nid", round($"cos", 6).as("cos_sim"))
+      .orderBy($"qid", $"rank")
+  }
+
   /** IVF (inverted-file) ANN — the coarse-quantizer scale path: K
     * centroids partition the corpus into cells (inverted lists); a
     * query probes only its `nprobe` nearest cells and brute-forces
@@ -728,6 +818,7 @@ object Similarity {
     "ann_cos_range" -> ann_cos_range _,
     "ann_quantize" -> ann_quantize _,
     "ann_lsh" -> ann_lsh _,
+    "ann_lsh_index" -> ann_lsh_index _,
     "ann_ivf" -> ann_ivf _,
     "ann_pq" -> ann_pq _,
     "ann_ivfpq" -> ann_ivfpq _)
@@ -1034,6 +1125,10 @@ object Similarity {
       .getOrElse(Map.empty) ++ Map(
     "ann_hybrid_rrf" -> annHybridRrfOracleSql,
     "ann_lsh" -> annLshOracleSql,
+    // identical result by construction (same planes/banding/rescore),
+    // so the identical replay oracle — same answer, different
+    // physical path, both hash-verified
+    "ann_lsh_index" -> annLshOracleSql,
     "ann_topk_filtered" ->
       """SELECT qid, qlabel, rank, nid, round(cos, 6) AS cos_sim FROM (
         |  SELECT q.vec_id AS qid, q.label AS qlabel, c.vec_id AS nid,

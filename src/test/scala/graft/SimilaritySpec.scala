@@ -89,6 +89,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ann_lsh_index equals ann_lsh and searches the index without a corpus-side Exchange") {
+    // same planes/banding/rescore ⇒ identical answers through a
+    // different physical path
+    val viaIndex = Similarity.ann_lsh_index(spark, sf0001).collect().toSeq
+    val inFlight = Similarity.ann_lsh(spark, sf0001).collect().toSeq
+    assert(viaIndex.nonEmpty && viaIndex == inFlight)
+    // the lifecycle claim, held mechanically: the search join is a
+    // SortMergeJoin reading the PRE-BUCKETED index — no Exchange
+    // between the index scan and the join (only the tiny query side
+    // shuffles)
+    val plan = Similarity.ann_lsh_index(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"no SMJ:\n${plan.take(1200)}")
+    assert(plan.contains("Bucketed: true"),
+      s"index scan not bucketed:\n${plan.take(1200)}")
+    val lines = plan.linesIterator.toVector
+    val idxLine = lines.indexWhere(_.contains("default.lsh_idx"))
+    val smjLine = lines.lastIndexWhere(_.contains("SortMergeJoin"), idxLine)
+    assert(idxLine > smjLine && smjLine >= 0, "plan shape unexpected")
+    val between = lines.slice(smjLine + 1, idxLine)
+    assert(!between.exists(_.contains("Exchange")),
+      s"Exchange on the index branch:\n${between.mkString("\n")}")
+  }
+
   test("multi-probe ann_lsh holds recall with half the corpus-side keys") {
     val brute = Similarity.ann_topk_brute(spark, sf001)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
