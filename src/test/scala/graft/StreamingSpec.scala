@@ -62,6 +62,61 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful streaming resumes from checkpoint across a query RESTART") {
+    // The production property the ≡-batch gates don't cover: a
+    // stateful query stopped mid-stream and restarted from its
+    // checkpoint must carry its keyed state (sealed tails, open
+    // buffers, source offsets) across the process boundary — emissions
+    // from both incarnations together must still equal batch.
+    import graft.streaming.StreamingOps.{TypedEv, TransitionOut}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the memory sink refuses checkpoint recovery, so the restart
+    // test writes through the fault-tolerant FILE sink and reads the
+    // output directory back
+    val nonce = System.nanoTime()
+    val ckpt = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_ckpt_$nonce").getPath
+    val outDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_ckpt_out_$nonce").getPath
+    val events = loadEvents().map(e =>
+      TypedEv(e.event_id, e.ts, e.user_id, e.event_type))
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val (chunk1, chunk2) = events.splitAt(events.size / 2)
+    val ms = MemoryStream[TypedEv]
+    def start() = StreamingOps.transitionsStream(
+        ms.toDS().withWatermark("ts", "2 hours").as[TypedEv],
+        tailRetentionHours = 24 * 365)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    val part1 = try {
+      ms.addData(chunk1); drain(q1)
+      spark.read.parquet(outDir).count()
+    } finally q1.stop()
+    // data arriving while the query is DOWN, then restart from the
+    // same checkpoint: offsets, watermark and keyed state (sealed
+    // tails, open buffers) must all come back
+    ms.addData(chunk2)
+    val q2 = start()
+    try {
+      drain(q2)
+      val maxTs = events.last.ts.getTime
+      val sentinel = TypedEv(-1L, new Timestamp(maxTs + 86400000L * 2), -1L, "view")
+      ms.addData(Seq(sentinel)); drain(q2)
+      ms.addData(Seq(sentinel.copy(event_id = -2L))); drain(q2)
+    } finally q2.stop()
+    val all = spark.read.parquet(outDir).as[TransitionOut].collect().toSeq
+    val got = all.filter(_.user_id >= 0)
+      .groupBy(t => (t.from_type, t.to_type))
+      .view.mapValues(_.length.toLong).toMap
+    val exp = EventOps.ev_markov(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(part1 > 0 && all.length > part1,
+      "both query incarnations must emit for the restart to be exercised")
+    assert(got == exp, "state did not survive the checkpoint restart")
+  }
+
   test("streaming anomaly z-scores equal batch ev_anomaly under reversed batched ingest") {
     import graft.streaming.StreamingOps.TypedEv
     import spark.implicits._
