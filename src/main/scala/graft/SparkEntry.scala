@@ -18,12 +18,12 @@ object SparkEntry {
     Relational.queries ++ SqlSurface.queries ++ MapReduceOps.queries ++
       MetadataOps.queries ++ EventOps.queries ++ Dedup.queries ++
       Similarity.queries ++ TextOps.queries ++ Multimodal.queries ++
-      PipeOps.queries ++ graft.sources.Sources.queries
+      PipeOps.queries ++ Graph.queries ++ graft.sources.Sources.queries
 
   /** DuckDB-equivalent SQL per query (omitted → rows-only check). */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ SqlSurface.oracle ++ MapReduceOps.oracle ++
       MetadataOps.oracle ++ EventOps.oracle ++ Dedup.oracle ++
       Similarity.oracle ++ TextOps.oracle ++ Multimodal.oracle ++
-      PipeOps.oracle ++ graft.sources.Sources.oracle
+      PipeOps.oracle ++ Graph.oracle ++ graft.sources.Sources.oracle
 }

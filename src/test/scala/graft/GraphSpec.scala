@@ -1,0 +1,95 @@
+package graft
+
+import graft.operators.Graph
+
+/** §2.9 gates: each distributed graph operator is replayed by an
+  * independent single-threaded reference implementation on the
+  * collected sf0.001 graph and must match EXACTLY — the scaled-integer
+  * design means there is no tolerance to hide behind. */
+class GraphSpec extends SparkSpec {
+
+  /** (src, dst, w) edge list the pagerank operator derives, rebuilt
+    * driver-side from raw events. */
+  private def pageEdges(): Map[(Long, Long), Long] = {
+    val ev = Tables.events(spark, sf0001)
+      .selectExpr("user_id", "ts", "event_id",
+        "cast(get_json_object(props, '$.k') as long) as page")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getLong(3)))
+    ev.groupBy(_._1).values.flatMap { rows =>
+      val ordered = rows.sortBy(r => (r._2.getTime, r._3)).map(_._4)
+      ordered.zip(ordered.tail).filter(p => p._1 != p._2)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+  }
+
+  test("graph_pagerank equals the sequential integer recurrence exactly") {
+    val edges = pageEdges()
+    val outW = edges.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nodes = (edges.keySet.map(_._1) ++ edges.keySet.map(_._2)).toSeq.sorted
+    val n = nodes.size.toLong
+    var rank = nodes.map(_ -> 1000000000L).toMap
+    for (_ <- 1 to 8) {
+      val inflow = edges.toSeq
+        .map { case ((u, v), w) => v -> (rank(u) * w / outW(u)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val dangling = nodes.filterNot(outW.contains).map(rank).sum
+      rank = nodes.map(v =>
+        v -> (150000000L + 85L * (inflow.getOrElse(v, 0L) + dangling / n) / 100L)).toMap
+    }
+    val got = Graph.graph_pagerank(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    CacheRegistry.releaseAll()
+    assert(got == rank, "distributed pagerank diverged from the reference recurrence")
+    // mass check: floored divisions leak, but less than 1 unit per
+    // edge+node per round — the total stays within a whisker of N×10^9
+    val total = rank.values.sum
+    assert(total > (n * 1000000000L * 97) / 100 && total <= n * 1000000000L,
+      s"rank mass off: $total vs ${n * 1000000000L}")
+    assert(rank.values.toSet.size > 1, "degenerate: all ranks equal")
+  }
+
+  test("graph_triangles equals brute-force enumeration; orientation bounds outdeg by sqrt(2E)") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .selectExpr("l_orderkey", "l_suppkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val support = byOrder.values.toSeq
+      .flatMap(sks => for (i <- sks.indices; j <- i + 1 until sks.size
+                           if sks(i) != sks(j)) yield (sks(i), sks(j)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    // NB: Map.collect yielding tuples would rebuild a MAP (pairs
+    // sharing a first element collapse) — filter + keySet instead
+    val edges: Set[(Long, Long)] = support.filter(_._2 >= 2).keySet
+    assert(li.nonEmpty && support.nonEmpty && edges.nonEmpty,
+      s"reference graph degenerate: li=${li.length} support=${support.size} edges=${edges.size}")
+    val adj = (edges.toSeq ++ edges.toSeq.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // brute force: for every edge (u,v) u<v, common neighbors w>v
+    val tris = for {
+      (u, v) <- edges.toSeq
+      w <- (adj(u) intersect adj(v)).toSeq
+      if w > v
+    } yield (u, v, w)
+    val triCount = tris.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(x => x).view.mapValues(_.size.toLong).toMap
+    val got = Graph.graph_triangles(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    CacheRegistry.releaseAll()
+    assert(got == triCount,
+      s"distributed triangle counts diverged from brute force " +
+        s"(edges=${edges.size} tris=${tris.size})")
+    assert(got.values.sum > 0, "degenerate: no triangles at sf0.001")
+    // the Suri–Vassilvitskii property the whole scale posture rests
+    // on: after (deg, id) orientation no node's out-neighborhood
+    // (wedge fan-out source) exceeds sqrt(2E)
+    val deg = adj.view.mapValues(_.size).toMap
+    implicit val ord: Ordering[(Int, Long)] = Ordering.Tuple2[Int, Long]
+    val outdeg = edges.toSeq
+      .map { case (u, v) =>
+        if (ord.lt((deg(u), u), (deg(v), v))) u else v }
+      .groupBy(x => x).view.mapValues(_.size).toMap
+    val bound = math.sqrt(2.0 * edges.size).toInt + 1
+    assert(outdeg.values.max <= bound,
+      s"oriented outdeg ${outdeg.values.max} exceeds sqrt(2E) bound $bound")
+  }
+}
