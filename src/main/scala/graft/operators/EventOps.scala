@@ -613,7 +613,61 @@ object EventOps {
       .orderBy($"hour", $"event_type")
   }
 
+  /** MULTI-TOUCH ATTRIBUTION (position-based 40/40/20) — the
+    * marketing-analytics assignment of each purchase's value to the
+    * click/view touchpoints that preceded it (within a 7-day
+    * lookback), by channel (touch type × page): first and last touch
+    * take 400000 ppm each, the middle touches split 200000 ppm evenly
+    * (floored), a lone touch takes all, a pair splits evenly.
+    *
+    * Spark-first shape — NO self-join of the event stream: one
+    * user-keyed window pass over the DESCENDING (ts, event_id) order
+    * computes, per row, both the id of the next purchase at-or-after
+    * it (a running purchase count — the row's conversion GROUP) and
+    * that purchase's (ts, value) (last(..., ignoreNulls) — the ev_asof
+    * device), so touches never join back to conversions. The position
+    * windows partition by (user_id, grp) — a SUBSET-satisfiable
+    * distribution, so Catalyst reuses the user_id exchange and only
+    * adds a local sort. Weights and attributed value are exact integer
+    * ppm/centi (`round(value*100)` — the ev_stragglers rule), so the
+    * whole composition hash-verifies. */
+  def ev_attribution(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wDesc = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tagged = Tables.events(s, d)
+      .select($"user_id", $"ts", $"event_id", $"event_type", $"value",
+        get_json_object($"props", "$.k").cast("long").as("page"))
+      .withColumn("grp",
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).over(wDesc))
+      .withColumn("conv_ts",
+        last(when($"event_type" === "purchase", $"ts"), ignoreNulls = true).over(wDesc))
+      .withColumn("cv",
+        last(when($"event_type" === "purchase",
+          expr("cast(round(value * 100) as bigint)")), ignoreNulls = true).over(wDesc))
+    val touches = tagged
+      .filter($"event_type".isin("click", "view") && $"grp" > 0 &&
+        $"ts" >= $"conv_ts" - expr("interval 7 days"))
+      .select($"user_id", $"grp", $"ts", $"event_id",
+        $"event_type".as("touch_type"), $"page", $"cv")
+    val wPos = Window.partitionBy($"user_id", $"grp").orderBy($"ts", $"event_id")
+    val wN = Window.partitionBy($"user_id", $"grp")
+    touches
+      .withColumn("pos", row_number().over(wPos))
+      .withColumn("n", count(lit(1)).over(wN))
+      .withColumn("w_ppm",
+        when($"n" === 1, 1000000L)
+          .when($"n" === 2, 500000L)
+          .when($"pos" === 1 || $"pos" === $"n", 400000L)
+          .otherwise(expr("200000L div (n - 2)")))
+      .groupBy($"touch_type", $"page")
+      .agg(count(lit(1)).as("n_touches"),
+        sum(expr("cv * w_ppm div 1000000")).as("attributed_centi"))
+      .orderBy($"touch_type", $"page")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_attribution" -> ev_attribution _,
     "ev_burn_rate" -> ev_burn_rate _,
     "ev_time_to_convert" -> ev_time_to_convert _,
     "ev_cohort_matrix" -> ev_cohort_matrix _,
@@ -637,6 +691,45 @@ object EventOps {
     "ev_approx_uniques" -> ev_approx_uniques _)
 
   val oracle: Map[String, String] = Map(
+    "ev_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS page
+        |  FROM events),
+        |tagged AS (
+        |  SELECT user_id, ts, event_id, event_type, page,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      OVER w AS grp,
+        |    last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+        |      OVER w AS conv_ts,
+        |    last_value(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(round(value * 100) AS BIGINT) END IGNORE NULLS)
+        |      OVER w AS cv
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |touches AS (
+        |  SELECT user_id, grp, ts, event_id, event_type AS touch_type, page, cv
+        |  FROM tagged
+        |  WHERE event_type IN ('click', 'view') AND grp > 0
+        |    AND ts >= conv_ts - INTERVAL 7 DAY),
+        |pos AS (
+        |  SELECT touch_type, page, cv,
+        |    row_number() OVER (PARTITION BY user_id, grp
+        |                       ORDER BY ts, event_id) AS pos,
+        |    count(*) OVER (PARTITION BY user_id, grp) AS n
+        |  FROM touches),
+        |wtd AS (
+        |  SELECT touch_type, page, cv,
+        |    CASE WHEN n = 1 THEN 1000000
+        |         WHEN n = 2 THEN 500000
+        |         WHEN pos = 1 OR pos = n THEN 400000
+        |         ELSE 200000 // (n - 2) END AS w_ppm
+        |  FROM pos)
+        |SELECT touch_type, page,
+        |  CAST(count(*) AS BIGINT) AS n_touches,
+        |  CAST(SUM(cv * w_ppm // 1000000) AS BIGINT) AS attributed_centi
+        |FROM wtd GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Same centi-unit basis as ev_stragglers; the bucket id, windowed
     // cumulative, ceil-rank and upper-edge arithmetic are all i64 so
     // the sketch replays bit-identically (`div` ≡ `//` on the

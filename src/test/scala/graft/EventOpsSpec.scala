@@ -10,6 +10,54 @@ import org.apache.spark.sql.functions._
   * count. */
 class EventOpsSpec extends SparkSpec {
 
+  test("ev_attribution equals a sequential per-user replay of the 40/40/20 rule") {
+    val ev = Tables.events(spark, sf0001)
+      .selectExpr("user_id", "ts", "event_id", "event_type", "value",
+        "cast(get_json_object(props, '$.k') as long) as page")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getString(3), r.getDouble(4), r.getLong(5)))
+    case class Touch(user: Long, grp: Long, ts: Long, id: Long,
+                     tpe: String, page: Long, cv: Long)
+    // walk each user's stream backwards carrying the next purchase
+    val touches = ev.groupBy(_._1).values.flatMap { rows =>
+      val asc = rows.sortBy(r => (r._2, r._3))
+      var grp = 0L; var convTs = 0L; var cv = 0L
+      asc.reverseIterator.flatMap { case (user, ts, id, tpe, value, page) =>
+        if (tpe == "purchase") {
+          grp += 1; convTs = ts; cv = math.round(value * 100); None
+        } else if ((tpe == "click" || tpe == "view") && grp > 0 &&
+          ts >= convTs - 7L * 86400000L)
+          Some(Touch(user, grp, ts, id, tpe, page, cv))
+        else None
+      }.toList
+    }.toSeq
+    // weight within each conversion (ALL its touches, any channel),
+    // then roll up by channel — the operator's grouping order
+    val weighted = touches.groupBy(t => (t.user, t.grp)).values.flatMap { conv =>
+      val ordered = conv.toSeq.sortBy(t => (t.ts, t.id))
+      val n = ordered.size
+      ordered.zipWithIndex.map { case (t, i) =>
+        val w =
+          if (n == 1) 1000000L
+          else if (n == 2) 500000L
+          else if (i == 0 || i == n - 1) 400000L
+          else 200000L / (n - 2)
+        (t.tpe, t.page) -> (t.cv * w / 1000000L)
+      }
+    }.toSeq
+    val expected = weighted.groupBy(_._1).view
+      .mapValues(v => (v.size.toLong, v.map(_._2).sum)).toMap
+    val got = EventOps.ev_attribution(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == expected, "attribution diverged from the sequential replay")
+    // the corpus must exercise all three weight branches
+    val ns = touches.groupBy(t => (t.user, t.grp)).values.map(_.size).toSet
+    assert(ns.contains(1) && ns.contains(2) && ns.exists(_ >= 3),
+      s"test premise: conversions with 1, 2 and 3+ touches (got $ns)")
+  }
+
   test("ev_burn_rate: window sums and burn multiples match a naive recomputation") {
     import spark.implicits._
     val got = EventOps.ev_burn_rate(spark, sf0001).collect()

@@ -85,6 +85,21 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 1, s"chunk manifest plans $exchanges exchanges")
   }
 
+  test("ev_attribution holds one corpus exchange: (user,grp) windows reuse the user exchange") {
+    // the scaladoc's scale claim: the position windows' (user_id, grp)
+    // distribution is satisfied by the existing user_id hash
+    // partitioning (subset rule), so the corpus shuffles ONCE; the
+    // only other exchanges are over the channel-sized aggregate
+    // exchanges exist only post-preparation (EnsureRequirements), so
+    // this gate reads executedPlan, not sparkPlan
+    val plan = SparkEntry.queries("ev_attribution")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val userExchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length
+    assert(userExchanges == 1, s"expected 1 user_id exchange, got $userExchanges")
+    assert(!"hashpartitioning\\(user_id#\\d+L?, grp".r.findFirstIn(plan).isDefined,
+      "position windows re-shuffled on (user_id, grp)")
+  }
+
   test("ann_topk_filtered keeps its WindowGroupLimit and broadcast query side") {
     val plan = physical("ann_topk_filtered")
     assert(plan.contains("WindowGroupLimit"), "filtered top-k lost partial pushdown")
