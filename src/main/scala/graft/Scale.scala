@@ -87,6 +87,34 @@ object Scale {
       }
       embCopies.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+      // Events inflate as N independent user populations (user_id and
+      // event_id offset per copy; ts/props unchanged): per-user
+      // windows see N× partitions of the same shape, and the page
+      // graph (props.$.k — shared across copies) keeps its ~100 nodes
+      // while every edge weight scales exactly N× — the realistic
+      // traffic-growth mode where the SITE doesn't grow with the
+      // traffic. (r14, for graph_pagerank / ev_attribution.)
+      val ev = spark.read.parquet(s"$baseDir/events.parquet")
+      (0 until factor).map { i =>
+        ev.select((col("event_id") + lit(i.toLong * (1L << 40))).as("event_id"),
+          col("ts"),
+          (col("user_id") + lit(i.toLong * (1L << 40))).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+      // Lineitem inflates as N disjoint co-supplier graphs (BOTH keys
+      // offset): nodes, edges and triangles all scale exactly N× — the
+      // honest growth mode for a graph workload (real networks grow
+      // node count with data volume, unlike the events page graph
+      // above). Only the two columns graph_triangles scans; the
+      // operator's pruned ReadSchema never asks for the rest.
+      val lit2 = spark.read.parquet(s"$baseDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      (0 until factor).map { i =>
+        lit2.select((col("l_orderkey") + lit(i.toLong * (1L << 40))).as("l_orderkey"),
+          (col("l_suppkey") + lit(i.toLong * (1L << 40))).as("l_suppkey"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
       outDir
     }
 
@@ -177,7 +205,27 @@ object Scale {
       // volume scales with docs (rotation re-draws payload hashes, so
       // per-copy frame counts decorrelate — rows ~N×, not exactly),
       // and the one doc_id exchange must keep wall ~linear.
-      "mm_scene_detect" -> (graft.operators.Multimodal.mm_scene_detect _))
+      "mm_scene_detect" -> (graft.operators.Multimodal.mm_scene_detect _),
+      // r14: PageRank — the posture claims under measurement: (a) the
+      // corpus-scale stage (edge derivation: one user-keyed window +
+      // count) is the ONLY stage that grows — N× users, same ~100-node
+      // page graph with N× weights — so wall must be ~linear with a
+      // constant 8-round tail; (b) rows stay exactly the node count;
+      // (c) ranks are ~invariant (N× weights over N× out-mass cancel
+      // up to per-edge flooring).
+      "graph_pagerank" -> ((s: SparkSession, dir: String) =>
+        graft.operators.Graph.graph_pagerank(s, dir)),
+      // r14: triangle counting — N disjoint graph copies (both keys
+      // offset): nodes/edges/wedges/triangles all exactly N×, so rows
+      // must close at N× base and wall ~linear; a superlinear wedge
+      // blow-up would mean the degree-orientation stopped bounding
+      // fan-out under growth.
+      "graph_triangles" -> (graft.operators.Graph.graph_triangles _),
+      // r14: attribution — N independent user populations: touches
+      // and attributed centi-mass scale N×, output stays channel-sized
+      // (constant rows), and the single user_id exchange is the only
+      // corpus-scale shuffle at every factor.
+      "ev_attribution" -> (graft.operators.EventOps.ev_attribution _))
     // r13: SemDeDup rides along with its DOCUMENTED posture applied —
     // k grows with the corpus (32·factor), holding E[|cell|] flat, so
     // per-cell pair volume (and wall time) should stay ~linear; past

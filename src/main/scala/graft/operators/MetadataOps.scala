@@ -1304,7 +1304,63 @@ object MetadataOps {
       .orderBy($"source")
   }
 
+  /** SCD TYPE-2 DIMENSION HISTORY — the warehouse compaction that
+    * turns a sequence of full dimension snapshots into validity
+    * intervals (valid_from/valid_to/is_current), generalizing
+    * [[fs_snapshot_diff]]'s two-snapshot report to a timeline. Four
+    * snapshot versions are derived from the inode table by a closed-
+    * form mutation rule (the snapshot_diff discipline — pure
+    * arithmetic both engines replay): at version v ≥ 1, docs with
+    * doc_id % (v+3) == 0 grow by v·17 bytes (cumulative), and docs
+    * with doc_id % 19 == v are deleted from v onward.
+    *
+    * Spark-first shape: versions come from ONE corpus scan via an
+    * explode over the 4-version spine (no 4-way self-union of the
+    * scan); the change detector is a lag window per doc over the
+    * version order, islands fold with the cumulative-sum device
+    * (ev_sessionize's rule), and intervals aggregate per (doc,
+    * island) — all on ONE doc_id exchange (window and group share the
+    * key prefix). Output rows = one per value-run, the SCD2 contract:
+    * `valid_to` is the last version the value held, is_current marks
+    * runs reaching the newest version, deletions simply end their
+    * run. At 100 TB this replaces the K-way diff-merge with one
+    * linear pass — the explode factor is the (small, fixed) snapshot
+    * count, never data-dependent. */
+  def fs_scd2_history(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val versions = 3
+    val rows = Tables.documents(s, d).select($"doc_id", $"n_chars")
+      .withColumn("v", explode(expr(s"sequence(bigint(0), bigint($versions))")))
+      // cumulative closed-form mutation: growth event u (= 1..3) has
+      // landed once v >= u. Written as explicit terms, not a
+      // sequence() fold — sequence(1, 0) is DESCENDING in Spark, so a
+      // fold would phantom-apply event 1 at version 0
+      .withColumn("bytes", expr(
+        """n_chars
+          | + IF(v >= 1 AND doc_id % 4 = 0, 17L, 0L)
+          | + IF(v >= 2 AND doc_id % 5 = 0, 34L, 0L)
+          | + IF(v >= 3 AND doc_id % 6 = 0, 51L, 0L)""".stripMargin))
+      // deleted from version v0 onward (v0 in 1..3): the run ends
+      .filter(expr(s"NOT (doc_id % 19 BETWEEN 1 AND $versions AND v >= doc_id % 19)"))
+    val w = Window.partitionBy($"doc_id").orderBy($"v")
+    rows
+      .withColumn("changed",
+        when(lag($"bytes", 1).over(w).isNull ||
+          lag($"bytes", 1).over(w) =!= $"bytes", 1L).otherwise(0L))
+      .withColumn("island", sum($"changed").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"doc_id", $"island")
+      // bytes is constant within an island (that IS the island
+      // definition), so min is just the order-safe way to project it
+      .agg(min($"v").as("valid_from"), max($"v").as("valid_to"),
+        min($"bytes").as("bytes"))
+      .withColumn("is_current", $"valid_to" === versions)
+      .select($"doc_id", $"bytes", $"valid_from", $"valid_to", $"is_current")
+      .orderBy($"doc_id", $"valid_from")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fs_scd2_history" -> fs_scd2_history _,
     "fs_chargeback" -> fs_chargeback _,
     "fs_cache_plan" -> fs_cache_plan _,
     "fs_trash_expunge" -> fs_trash_expunge _,
@@ -1380,6 +1436,34 @@ object MetadataOps {
       |  WHERE w.cur IS NULL)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "fs_scd2_history" ->
+      """WITH spine AS (SELECT unnest(range(4)) AS v),
+        |snaps AS (
+        |  SELECT d.doc_id, CAST(s.v AS BIGINT) AS v,
+        |    d.n_chars
+        |      + CASE WHEN s.v >= 1 AND d.doc_id % 4 = 0 THEN 17 ELSE 0 END
+        |      + CASE WHEN s.v >= 2 AND d.doc_id % 5 = 0 THEN 34 ELSE 0 END
+        |      + CASE WHEN s.v >= 3 AND d.doc_id % 6 = 0 THEN 51 ELSE 0 END
+        |      AS bytes
+        |  FROM documents d, spine s
+        |  WHERE NOT (d.doc_id % 19 BETWEEN 1 AND 3 AND s.v >= d.doc_id % 19)),
+        |ch AS (
+        |  SELECT doc_id, v, bytes,
+        |    CASE WHEN lag(bytes) OVER w IS NULL
+        |           OR lag(bytes) OVER w <> bytes THEN 1 ELSE 0 END AS changed
+        |  FROM snaps
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY v)),
+        |isl AS (
+        |  SELECT doc_id, v, bytes,
+        |    SUM(changed) OVER (PARTITION BY doc_id ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM ch)
+        |SELECT doc_id, CAST(min(bytes) AS BIGINT) AS bytes,
+        |  CAST(min(v) AS BIGINT) AS valid_from,
+        |  CAST(max(v) AS BIGINT) AS valid_to,
+        |  max(v) = 3 AS is_current
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, valid_from""".stripMargin,
     "fs_path_resolve" -> ("WITH RECURSIVE " + inodeResolveSql + """
         |SELECT id AS inode_id,
         |  CASE WHEN path = '' THEN '/' ELSE path END AS path,

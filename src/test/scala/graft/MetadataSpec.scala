@@ -509,4 +509,39 @@ class MetadataSpec extends SparkSpec {
       spark.sparkContext.applicationId)
     assert(appDir.isDirectory && appDir.listFiles().nonEmpty)
   }
+
+  test("fs_scd2_history: intervals tile each doc's lifetime; deletion/current contracts hold") {
+    val hist = MetadataOps.fs_scd2_history(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    val byDoc = hist.groupBy(_._1)
+    val docIds = spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("doc_id").collect().map(_.getLong(0)).toSet
+    assert(byDoc.keySet == docIds, "every doc must have a history")
+    byDoc.foreach { case (doc, runs) =>
+      val sorted = runs.sortBy(_._3)
+      // runs tile [0 .. lastVersion] with no gaps or overlaps
+      assert(sorted.head._3 == 0L, s"doc $doc history must start at v0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._3 == a._4 + 1, s"doc $doc: gap/overlap between runs")
+          assert(b._2 != a._2, s"doc $doc: adjacent runs carry the same value")
+        case _ => ()
+      }
+      val del = doc % 19
+      if (del >= 1 && del <= 3) {
+        // deleted at version `del`: history ends just before, nothing current
+        assert(sorted.last._4 == del - 1, s"doc $doc should end at ${del - 1}")
+        assert(!sorted.exists(_._5), s"deleted doc $doc cannot be current")
+      } else {
+        assert(sorted.last._4 == 3L, s"doc $doc must reach v3")
+        assert(sorted.count(_._5) == 1 && sorted.last._5,
+          s"doc $doc needs exactly one current run, the last")
+      }
+    }
+    // corpus must exercise multi-run histories and deletions
+    assert(byDoc.values.exists(_.length >= 2), "premise: a doc with changes")
+    assert(hist.exists(h => h._1 % 19 >= 1 && h._1 % 19 <= 3),
+      "premise: a deleted doc")
+  }
 }
