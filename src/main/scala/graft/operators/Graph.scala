@@ -205,8 +205,74 @@ object Graph {
     } finally ed.unpersist(blocking = false)
   }
 
+  /** LABEL-PROPAGATION COMMUNITIES (synchronous LPA, Raghavan et al.
+    * 2007 — public literature) on the co-supplier graph
+    * [[graph_triangles]] builds: every node starts labeled with its
+    * own id, and each round adopts the most frequent label among its
+    * neighbors (ties → smallest label). A FIXED round count with a
+    * deterministic tie-break replaces LPA's usual
+    * random-order/async convergence — synchronous sweeps can
+    * oscillate on bipartite structure, but determinism is what a
+    * verifiable engine needs, and k rounds bound label diameter at k
+    * hops, which is the communities' working definition here.
+    *
+    * Spark-first shape: the adjacency (both directions of the
+    * oriented edge list) persists once and every round is ONE
+    * equi-join (adj ⋈ labels on the neighbor) + a count aggregate +
+    * a per-node argmax window — the same join-per-superstep shape as
+    * [[graph_pagerank]], with the same LogicalRDD rebind keeping the
+    * plan constant-size. Votes are exact integer counts and the
+    * argmax ordering is total ((cnt DESC, label ASC)), so all 6
+    * rounds replay bit-exactly in DuckDB's unrolled materialized CTE
+    * chain. Driver state: the loop index only — labels never leave
+    * the cluster. */
+  def graph_label_prop(s: SparkSession, d: String, iters: Int = 6): DataFrame = {
+    import s.implicits._
+    val os = Tables.lineitem(s, d)
+      .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk")).distinct()
+    val e0 = os.as("a").join(os.as("b"),
+        $"a.ok" === $"b.ok" && $"a.sk" < $"b.sk")
+      .groupBy($"a.sk".as("u"), $"b.sk".as("v"))
+      .agg(count(lit(1)).as("support"))
+      .filter($"support" >= 2)
+      .select($"u", $"v")
+    val adj = e0.select($"u".as("node"), $"v".as("nbr"))
+      .union(e0.select($"v".as("node"), $"u".as("nbr")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cached = materializeRound(
+        adj.select($"node").distinct().withColumn("label", $"node"))
+      var labels = rebind(cached)
+      for (_ <- 1 to iters) {
+        val votes = adj
+          .join(labels.select($"node".as("nbr"), $"label"), "nbr")
+          .groupBy($"node", $"label").agg(count(lit(1)).as("cnt"))
+        val next = votes
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"node").orderBy($"cnt".desc, $"label")))
+          .filter($"rn" === 1)
+          .select($"node", $"label")
+        val nextCached = materializeRound(next)
+        cached.unpersist(blocking = false)
+        cached = nextCached
+        labels = rebind(cached)
+      }
+      val out = labels
+        .withColumn("community_size",
+          count(lit(1)).over(Window.partitionBy($"label")))
+        .select($"node".as("s_suppkey"), $"label".as("community"),
+          $"community_size")
+      val rows = out.persist(StorageLevel.MEMORY_AND_DISK)
+      rows.count()
+      graft.CacheRegistry.track(rows)
+      cached.unpersist(blocking = false)
+      rebind(rows).orderBy($"s_suppkey")
+    } finally adj.unpersist(blocking = false)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> ((s, d) => graph_pagerank(s, d)),
+    "graph_label_prop" -> ((s, d) => graph_label_prop(s, d)),
     "graph_triangles" -> graph_triangles _)
 
   /** The 8 unrolled PageRank rounds, generated: each round's CTE is
@@ -255,8 +321,42 @@ object Graph {
        |SELECT node AS page, rank FROM r$iters ORDER BY rank DESC, node""".stripMargin
   }
 
+  /** The unrolled LPA rounds: each is the vote-count + (cnt DESC,
+    * label ASC) argmax over the previous round's labels — a total
+    * order, so the replay is exact. MATERIALIZED for the same
+    * CTE-inlining reason as the PageRank chain. */
+  private def labelPropOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT node, label FROM (
+         |    SELECT node, label,
+         |      row_number() OVER (PARTITION BY node
+         |        ORDER BY cnt DESC, label ASC) AS rn
+         |    FROM (
+         |      SELECT a.node, l.label, count(*) AS cnt
+         |      FROM adj a JOIN l${i - 1} l ON a.nbr = l.node
+         |      GROUP BY 1, 2))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH os AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+       |e0 AS (
+       |  SELECT a.sk AS u, b.sk AS v
+       |  FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |adj AS MATERIALIZED (
+       |  SELECT u AS node, v AS nbr FROM e0
+       |  UNION ALL SELECT v, u FROM e0),
+       |l0 AS (SELECT DISTINCT node, node AS label FROM adj),
+       |$rounds
+       |SELECT node AS s_suppkey, label AS community,
+       |  CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS community_size
+       |FROM l$iters ORDER BY 1""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "graph_pagerank" -> pagerankOracle(8),
+    "graph_label_prop" -> labelPropOracle(6),
     "graph_triangles" ->
       """WITH os AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),

@@ -413,4 +413,48 @@ class EventOpsSpec extends SparkSpec {
     val multiRun = raw.groupBy(_._1).values.exists(_.map(_._2).distinct.length >= 2)
     assert(multiRun, "test premise: a job recurs across days")
   }
+
+  test("ev_ivm_delta: merged view equals full recompute; base view is persisted group-key-sized") {
+    import spark.implicits._
+    val merged = EventOps.ev_ivm_delta(spark, sf0001)
+    val recompute = Tables.events(spark, sf0001)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("sum_centi"),
+        max(expr("cast(round(value * 100) as bigint)")).as("max_centi"))
+      .orderBy($"event_type", $"day")
+    assert(merged.collect().toSeq == recompute.collect().toSeq)
+    // the base view must exist on disk and hold fewer rows than events
+    // (group-key-sized, not event-sized — the whole point of IVM)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val name = sf0001.replaceAll("[^A-Za-z0-9._-]", "_")
+    val view = spark.read.parquet(s"$wh/graft_ivm/$name")
+    val nEvents = Tables.events(spark, sf0001).count()
+    // group-key-sized means O(types × days): far below events at real
+    // SF; at sf0.001 (1k events over a month) still well under a
+    // quarter of the stream
+    assert(view.count() < nEvents / 4, "view must be group-sized")
+    // premise: the delta actually creates or touches groups
+    val deltaGroups = Tables.events(spark, sf0001)
+      .filter($"event_id" % 10 >= 8)
+      .select($"event_type", to_date($"ts")).distinct().count()
+    assert(deltaGroups > 0, "test premise: non-empty delta")
+  }
+
+  test("ev_skew_join equals the unsalted join's aggregate") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf0001)
+      .select($"event_id", $"event_type", $"value")
+    val dim = ev.select($"event_type").distinct()
+      .select($"event_type", substring($"event_type", 1, 1).as("tier"),
+        length($"event_type").cast("long").as("weight"))
+    val plain = ev.join(dim, "event_type")
+      .groupBy($"tier")
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("cast(round(value * 100) as bigint) * weight"))
+          .as("weighted_centi"))
+      .orderBy($"tier")
+    assert(EventOps.ev_skew_join(spark, sf0001).collect().toSeq ==
+      plain.collect().toSeq)
+  }
 }
