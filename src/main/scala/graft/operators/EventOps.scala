@@ -752,7 +752,39 @@ object EventOps {
       .orderBy($"tier")
   }
 
+  /** A/B EXPERIMENT ARM STATISTICS — the per-metric readout an
+    * experimentation platform computes over the event stream: users
+    * hash deterministically into arms (user_id % 2 — in production a
+    * salted hash of the experiment id), and per event type the arms'
+    * count / sum / floored mean / mean gap / sample-ratio land in ONE
+    * map-side-combined conditional aggregate (the q14 device — no
+    * pivot, no second pass, no per-arm scan). srm_ppm is the
+    * sample-ratio-mismatch guardrail (expected 500000 ppm under a
+    * 50/50 split; a skewed ratio invalidates the experiment before
+    * any metric is read). All exact integer centi / micro-centi /
+    * ppm, so the readout hash-verifies; the significance test proper
+    * stays downstream (its sqrt leaves integer land — the
+    * sums/sumsq-style moments here are what it consumes). */
+  def ev_ab_stats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d).select($"event_type",
+      ($"user_id" % 2 === 0).as("in_a"),
+      expr("cast(round(value * 100) as bigint)").as("centi"))
+    ev.groupBy($"event_type")
+      .agg(
+        sum(when($"in_a", 1L).otherwise(0L)).as("a_n"),
+        sum(when(!$"in_a", 1L).otherwise(0L)).as("b_n"),
+        sum(when($"in_a", $"centi").otherwise(0L)).as("a_sum_centi"),
+        sum(when(!$"in_a", $"centi").otherwise(0L)).as("b_sum_centi"))
+      .withColumn("a_mean_ucenti", expr("a_sum_centi * 1000000 div a_n"))
+      .withColumn("b_mean_ucenti", expr("b_sum_centi * 1000000 div b_n"))
+      .withColumn("mean_gap_ucenti", $"a_mean_ucenti" - $"b_mean_ucenti")
+      .withColumn("srm_ppm", expr("a_n * 1000000 div (a_n + b_n)"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_ab_stats" -> ev_ab_stats _,
     "ev_ivm_delta" -> ev_ivm_delta _,
     "ev_skew_join" -> ev_skew_join _,
     "ev_attribution" -> ev_attribution _,
@@ -779,6 +811,28 @@ object EventOps {
     "ev_approx_uniques" -> ev_approx_uniques _)
 
   val oracle: Map[String, String] = Map(
+    "ev_ab_stats" ->
+      """WITH ev AS (
+        |  SELECT event_type, user_id % 2 = 0 AS in_a,
+        |    CAST(round(value * 100) AS BIGINT) AS centi
+        |  FROM events),
+        |agg AS (
+        |  SELECT event_type,
+        |    sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS a_n,
+        |    sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS b_n,
+        |    sum(CASE WHEN in_a THEN centi ELSE 0 END) AS a_sum_centi,
+        |    sum(CASE WHEN in_a THEN 0 ELSE centi END) AS b_sum_centi
+        |  FROM ev GROUP BY 1)
+        |SELECT event_type,
+        |  CAST(a_n AS BIGINT) AS a_n, CAST(b_n AS BIGINT) AS b_n,
+        |  CAST(a_sum_centi AS BIGINT) AS a_sum_centi,
+        |  CAST(b_sum_centi AS BIGINT) AS b_sum_centi,
+        |  CAST(a_sum_centi * 1000000 // a_n AS BIGINT) AS a_mean_ucenti,
+        |  CAST(b_sum_centi * 1000000 // b_n AS BIGINT) AS b_mean_ucenti,
+        |  CAST(a_sum_centi * 1000000 // a_n - b_sum_centi * 1000000 // b_n
+        |    AS BIGINT) AS mean_gap_ucenti,
+        |  CAST(a_n * 1000000 // (a_n + b_n) AS BIGINT) AS srm_ppm
+        |FROM agg ORDER BY event_type""".stripMargin,
     // full recompute from scratch — the hash match against the Spark
     // side's merge(persisted base, delta) IS the IVM theorem
     "ev_ivm_delta" ->

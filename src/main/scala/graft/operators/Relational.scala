@@ -342,7 +342,31 @@ object Relational {
     finished.intersect(open).except(overdrawn).orderBy($"custkey")
   }
 
+  /** UNPIVOT (wide → long) — the melt every metrics warehouse needs
+    * when a wide aggregate row must become (dimension, metric, value)
+    * tuples for generic downstream consumers. Declarative via
+    * `Dataset.unpivot` (Catalyst's Expand node — each input row fans
+    * out to one output row per value column IN THE MAP TASK, no
+    * shuffle beyond the aggregate that built the wide form). Measures
+    * are exact integer centi/ppm so the long form hash-verifies; the
+    * oracle is dialect-neutral UNION ALL, which also serves as the
+    * verbatim SQL-text twin (sql_q25_unpivot). */
+  def q25_unpivot(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wide = Tables.lineitem(s, d).groupBy($"l_returnflag")
+      .agg(
+        expr("sum(bigint(floor(l_quantity * 100 + 0.5)))").as("qty_centi"),
+        expr("sum(bigint(floor(l_extendedprice * 100 + 0.5)))").as("price_centi"),
+        expr("sum(bigint(floor(l_discount * 1000000 + 0.5)))").as("disc_ppm"))
+    wide.unpivot(
+        Array($"l_returnflag"),
+        Array($"qty_centi", $"price_centi", $"disc_ppm"),
+        "metric", "amount")
+      .orderBy($"l_returnflag", $"metric")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_unpivot" -> q25_unpivot _,
     "q24_setops" -> q24_setops _,
     "q23_range_frame" -> q23_range_frame _,
     "q22_grouptopk" -> q22_grouptopk _,
@@ -369,6 +393,20 @@ object Relational {
     "q21_crossjoin_small" -> q21_crossjoin_small _)
 
   val oracle: Map[String, String] = Map(
+    "q25_unpivot" ->
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |    sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS qty_centi,
+        |    sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS price_centi,
+        |    sum(CAST(floor(l_discount * 1000000 + 0.5) AS BIGINT)) AS disc_ppm
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, metric, amount FROM (
+        |  SELECT l_returnflag, 'qty_centi' AS metric, qty_centi AS amount FROM wide
+        |  UNION ALL
+        |  SELECT l_returnflag, 'price_centi', price_centi FROM wide
+        |  UNION ALL
+        |  SELECT l_returnflag, 'disc_ppm', disc_ppm FROM wide)
+        |ORDER BY l_returnflag, metric""".stripMargin,
     "q24_setops" ->
       """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
         |INTERSECT

@@ -441,6 +441,23 @@ class EventOpsSpec extends SparkSpec {
     assert(deltaGroups > 0, "test premise: non-empty delta")
   }
 
+  test("ev_ab_stats: arms partition the stream exactly and srm reflects the user split") {
+    import spark.implicits._
+    val got = EventOps.ev_ab_stats(spark, sf0001).collect()
+    val perType = Tables.events(spark, sf0001)
+      .groupBy($"event_type").agg(count(lit(1)).as("n"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (n, sC) = perType(r.getString(0))
+      assert(r.getLong(1) + r.getLong(2) == n, "arms must partition counts")
+      assert(r.getLong(3) + r.getLong(4) == sC, "arms must partition sums")
+      val srm = r.getLong(8)
+      assert(srm == r.getLong(1) * 1000000L / (r.getLong(1) + r.getLong(2)))
+    }
+  }
+
   test("ev_skew_join equals the unsalted join's aggregate") {
     import spark.implicits._
     val ev = Tables.events(spark, sf0001)

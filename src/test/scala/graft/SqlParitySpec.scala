@@ -16,6 +16,8 @@ class SqlParitySpec extends SparkSpec {
     "q5_multijoin" -> Relational.q5_multijoin _,
     "q11_rollup" -> Relational.q11_rollup _,
     "q18_having" -> Relational.q18_having _,
+    "q24_setops" -> Relational.q24_setops _,
+    "q25_unpivot" -> Relational.q25_unpivot _,
     // cross-family SQL-text surface: one per operator family
     "dedup_exact" -> Dedup.dedup_exact _,
     "fs_du" -> MetadataOps.fs_du _,
