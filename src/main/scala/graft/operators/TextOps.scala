@@ -1508,7 +1508,88 @@ object TextOps {
       Seq("de", "en", "es", "fr", "zh"))
   }
 
+  /** One inverted-index table per source dir, built once per JVM —
+    * the ann_lsh_index rule: the postings write is index CONSTRUCTION
+    * (the amortized build a search tier pays once), the registered
+    * query times the SEARCH path. Postings = (term, doc_id, tf),
+    * persisted BUCKETED on term so term-keyed work over the index
+    * (document frequencies, candidate fetch) reads pre-partitioned on
+    * exactly its key. */
+  private val searchIndexBuilt = new java.util.HashSet[String]()
+  private def searchIndexTable(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val tag = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(d.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+    val tbl = s"text_idx_$tag"
+    searchIndexBuilt.synchronized { if (!searchIndexBuilt.contains(d)) {
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      val loc = java.nio.file.Paths.get(wh, tbl)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      Tables.documents(s, d)
+        .select($"doc_id", explode(tokens($"text")).as("term"))
+        .groupBy($"term", $"doc_id").agg(count(lit(1)).as("tf"))
+        .write.mode("overwrite")
+        .bucketBy(8, "term").sortBy("term")
+        .format("parquet").saveAsTable(tbl)
+      searchIndexBuilt.add(d)
+    } }
+    tbl
+  }
+
+  /** KEYWORD SEARCH over the persisted inverted index — the full-text
+    * retrieval tier ([[graft.operators.MapReduceOps.mr_inverted_index]]
+    * builds the classic index as a REPORT; this is the index as a
+    * SERVING STRUCTURE, the text twin of ann_lsh_index). Three fixed
+    * disjunctive keyword queries rank documents by
+    * Σ_t tf(t,d)·w(t) with w(t) = N·10^6 div df(t) — the
+    * inverse-document-frequency RATIO weight, kept in integer ppm (no
+    * logarithm: ln() would leave integer land and with it the
+    * bit-exact cross-engine replay; at this corpus's df spread the
+    * ratio orders terms identically).
+    *
+    * Scale shape: document frequencies aggregate on the term-BUCKETED
+    * index (pre-partitioned on the groupBy key — no Exchange,
+    * spec-gated); the tiny query×term weight table broadcasts into
+    * the candidate fetch, so the only corpus-scale shuffle is the
+    * (query, doc) score aggregate over candidate postings — postings
+    * of non-query terms never leave the scan (bucket pruning aside,
+    * the broadcast-join filter drops them map-side). w is computed by
+    * the text_tfidf Euclidean split and capped at 10^12 (beyond
+    * million-fold rarity the signal saturates; the cap keeps tf·w in
+    * i64 at any corpus size). N comes from parquet footers — no count
+    * scan. */
+  def text_search_index(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tbl = searchIndexTable(s, d)
+    val idx = s.table(tbl)
+    val n = Tables.parquetRowCount(s, d, "documents")
+    val qTerms = Seq(
+      (0L, "spark"), (0L, "join"),
+      (1L, "window"), (1L, "stream"), (1L, "sort"),
+      (2L, "customer"), (2L, "merge")).toDF("query_id", "term")
+    val dfreq = idx.groupBy($"term").agg(count(lit(1)).as("df"))
+    val weights = qTerms.join(dfreq, "term")
+      .withColumn("w_ppm", least(lit(1000000000000L),
+        expr(s"(${n}L div df) * 1000000 + ((${n}L % df) * 1000000) div df")))
+    val scored = idx.join(broadcast(weights), "term")
+      .groupBy($"query_id", $"doc_id")
+      .agg(sum(expr("tf * w_ppm")).as("score_ppm"),
+        count(lit(1)).as("terms_hit"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"score_ppm".desc, $"doc_id")))
+      .filter($"rank" <= 10)
+      .select($"query_id", $"rank", $"doc_id", $"score_ppm", $"terms_hit")
+      .orderBy($"query_id", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_search_index" -> text_search_index _,
     "text_classify_centroid" -> text_classify_centroid _,
     "text_window_chunks" -> text_window_chunks _,
     "text_curation_funnel" -> text_curation_funnel _,
@@ -1887,6 +1968,38 @@ object TextOps {
         | FROM documents)
         |SELECT doc_id, lang, bucket, CAST(rate_pm AS BIGINT) AS rate_pm
         |FROM b WHERE bucket < rate_pm ORDER BY doc_id""".stripMargin,
+    // logical re-derivation of the postings + the same ratio-weight
+    // ranking — the physical bucketed-table round trip must be
+    // invisible to the result
+    "text_search_index" ->
+      """WITH q(query_id, term) AS (VALUES
+        |  (0, 'spark'), (0, 'join'),
+        |  (1, 'window'), (1, 'stream'), (1, 'sort'),
+        |  (2, 'customer'), (2, 'merge')),
+        |post AS (
+        | SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS term
+        |  FROM documents)
+        | GROUP BY 1, 2),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY 1),
+        |wq AS (
+        | SELECT CAST(q.query_id AS BIGINT) AS query_id, q.term,
+        |  least(1000000000000,
+        |    (nn.n // df) * 1000000 + ((nn.n % df) * 1000000) // df) AS w_ppm
+        | FROM q JOIN dfreq USING (term) CROSS JOIN nn),
+        |sc AS (
+        | SELECT wq.query_id, post.doc_id,
+        |  CAST(sum(post.tf * wq.w_ppm) AS BIGINT) AS score_ppm,
+        |  CAST(count(*) AS BIGINT) AS terms_hit
+        | FROM post JOIN wq USING (term) GROUP BY 1, 2)
+        |SELECT query_id, rank, doc_id, score_ppm, terms_hit FROM (
+        | SELECT query_id, doc_id, score_ppm, terms_hit,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score_ppm DESC, doc_id) AS rank
+        | FROM sc)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "text_tfidf" ->
       """WITH words AS (
         | SELECT lang, unnest(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS word

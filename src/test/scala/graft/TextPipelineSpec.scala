@@ -717,4 +717,48 @@ class TextPipelineSpec extends SparkSpec {
     // one rare instance of three -> 333,333 ppm (floor division)
     assert(got(3L) == ((3L, 4333333L, 333333L)), s"mixed doc ${got(3L)}")
   }
+
+  test("text_search_index equals a driver-side brute-force search; df aggregates exchange-free") {
+    val qs = Map(
+      0L -> Seq("spark", "join"),
+      1L -> Seq("window", "stream", "sort"),
+      2L -> Seq("customer", "merge"))
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty))
+    val n = docs.length.toLong
+    val df = docs.flatMap(d => d._2.distinct).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    def w(t: String) = math.min(1000000000000L,
+      (n / df(t)) * 1000000L + ((n % df(t)) * 1000000L) / df(t))
+    val expected = qs.toSeq.flatMap { case (qid, terms) =>
+      docs.flatMap { case (docId, toks) =>
+        val hits = terms.filter(toks.contains)
+        if (hits.isEmpty) None
+        else {
+          val tf = toks.groupBy(identity).view.mapValues(_.length.toLong)
+          Some((qid, docId, hits.map(t => tf(t) * w(t)).sum, hits.length.toLong))
+        }
+      }.sortBy { case (_, docId, score, _) => (-score, docId) }
+        .take(10).zipWithIndex
+        .map { case ((q, docId, score, th), i) => (q, i + 1L, docId, score, th) }
+    }.toSet
+    val got = TextOps.text_search_index(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == expected, "distributed search diverged from brute force")
+    // serving-structure claim, held mechanically: the df aggregate
+    // reads the PRE-BUCKETED postings table with no Exchange below it
+    val plan = TextOps.text_search_index(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"),
+      s"index scan not bucketed:\n${plan.take(1200)}")
+    val lines = plan.linesIterator.toVector
+    val idxLine = lines.indexWhere(_.contains("default.text_idx"))
+    val aggAbove = lines.lastIndexWhere(_.contains("HashAggregate"), idxLine)
+    assert(aggAbove >= 0 && idxLine > aggAbove, "plan shape unexpected")
+    assert(!lines.slice(aggAbove + 1, idxLine).exists(_.contains("Exchange")),
+      "Exchange between the df aggregate and the bucketed index scan")
+  }
 }
