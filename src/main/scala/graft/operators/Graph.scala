@@ -270,7 +270,73 @@ object Graph {
     } finally adj.unpersist(blocking = false)
   }
 
+  /** MULTI-SOURCE BFS with seed attribution — the hub-assignment
+    * workload (every node labeled with its NEAREST seed and the hop
+    * distance; seeds = suppliers with key % 10 == 0, the
+    * deterministic stand-in for a curated hub set), completing the
+    * canonical Pregel set alongside rank propagation
+    * ([[graph_pagerank]]), community labels ([[graph_label_prop]])
+    * and triangle closure ([[graph_triangles]]) on the same
+    * co-supplier graph.
+    *
+    * Each of the 6 fixed rounds relaxes the frontier by one hop: a
+    * node's state is the lexicographic MIN over (dist, seed) of its
+    * own state and every neighbor's state + 1 hop — a total order, so
+    * ties (two seeds at equal distance) resolve to the smaller seed
+    * id on both engines and the whole 6-round composition replays
+    * bit-exactly in DuckDB's unrolled materialized CTE chain. Fixed
+    * rounds bound the reported radius at 6 hops (unreached nodes are
+    * absent — at 100 TB the frontier loop would watch the observe-
+    * metric convergence counter the dedup_clusters CC loop uses).
+    * Same superstep shape as the siblings: one adjacency⋈state
+    * equi-join + a per-node argmin aggregate per round, adjacency
+    * persisted once, LogicalRDD rebind per round, no driver-side
+    * graph state. */
+  def graph_bfs_layers(s: SparkSession, d: String, iters: Int = 6): DataFrame = {
+    import s.implicits._
+    val os = Tables.lineitem(s, d)
+      .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk")).distinct()
+    val e0 = os.as("a").join(os.as("b"),
+        $"a.ok" === $"b.ok" && $"a.sk" < $"b.sk")
+      .groupBy($"a.sk".as("u"), $"b.sk".as("v"))
+      .agg(count(lit(1)).as("support"))
+      .filter($"support" >= 2)
+      .select($"u", $"v")
+    val adj = e0.select($"u".as("node"), $"v".as("nbr"))
+      .union(e0.select($"v".as("node"), $"u".as("nbr")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      def argmin(df: DataFrame): DataFrame = df
+        .groupBy($"node")
+        .agg(min(struct($"dist", $"seed")).as("m"))
+        .select($"node", $"m.dist".as("dist"), $"m.seed".as("seed"))
+      val seeds = adj.select($"node").distinct()
+        .filter($"node" % 10 === 0)
+        .select($"node", lit(0L).as("dist"), $"node".as("seed"))
+      var cached = materializeRound(seeds)
+      var state = rebind(cached)
+      for (_ <- 1 to iters) {
+        val relaxed = adj
+          .join(state.select($"node".as("nbr"), ($"dist" + 1L).as("dist"),
+            $"seed"), "nbr")
+          .select($"node", $"dist", $"seed")
+          .union(state)
+        val nextCached = materializeRound(argmin(relaxed))
+        cached.unpersist(blocking = false)
+        cached = nextCached
+        state = rebind(cached)
+      }
+      val out = state.select($"node".as("s_suppkey"), $"dist", $"seed")
+      val rows = out.persist(StorageLevel.MEMORY_AND_DISK)
+      rows.count()
+      graft.CacheRegistry.track(rows)
+      cached.unpersist(blocking = false)
+      rebind(rows).orderBy($"s_suppkey")
+    } finally adj.unpersist(blocking = false)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_bfs_layers" -> ((s, d) => graph_bfs_layers(s, d)),
     "graph_pagerank" -> ((s, d) => graph_pagerank(s, d)),
     "graph_label_prop" -> ((s, d) => graph_label_prop(s, d)),
     "graph_triangles" -> graph_triangles _)
@@ -354,7 +420,44 @@ object Graph {
        |FROM l$iters ORDER BY 1""".stripMargin
   }
 
+  /** The unrolled BFS relaxation rounds: each is min(dist, seed) over
+    * self ∪ (neighbors + 1 hop) — the lexicographic min is a total
+    * order, so the replay is exact. MATERIALIZED for the same
+    * CTE-inlining reason as the PageRank chain (each round is
+    * referenced twice: relax + carry). */
+  private def bfsOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""b$i AS MATERIALIZED (
+         |  SELECT node, dist, seed FROM (
+         |    SELECT node, dist, seed,
+         |      row_number() OVER (PARTITION BY node
+         |        ORDER BY dist, seed) AS rn
+         |    FROM (
+         |      SELECT a.node, p.dist + 1 AS dist, p.seed
+         |      FROM adj a JOIN b${i - 1} p ON a.nbr = p.node
+         |      UNION ALL
+         |      SELECT node, dist, seed FROM b${i - 1}))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH os AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+       |e0 AS (
+       |  SELECT a.sk AS u, b.sk AS v
+       |  FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |adj AS MATERIALIZED (
+       |  SELECT u AS node, v AS nbr FROM e0
+       |  UNION ALL SELECT v, u FROM e0),
+       |b0 AS (
+       |  SELECT DISTINCT node, CAST(0 AS BIGINT) AS dist, node AS seed
+       |  FROM adj WHERE node % 10 = 0),
+       |$rounds
+       |SELECT node AS s_suppkey, dist, seed
+       |FROM b$iters ORDER BY 1""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "graph_bfs_layers" -> bfsOracle(6),
     "graph_pagerank" -> pagerankOracle(8),
     "graph_label_prop" -> labelPropOracle(6),
     "graph_triangles" ->

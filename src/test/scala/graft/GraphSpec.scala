@@ -93,6 +93,34 @@ class GraphSpec extends SparkSpec {
       s"oriented outdeg ${outdeg.values.max} exceeds sqrt(2E) bound $bound")
   }
 
+  test("graph_bfs_layers equals a sequential multi-source BFS with (dist, seed) tie-break") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .selectExpr("l_orderkey", "l_suppkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val support = byOrder.values.toSeq
+      .flatMap(sks => for (i <- sks.indices; j <- i + 1 until sks.size
+                           if sks(i) != sks(j)) yield (sks(i), sks(j)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val edges: Set[(Long, Long)] = support.filter(_._2 >= 2).keySet
+    val adj = (edges.toSeq ++ edges.toSeq.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var state: Map[Long, (Long, Long)] =
+      adj.keySet.filter(_ % 10 == 0).map(v => v -> (0L, v)).toMap
+    for (_ <- 1 to 6) {
+      val relaxed = state.toSeq.flatMap { case (v, (dist, seed)) =>
+        (v, (dist, seed)) +: adj(v).map(n => (n, (dist + 1, seed)))
+      }
+      state = relaxed.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    }
+    val got = Graph.graph_bfs_layers(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    CacheRegistry.releaseAll()
+    assert(got == state, "distributed BFS diverged from sequential replay")
+    // premise: the frontier actually expanded past the seeds
+    assert(state.values.exists(_._1 >= 1), "premise: a non-seed was reached")
+  }
+
   test("graph_label_prop equals the sequential synchronous-LPA replay exactly") {
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
       .selectExpr("l_orderkey", "l_suppkey").distinct().collect()
