@@ -1359,7 +1359,38 @@ object MetadataOps {
       .orderBy($"doc_id", $"valid_from")
   }
 
+  /** PERMISSION AUDIT — the security sweep over the namespace's mode
+    * bits (reference: hadoop-common-project/hadoop-common/src/main/
+    * java/org/apache/hadoop/fs/permission/FsPermission.java:1 — the
+    * u/g/o rwx octal triple every inode carries; HopsFS holds it as a
+    * column, so the audit that HDFS answers by walking the tree is
+    * one aggregate here). Mode bits derive deterministically from the
+    * inode id (owner fixed rw-, group = id mod 8, other = id·7 mod 8 —
+    * the closed-form attribute rule fs_snapshot_diff established), and
+    * the audit rolls up per directory: world-readable/writable and
+    * group-writable counts (the exposure every hardening pass hunts),
+    * the loosest other-triple present, and an exposed_ppm rate. Pure
+    * integer bit arithmetic (div/mod on non-negative ints — identical
+    * in both engines), one map-side-combined aggregate, two columns
+    * read. */
+  def fs_perm_audit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val inodes = Tables.documents(s, d)
+      .select($"source",
+        expr("384 + (doc_id % 8) * 8 + (doc_id * 7) % 8").as("mode"))
+    inodes.groupBy($"source")
+      .agg(count(lit(1)).as("n_files"),
+        sum(expr("(mode div 4) % 2")).as("n_world_readable"),
+        sum(expr("(mode div 2) % 2")).as("n_world_writable"),
+        sum(expr("(mode div 16) % 2")).as("n_group_writable"),
+        max(expr("mode % 8")).as("loosest_other"))
+      .withColumn("exposed_ppm",
+        expr("(n_world_readable + n_world_writable) * 1000000 div (2 * n_files)"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fs_perm_audit" -> fs_perm_audit _,
     "fs_scd2_history" -> fs_scd2_history _,
     "fs_chargeback" -> fs_chargeback _,
     "fs_cache_plan" -> fs_cache_plan _,
@@ -1436,6 +1467,26 @@ object MetadataOps {
       |  WHERE w.cur IS NULL)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "fs_perm_audit" ->
+      """WITH inodes AS (
+        |  SELECT source,
+        |    384 + (doc_id % 8) * 8 + (doc_id * 7) % 8 AS mode
+        |  FROM documents),
+        |agg AS (
+        |  SELECT source, count(*) AS n_files,
+        |    sum((mode // 4) % 2) AS n_world_readable,
+        |    sum((mode // 2) % 2) AS n_world_writable,
+        |    sum((mode // 16) % 2) AS n_group_writable,
+        |    max(mode % 8) AS loosest_other
+        |  FROM inodes GROUP BY 1)
+        |SELECT source, n_files,
+        |  CAST(n_world_readable AS BIGINT) AS n_world_readable,
+        |  CAST(n_world_writable AS BIGINT) AS n_world_writable,
+        |  CAST(n_group_writable AS BIGINT) AS n_group_writable,
+        |  CAST(loosest_other AS BIGINT) AS loosest_other,
+        |  CAST((n_world_readable + n_world_writable) * 1000000
+        |    // (2 * n_files) AS BIGINT) AS exposed_ppm
+        |FROM agg ORDER BY source""".stripMargin,
     "fs_scd2_history" ->
       """WITH spine AS (SELECT unnest(range(4)) AS v),
         |snaps AS (

@@ -667,7 +667,47 @@ object Sources {
       .orderBy($"o_orderpriority")
   }
 
+  /** SCHEMA EVOLUTION across parquet generations — the lakehouse
+    * reality a long-lived 100 TB warehouse cannot avoid: files written
+    * before a column existed sit next to files written after, and a
+    * reader must present ONE union schema without rewriting history.
+    * Setup writes two generations once (gen1 = even order keys
+    * WITHOUT o_orderpriority — the pre-migration files; gen2 = odd
+    * keys WITH it); the read is `mergeSchema=true` over both
+    * directories, so parquet footer schemas union and gen1 rows
+    * surface a NULL priority, normalized downstream by the
+    * coalesce-to-'LEGACY' every migration query writes. The oracle
+    * re-derives both generations logically from orders — the
+    * split + merge + null-fill round trip must be value-invisible.
+    * Scale note: mergeSchema reconciles FOOTERS (per-file metadata,
+    * driver-side), not data; the scan itself stays columnar and
+    * split-parallel, and in steady state a table registers the merged
+    * schema in its catalog so the per-query footer sweep disappears. */
+  def src_schema_evolution(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_schemaevo_${dirTag(d)}")
+    val orders = Tables.orders(s, d)
+    exportOnce(s"schemaevo:$d") {
+      orders.filter($"o_orderkey" % 2 === 0)
+        .select($"o_orderkey", $"o_custkey",
+          expr("bigint(floor(o_totalprice * 100 + 0.5))").as("total_centi"))
+        .write.mode("overwrite").parquet(s"${dir.getPath}/gen1")
+      orders.filter($"o_orderkey" % 2 === 1)
+        .select($"o_orderkey", $"o_custkey",
+          expr("bigint(floor(o_totalprice * 100 + 0.5))").as("total_centi"),
+          $"o_orderpriority")
+        .write.mode("overwrite").parquet(s"${dir.getPath}/gen2")
+    }
+    s.read.option("mergeSchema", "true")
+      .parquet(s"${dir.getPath}/gen1", s"${dir.getPath}/gen2")
+      .groupBy(coalesce($"o_orderpriority", lit("LEGACY")).as("priority"))
+      .agg(count(lit(1)).as("n_orders"), sum($"total_centi").as("total_centi"))
+      .orderBy($"priority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_schema_evolution" -> src_schema_evolution _,
     "src_sequencefile_agg" -> src_sequencefile_agg _,
     "src_avro_agg" -> src_avro_agg _,
     "src_text_gz_agg" -> src_text_gz_agg _,
@@ -685,6 +725,13 @@ object Sources {
     "src_partitioned_prune" -> src_partitioned_prune _)
 
   val oracle: Map[String, String] = Map(
+    "src_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'LEGACY'
+        |            ELSE o_orderpriority END AS priority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS total_centi
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "src_sequencefile_agg" ->
       """SELECT c_nationkey, count(*) AS n_customers,
         | CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents

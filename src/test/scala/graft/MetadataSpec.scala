@@ -510,6 +510,28 @@ class MetadataSpec extends SparkSpec {
     assert(appDir.isDirectory && appDir.listFiles().nonEmpty)
   }
 
+  test("fs_perm_audit equals a driver-side bitwise replay of the mode rule") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.groupBy(_._2).view.mapValues { rows =>
+      val modes = rows.map { case (id, _) => 384 + (id % 8) * 8 + (id * 7) % 8 }
+      val wr = modes.count(m => (m / 4) % 2 == 1).toLong
+      val ww = modes.count(m => (m / 2) % 2 == 1).toLong
+      (rows.size.toLong, wr, ww,
+        modes.count(m => (m / 16) % 2 == 1).toLong,
+        modes.map(_ % 8).max,
+        (wr + ww) * 1000000L / (2L * rows.size))
+    }.toMap
+    val got = MetadataOps.fs_perm_audit(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got == expected)
+    // premise: the corpus exercises both exposed and tight modes
+    assert(got.values.exists(_._3 > 0), "premise: a world-writable file")
+    assert(got.values.exists(v => v._3 < v._1), "premise: not everything open")
+  }
+
   test("fs_scd2_history: intervals tile each doc's lifetime; deletion/current contracts hold") {
     val hist = MetadataOps.fs_scd2_history(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),

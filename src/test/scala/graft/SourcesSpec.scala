@@ -311,4 +311,30 @@ class SourcesSpec extends SparkSpec {
       spark.conf.unset("spark.sql.files.openCostInBytes")
     }
   }
+
+  test("src_schema_evolution: mergeSchema surfaces NULL priority for pre-migration files only") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // run the query once so the generations exist
+    val agg = Sources.src_schema_evolution(spark, sf0001).collect()
+    assert(agg.nonEmpty && agg.exists(_.getString(0) == "LEGACY"))
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().filter(_.getName.startsWith("graft_schemaevo_")).head
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"${dir.getPath}/gen1", s"${dir.getPath}/gen2")
+    // union schema: the evolved column exists, and is null EXACTLY on
+    // the pre-migration (even-key) generation
+    assert(merged.columns.contains("o_orderpriority"))
+    assert(merged.filter($"o_orderpriority".isNull &&
+      $"o_orderkey" % 2 === 1).count() == 0)
+    assert(merged.filter($"o_orderpriority".isNotNull &&
+      $"o_orderkey" % 2 === 0).count() == 0)
+    assert(merged.filter($"o_orderpriority".isNull).count() > 0)
+    // value-invisibility: merged totals equal the direct parquet read
+    val direct = Tables.orders(spark, sf0001)
+      .agg(count(lit(1)), sum(expr("bigint(floor(o_totalprice * 100 + 0.5))")))
+      .collect()(0)
+    val viaMerge = merged.agg(count(lit(1)), sum($"total_centi")).collect()(0)
+    assert(viaMerge == direct)
+  }
 }
