@@ -783,7 +783,52 @@ object EventOps {
       .orderBy($"event_type")
   }
 
+  /** TOP CONVERTING PATHS — the sequence-mining readout next to
+    * [[ev_markov]]'s one-step transition matrix: the full ordered
+    * event-type path each converting user walked up to (and
+    * including) their FIRST purchase, grouped and ranked by
+    * frequency — "what journeys actually end in a purchase".
+    *
+    * Spark-first shape: the first purchase per user is one
+    * row_number pass (no self-join); the path string builds with
+    * array_sort(collect_list(struct(ts, event_id, type))) → transform
+    * → array_join — sort_array on the struct gives the (ts, event_id)
+    * total order INSIDE the aggregate, so the concatenation is
+    * deterministic regardless of partitioning (the DuckDB twin is
+    * string_agg ORDER BY — both engines order by the same key). The
+    * (user, path) stage and the ranking both ride the one user_id
+    * exchange family. At 100 TB the path column is the scale knob:
+    * production caps at the last K touches (a slice before the join);
+    * here paths are full — the corpus's sessions are short. */
+  def ev_funnel_paths(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+    val fp = ev.filter($"event_type" === "purchase")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"user_id").orderBy($"ts", $"event_id")))
+      .filter($"rn" === 1)
+      .select($"user_id", $"ts".as("fts"), $"event_id".as("fid"))
+    val paths = ev.join(fp, "user_id")
+      .filter($"ts" < $"fts" || ($"ts" === $"fts" && $"event_id" <= $"fid"))
+      .groupBy($"user_id")
+      .agg(expr(
+        """array_join(transform(
+          |  array_sort(collect_list(struct(ts, event_id, event_type))),
+          |  x -> x.event_type), '->')""".stripMargin).as("path"))
+    // top-k FIRST (TakeOrderedAndProject — distributed, no global
+    // window over the full path-count table), then rank the 10
+    // survivors; the global row_number window only ever sees 10 rows
+    paths.groupBy($"path").agg(count(lit(1)).as("n_users"))
+      .orderBy($"n_users".desc, $"path").limit(10)
+      .withColumn("rank", row_number().over(
+        Window.orderBy($"n_users".desc, $"path")))
+      .select($"rank", $"path", $"n_users")
+      .orderBy($"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_funnel_paths" -> ev_funnel_paths _,
     "ev_ab_stats" -> ev_ab_stats _,
     "ev_ivm_delta" -> ev_ivm_delta _,
     "ev_skew_join" -> ev_skew_join _,
@@ -811,6 +856,28 @@ object EventOps {
     "ev_approx_uniques" -> ev_approx_uniques _)
 
   val oracle: Map[String, String] = Map(
+    // string_agg ORDER BY (ts, event_id) is the same total order the
+    // Spark side gets from array_sort over the (ts, event_id, type)
+    // struct, so the path strings match byte-for-byte
+    "ev_funnel_paths" ->
+      """WITH fp AS (
+        |  SELECT user_id, ts AS fts, event_id AS fid FROM (
+        |    SELECT user_id, ts, event_id,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) AS rn
+        |    FROM events WHERE event_type = 'purchase')
+        |  WHERE rn = 1),
+        |paths AS (
+        |  SELECT e.user_id,
+        |    string_agg(e.event_type, '->' ORDER BY e.ts, e.event_id) AS path
+        |  FROM events e JOIN fp USING (user_id)
+        |  WHERE (e.ts, e.event_id) <= (fp.fts, fp.fid)
+        |  GROUP BY 1),
+        |pc AS (SELECT path, count(*) AS n_users FROM paths GROUP BY 1)
+        |SELECT CAST(row_number() OVER (ORDER BY n_users DESC, path) AS BIGINT)
+        |    AS rank,
+        |  path, n_users
+        |FROM pc ORDER BY n_users DESC, path LIMIT 10""".stripMargin,
     "ev_ab_stats" ->
       """WITH ev AS (
         |  SELECT event_type, user_id % 2 = 0 AS in_a,

@@ -441,6 +441,28 @@ class EventOpsSpec extends SparkSpec {
     assert(deltaGroups > 0, "test premise: non-empty delta")
   }
 
+  test("ev_funnel_paths equals a sequential per-user path replay") {
+    val ev = Tables.events(spark, sf0001)
+      .selectExpr("user_id", "cast(ts as string)", "event_id", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val paths = ev.groupBy(_._1).values.flatMap { rows =>
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      val cut = ordered.indexWhere(_._4 == "purchase")
+      if (cut < 0) None
+      else Some(ordered.take(cut + 1).map(_._4).mkString("->"))
+    }.toSeq
+    val expected = paths.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.sortBy { case (p, n) => (-n, p) }.take(10).zipWithIndex
+      .map { case ((p, n), i) => (i + 1L, p, n) }
+    val got = EventOps.ev_funnel_paths(spark, sf0001).collect()
+      .map(r => (r.getInt(0).toLong, r.getString(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // premise: multi-step paths exist (the sort inside the aggregate
+    // is actually ordering something)
+    assert(expected.exists(_._2.contains("->")), "premise: a multi-event path")
+  }
+
   test("ev_ab_stats: arms partition the stream exactly and srm reflects the user split") {
     import spark.implicits._
     val got = EventOps.ev_ab_stats(spark, sf0001).collect()
