@@ -827,7 +827,69 @@ object EventOps {
       .orderBy($"rank")
   }
 
+  /** EVENT-TIME LATENESS AUDIT — the measurement that picks a
+    * streaming watermark delay: for every event, how far behind the
+    * merged stream's high-water mark (max event time over everything
+    * that ARRIVED earlier) did it land? The corpus's `event_id` is
+    * perfectly time-ordered (a single well-behaved producer), so the
+    * ARRIVAL model is the one that actually creates disorder in
+    * production: S=4 source shards (shard = user_id % 4, the
+    * partition-by-key ingest) drained round-robin in micro-batches of
+    * B=100 ids — within a batch the collector empties shard 0 before
+    * shard 1, so a shard-0 event near the batch's end of time horizon
+    * arrives BEFORE shard-1 events from earlier in event time. That
+    * is exactly the Kafka-partition merge that makes real streams
+    * out-of-order, and the audit quantifies it: arrival order =
+    * (batch, shard, event_id), lateness_s = max(0, wm_before −
+    * unix(ts)).
+    *
+    * Scale shape — the prefix max over the merged arrival order is
+    * NOT computed as one global-order window (a single-partition
+    * sort at 100 TB). It decomposes exactly (the ev_burn_rate spine
+    * discipline): an intra-group running max (window partitioned by
+    * (batch, shard) — parallel) combined with a prefix max over the
+    * per-group maxima spine ordered by (batch, shard) — |batches|×4
+    * rows, metadata-scale, broadcast back. greatest() of the two legs
+    * (null-skipping; first arrival overall → both null → on time) is
+    * bit-identical to the global window, which the DuckDB oracle runs
+    * directly and EventOpsSpec replays sequentially. Histogrammed per
+    * event type into the buckets an SRE would sweep for a watermark
+    * choice (on_time / ≤60s / ≤300s / ≤3600s / beyond) — the
+    * '04_gt_3600s' row is exactly what a `withWatermark("1 hour")`
+    * twin would drop. Integer seconds throughout → full DuckDB hash
+    * oracle. */
+  def ev_late_audit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, d)
+      .select($"event_id", $"event_type",
+        expr("event_id div 100").as("batch"),
+        expr("user_id % 4").as("shard"),
+        expr("bigint(unix_timestamp(ts))").as("ets"))
+    val wg = Window.partitionBy($"batch", $"shard").orderBy($"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val spineW = Window.orderBy($"batch", $"shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val spine = e.groupBy($"batch", $"shard").agg(max($"ets").as("g_max"))
+      .withColumn("wm_in", max($"g_max").over(spineW))
+      .select($"batch", $"shard", $"wm_in")
+    e.withColumn("wm_intra", max($"ets").over(wg))
+      .join(broadcast(spine), Seq("batch", "shard"))
+      .withColumn("late_s",
+        greatest(lit(0L),
+          coalesce(greatest($"wm_intra", $"wm_in") - $"ets", lit(0L))))
+      .withColumn("late_bucket",
+        when($"late_s" === 0L, "00_on_time")
+          .when($"late_s" <= 60L, "01_le_60s")
+          .when($"late_s" <= 300L, "02_le_300s")
+          .when($"late_s" <= 3600L, "03_le_3600s")
+          .otherwise("04_gt_3600s"))
+      .groupBy($"event_type", $"late_bucket")
+      .agg(count(lit(1)).as("n_events"), sum($"late_s").as("total_late_s"))
+      .orderBy($"event_type", $"late_bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_late_audit" -> ev_late_audit _,
     "ev_funnel_paths" -> ev_funnel_paths _,
     "ev_ab_stats" -> ev_ab_stats _,
     "ev_ivm_delta" -> ev_ivm_delta _,
@@ -856,6 +918,26 @@ object EventOps {
     "ev_approx_uniques" -> ev_approx_uniques _)
 
   val oracle: Map[String, String] = Map(
+    // epoch_us // 1000000 floors to whole seconds exactly like
+    // Spark's unix_timestamp; CAST(epoch(ts) AS BIGINT) would ROUND
+    // the fractional part and drift ±1 s on sub-second timestamps
+    "ev_late_audit" ->
+      """WITH lat AS (
+        |  SELECT event_type,
+        |    greatest(0, coalesce(
+        |      max(epoch_us(ts) // 1000000) OVER (
+        |        ORDER BY event_id // 100, user_id % 4, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      - epoch_us(ts) // 1000000, 0)) AS late_s
+        |  FROM events)
+        |SELECT event_type,
+        |  CASE WHEN late_s = 0 THEN '00_on_time'
+        |       WHEN late_s <= 60 THEN '01_le_60s'
+        |       WHEN late_s <= 300 THEN '02_le_300s'
+        |       WHEN late_s <= 3600 THEN '03_le_3600s'
+        |       ELSE '04_gt_3600s' END AS late_bucket,
+        |  count(*) AS n_events, sum(late_s) AS total_late_s
+        |FROM lat GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // string_agg ORDER BY (ts, event_id) is the same total order the
     // Spark side gets from array_sort over the (ts, event_id, type)
     // struct, so the path strings match byte-for-byte

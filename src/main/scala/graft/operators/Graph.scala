@@ -335,8 +335,141 @@ object Graph {
     } finally adj.unpersist(blocking = false)
   }
 
+  /** K-CORE PEELING (k=65) on the part CO-PURCHASE graph (parts
+    * appearing in the same order — the market-basket projection; the
+    * co-supplier graph the sibling operators use is a clique at
+    * small SF, which peels trivially, while the part graph keeps a
+    * natural degree spread at every SF) — the canonical
+    * coreness/robustness decomposition (Seidman 1983; the distributed
+    * synchronous peel is the standard Pregel formulation): each round
+    * simultaneously deletes every node whose degree among SURVIVORS
+    * is < k, and a node's `peel_round` is the round that deleted it
+    * (0 = survived all rounds = member of the k-core). Synchronous
+    * rounds make the decomposition deterministic — no peel order to
+    * disagree on — and the round index itself is the "onion layer"
+    * signal (early-peeled ⇒ peripheral).
+    *
+    * Superstep shape (same discipline as [[graph_pagerank]]): the
+    * adjacency persists once; each round is two left-semi joins
+    * (restrict adj to surviving endpoints) + one map-side-combined
+    * count + one anti-join to split removed/survivors, with the
+    * LogicalRDD rebind keeping plans constant-size. Nodes whose last
+    * neighbor died vanish from the degree aggregate entirely — the
+    * anti-join (not a `deg < k` filter) is what catches them. Fixed
+    * 8 rounds bound the superstep count; GraphSpec asserts the peel
+    * reaches its fixpoint within them at test SF (at 100 TB the loop
+    * would watch the observe-metric convergence counter the
+    * dedup_clusters CC loop uses). Edge generation is the per-order
+    * C(items, 2) self-join — bounded per order, embarrassingly
+    * parallel. Exact integer counting throughout → the whole peel
+    * replays as 8 unrolled MATERIALIZED CTE rounds in DuckDB. */
+  def graph_kcore(s: SparkSession, d: String, k: Int = 65, iters: Int = 8): DataFrame = {
+    import s.implicits._
+    val os = Tables.lineitem(s, d)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+    val e0 = os.as("a").join(os.as("b"),
+        $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+      .select($"a.pk".as("u"), $"b.pk".as("v")).distinct()
+    val adj = e0.select($"u".as("node"), $"v".as("nbr"))
+      .union(e0.select($"v".as("node"), $"u".as("nbr")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cached = materializeRound(adj.select($"node").distinct())
+      var alive = rebind(cached)
+      val peeled = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      for (r <- 1 to iters) {
+        val adjAlive = adj
+          .join(alive.select($"node"), Seq("node"), "left_semi")
+          .join(alive.select($"node".as("nbr")), Seq("nbr"), "left_semi")
+        val survivors = adjAlive.groupBy($"node")
+          .agg(count(lit(1)).as("deg"))
+          .filter($"deg" >= k).select($"node")
+        val removed = alive.join(survivors, Seq("node"), "left_anti")
+          .select($"node", lit(r.toLong).as("peel_round"))
+        val removedCached = materializeRound(removed)
+        graft.CacheRegistry.track(removedCached)
+        peeled += rebind(removedCached)
+        val nextCached = materializeRound(alive.join(
+          removedCached.select($"node"), Seq("node"), "left_anti"))
+        cached.unpersist(blocking = false)
+        cached = nextCached
+        alive = rebind(cached)
+      }
+      val out = peeled
+        .reduce(_.unionByName(_))
+        .unionByName(alive.select($"node", lit(0L).as("peel_round")))
+        .select($"node".as("p_partkey"), $"peel_round")
+      val rows = out.persist(StorageLevel.MEMORY_AND_DISK)
+      rows.count()
+      graft.CacheRegistry.track(rows)
+      cached.unpersist(blocking = false)
+      rebind(rows).orderBy($"p_partkey")
+    } finally adj.unpersist(blocking = false)
+  }
+
+  /** LINK PREDICTION by common-neighbor Jaccard (Liben-Nowell &
+    * Kleinberg 2003 — the classic structural-similarity score) on the
+    * part co-purchase graph ([[graph_kcore]]'s substrate — the
+    * co-supplier graph is a clique at small SF and has no non-edges
+    * to predict): for every NON-edge pair (u, v) at distance 2,
+    * score = |N(u)∩N(v)| / |N(u)∪N(v)| in exact ppm (floored), and
+    * report the global top-100 candidates — "parts most likely to be
+    * co-purchased next", the market-basket recommendation primitive.
+    *
+    * Shape: common-neighbor counts come from ONE wedge self-join at
+    * the shared neighbor (adj ⋈ adj on the center node, nbr< nbr
+    * canonicalizing the pair) + a map-side-combined count; existing
+    * edges leave via one anti-join; union size is du + dv − common
+    * (degrees joined, never re-scanned). The wedge volume at a center
+    * w is C(deg(w), 2) — the skew hazard — so centers above
+    * `hubCap`=1000 neighbors are excluded from wedge generation (a
+    * documented score change, applied identically in the DuckDB
+    * oracle: at production scale a 10^6-degree hub would otherwise
+    * emit 5·10^11 wedges while contributing ~0 Jaccard signal, the
+    * celebrity-node guard every production link-prediction pipeline
+    * ships). Top-100 by the TOTAL order (score DESC, common DESC, u,
+    * v) → Spark plans TakeOrderedAndProject (per-partition heaps, no
+    * global sort). Integer-exact throughout → full DuckDB hash
+    * oracle. */
+  def graph_jaccard_links(s: SparkSession, d: String, topN: Int = 100): DataFrame = {
+    import s.implicits._
+    val hubCap = 1000L
+    val os = Tables.lineitem(s, d)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+    val e0 = os.as("a").join(os.as("b"),
+        $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+      .select($"a.pk".as("u"), $"b.pk".as("v")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val adj = e0.select($"u".as("node"), $"v".as("nbr"))
+        .union(e0.select($"v".as("node"), $"u".as("nbr")))
+      val deg = adj.groupBy($"node").agg(count(lit(1)).as("deg"))
+      val centers = adj.join(
+        deg.filter($"deg" <= hubCap).select($"node"), Seq("node"), "left_semi")
+      val common = centers.as("a").join(centers.as("b"),
+          $"a.node" === $"b.node" && $"a.nbr" < $"b.nbr")
+        .groupBy($"a.nbr".as("u"), $"b.nbr".as("v"))
+        .agg(count(lit(1)).as("common"))
+        .join(e0, Seq("u", "v"), "left_anti")
+      val scored = common
+        .join(deg.select($"node".as("u"), $"deg".as("du")), Seq("u"))
+        .join(deg.select($"node".as("v"), $"deg".as("dv")), Seq("v"))
+        .select($"u", $"v", $"common",
+          expr("1000000 * common div (du + dv - common)").as("jaccard_ppm"))
+      val rows = scored
+        .orderBy($"jaccard_ppm".desc, $"common".desc, $"u", $"v")
+        .limit(topN)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      rows.count()
+      graft.CacheRegistry.track(rows)
+      rebind(rows).orderBy($"jaccard_ppm".desc, $"common".desc, $"u", $"v")
+    } finally e0.unpersist(blocking = false)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_bfs_layers" -> ((s, d) => graph_bfs_layers(s, d)),
+    "graph_kcore" -> ((s, d) => graph_kcore(s, d)),
+    "graph_jaccard_links" -> ((s, d) => graph_jaccard_links(s, d)),
     "graph_pagerank" -> ((s, d) => graph_pagerank(s, d)),
     "graph_label_prop" -> ((s, d) => graph_label_prop(s, d)),
     "graph_triangles" -> graph_triangles _)
@@ -456,7 +589,73 @@ object Graph {
        |FROM b$iters ORDER BY 1""".stripMargin
   }
 
+  /** The unrolled k-core peel rounds: each survivor set is the
+    * HAVING count(*) >= k aggregate over the adjacency restricted to
+    * the previous survivors on BOTH endpoints, and the removed set is
+    * the set difference — nodes whose last neighbor died vanish from
+    * the aggregate, which EXCEPT catches exactly like the Spark
+    * anti-join. MATERIALIZED for the usual CTE-inlining reason (each
+    * round is referenced three times: both join legs + the diff). */
+  private def kcoreOracle(k: Int, iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""a$i AS MATERIALIZED (
+         |  SELECT a.node FROM adj a
+         |  JOIN a${i - 1} x ON a.node = x.node
+         |  JOIN a${i - 1} y ON a.nbr = y.node
+         |  GROUP BY 1 HAVING count(*) >= $k),
+         |rm$i AS MATERIALIZED (
+         |  SELECT node FROM a${i - 1} EXCEPT SELECT node FROM a$i)""".stripMargin
+    }.mkString(",\n")
+    val peeled = (1 to iters).map(i =>
+      s"SELECT node, CAST($i AS BIGINT) AS peel_round FROM rm$i").mkString("\n  UNION ALL ")
+    s"""WITH os AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |e0 AS (
+       |  SELECT DISTINCT a.pk AS u, b.pk AS v
+       |  FROM os a JOIN os b ON a.ok = b.ok AND a.pk < b.pk),
+       |adj AS MATERIALIZED (
+       |  SELECT u AS node, v AS nbr FROM e0
+       |  UNION ALL SELECT v, u FROM e0),
+       |a0 AS MATERIALIZED (SELECT DISTINCT node FROM adj),
+       |$rounds
+       |SELECT node AS p_partkey, peel_round FROM (
+       |  $peeled
+       |  UNION ALL SELECT node, CAST(0 AS BIGINT) FROM a$iters)
+       |ORDER BY 1""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "graph_kcore" -> kcoreOracle(65, 8),
+    "graph_jaccard_links" ->
+      """WITH os AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e0 AS MATERIALIZED (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM os a JOIN os b ON a.ok = b.ok AND a.pk < b.pk),
+        |adj AS MATERIALIZED (
+        |  SELECT u AS node, v AS nbr FROM e0
+        |  UNION ALL SELECT v, u FROM e0),
+        |deg AS MATERIALIZED (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+        |centers AS (
+        |  SELECT a.node, a.nbr FROM adj a
+        |  JOIN deg d ON a.node = d.node AND d.deg <= 1000),
+        |common AS (
+        |  SELECT a.nbr AS u, b.nbr AS v, CAST(count(*) AS BIGINT) AS common
+        |  FROM centers a JOIN centers b
+        |    ON a.node = b.node AND a.nbr < b.nbr
+        |  GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT c.u, c.v, c.common FROM common c
+        |  LEFT JOIN e0 e ON c.u = e.u AND c.v = e.v
+        |  WHERE e.u IS NULL)
+        |SELECT c.u, c.v, c.common,
+        |  1000000 * c.common // (du.deg + dv.deg - c.common) AS jaccard_ppm
+        |FROM cand c
+        |JOIN deg du ON c.u = du.node
+        |JOIN deg dv ON c.v = dv.node
+        |ORDER BY jaccard_ppm DESC, c.common DESC, c.u, c.v
+        |LIMIT 100""".stripMargin,
     "graph_bfs_layers" -> bfsOracle(6),
     "graph_pagerank" -> pagerankOracle(8),
     "graph_label_prop" -> labelPropOracle(6),

@@ -365,7 +365,53 @@ object Relational {
       .orderBy($"l_returnflag", $"metric")
   }
 
+  /** GROUPING SETS — the general form q11 (ROLLUP) and q20 (CUBE) are
+    * sugar for: one pass over orders producing exactly the four
+    * requested aggregation granularities ((status, priority),
+    * (status), (priority), ()) — the report-matrix shape warehouse
+    * reporting layers emit, without the unwanted combinations CUBE
+    * would add. Spark expands this to a single Expand + hash
+    * aggregate (one scan, one shuffle — not four unioned subqueries);
+    * absent grouping columns surface as NULL and coalesce to 'ALL'
+    * so the sentinel is engine-independent. */
+  def q26_grouping_sets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupingSets(
+        Seq(Seq($"o_orderstatus", $"o_orderpriority"),
+          Seq($"o_orderstatus"), Seq($"o_orderpriority"), Seq.empty),
+        $"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice"), 2).as("total_price"))
+      .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        $"n_orders", $"total_price")
+      .orderBy($"status", $"priority")
+  }
+
+  /** NTILE — equi-depth bucketing within each group (the quartile
+    * assignment BI layers and feature-binning pipelines lean on):
+    * lineitem rows split into 4 tiles per returnflag by the TOTAL
+    * order (price, orderkey, linenumber — unique, so tile boundaries
+    * are deterministic on every engine), then per-tile row counts and
+    * exact centi-integer price sums. The window partitions by
+    * returnflag — parallel across groups, no global sort — and the
+    * downstream aggregate is map-side combined. */
+  def q27_ntile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"l_returnflag")
+      .orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")
+    Tables.lineitem(s, d)
+      .withColumn("tile", ntile(4).over(w).cast("long"))
+      .groupBy($"l_returnflag", $"tile")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("sum(bigint(floor(l_extendedprice * 100 + 0.5)))").as("price_centi"))
+      .orderBy($"l_returnflag", $"tile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_ntile" -> q27_ntile _,
+    "q26_grouping_sets" -> q26_grouping_sets _,
     "q25_unpivot" -> q25_unpivot _,
     "q24_setops" -> q24_setops _,
     "q23_range_frame" -> q23_range_frame _,
@@ -499,6 +545,21 @@ object Relational {
         |  FROM lineitem
         |  WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber))
         |WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin,
+    "q26_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus,'ALL') AS status, coalesce(o_orderpriority,'ALL') AS priority,
+        | count(*) AS n_orders, round(sum(o_totalprice),2) AS total_price
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin,
+    "q27_ntile" ->
+      """SELECT l_returnflag, tile, count(*) AS n_rows,
+        | sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS price_centi
+        |FROM (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    ntile(4) OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS tile
+        |  FROM lineitem)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q11_rollup" ->
       """SELECT coalesce(o_orderstatus,'ALL') AS status, coalesce(o_orderpriority,'ALL') AS priority,
         | count(*) AS n_orders, round(sum(o_totalprice),2) AS total_price

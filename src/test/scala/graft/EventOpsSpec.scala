@@ -480,6 +480,37 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("ev_late_audit: decomposed watermark equals the sequential merged-arrival replay") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf0001)
+      .selectExpr("user_id", "event_id", "event_type",
+        "bigint(unix_timestamp(ts)) as ets").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    def bucket(l: Long): String =
+      if (l == 0L) "00_on_time" else if (l <= 60L) "01_le_60s"
+      else if (l <= 300L) "02_le_300s" else if (l <= 3600L) "03_le_3600s"
+      else "04_gt_3600s"
+    // the naive form the distributed two-level decomposition must
+    // equal: ONE running max over the merged (batch, shard, event_id)
+    // arrival order
+    val inArrival = ev.sortBy { case (uid, eid, _, _) => (eid / 100, uid % 4, eid) }
+    var wm = Long.MinValue
+    val lates = inArrival.map { case (_, _, typ, ets) =>
+      val late = if (wm == Long.MinValue) 0L else math.max(0L, wm - ets)
+      wm = math.max(wm, ets)
+      (typ, late)
+    }.toSeq
+    val expected = lates.groupBy(l => (l._1, bucket(l._2)))
+      .map { case ((typ, b), ls) =>
+        (typ, b, ls.size.toLong, ls.map(_._2).sum) }.toSet
+    val got = EventOps.ev_late_audit(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected, "lateness histogram diverged from sequential replay")
+    // premise: the shard-merge arrival model creates real disorder
+    assert(expected.exists(e => e._2 != "00_on_time"),
+      "premise: no late events at sf0.001")
+  }
+
   test("ev_skew_join equals the unsalted join's aggregate") {
     import spark.implicits._
     val ev = Tables.events(spark, sf0001)

@@ -121,6 +121,71 @@ class GraphSpec extends SparkSpec {
     assert(state.values.exists(_._1 >= 1), "premise: a non-seed was reached")
   }
 
+  /** Undirected part co-purchase edges (u < v), rebuilt driver-side. */
+  private def partEdges(): Set[(Long, Long)] = {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .selectExpr("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    li.groupBy(_._1).values.flatMap { rows =>
+      val pks = rows.map(_._2).distinct.sorted
+      for (i <- pks.indices; j <- i + 1 until pks.size) yield (pks(i), pks(j))
+    }.toSet
+  }
+
+  test("graph_kcore equals the sequential synchronous peel and reaches its fixpoint in 8 rounds") {
+    val edges = partEdges()
+    val adj = (edges.toSeq ++ edges.toSeq.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var alive = adj.keySet
+    val peel = scala.collection.mutable.Map.empty[Long, Long]
+    for (r <- 1 to 8) {
+      val removed = alive.filter(v => (adj(v) intersect alive).size < 65)
+      removed.foreach(v => peel(v) = r.toLong)
+      alive = alive -- removed
+    }
+    alive.foreach(v => peel(v) = 0L)
+    val got = Graph.graph_kcore(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    CacheRegistry.releaseAll()
+    assert(got == peel.toMap, "distributed k-core peel diverged from sequential replay")
+    // the 8-round bound actually suffices at this SF: the surviving
+    // set is a true 65-core (one more peel round removes nothing)
+    assert(alive.forall(v => (adj(v) intersect alive).size >= 65),
+      "peel did not reach its fixpoint within 8 rounds")
+    // non-degenerate both ways: something peeled, something survived,
+    // and the peel took more than one round (real onion layers)
+    assert(peel.values.exists(_ > 1L), "degenerate: peel converged in one round")
+    assert(alive.nonEmpty, "degenerate: empty 65-core")
+  }
+
+  test("graph_jaccard_links equals brute-force common-neighbor Jaccard on non-edges") {
+    val edges = partEdges()
+    val adj = (edges.toSeq ++ edges.toSeq.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    // hubCap=1000 must be a no-op at this SF — the cap exists for
+    // production skew, not to change small-scale results
+    assert(deg.values.max <= 1000L, "premise: sf0.001 has no >1000-degree hub")
+    val common = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    for ((w, nbrs) <- adj if deg(w) <= 1000L; s = nbrs.toSeq.sorted;
+         i <- s.indices; j <- i + 1 until s.size) {
+      val key = (s(i), s(j))
+      common(key) = common.getOrElse(key, 0L) + 1L
+    }
+    val expected = common.toSeq
+      .filterNot { case ((u, v), _) => edges.contains((u, v)) }
+      .map { case ((u, v), c) =>
+        (u, v, c, 1000000L * c / (deg(u) + deg(v) - c)) }
+      .sortBy { case (u, v, c, j) => (-j, -c, u, v) }
+      .take(100)
+    val got = Graph.graph_jaccard_links(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    CacheRegistry.releaseAll()
+    assert(got == expected, "distributed Jaccard link scores diverged from brute force")
+    assert(expected.nonEmpty && expected.head._4 > 0L,
+      "degenerate: no positive-score candidate pairs")
+  }
+
   test("graph_label_prop equals the sequential synchronous-LPA replay exactly") {
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
       .selectExpr("l_orderkey", "l_suppkey").distinct().collect()
