@@ -811,7 +811,71 @@ object Similarity {
       .orderBy($"qid", $"fused_rank")
   }
 
+  /** K-NN GRAPH construction — every vector's approximate top-5
+    * neighbors over the WHOLE corpus, not just a query set: the
+    * primitive under graph-based ANN indexes (HNSW/NN-descent start
+    * from exactly this), SemDeDup-style semantic clustering, and
+    * label-propagation over embedding neighborhoods. The all-pairs
+    * form is O(N²·dim) — dead at corpus scale — so candidates come
+    * from the [[ann_lsh]] blocking turned inward: the SAME 64
+    * seed-42 hyperplanes, 16 bands × 4 bits, but the band-key table
+    * equi-joins AGAINST ITSELF (corpus×corpus on (band, bkey)) rather
+    * than against a broadcast query side. Buckets above `cap`=500
+    * members are dropped BEFORE pair enumeration (the
+    * dedup_minhash_lsh hot-bucket discipline — a degenerate key's
+    * C(n,2) blowup is excluded deterministically on both engines;
+    * a no-op at test SF, asserted in SimilaritySpec). Band width is
+    * the density knob at 100 TB: wider bands → exponentially smaller
+    * buckets → linear candidate volume at the same table count.
+    *
+    * Scoring is floor-ppm integer cosine (the ann_cos_range rule) so
+    * the per-node top-5 window ranks on an INTEGER — a 1-ULP cosine
+    * wobble cannot flip adjacent ranks — and the whole composition
+    * (literal planes → band keys → capped self-join → distinct pairs
+    * → rescore → rank) replays in DuckDB and hash-verifies. */
+  def ann_knn_graph(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bands = 16; val r = 4; val cap = 500L; val k = 5
+    val planes = randomPlanes(bands * r, 64)
+    val mask = (1L << r) - 1
+    val e = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding",
+        hyperplaneSignature($"embedding", planes).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val keys = (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned($"sig", b * r).bitwiseAND(lit(mask)).as("bkey"))
+      }
+      val bk = e.select($"vec_id", explode(array(keys: _*)).as("bk"))
+        .select($"vec_id", $"bk.band".as("band"), $"bk.bkey".as("bkey"))
+      val okBuckets = bk.groupBy($"band", $"bkey")
+        .agg(count(lit(1)).as("n")).filter($"n" <= cap)
+        .select($"band", $"bkey")
+      val capped = bk.join(okBuckets, Seq("band", "bkey"), "left_semi")
+      val cand = capped.as("a").join(capped.as("b"),
+          $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
+            $"a.vec_id" =!= $"b.vec_id")
+        .select($"a.vec_id".as("nid"), $"b.vec_id".as("nbr")).distinct()
+      val scored = cand
+        .join(e.select($"vec_id".as("nid"), $"embedding".as("v1")), "nid")
+        .join(e.select($"vec_id".as("nbr"), $"embedding".as("v2")), "nbr")
+        .select($"nid", $"nbr",
+          floor(cosine($"v1", $"v2") * 1e6).cast("long").as("cos_ppm"))
+      val out = scored.withColumn("rank", row_number().over(
+          Window.partitionBy($"nid").orderBy($"cos_ppm".desc, $"nbr")))
+        .filter($"rank" <= k)
+        .select($"nid", $"rank", $"nbr", $"cos_ppm")
+      val rows = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rows.count()
+      graft.CacheRegistry.track(rows)
+      rows.sparkSession.createDataFrame(rows.rdd, rows.schema)
+        .orderBy($"nid", $"rank")
+    } finally e.unpersist(blocking = false)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_knn_graph" -> ann_knn_graph _,
     "ann_hybrid_rrf" -> ann_hybrid_rrf _,
     "ann_topk_filtered" -> ann_topk_filtered _,
     "ann_topk_brute" -> ann_topk_brute _,
@@ -822,6 +886,42 @@ object Similarity {
     "ann_ivf" -> ann_ivf _,
     "ann_pq" -> ann_pq _,
     "ann_ivfpq" -> ann_ivfpq _)
+
+  /** DuckDB re-derivation of [[ann_knn_graph]]: same literal-plane
+    * replay as [[annLshOracleSql]], but the band-key table self-joins
+    * (capped buckets first) and the rescore ranks on floor-ppm
+    * integer cosine per node. */
+  private def annKnnGraphOracleSql: String = {
+    val planes = randomPlanes(16 * 4, 64)
+    val pl = planes.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd FROM embeddings),
+       |pl AS (SELECT CAST($pl AS DOUBLE[][]) AS planes),
+       |keys AS (
+       |  SELECT vec_id, b.band,
+       |    CAST(sum(CASE WHEN list_inner_product(vd,
+       |          planes[CAST(b.band * 4 + j.j + 1 AS BIGINT)]) >= 0
+       |        THEN (1 << j.j) ELSE 0 END) AS BIGINT) AS bkey
+       |  FROM v, pl, unnest(range(16)) AS b(band), unnest(range(4)) AS j(j)
+       |  GROUP BY vec_id, b.band),
+       |ok AS (SELECT band, bkey FROM keys GROUP BY 1, 2 HAVING count(*) <= 500),
+       |ck AS (SELECT k.* FROM keys k JOIN ok USING (band, bkey)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS nid, b.vec_id AS nbr
+       |  FROM ck a JOIN ck b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id <> b.vec_id),
+       |ranked AS (
+       |  SELECT cand.nid, cand.nbr,
+       |    CAST(floor(list_cosine_similarity(x.vd, y.vd) * 1e6) AS BIGINT) AS cos_ppm,
+       |    row_number() OVER (PARTITION BY cand.nid
+       |      ORDER BY CAST(floor(list_cosine_similarity(x.vd, y.vd) * 1e6) AS BIGINT) DESC,
+       |        cand.nbr) AS rank
+       |  FROM cand
+       |  JOIN v x ON x.vec_id = cand.nid
+       |  JOIN v y ON y.vec_id = cand.nbr)
+       |SELECT nid, CAST(rank AS INTEGER) AS rank, nbr, cos_ppm
+       |FROM ranked WHERE rank <= 5 ORDER BY nid, rank""".stripMargin
+  }
 
   /** DuckDB re-derivation of [[ann_lsh]] — the hyperplane-LSH
     * candidate generation itself verified on a second engine (the
@@ -1124,6 +1224,7 @@ object Similarity {
         Map("ann_ivfpq" -> annIvfPqOracleSql(c, b, p, rerank = 64)) }
       .getOrElse(Map.empty) ++ Map(
     "ann_hybrid_rrf" -> annHybridRrfOracleSql,
+    "ann_knn_graph" -> annKnnGraphOracleSql,
     "ann_lsh" -> annLshOracleSql,
     // identical result by construction (same planes/banding/rescore),
     // so the identical replay oracle — same answer, different

@@ -50,7 +50,8 @@ object SqlSurface {
     * verbatim on Spark: aggregate (q1), EXISTS semijoin (q4), 6-way
     * star join (q5), ROLLUP (q11), HAVING + derived table (q18). */
   private val shared = Seq("q1_agg", "q4_semijoin", "q5_multijoin",
-    "q11_rollup", "q18_having", "q24_setops", "q25_unpivot")
+    "q11_rollup", "q18_having", "q24_setops", "q25_unpivot",
+    "q26_grouping_sets", "q27_ntile")
 
   private def viaSql(relationalKey: String)(s: SparkSession, d: String): DataFrame = {
     registerViews(s, d)

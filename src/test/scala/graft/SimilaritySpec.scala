@@ -58,6 +58,51 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall@5 $recall < 0.8")
   }
 
+  test("ann_knn_graph covers every vector, holds recall vs per-node brute force; bucket cap is a no-op") {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, sf0001)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as e").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    // per-node brute-force top-5 (the recall target)
+    val brute = vecs.keys.map { n =>
+      n -> vecs.keys.filter(_ != n).toSeq
+        .map(m => (m, math.floor(cos(vecs(n), vecs(m)) * 1e6).toLong))
+        .sortBy { case (m, c) => (-c, m) }.take(5).map(_._1).toSet
+    }.toMap
+    val got = Similarity.ann_knn_graph(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    CacheRegistry.releaseAll()
+    val byNode = got.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    // graph property: every vector got SOME neighbors (no isolated
+    // nodes at this SF), ranks are 1..k contiguous
+    assert(byNode.keySet == vecs.keySet, "k-NN graph must cover every vector")
+    got.groupBy(_._1).foreach { case (n, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.size),
+        s"ranks not contiguous for node $n") }
+    val recall = vecs.keys.toSeq
+      .map(n => (brute(n) & byNode.getOrElse(n, Set.empty)).size.toDouble / 5).sum / vecs.size
+    assert(recall >= 0.7, s"mean per-node recall@5 $recall < 0.7")
+    // the hot-bucket cap must not fire at test SF (it exists for
+    // production skew, not to change small-scale results): largest
+    // band bucket stays under 500
+    val planes = graft.functions.VectorFunctions.randomPlanes(64, 64)
+    val maxBucket = vecs.toSeq.flatMap { case (id, v) =>
+      (0 until 16).map { b =>
+        val key = (0 until 4).map { j =>
+          val p = planes(b * 4 + j)
+          if (v.zip(p).map { case (x, y) => x * y }.sum >= 0) 1L << j else 0L
+        }.sum
+        (b, key)
+      }
+    }.groupBy(identity).values.map(_.size).max
+    assert(maxBucket <= 500, s"premise: cap must be a no-op at sf0.001 (max bucket $maxBucket)")
+  }
+
   test("bestCell HOF assignment (k > 64) equals the literal-argmin form and a naive reference") {
     import spark.implicits._
     val e = Tables.embeddings(spark, sf0001)

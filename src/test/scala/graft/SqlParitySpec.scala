@@ -18,6 +18,8 @@ class SqlParitySpec extends SparkSpec {
     "q18_having" -> Relational.q18_having _,
     "q24_setops" -> Relational.q24_setops _,
     "q25_unpivot" -> Relational.q25_unpivot _,
+    "q26_grouping_sets" -> Relational.q26_grouping_sets _,
+    "q27_ntile" -> Relational.q27_ntile _,
     // cross-family SQL-text surface: one per operator family
     "dedup_exact" -> Dedup.dedup_exact _,
     "fs_du" -> MetadataOps.fs_du _,
