@@ -102,17 +102,20 @@ object Scale {
           col("event_type"), col("value"), col("props"))
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$outDir/events.parquet")
-      // Lineitem inflates as N disjoint co-supplier graphs (BOTH keys
-      // offset): nodes, edges and triangles all scale exactly N× — the
-      // honest growth mode for a graph workload (real networks grow
-      // node count with data volume, unlike the events page graph
-      // above). Only the two columns graph_triangles scans; the
-      // operator's pruned ReadSchema never asks for the rest.
+      // Lineitem inflates as N disjoint co-occurrence graphs (ALL
+      // keys offset): nodes, edges and triangles all scale exactly
+      // N× — the honest growth mode for a graph workload (real
+      // networks grow node count with data volume, unlike the events
+      // page graph above). Only the three columns the graph operators
+      // scan (co-supplier: orderkey+suppkey; part co-purchase for
+      // kcore/jaccard: orderkey+partkey, r14); the operators' pruned
+      // ReadSchema never asks for the rest.
       val lit2 = spark.read.parquet(s"$baseDir/lineitem.parquet")
-        .select(col("l_orderkey"), col("l_suppkey"))
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_partkey"))
       (0 until factor).map { i =>
         lit2.select((col("l_orderkey") + lit(i.toLong * (1L << 40))).as("l_orderkey"),
-          (col("l_suppkey") + lit(i.toLong * (1L << 40))).as("l_suppkey"))
+          (col("l_suppkey") + lit(i.toLong * (1L << 40))).as("l_suppkey"),
+          (col("l_partkey") + lit(i.toLong * (1L << 40))).as("l_partkey"))
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
       outDir
@@ -225,7 +228,28 @@ object Scale {
       // and attributed centi-mass scale N×, output stays channel-sized
       // (constant rows), and the single user_id exchange is the only
       // corpus-scale shuffle at every factor.
-      "ev_attribution" -> (graft.operators.EventOps.ev_attribution _))
+      "ev_attribution" -> (graft.operators.EventOps.ev_attribution _),
+      // r14: k-core peel — N disjoint part graphs: peel rounds replay
+      // identically per copy, output rows exactly N× base, wall
+      // ~linear with the constant 8-round tail (the per-round semi
+      // joins are key-partitioned either way).
+      "graph_kcore" -> ((s: SparkSession, dir: String) =>
+        graft.operators.Graph.graph_kcore(s, dir)),
+      // r14: Jaccard link prediction — fixed-output global top-k
+      // under graph growth: wedge volume scales N× (disjoint copies),
+      // the TakeOrderedAndProject output stays EXACTLY 100 rows (N
+      // identical score distributions interleave deterministically by
+      // the (score, common, u, v) total order), wall ~linear.
+      "graph_jaccard_links" -> ((s: SparkSession, dir: String) =>
+        graft.operators.Graph.graph_jaccard_links(s, dir)),
+      // r14: lateness audit — inflated copies are REPLAYED history
+      // (ts unchanged, event_id blocks sequential): every copy ≥ 1
+      // opens with the watermark already at the corpus max, so its
+      // whole population lands in the deep-lateness buckets — the
+      // deterministic re-ingest regime. Output stays bucket-sized
+      // (≤ types × 5 rows); the one growing structure is the
+      // (batch, shard) spine, still metadata-scale; wall ~linear.
+      "ev_late_audit" -> (graft.operators.EventOps.ev_late_audit _))
     // r13: SemDeDup rides along with its DOCUMENTED posture applied —
     // k grows with the corpus (32·factor), holding E[|cell|] flat, so
     // per-cell pair volume (and wall time) should stay ~linear; past
@@ -239,8 +263,24 @@ object Scale {
           graft.operators.Similarity.trainSlice(s, dir, e),
           k = 32 * factor, iters = 1, threshPpm = 300000L)
       }
+    // r14: k-NN graph with its DOCUMENTED posture applied — (bands, r)
+    // widens with the corpus so per-band bucket population (~N·V/2^r)
+    // stays roughly flat and candidate volume stays ~linear; holding
+    // 16×4 while the corpus grows 30× would fatten every bucket 30×
+    // and the capped-bucket governor would start dropping instead
+    // (also under measurement: cap stays silent when r scales).
+    def knnAt(factor: Int): (SparkSession, String) => DataFrame = {
+      // (6,9) at x30 left ~117 vectors per bucket → 42M candidate
+      // pairs carrying 64-dim array payloads → executor OOM; (5,12)
+      // holds buckets at ~15 and pairs at ~5M (measured)
+      val (bands, r) =
+        if (factor >= 30) (5, 12) else if (factor >= 10) (8, 8) else (16, 4)
+      (s, dir) => graft.operators.Similarity.annKnnGraph(
+        s, dir, bands = bands, r = r, cap = 500L, k = 5)
+    }
     def queriesFor(factor: Int): Seq[(String, (SparkSession, String) => DataFrame)] = {
-      val all = allQueries :+ ("dedup_semantic" -> semanticAt(factor))
+      val all = allQueries :+ ("dedup_semantic" -> semanticAt(factor)) :+
+        ("ann_knn_graph" -> knnAt(factor))
       queryFilter.map(f => all.filter(q => f(q._1))).getOrElse(all)
     }
 

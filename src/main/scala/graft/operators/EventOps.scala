@@ -888,7 +888,56 @@ object EventOps {
       .orderBy($"event_type", $"late_bucket")
   }
 
+  /** COUNT-MIN SKETCH (Cormode & Muthukrishnan 2005) with exact
+    * overestimate accounting — the bounded-memory frequency sketch
+    * that complements [[ev_heavy_hitters]]'s SpaceSaving (which keeps
+    * ONLY the top keys; CMS answers point queries for EVERY key from
+    * 192 counters): depth 3 × width 64, hash_j(key) = ((a_j·(key mod
+    * p) + b_j) mod p) mod 64 with p = 2^31−1 and fixed small a_j
+    * (< 2^17, so the product stays < 2^48 — no ANSI overflow at any
+    * key scale), estimate = min_j cell(j, h_j). The sketch build is
+    * ONE map-side-combined aggregate over the 3×-exploded event
+    * stream collapsing to 192 cells — the mergeable-partial shape
+    * that makes CMS distributable (partial sketches sum cellwise;
+    * Spark's partial agg IS that merge). The 192-cell table is then
+    * broadcast back to score every key: true per-key count vs sketch
+    * estimate vs the overestimate (always ≥ 0 — CMS never
+    * undercounts; EventOpsSpec asserts both the one-sided error and
+    * the ε = e/w expected-error bound). Pure integer arithmetic with
+    * literal hash constants → the whole sketch replays verbatim in
+    * DuckDB. */
+  /** The CMS hash family, shared verbatim with the streaming twin
+    * ([[graft.streaming.StreamingOps.cmsStream]]) so the two surfaces
+    * cannot drift: (row, cell) struct per depth row for a key column. */
+  private[graft] def cmsCells(keyCol: String): Seq[org.apache.spark.sql.Column] = {
+    val p = 2147483647L // 2^31 - 1 (prime)
+    val as = Seq(92821L, 48271L, 16807L)
+    val bs = Seq(30269L, 49297L, 69621L)
+    (0 until 3).map { j =>
+      struct(lit(j.toLong).as("row"),
+        expr(s"((${as(j)} * ($keyCol % $p) + ${bs(j)}) % $p) % 64").as("cell"))
+    }
+  }
+
+  def ev_cms(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d).select($"user_id".as("key"))
+    val sketch = ev.select(explode(array(cmsCells("key"): _*)).as("rc"))
+      .groupBy($"rc.row".as("row"), $"rc.cell".as("cell"))
+      .agg(count(lit(1)).as("n"))
+    val truth = ev.groupBy($"key").agg(count(lit(1)).as("true_n"))
+    val probes = truth.select($"key", $"true_n",
+        explode(array(cmsCells("key"): _*)).as("rc"))
+      .select($"key", $"true_n", $"rc.row".as("row"), $"rc.cell".as("cell"))
+    probes.join(broadcast(sketch), Seq("row", "cell"))
+      .groupBy($"key", $"true_n").agg(min($"n").as("cms_n"))
+      .select($"key".as("user_id"), $"true_n", $"cms_n",
+        ($"cms_n" - $"true_n").as("overestimate"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_cms" -> ev_cms _,
     "ev_late_audit" -> ev_late_audit _,
     "ev_funnel_paths" -> ev_funnel_paths _,
     "ev_ab_stats" -> ev_ab_stats _,
@@ -918,6 +967,27 @@ object EventOps {
     "ev_approx_uniques" -> ev_approx_uniques _)
 
   val oracle: Map[String, String] = Map(
+    "ev_cms" ->
+      """WITH ev AS (SELECT user_id AS key FROM events),
+        |h AS (
+        |  SELECT key, j.j AS row,
+        |    ((CASE j.j WHEN 0 THEN 92821 WHEN 1 THEN 48271 ELSE 16807 END
+        |      * (key % 2147483647)
+        |      + CASE j.j WHEN 0 THEN 30269 WHEN 1 THEN 49297 ELSE 69621 END)
+        |     % 2147483647) % 64 AS cell
+        |  FROM ev, unnest(range(3)) AS j(j)),
+        |sketch AS (
+        |  SELECT row, cell, CAST(count(*) AS BIGINT) AS n
+        |  FROM h GROUP BY 1, 2),
+        |truth AS (
+        |  SELECT key, CAST(count(*) AS BIGINT) AS true_n FROM ev GROUP BY 1),
+        |probes AS (
+        |  SELECT DISTINCT t.key, t.true_n, h.row, h.cell
+        |  FROM truth t JOIN h ON h.key = t.key)
+        |SELECT p.key AS user_id, p.true_n, min(s.n) AS cms_n,
+        |  min(s.n) - p.true_n AS overestimate
+        |FROM probes p JOIN sketch s ON p.row = s.row AND p.cell = s.cell
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     // epoch_us // 1000000 floors to whole seconds exactly like
     // Spark's unix_timestamp; CAST(epoch(ts) AS BIGINT) would ROUND
     // the fractional part and drift ±1 s on sub-second timestamps

@@ -833,9 +833,18 @@ object Similarity {
     * wobble cannot flip adjacent ranks — and the whole composition
     * (literal planes → band keys → capped self-join → distinct pairs
     * → rescore → rank) replays in DuckDB and hash-verifies. */
-  def ann_knn_graph(s: SparkSession, d: String): DataFrame = {
+  def ann_knn_graph(s: SparkSession, d: String): DataFrame =
+    annKnnGraph(s, d, bands = 16, r = 4, cap = 500L, k = 5)
+
+  /** Parameterized k-NN graph — (bands, r) is the corpus-density
+    * knob the Scale suite turns: bucket population ~ N/2^r per band,
+    * so growing corpora hold candidate volume linear by widening r
+    * (fewer, wider bands over the same 64-bit signature) instead of
+    * letting buckets fatten quadratically. */
+  def annKnnGraph(s: SparkSession, d: String, bands: Int, r: Int,
+      cap: Long, k: Int): DataFrame = {
     import s.implicits._
-    val bands = 16; val r = 4; val cap = 500L; val k = 5
+    require(bands * r <= 64, "signature holds at most 64 plane bits")
     val planes = randomPlanes(bands * r, 64)
     val mask = (1L << r) - 1
     val e = Tables.embeddings(s, d)

@@ -124,6 +124,28 @@ object StreamingOps extends Serializable {
       .withColumn("alert",
         col("burn_fast_ppm") >= 1000000L && col("burn_slow_ppm") >= 1000000L)
 
+  /** Streaming COUNT-MIN SKETCH build — the 192-cell frequency sketch
+    * ([[graft.operators.EventOps.ev_cms]]) as continuously-maintained
+    * aggregation state, which is the deployment CMS was designed for
+    * (bounded-memory frequency over an unbounded stream). The cell
+    * keyspace is FIXED (3 × 64), so state is 192 rows forever — no
+    * watermark, nothing to expire — and each micro-batch's partial
+    * sketch merges cellwise through the same map-side combine the
+    * batch build uses (cellwise SUM is the CMS merge operation;
+    * order-independence is why the streamed sketch equals the batch
+    * sketch exactly, asserted under reversed multi-chunk ingest in
+    * StreamingSpec). The hash family is shared VERBATIM with the
+    * batch operator via [[graft.operators.EventOps.cmsCells]], so the
+    * two surfaces cannot drift. Complete-mode output IS the sketch
+    * table; point estimates are min-of-3 lookups against it, exactly
+    * as in batch. */
+  def cmsStream(events: DataFrame): DataFrame =
+    events
+      .select(explode(array(
+        graft.operators.EventOps.cmsCells("user_id"): _*)).as("rc"))
+      .groupBy(col("rc.row").as("row"), col("rc.cell").as("cell"))
+      .agg(count(lit(1)).as("n"))
+
   /** STREAM-STATIC enrichment join — the dimension-lookup every event
     * pipeline runs: each micro-batch joins against the static (batch)
     * dimension with no state at all (the static side re-resolves per

@@ -511,6 +511,36 @@ class EventOpsSpec extends SparkSpec {
       "premise: no late events at sf0.001")
   }
 
+  test("ev_cms: estimates equal a sequential sketch replay, never undercount, and meet the ε bound") {
+    import spark.implicits._
+    // sf0.01, not sf0.001: the tiny corpus has only 15 users over 64
+    // cells — zero collisions, so the lossy path would go untested
+    val keys = Tables.events(spark, sf001)
+      .select($"user_id").collect().map(_.getLong(0))
+    val p = 2147483647L
+    val as = Seq(92821L, 48271L, 16807L); val bs = Seq(30269L, 49297L, 69621L)
+    def h(j: Int, k: Long): Long = ((as(j) * (k % p) + bs(j)) % p) % 64
+    val sketch = Array.fill(3, 64)(0L)
+    keys.foreach(k => (0 until 3).foreach(j => sketch(j)(h(j, k).toInt) += 1))
+    val truth = keys.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = truth.map { case (k, t) =>
+      (k, t, (0 until 3).map(j => sketch(j)(h(j, k).toInt)).min) }
+      .map { case (k, t, e) => (k, t, e, e - t) }.toSet
+    val got = EventOps.ev_cms(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected, "CMS estimates diverged from the sequential sketch replay")
+    // CMS is one-sided: estimate >= truth always
+    assert(got.forall(_._4 >= 0L), "CMS undercounted a key")
+    // expected-error sanity: mean overestimate <= 2 * N/w (the e/w
+    // Markov bound with slack for the tiny width)
+    val n = keys.length.toLong
+    val meanOver = got.toSeq.map(_._4).sum.toDouble / got.size
+    assert(meanOver <= 2.0 * n / 64,
+      s"mean overestimate $meanOver exceeds twice the N/w bound ${2.0 * n / 64}")
+    // premise: collisions actually happened (the sketch is lossy here)
+    assert(got.exists(_._4 > 0L), "premise: no collisions — width too wide to test anything")
+  }
+
   test("ev_skew_join equals the unsalted join's aggregate") {
     import spark.implicits._
     val ev = Tables.events(spark, sf0001)

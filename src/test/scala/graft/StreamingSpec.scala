@@ -212,6 +212,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CMS sketch equals the batch sketch under reversed split ingest; estimates match ev_cms") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[EvFull]
+    val q = StreamingOps.cmsStream(ms.toDF())
+      .writeStream.format("memory").queryName("t_cms")
+      .outputMode("complete").start()
+    try {
+      // reversed split ingest: cellwise-sum merge must be
+      // order-independent across micro-batches
+      val evs = loadEvents()
+      val (a, b) = evs.splitAt(evs.length / 2)
+      ms.addData(b.reverse)
+      drain(q)
+      ms.addData(a.reverse)
+      drain(q)
+      val got = spark.table("t_cms").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // batch sketch replayed sequentially with the shared hash family
+      val p = 2147483647L
+      val as = Seq(92821L, 48271L, 16807L); val bs = Seq(30269L, 49297L, 69621L)
+      def h(j: Int, k: Long): Long = ((as(j) * (k % p) + bs(j)) % p) % 64
+      val exp = evs.flatMap(e => (0 until 3).map(j => (j.toLong, h(j, e.user_id))))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(got == exp, "streamed CMS cells diverged from the sequential sketch")
+      // the streamed sketch answers point queries exactly like ev_cms
+      val cmsN = EventOps.ev_cms(spark, sf0001).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      cmsN.foreach { case (k, est) =>
+        val streamed = (0 until 3).map(j => got((j.toLong, h(j, k)))).min
+        assert(streamed == est, s"estimate for key $k: streamed $streamed vs batch $est")
+      }
+    } finally q.stop()
+  }
+
   test("streaming burn-rate alerts equal batch ev_burn_rate under split ingest") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
