@@ -108,11 +108,28 @@ object SqlSurface {
       | CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** LATERAL correlated subquery — the per-row dependent-subquery SQL
+    * surface (top-3 customers per nation by balance): one
+    * dialect-neutral statement both engines run verbatim. Spark
+    * decorrelates the ORDER BY … LIMIT subquery into a per-nation
+    * rank window (DecorrelateInnerQuery) — the same physical shape as
+    * the DataFrame groupTopK — so the SQL persona pays no
+    * nested-loop; the (acctbal DESC, custkey) LIMIT order is total,
+    * making the row set engine-independent. */
+  private val lateralTopkSql =
+    """SELECT n.n_name, t.c_name, t.c_acctbal
+      |FROM nation n,
+      |LATERAL (SELECT c_name, c_acctbal FROM customer c
+      |         WHERE c.c_nationkey = n.n_nationkey
+      |         ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t
+      |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin
+
   private val crossFamily: Seq[(String, String)] = Seq(
     "dedup_exact" -> Dedup.oracle("dedup_exact"),
     "fs_du" -> MetadataOps.oracle("fs_du"),
     "mr_join" -> MapReduceOps.oracle("mr_join"),
     "ev_window_agg" -> EventOps.oracle("ev_window_agg"),
+    "lateral_topk" -> lateralTopkSql,
     "text_corpus_stats" -> textCorpusStatsSql)
 
   private def viaText(sql: String)(s: SparkSession, d: String): DataFrame = {

@@ -706,7 +706,62 @@ object Sources {
       .orderBy($"priority")
   }
 
+  /** PERMISSIVE CSV ingest with malformed-row accounting — the
+    * dirty-flat-file reality src_csv_agg's clean export skips: real
+    * feeds carry rows that don't parse, and the ingest contract is
+    * (a) don't fail the job, (b) keep every parseable field, (c)
+    * COUNT what was dropped, per partition of the data, so the feed
+    * owner gets a quality report rather than a stack trace.
+    *
+    * Setup (once per dir): supplier exported as raw CSV lines with a
+    * DETERMINISTIC corruption — every s_suppkey % 7 == 0 row writes
+    * its acctbal as the unparseable token 'BAD'. Read back under
+    * PERMISSIVE mode with an explicit schema + corrupt-record column:
+    * a bad token nulls ITS column and captures the raw line in
+    * `_corrupt_record`, while the row's other fields (the grouping
+    * key included) still parse — so the report can attribute corrupt
+    * rows to their nation. Per nation: total rows, corrupt count,
+    * exact cents sum over the rows whose amount survived. The oracle
+    * re-derives the corruption rule from the parquet table (% 7), so
+    * the hash proves PERMISSIVE did exactly what it promises: dropped
+    * the bad column values, kept everything else, lost nothing. */
+  def src_csv_permissive(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_csvperm_${dirTag(d)}")
+    exportOnce(s"csvperm:$d") {
+      Tables.supplier(s, d)
+        .select(concat_ws(",", $"s_suppkey", $"s_nationkey",
+          when($"s_suppkey" % 7 === 0, lit("BAD"))
+            .otherwise($"s_acctbal".cast("string"))).as("value"))
+        .write.mode("overwrite").text(dir.getPath)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("s_suppkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s_nationkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s_acctbal",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("_corrupt_record",
+        org.apache.spark.sql.types.StringType)))
+    s.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema)
+      .csv(dir.getPath)
+      // nationkey re-narrows to the parquet table's int32 so the
+      // oracle's GROUP BY over the parquet column type-matches
+      .groupBy($"s_nationkey".cast("int").as("s_nationkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when($"_corrupt_record".isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+        sum(when($"s_acctbal".isNotNull,
+          expr("bigint(round(s_acctbal * 100))")).otherwise(0L)).as("good_cents"))
+      .orderBy($"s_nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_csv_permissive" -> src_csv_permissive _,
     "src_schema_evolution" -> src_schema_evolution _,
     "src_sequencefile_agg" -> src_sequencefile_agg _,
     "src_avro_agg" -> src_avro_agg _,
@@ -725,6 +780,12 @@ object Sources {
     "src_partitioned_prune" -> src_partitioned_prune _)
 
   val oracle: Map[String, String] = Map(
+    "src_csv_permissive" ->
+      """SELECT s_nationkey, count(*) AS n_rows,
+        | CAST(count(*) FILTER (s_suppkey % 7 = 0) AS BIGINT) AS n_corrupt,
+        | CAST(sum(CASE WHEN s_suppkey % 7 = 0 THEN 0
+        |   ELSE CAST(round(s_acctbal * 100) AS BIGINT) END) AS BIGINT) AS good_cents
+        |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin,
     "src_schema_evolution" ->
       """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'LEGACY'
         |            ELSE o_orderpriority END AS priority,

@@ -337,4 +337,26 @@ class SourcesSpec extends SparkSpec {
     val viaMerge = merged.agg(count(lit(1)), sum($"total_centi")).collect()(0)
     assert(viaMerge == direct)
   }
+
+  test("src_csv_permissive: corrupt rows are counted not dropped, and only the bad column nulls") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val got = Sources.src_csv_permissive(spark, sf0001).collect()
+      .map(r => r.getInt(0).toLong -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val sup = Tables.supplier(spark, sf0001)
+      .selectExpr("bigint(s_nationkey) as s_nationkey", "s_suppkey % 7 = 0 as bad",
+        "bigint(round(s_acctbal * 100)) as cents").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+    // premise: the corruption actually planted something
+    assert(sup.exists(_._2), "premise: no suppkey % 7 == 0 rows at sf0.001")
+    sup.groupBy(_._1).foreach { case (nk, rows) =>
+      val (n, corrupt, cents) = got(nk)
+      // nothing dropped: PERMISSIVE keeps every line as a row
+      assert(n == rows.size.toLong, s"nation $nk lost rows")
+      // corrupt count = planted count (the grouping key still parsed)
+      assert(corrupt == rows.count(_._2).toLong, s"nation $nk corrupt count")
+      // cents only over the rows whose amount survived
+      assert(cents == rows.filterNot(_._2).map(_._3).sum, s"nation $nk cents")
+    }
+  }
 }
