@@ -883,7 +883,52 @@ object Similarity {
     } finally e.unpersist(blocking = false)
   }
 
+  /** LSH BANDING CAPACITY PLANNER — the report an operator runs
+    * BEFORE committing a band width at a new corpus scale (the
+    * decision the ann_knn_graph 30×-inflation run showed is
+    * load-bearing: a too-narrow r left 117 vectors per bucket and
+    * OOM'd the pair join; one step wider ran in 9 s). From ONE
+    * signature pass over the same 64 seed-42 hyperplanes every LSH
+    * operator here shares, report for each candidate width r ∈ {4, 8,
+    * 16} (bands = 64/r): non-empty bucket count, the hottest bucket,
+    * and the exact candidate-pair volume Σ C(|bucket|, 2) a
+    * self-join at that banding would generate — the number that must
+    * stay ~linear in the corpus. Three aggregate sweeps over the one
+    * persisted signature (no pair is ever materialized — the planner
+    * costs O(N·bands), not O(pairs)); all-integer output with a
+    * literal-plane DuckDB replay. */
+  def ann_lsh_tuning(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val planes = randomPlanes(64, 64)
+    val e = Tables.embeddings(s, d)
+      .select(hyperplaneSignature($"embedding", planes).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val reports = Seq(4, 8, 16).map { r =>
+        val bands = 64 / r
+        val mask = (1L << r) - 1
+        val keys = (0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned($"sig", b * r).bitwiseAND(lit(mask)).as("bkey"))
+        }
+        e.select(explode(array(keys: _*)).as("bk"))
+          .groupBy($"bk.band".as("band"), $"bk.bkey".as("bkey"))
+          .agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("n_buckets"), max($"n").as("max_bucket"),
+            sum(expr("n * (n - 1) div 2")).as("cand_pairs"))
+          .select(lit(r.toLong).as("r"), lit(bands.toLong).as("bands"),
+            $"n_buckets", $"max_bucket", $"cand_pairs")
+      }
+      val out = reports.reduce(_.unionByName(_))
+      val rows = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rows.count()
+      graft.CacheRegistry.track(rows)
+      rows.sparkSession.createDataFrame(rows.rdd, rows.schema).orderBy($"r")
+    } finally e.unpersist(blocking = false)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_lsh_tuning" -> ann_lsh_tuning _,
     "ann_knn_graph" -> ann_knn_graph _,
     "ann_hybrid_rrf" -> ann_hybrid_rrf _,
     "ann_topk_filtered" -> ann_topk_filtered _,
@@ -895,6 +940,36 @@ object Similarity {
     "ann_ivf" -> ann_ivf _,
     "ann_pq" -> ann_pq _,
     "ann_ivfpq" -> ann_ivfpq _)
+
+  /** DuckDB re-derivation of [[ann_lsh_tuning]]: literal planes, one
+    * keys CTE per candidate width, bucket rollup + exact pair
+    * arithmetic per width, UNION ALL. */
+  private def annLshTuningOracleSql: String = {
+    val planes = randomPlanes(64, 64)
+    val pl = planes.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    // two aggregation levels per block: per-vector band key first,
+    // then per-(band, key) bucket sizes, then the width rollup
+    val blocks = Seq(4, 8, 16).map { r =>
+      val bands = 64 / r
+      s"""SELECT CAST($r AS BIGINT) AS r, CAST($bands AS BIGINT) AS bands,
+         |  CAST(count(*) AS BIGINT) AS n_buckets,
+         |  max(n) AS max_bucket, sum(n * (n - 1) // 2) AS cand_pairs
+         |FROM (
+         |  SELECT band, bkey, CAST(count(*) AS BIGINT) AS n FROM (
+         |    SELECT vec_id, b.band,
+         |      CAST(sum(CASE WHEN list_inner_product(vd,
+         |            planes[CAST(b.band * $r + j.j + 1 AS BIGINT)]) >= 0
+         |          THEN (1 << j.j) ELSE 0 END) AS BIGINT) AS bkey
+         |    FROM v, pl, unnest(range($bands)) AS b(band), unnest(range($r)) AS j(j)
+         |    GROUP BY vec_id, b.band)
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd FROM embeddings),
+       |pl AS (SELECT CAST($pl AS DOUBLE[][]) AS planes)
+       |$blocks
+       |ORDER BY r""".stripMargin
+  }
 
   /** DuckDB re-derivation of [[ann_knn_graph]]: same literal-plane
     * replay as [[annLshOracleSql]], but the band-key table self-joins
@@ -1233,6 +1308,7 @@ object Similarity {
         Map("ann_ivfpq" -> annIvfPqOracleSql(c, b, p, rerank = 64)) }
       .getOrElse(Map.empty) ++ Map(
     "ann_hybrid_rrf" -> annHybridRrfOracleSql,
+    "ann_lsh_tuning" -> annLshTuningOracleSql,
     "ann_knn_graph" -> annKnnGraphOracleSql,
     "ann_lsh" -> annLshOracleSql,
     // identical result by construction (same planes/banding/rescore),

@@ -103,6 +103,36 @@ class SimilaritySpec extends SparkSpec {
     assert(maxBucket <= 500, s"premise: cap must be a no-op at sf0.001 (max bucket $maxBucket)")
   }
 
+  test("ann_lsh_tuning equals a driver-side bucket census and orders the widths correctly") {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, sf0001)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as e").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val planes = graft.functions.VectorFunctions.randomPlanes(64, 64)
+    def bit(v: Array[Double], p: Array[Double]): Boolean =
+      v.zip(p).map { case (x, y) => x * y }.sum >= 0
+    val expected = Seq(4, 8, 16).map { r =>
+      val bands = 64 / r
+      val buckets = vecs.values.toSeq.flatMap { v =>
+        (0 until bands).map { b =>
+          val key = (0 until r).map(j => if (bit(v, planes(b * r + j))) 1L << j else 0L).sum
+          (b, key)
+        }
+      }.groupBy(identity).values.map(_.size.toLong).toSeq
+      (r.toLong, bands.toLong, buckets.size.toLong, buckets.max,
+        buckets.map(n => n * (n - 1) / 2).sum)
+    }
+    val got = Similarity.ann_lsh_tuning(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    CacheRegistry.releaseAll()
+    assert(got == expected, "tuning report diverged from the driver-side census")
+    // the planner's reason to exist: candidate volume falls strictly
+    // as the width grows (wider keys → exponentially sparser buckets)
+    val byR = got.map(g => g._1 -> g._5).toMap
+    assert(byR(4L) > byR(8L) && byR(8L) > byR(16L),
+      s"pair volume should fall with width: $byR")
+  }
+
   test("bestCell HOF assignment (k > 64) equals the literal-argmin form and a naive reference") {
     import spark.implicits._
     val e = Tables.embeddings(spark, sf0001)
