@@ -335,6 +335,71 @@ object Graph {
     } finally adj.unpersist(blocking = false)
   }
 
+  /** COMMUNITY MODULARITY REPORT — the quality measurement for the
+    * [[graph_label_prop]] partition (Newman modularity, the standard
+    * "are these communities real" score): per community c, node
+    * count, intra-community edge count, total degree d_c, and the
+    * EXACT modularity contribution as a scaled integer —
+    *
+    *   Q = Σ_c [ intra_c/E − (d_c/2E)² ]  =  Σ_c q_num_c / (4E²),
+    *   q_num_c = 4·E·intra_c − d_c²
+    *
+    * (common denominator 4E², every term an exact i64 — no doubles,
+    * so the report hash-verifies; overflow headroom: d_c ≤ 2E keeps
+    * q_num within i64 up to E ≈ 10^9 edges — beyond that the scaled
+    * form moves to DECIMAL(38), documented not implemented). A
+    * positive q_num means community c beats the random-graph
+    * expectation — the per-community verdict a curation pipeline
+    * acts on.
+    *
+    * Shape: the labels come from the [[graph_label_prop]] run itself
+    * (already materialized + cache-tracked — no recompute); intra
+    * edges are ONE e0 ⋈ labels ⋈ labels equi-join pair + filter;
+    * degree mass is the adjacency rollup joined to labels; the edge
+    * count E is a 1-row aggregate broadcast back (the pagerank
+    * dangling-term pattern — no driver scalar). Oracle = the
+    * label-prop 6-round unrolled chain extended with the same three
+    * rollups. */
+  def graph_modularity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lab = graph_label_prop(s, d)
+      .select($"s_suppkey".as("node"), $"community")
+    val os = Tables.lineitem(s, d)
+      .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk")).distinct()
+    val e0 = os.as("a").join(os.as("b"),
+        $"a.ok" === $"b.ok" && $"a.sk" < $"b.sk")
+      .groupBy($"a.sk".as("u"), $"b.sk".as("v"))
+      .agg(count(lit(1)).as("support"))
+      .filter($"support" >= 2)
+      .select($"u", $"v")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val eCount = e0.agg(count(lit(1)).as("m"))
+      val intra = e0
+        .join(lab.select($"node".as("u"), $"community".as("cu")), Seq("u"))
+        .join(lab.select($"node".as("v"), $"community".as("cv")), Seq("v"))
+        .filter($"cu" === $"cv")
+        .groupBy($"cu".as("community")).agg(count(lit(1)).as("intra_edges"))
+      val adj = e0.select($"u".as("node"), $"v".as("nbr"))
+        .union(e0.select($"v".as("node"), $"u".as("nbr")))
+      val degC = adj.groupBy($"node").agg(count(lit(1)).as("deg"))
+        .join(lab, Seq("node"))
+        .groupBy($"community")
+        .agg(count(lit(1)).as("n_nodes"), sum($"deg").as("total_degree"))
+      val out = degC.join(intra, Seq("community"), "left")
+        .crossJoin(broadcast(eCount))
+        .select($"community", $"n_nodes",
+          coalesce($"intra_edges", lit(0L)).as("intra_edges"),
+          $"total_degree",
+          expr("4 * m * coalesce(intra_edges, 0L) - total_degree * total_degree")
+            .as("q_num"))
+      val rows = out.persist(StorageLevel.MEMORY_AND_DISK)
+      rows.count()
+      graft.CacheRegistry.track(rows)
+      rebind(rows).orderBy($"community")
+    } finally e0.unpersist(blocking = false)
+  }
+
   /** K-CORE PEELING (k=65) on the part CO-PURCHASE graph (parts
     * appearing in the same order — the market-basket projection; the
     * co-supplier graph the sibling operators use is a clique at
@@ -496,6 +561,7 @@ object Graph {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_modularity" -> graph_modularity _,
     "graph_bfs_layers" -> ((s, d) => graph_bfs_layers(s, d)),
     "graph_kcore" -> ((s, d) => graph_kcore(s, d)),
     "graph_jaccard_links" -> ((s, d) => graph_jaccard_links(s, d)),
@@ -553,7 +619,10 @@ object Graph {
     * label ASC) argmax over the previous round's labels — a total
     * order, so the replay is exact. MATERIALIZED for the same
     * CTE-inlining reason as the PageRank chain. */
-  private def labelPropOracle(iters: Int): String = {
+  /** The shared LPA WITH-chain (co-supplier graph + `iters` unrolled
+    * rounds), reused by [[graph_label_prop]]'s oracle and extended by
+    * [[graph_modularity]]'s. */
+  private def labelPropChain(iters: Int): String = {
     val rounds = (1 to iters).map { i =>
       s"""l$i AS MATERIALIZED (
          |  SELECT node, label FROM (
@@ -566,9 +635,9 @@ object Graph {
          |      GROUP BY 1, 2))
          |  WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH os AS (
+    s"""os AS (
        |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
-       |e0 AS (
+       |e0 AS MATERIALIZED (
        |  SELECT a.sk AS u, b.sk AS v
        |  FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk
        |  GROUP BY 1, 2 HAVING count(*) >= 2),
@@ -576,11 +645,37 @@ object Graph {
        |  SELECT u AS node, v AS nbr FROM e0
        |  UNION ALL SELECT v, u FROM e0),
        |l0 AS (SELECT DISTINCT node, node AS label FROM adj),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def labelPropOracle(iters: Int): String =
+    s"""WITH ${labelPropChain(iters)}
        |SELECT node AS s_suppkey, label AS community,
        |  CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS community_size
        |FROM l$iters ORDER BY 1""".stripMargin
-  }
+
+  /** [[graph_modularity]]'s oracle: the LPA chain + the three exact
+    * rollups (intra edges, degree mass, the 4·E·intra − d² numerator). */
+  private def modularityOracle(iters: Int): String =
+    s"""WITH ${labelPropChain(iters)},
+       |em AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+       |intra AS (
+       |  SELECT lu.label AS community, CAST(count(*) AS BIGINT) AS intra_edges
+       |  FROM e0
+       |  JOIN l$iters lu ON e0.u = lu.node
+       |  JOIN l$iters lv ON e0.v = lv.node
+       |  WHERE lu.label = lv.label GROUP BY 1),
+       |degc AS (
+       |  SELECT l.label AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+       |    CAST(sum(d.deg) AS BIGINT) AS total_degree
+       |  FROM (SELECT node, count(*) AS deg FROM adj GROUP BY 1) d
+       |  JOIN l$iters l ON d.node = l.node GROUP BY 1)
+       |SELECT degc.community, degc.n_nodes,
+       |  COALESCE(intra.intra_edges, 0) AS intra_edges, degc.total_degree,
+       |  4 * em.m * COALESCE(intra.intra_edges, 0)
+       |    - degc.total_degree * degc.total_degree AS q_num
+       |FROM degc LEFT JOIN intra USING (community) CROSS JOIN em
+       |ORDER BY community""".stripMargin
 
   /** The unrolled BFS relaxation rounds: each is min(dist, seed) over
     * self ∪ (neighbors + 1 hop) — the lexicographic min is a total
@@ -654,6 +749,7 @@ object Graph {
   }
 
   val oracle: Map[String, String] = Map(
+    "graph_modularity" -> modularityOracle(6),
     "graph_kcore" -> kcoreOracle(65, 6),
     "graph_jaccard_links" ->
       """WITH os AS (

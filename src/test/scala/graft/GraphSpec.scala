@@ -188,6 +188,42 @@ class GraphSpec extends SparkSpec {
       "degenerate: no positive-score candidate pairs")
   }
 
+  test("graph_modularity equals the sequential LPA + exact Newman decomposition") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .selectExpr("l_orderkey", "l_suppkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val support = byOrder.values.toSeq
+      .flatMap(sks => for (i <- sks.indices; j <- i + 1 until sks.size
+                           if sks(i) != sks(j)) yield (sks(i), sks(j)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val edges: Set[(Long, Long)] = support.filter(_._2 >= 2).keySet
+    val adj = (edges.toSeq ++ edges.toSeq.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var label = adj.keySet.map(v => v -> v).toMap
+    for (_ <- 1 to 6) {
+      label = adj.map { case (v, nbrs) =>
+        val votes = nbrs.map(label).groupBy(identity).view.mapValues(_.size)
+        v -> votes.maxBy { case (l, c) => (c, -l) }._1
+      }
+    }
+    val m = edges.size.toLong
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    val expected = label.values.toSet.toSeq.map { (c: Long) =>
+      val members = label.filter(_._2 == c).keySet
+      val intra = edges.count { case (u, v) => members(u) && members(v) }.toLong
+      val dC = members.toSeq.map(deg).sum
+      (c, members.size.toLong, intra, dC, 4L * m * intra - dC * dC)
+    }.toSet
+    val got = Graph.graph_modularity(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    CacheRegistry.releaseAll()
+    assert(got == expected, "modularity decomposition diverged from sequential replay")
+    // identity check: sum of intra_edges <= E, degrees sum to 2E
+    assert(expected.toSeq.map(_._3).sum <= m)
+    assert(expected.toSeq.map(_._4).sum == 2L * m, "degree mass must sum to 2E")
+  }
+
   test("graph_label_prop equals the sequential synchronous-LPA replay exactly") {
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
       .selectExpr("l_orderkey", "l_suppkey").distinct().collect()
