@@ -760,7 +760,76 @@ object Sources {
       .orderBy($"s_nationkey")
   }
 
+  /** FIXED-WIDTH text ingest — the mainframe/EDI feed layout CSV
+    * never covers: no delimiters at all, fields live at byte offsets
+    * (suppkey cols 1–10, nationkey 11–16, acctbal micros 17–30,
+    * right-aligned zero-padded — lpad on write, substring+cast on
+    * read). The parse is pure per-row substring arithmetic — codegen,
+    * no shuffle before the aggregate — and the amount travels as
+    * integer MICROS plus a 10^10 EXCESS OFFSET (the classic
+    * fixed-width encoding for signed amounts: balances go negative,
+    * and zero-padding a minus sign would corrupt the field — offset
+    * first, every stored value is a plain digit string; subtract on
+    * read), so the round-trip is bit-exact and the oracle just
+    * aggregates the parquet. */
+  def src_fixedwidth_agg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_fixedw_${dirTag(d)}")
+    exportOnce(s"fixedw:$d") {
+      Tables.supplier(s, d)
+        .select(concat(
+          lpad($"s_suppkey".cast("string"), 10, "0"),
+          lpad($"s_nationkey".cast("string"), 6, "0"),
+          lpad(expr("bigint(round(s_acctbal * 1000000)) + 10000000000L")
+            .cast("string"), 14, "0"))
+          .as("value"))
+        .write.mode("overwrite").text(dir.getPath)
+    }
+    s.read.text(dir.getPath)
+      .select(
+        expr("bigint(substring(value, 1, 10))").as("s_suppkey"),
+        expr("int(substring(value, 11, 6))").as("s_nationkey"),
+        expr("bigint(substring(value, 17, 14)) - 10000000000L").as("acctbal_micros"))
+      .groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum($"acctbal_micros").as("acctbal_micros"))
+      .orderBy($"s_nationkey")
+  }
+
+  /** MULTILINE JSON ingest — the pretty-printed-array shape REST
+    * dumps arrive in (one JSON ARRAY spanning many lines, not
+    * line-delimited JSONL): requires `multiLine`, which makes each
+    * FILE the split unit (a whole document must parse as one value —
+    * the gzip-of-text story again: fine for many medium dump files,
+    * wrong for one giant one; the scaladoc IS the scale posture).
+    * Written pretty-printed via to_json per record, assembled into
+    * one bracketed array per partition file. */
+  def src_json_multiline_agg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_mljson_${dirTag(d)}")
+    val nation = Tables.nation(s, d)
+    exportOnce(s"mljson:$d") {
+      // one pretty array per output file: records joined with ",\n"
+      // inside [ ... ] — genuinely multiline (each record spans lines)
+      val recs = nation.select(to_json(struct($"n_nationkey", $"n_name",
+        $"n_regionkey")).as("j"))
+      val arr = recs.agg(concat(lit("[\n  "),
+        concat_ws(",\n  ", collect_list($"j")), lit("\n]")).as("value"))
+      arr.coalesce(1).write.mode("overwrite").text(dir.getPath)
+    }
+    s.read.option("multiLine", "true").json(dir.getPath)
+      // inferred long re-narrows to the parquet int32 for the oracle
+      .groupBy($"n_regionkey".cast("int").as("n_regionkey"))
+      .agg(count(lit(1)).as("n_nations"),
+        min($"n_name").as("first_name"))
+      .orderBy($"n_regionkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_fixedwidth_agg" -> src_fixedwidth_agg _,
+    "src_json_multiline_agg" -> src_json_multiline_agg _,
     "src_csv_permissive" -> src_csv_permissive _,
     "src_schema_evolution" -> src_schema_evolution _,
     "src_sequencefile_agg" -> src_sequencefile_agg _,
@@ -780,6 +849,14 @@ object Sources {
     "src_partitioned_prune" -> src_partitioned_prune _)
 
   val oracle: Map[String, String] = Map(
+    "src_fixedwidth_agg" ->
+      """SELECT s_nationkey, count(*) AS n_suppliers,
+        | CAST(sum(CAST(round(s_acctbal * 1000000) AS BIGINT)) AS BIGINT)
+        |   AS acctbal_micros
+        |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src_json_multiline_agg" ->
+      """SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
+        |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
     "src_csv_permissive" ->
       """SELECT s_nationkey, count(*) AS n_rows,
         | CAST(count(*) FILTER (s_suppkey % 7 = 0) AS BIGINT) AS n_corrupt,
