@@ -247,11 +247,13 @@ object Graph {
         val votes = adj
           .join(labels.select($"node".as("nbr"), $"label"), "nbr")
           .groupBy($"node", $"label").agg(count(lit(1)).as("cnt"))
+        // argmax under the total order (cnt DESC, label ASC) as a
+        // max_by over struct(cnt, -label) — same winner as the
+        // row_number window (the order is total, so argmax is unique)
+        // but an AGGREGATE: map-side partials, no per-node sort
         val next = votes
-          .withColumn("rn", row_number().over(
-            Window.partitionBy($"node").orderBy($"cnt".desc, $"label")))
-          .filter($"rn" === 1)
-          .select($"node", $"label")
+          .groupBy($"node")
+          .agg(max_by($"label", struct($"cnt", -$"label")).as("label"))
         val nextCached = materializeRound(next)
         cached.unpersist(blocking = false)
         cached = nextCached
