@@ -243,7 +243,9 @@ object Graph {
       var cached = materializeRound(
         adj.select($"node").distinct().withColumn("label", $"node"))
       var labels = rebind(cached)
-      for (_ <- 1 to iters) {
+      var i = 1
+      var converged = false
+      while (i <= iters && !converged) {
         val votes = adj
           .join(labels.select($"node".as("nbr"), $"label"), "nbr")
           .groupBy($"node", $"label").agg(count(lit(1)).as("cnt"))
@@ -255,9 +257,18 @@ object Graph {
           .groupBy($"node")
           .agg(max_by($"label", struct($"cnt", -$"label")).as("label"))
         val nextCached = materializeRound(next)
+        // fixpoint short-circuit — synchronous LPA is a deterministic
+        // function of the label table, so round i ≡ round i−1 implies
+        // every remaining round is identical; the check is a join of
+        // two cached node-sized tables. The oracle still unrolls all
+        // `iters` rounds — agreement proves the skip was sound.
+        converged = rebind(nextCached)
+          .join(labels.withColumnRenamed("label", "old"), Seq("node"))
+          .filter($"label" =!= $"old").count() == 0
         cached.unpersist(blocking = false)
         cached = nextCached
         labels = rebind(cached)
+        i += 1
       }
       val out = labels
         .withColumn("community_size",
@@ -317,16 +328,28 @@ object Graph {
         .select($"node", lit(0L).as("dist"), $"node".as("seed"))
       var cached = materializeRound(seeds)
       var state = rebind(cached)
-      for (_ <- 1 to iters) {
+      var i = 1
+      var converged = false
+      while (i <= iters && !converged) {
         val relaxed = adj
           .join(state.select($"node".as("nbr"), ($"dist" + 1L).as("dist"),
             $"seed"), "nbr")
           .select($"node", $"dist", $"seed")
           .union(state)
         val nextCached = materializeRound(argmin(relaxed))
+        // fixpoint short-circuit — the relaxation is a deterministic
+        // function of the state table (the lexicographic min can only
+        // move down), so an unchanged round implies all remaining
+        // rounds are identical; the oracle still unrolls all rounds
+        converged = rebind(nextCached)
+          .join(state.select($"node", struct($"dist", $"seed").as("old")),
+            Seq("node"), "left")
+          .filter($"old".isNull || struct($"dist", $"seed") =!= $"old")
+          .count() == 0
         cached.unpersist(blocking = false)
         cached = nextCached
         state = rebind(cached)
+        i += 1
       }
       val out = state.select($"node".as("s_suppkey"), $"dist", $"seed")
       val rows = out.persist(StorageLevel.MEMORY_AND_DISK)
