@@ -226,50 +226,70 @@ object Graph {
     * rounds replay bit-exactly in DuckDB's unrolled materialized CTE
     * chain. Driver state: the loop index only — labels never leave
     * the cluster. */
-  def graph_label_prop(s: SparkSession, d: String, iters: Int = 6): DataFrame = {
+  /** The co-supplier support-≥2 edge list (u < v) — the shared
+    * substrate of [[graph_label_prop]], [[graph_modularity]],
+    * [[graph_triangles]] and [[graph_bfs_layers]]. Caller manages
+    * persistence. */
+  private def coSupplierEdges(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val os = Tables.lineitem(s, d)
       .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk")).distinct()
-    val e0 = os.as("a").join(os.as("b"),
+    os.as("a").join(os.as("b"),
         $"a.ok" === $"b.ok" && $"a.sk" < $"b.sk")
       .groupBy($"a.sk".as("u"), $"b.sk".as("v"))
       .agg(count(lit(1)).as("support"))
       .filter($"support" >= 2)
       .select($"u", $"v")
+  }
+
+  /** The LPA superstep loop over a caller-persisted adjacency:
+    * returns the materialized, cache-tracked (node, label) table.
+    * Shared by [[graph_label_prop]] and [[graph_modularity]] so the
+    * modularity report doesn't pay the edge derivation twice. */
+  private def lpaLoop(adj: DataFrame, iters: Int): DataFrame = {
+    import adj.sparkSession.implicits._
+    var cached = materializeRound(
+      adj.select($"node").distinct().withColumn("label", $"node"))
+    var labels = rebind(cached)
+    var i = 1
+    var converged = false
+    while (i <= iters && !converged) {
+      val votes = adj
+        .join(labels.select($"node".as("nbr"), $"label"), "nbr")
+        .groupBy($"node", $"label").agg(count(lit(1)).as("cnt"))
+      // argmax under the total order (cnt DESC, label ASC) as a
+      // max_by over struct(cnt, -label) — same winner as the
+      // row_number window (the order is total, so argmax is unique)
+      // but an AGGREGATE: map-side partials, no per-node sort
+      val next = votes
+        .groupBy($"node")
+        .agg(max_by($"label", struct($"cnt", -$"label")).as("label"))
+      val nextCached = materializeRound(next)
+      // fixpoint short-circuit — synchronous LPA is a deterministic
+      // function of the label table, so round i ≡ round i−1 implies
+      // every remaining round is identical; the check is a join of
+      // two cached node-sized tables. The oracle still unrolls all
+      // `iters` rounds — agreement proves the skip was sound.
+      converged = rebind(nextCached)
+        .join(labels.withColumnRenamed("label", "old"), Seq("node"))
+        .filter($"label" =!= $"old").count() == 0
+      cached.unpersist(blocking = false)
+      cached = nextCached
+      labels = rebind(cached)
+      i += 1
+    }
+    graft.CacheRegistry.track(cached)
+    labels
+  }
+
+  def graph_label_prop(s: SparkSession, d: String, iters: Int = 6): DataFrame = {
+    import s.implicits._
+    val e0 = coSupplierEdges(s, d)
     val adj = e0.select($"u".as("node"), $"v".as("nbr"))
       .union(e0.select($"v".as("node"), $"u".as("nbr")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      var cached = materializeRound(
-        adj.select($"node").distinct().withColumn("label", $"node"))
-      var labels = rebind(cached)
-      var i = 1
-      var converged = false
-      while (i <= iters && !converged) {
-        val votes = adj
-          .join(labels.select($"node".as("nbr"), $"label"), "nbr")
-          .groupBy($"node", $"label").agg(count(lit(1)).as("cnt"))
-        // argmax under the total order (cnt DESC, label ASC) as a
-        // max_by over struct(cnt, -label) — same winner as the
-        // row_number window (the order is total, so argmax is unique)
-        // but an AGGREGATE: map-side partials, no per-node sort
-        val next = votes
-          .groupBy($"node")
-          .agg(max_by($"label", struct($"cnt", -$"label")).as("label"))
-        val nextCached = materializeRound(next)
-        // fixpoint short-circuit — synchronous LPA is a deterministic
-        // function of the label table, so round i ≡ round i−1 implies
-        // every remaining round is identical; the check is a join of
-        // two cached node-sized tables. The oracle still unrolls all
-        // `iters` rounds — agreement proves the skip was sound.
-        converged = rebind(nextCached)
-          .join(labels.withColumnRenamed("label", "old"), Seq("node"))
-          .filter($"label" =!= $"old").count() == 0
-        cached.unpersist(blocking = false)
-        cached = nextCached
-        labels = rebind(cached)
-        i += 1
-      }
+      val labels = lpaLoop(adj, iters)
       val out = labels
         .withColumn("community_size",
           count(lit(1)).over(Window.partitionBy($"label")))
@@ -278,7 +298,6 @@ object Graph {
       val rows = out.persist(StorageLevel.MEMORY_AND_DISK)
       rows.count()
       graft.CacheRegistry.track(rows)
-      cached.unpersist(blocking = false)
       rebind(rows).orderBy($"s_suppkey")
     } finally adj.unpersist(blocking = false)
   }
@@ -377,8 +396,9 @@ object Graph {
     * expectation — the per-community verdict a curation pipeline
     * acts on.
     *
-    * Shape: the labels come from the [[graph_label_prop]] run itself
-    * (already materialized + cache-tracked — no recompute); intra
+    * Shape: the labels come from the shared [[lpaLoop]] run over the
+    * SAME persisted edge list (the co-occurrence derivation is paid
+    * once, not once per sub-result); intra
     * edges are ONE e0 ⋈ labels ⋈ labels equi-join pair + filter;
     * degree mass is the adjacency rollup joined to labels; the edge
     * count E is a 1-row aggregate broadcast back (the pagerank
@@ -387,26 +407,20 @@ object Graph {
     * rollups. */
   def graph_modularity(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val lab = graph_label_prop(s, d)
-      .select($"s_suppkey".as("node"), $"community")
-    val os = Tables.lineitem(s, d)
-      .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk")).distinct()
-    val e0 = os.as("a").join(os.as("b"),
-        $"a.ok" === $"b.ok" && $"a.sk" < $"b.sk")
-      .groupBy($"a.sk".as("u"), $"b.sk".as("v"))
-      .agg(count(lit(1)).as("support"))
-      .filter($"support" >= 2)
-      .select($"u", $"v")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e0 = coSupplierEdges(s, d).persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      val adj = e0.select($"u".as("node"), $"v".as("nbr"))
+        .union(e0.select($"v".as("node"), $"u".as("nbr")))
+      // labels over the SAME persisted edge list — the report doesn't
+      // pay the co-occurrence derivation twice
+      val lab = lpaLoop(adj, 6)
+        .select($"node", $"label".as("community"))
       val eCount = e0.agg(count(lit(1)).as("m"))
       val intra = e0
         .join(lab.select($"node".as("u"), $"community".as("cu")), Seq("u"))
         .join(lab.select($"node".as("v"), $"community".as("cv")), Seq("v"))
         .filter($"cu" === $"cv")
         .groupBy($"cu".as("community")).agg(count(lit(1)).as("intra_edges"))
-      val adj = e0.select($"u".as("node"), $"v".as("nbr"))
-        .union(e0.select($"v".as("node"), $"u".as("nbr")))
       val degC = adj.groupBy($"node").agg(count(lit(1)).as("deg"))
         .join(lab, Seq("node"))
         .groupBy($"community")
