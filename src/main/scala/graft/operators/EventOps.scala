@@ -936,7 +936,63 @@ object EventOps {
       .orderBy($"user_id")
   }
 
+  /** KMV (K-MINIMUM-VALUES / bottom-k theta) DISTINCT-COUNT SKETCH —
+    * the approximate-distinct estimator that, unlike HLL
+    * ([[ev_approx_uniques]] stays rows-only for exactly that reason),
+    * REPLAYS EXACTLY on a second engine: hash every key, keep the k
+    * smallest distinct hash values per group, and estimate
+    * distinct ≈ (k−1) · SPACE / h_k (Bar-Yossef et al. 2002). Every
+    * step is deterministic integer arithmetic, so the whole sketch —
+    * including the estimate — hash-verifies against DuckDB, and the
+    * output is a self-auditing report: exact distinct, k used, and
+    * the estimate side by side (EventOpsSpec gates the ≈12%/√1
+    * relative error at 2.7σ).
+    *
+    * Hash = a staged-mod QUADRATIC mix ((A·(x² mod p) + B·x + C) mod
+    * p) + 1 over SPACE p = 2^31−1, A,B ≈ 2^30 (+1 keeps h ≥ 1 — no
+    * zero divisor; every intermediate ≤ 2^62, ANSI-safe). A LINEAR
+    * map cannot work here: small sequential keys never wrap the
+    * modulus, their "hashes" stay ordered-and-tiny, and the k-th
+    * minimum collapses (first attempt estimated 43k for 150 users —
+    * kept as the cautionary number). Min-statistics need avalanche;
+    * the large-multiplier quadratic wraps from x = 2 upward. The
+    * 31-bit space is the i64-exact verifiability choice and a
+    * documented knob: birthday collisions are negligible to ~10^5
+    * distinct keys; production widens to the fmix64 64-bit kernel the
+    * minhash family already replays via HUGEINT. Groups with fewer
+    * than k distinct hashes report their exact count (the standard
+    * KMV small-set rule). Shape: one distinct on (group, hash) —
+    * KMV's required dedup — then a per-group bottom-k window over
+    * group-local data; sketch state is k values per group (the
+    * mergeable-bottom-k property is what makes KMV a distributed
+    * sketch — UNION of bottom-k sets then re-take bottom-k). */
+  def ev_kmv_uniques(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val p = 2147483647L
+    val k = 64
+    val ev = Tables.events(s, d)
+      .select($"event_type",
+        expr(s"(1103515245 * ((user_id % $p) * (user_id % $p) % $p)" +
+          s" + 1013904223 * (user_id % $p) + 12345) % $p + 1").as("h"))
+      .distinct()
+    val bottomK = ev
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"event_type").orderBy($"h")))
+      .filter($"rn" <= k)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("k_used"), max($"h").as("hk"))
+    val exact = Tables.events(s, d)
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n_exact"))
+    bottomK.join(exact, Seq("event_type"))
+      .select($"event_type", $"n_exact", $"k_used",
+        when($"k_used" < k, $"k_used")
+          .otherwise(expr(s"${k - 1}L * $p div hk")).as("kmv_est"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_kmv_uniques" -> ev_kmv_uniques _,
     "ev_cms" -> ev_cms _,
     "ev_late_audit" -> ev_late_audit _,
     "ev_funnel_paths" -> ev_funnel_paths _,
@@ -967,6 +1023,29 @@ object EventOps {
     "ev_approx_uniques" -> ev_approx_uniques _)
 
   val oracle: Map[String, String] = Map(
+    "ev_kmv_uniques" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT event_type,
+        |    (1103515245 * ((user_id % 2147483647) * (user_id % 2147483647)
+        |        % 2147483647)
+        |     + 1013904223 * (user_id % 2147483647) + 12345)
+        |    % 2147483647 + 1 AS h
+        |  FROM events),
+        |bk AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS k_used,
+        |    max(h) AS hk
+        |  FROM (
+        |    SELECT event_type, h,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |    FROM ev)
+        |  WHERE rn <= 64 GROUP BY 1),
+        |ex AS (
+        |  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+        |  FROM events GROUP BY 1)
+        |SELECT bk.event_type, ex.n_exact, bk.k_used,
+        |  CASE WHEN bk.k_used < 64 THEN bk.k_used
+        |       ELSE CAST(63 AS BIGINT) * 2147483647 // bk.hk END AS kmv_est
+        |FROM bk JOIN ex USING (event_type) ORDER BY 1""".stripMargin,
     "ev_cms" ->
       """WITH ev AS (SELECT user_id AS key FROM events),
         |h AS (

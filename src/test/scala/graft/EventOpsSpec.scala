@@ -541,6 +541,33 @@ class EventOpsSpec extends SparkSpec {
     assert(got.exists(_._4 > 0L), "premise: no collisions — width too wide to test anything")
   }
 
+  test("ev_kmv_uniques: sketch equals the sequential bottom-k replay and estimates within 2.7 sigma") {
+    import spark.implicits._
+    val rows = Tables.events(spark, sf001)
+      .select($"event_type", $"user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val p = 2147483647L
+    def h(k: Long): Long =
+      (1103515245L * ((k % p) * (k % p) % p) + 1013904223L * (k % p) + 12345L) % p + 1L
+    val expected = rows.groupBy(_._1).map { case (t, rs) =>
+      val hs = rs.map(r => h(r._2)).distinct.sorted
+      val exact = rs.map(_._2).distinct.length.toLong
+      val kUsed = math.min(64, hs.length).toLong
+      val est = if (kUsed < 64) kUsed else 63L * p / hs(63)
+      (t, exact, kUsed, est)
+    }.toSet
+    val got = EventOps.ev_kmv_uniques(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected, "KMV sketch diverged from the sequential bottom-k replay")
+    // accuracy: KMV relative std is ~1/sqrt(k-2) ≈ 12.7%; gate at 2.7σ
+    got.filter(_._3 == 64L).foreach { case (t, exact, _, est) =>
+      val rel = math.abs(est - exact).toDouble / exact
+      assert(rel <= 0.35, s"$t: KMV estimate $est vs exact $exact (rel $rel)")
+    }
+    // premise: the estimator path (not the small-set exact path) ran
+    assert(got.exists(_._3 == 64L), "premise: no group reached k=64 distinct hashes")
+  }
+
   test("ev_skew_join equals the unsalted join's aggregate") {
     import spark.implicits._
     val ev = Tables.events(spark, sf0001)
