@@ -961,26 +961,37 @@ object EventOps {
     * distinct keys; production widens to the fmix64 64-bit kernel the
     * minhash family already replays via HUGEINT. Groups with fewer
     * than k distinct hashes report their exact count (the standard
-    * KMV small-set rule). Shape: one distinct on (group, hash) —
-    * KMV's required dedup — then a per-group bottom-k window over
-    * group-local data; sketch state is k values per group (the
-    * mergeable-bottom-k property is what makes KMV a distributed
-    * sketch — UNION of bottom-k sets then re-take bottom-k). */
+    * KMV small-set rule). Shape: the bottom-k state is a typed
+    * [[graft.functions.KmvAggregator]] — a two-phase
+    * ObjectHashAggregate whose PARTIAL phase caps every group at k
+    * DISTINCT values per map task, so the shuffle carries ≤ k·tasks
+    * values per group no matter the event volume and duplicates die
+    * map-side (no pre-distinct shuffle, no per-group sort window);
+    * its `merge` is the textbook KMV sketch-union, which is exactly
+    * what makes this a distributable sketch — the streaming twin
+    * ([[graft.streaming.StreamingOps.kmvStream]]) folds micro-batch
+    * partials through the same code path. */
+  /** The KMV staged-mod quadratic hash, shared verbatim with the
+    * streaming twin so the two surfaces cannot drift. */
+  private[graft] def kmvHash(keyCol: String): org.apache.spark.sql.Column = {
+    val p = 2147483647L
+    expr(s"(1103515245 * (($keyCol % $p) * ($keyCol % $p) % $p)" +
+      s" + 1013904223 * ($keyCol % $p) + 12345) % $p + 1")
+  }
+
   def ev_kmv_uniques(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val p = 2147483647L
     val k = 64
+    val kmv = udaf(new graft.functions.KmvAggregator(k))
     val ev = Tables.events(s, d)
-      .select($"event_type",
-        expr(s"(1103515245 * ((user_id % $p) * (user_id % $p) % $p)" +
-          s" + 1013904223 * (user_id % $p) + 12345) % $p + 1").as("h"))
-      .distinct()
+      .select($"event_type", kmvHash("user_id").as("h"))
     val bottomK = ev
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"event_type").orderBy($"h")))
-      .filter($"rn" <= k)
       .groupBy($"event_type")
-      .agg(count(lit(1)).as("k_used"), max($"h").as("hk"))
+      .agg(kmv($"h").as("buf"))
+      .select($"event_type",
+        size($"buf.hs").cast("long").as("k_used"),
+        element_at($"buf.hs", -1).as("hk"))
     val exact = Tables.events(s, d)
       .groupBy($"event_type")
       .agg(countDistinct($"user_id").as("n_exact"))

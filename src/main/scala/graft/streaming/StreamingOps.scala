@@ -146,6 +146,29 @@ object StreamingOps extends Serializable {
       .groupBy(col("rc.row").as("row"), col("rc.cell").as("cell"))
       .agg(count(lit(1)).as("n"))
 
+  /** Streaming KMV DISTINCT-COUNT sketch — the bottom-k theta sketch
+    * ([[graft.operators.EventOps.ev_kmv_uniques]]) as continuously-
+    * maintained aggregation state, completing the streaming sketch
+    * trio (HLL partials in [[windowedApproxUniques]], CMS cells in
+    * [[cmsStream]], bottom-k here): per event type the state is one
+    * ≤ 64-value sorted distinct buffer, each micro-batch's partial
+    * folds in through [[graft.functions.KmvAggregator]]'s `merge` —
+    * the textbook KMV sketch-union, order-independent, so the
+    * streamed sketch equals the batch sketch exactly (asserted under
+    * reversed split ingest in StreamingSpec). Complete-mode output =
+    * (event_type, k_used, hk); estimates derive exactly as in batch. */
+  def kmvStream(events: DataFrame): DataFrame = {
+    val kmv = udaf(new graft.functions.KmvAggregator(64))
+    events
+      .select(col("event_type"),
+        graft.operators.EventOps.kmvHash("user_id").as("h"))
+      .groupBy(col("event_type"))
+      .agg(kmv(col("h")).as("buf"))
+      .select(col("event_type"),
+        size(col("buf.hs")).cast("long").as("k_used"),
+        element_at(col("buf.hs"), -1).as("hk"))
+  }
+
   /** STREAM-STATIC enrichment join — the dimension-lookup every event
     * pipeline runs: each micro-batch joins against the static (batch)
     * dimension with no state at all (the static side re-resolves per

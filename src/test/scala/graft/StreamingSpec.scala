@@ -247,6 +247,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming KMV bottom-k sketch equals the batch sketch under reversed split ingest") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[EvFull]
+    val q = StreamingOps.kmvStream(ms.toDF())
+      .writeStream.format("memory").queryName("t_kmv")
+      .outputMode("complete").start()
+    try {
+      val evs = loadEvents()
+      val (a, b) = evs.splitAt(evs.length / 2)
+      ms.addData(b.reverse)
+      drain(q)
+      ms.addData(a.reverse)
+      drain(q)
+      val got = spark.table("t_kmv").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // sequential bottom-k replay with the shared hash
+      val p = 2147483647L
+      def h(k: Long): Long =
+        (1103515245L * ((k % p) * (k % p) % p) + 1013904223L * (k % p) + 12345L) % p + 1L
+      val exp = evs.groupBy(_.event_type).map { case (t, rs) =>
+        val hs = rs.map(r => h(r.user_id)).distinct.sorted.take(64)
+        t -> (hs.length.toLong, hs.last)
+      }
+      assert(got == exp, "streamed KMV state diverged from the sequential bottom-k")
+      // and the batch operator derives the same (k_used, hk) pairs
+      val batch = EventOps.ev_kmv_uniques(spark, sf0001).collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      got.foreach { case (t, (kUsed, _)) =>
+        assert(batch(t) == kUsed, s"$t k_used: batch ${batch(t)} vs streamed $kUsed") }
+    } finally q.stop()
+  }
+
   test("streaming burn-rate alerts equal batch ev_burn_rate under split ingest") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

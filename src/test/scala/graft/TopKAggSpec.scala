@@ -49,4 +49,21 @@ class TopKAggSpec extends SparkSpec {
     assert("(?i)partial_".r.findFirstIn(plan).isDefined,
       s"no partial aggregation phase in plan:\n${plan.take(2000)}")
   }
+
+  test("KmvAggregator: randomized reduce/merge orders all equal the sorted-distinct bottom-k") {
+    val agg = new graft.functions.KmvAggregator(8)
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 50) {
+      val xs = Seq.fill(60)(rnd.nextInt(40).toLong) // heavy duplicates
+      val expect = xs.distinct.sorted.take(8)
+      // sequential reduce in arrival order
+      val viaReduce = xs.foldLeft(agg.zero)(agg.reduce).hs.toSeq
+      assert(viaReduce == expect, s"trial $trial reduce order")
+      // random split points + merge (the sketch-union path)
+      val chunks = xs.grouped(1 + rnd.nextInt(9)).toSeq
+      val partials = chunks.map(c => c.foldLeft(agg.zero)(agg.reduce))
+      val viaMerge = rnd.shuffle(partials).foldLeft(agg.zero)(agg.merge).hs.toSeq
+      assert(viaMerge == expect, s"trial $trial merge order")
+    }
+  }
 }
