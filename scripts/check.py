@@ -37,7 +37,19 @@ for path in sorted(glob.glob(f"{outdir}/*")):
         rowsonly.append((name, len(got)))
         continue
     try:
-        exp = con.execute(oracle[name]).df()
+        rel = con.sql(oracle[name])
+        # The driver hashes stringified values, and DuckDB renders
+        # HUGEINT (the silent sum(BIGINT) widening) differently from
+        # Spark's BIGINT — rows/schema match but the hash gate fails.
+        # pandas' check_dtype=False comparison below is blind to it,
+        # so flag it structurally here (the r14 defect class).
+        wide = [c for c, t in zip(rel.columns, rel.types)
+                if str(t).upper() in ("HUGEINT", "UHUGEINT")]
+        if wide:
+            bad.append((name, f"oracle column(s) {wide} are HUGEINT — "
+                        "CAST(... AS BIGINT) in the oracle SQL"))
+            continue
+        exp = rel.df()
     except Exception as e:
         failed.append((name, f"oracle failed: {e}")); continue
     g, e = canon(got), canon(exp)

@@ -1096,7 +1096,7 @@ object EventOps {
         |       WHEN late_s <= 300 THEN '02_le_300s'
         |       WHEN late_s <= 3600 THEN '03_le_3600s'
         |       ELSE '04_gt_3600s' END AS late_bucket,
-        |  count(*) AS n_events, sum(late_s) AS total_late_s
+        |  count(*) AS n_events, CAST(sum(late_s) AS BIGINT) AS total_late_s
         |FROM lat GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // string_agg ORDER BY (ts, event_id) is the same total order the
     // Spark side gets from array_sort over the (ts, event_id, type)
@@ -1147,7 +1147,7 @@ object EventOps {
     "ev_ivm_delta" ->
       """SELECT event_type, CAST(ts AS DATE) AS day,
         |  count(*) AS n_events,
-        |  sum(CAST(round(value * 100) AS BIGINT)) AS sum_centi,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_centi,
         |  max(CAST(round(value * 100) AS BIGINT)) AS max_centi
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // plain (unsalted) join + aggregate — the hash match proves the
@@ -1158,7 +1158,8 @@ object EventOps {
         |    CAST(length(event_type) AS BIGINT) AS weight
         |  FROM events)
         |SELECT d.tier, count(*) AS n_events,
-        |  sum(CAST(round(e.value * 100) AS BIGINT) * d.weight) AS weighted_centi
+        |  CAST(sum(CAST(round(e.value * 100) AS BIGINT) * d.weight) AS BIGINT)
+        |    AS weighted_centi
         |FROM events e JOIN dim d USING (event_type)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_attribution" ->

@@ -651,7 +651,8 @@ object Graph {
        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
        |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM nodes),
        |$rounds
-       |SELECT node AS page, rank FROM r$iters ORDER BY rank DESC, node""".stripMargin
+       |SELECT node AS page, CAST(rank AS BIGINT) AS rank
+       |FROM r$iters ORDER BY rank DESC, node""".stripMargin
   }
 
   /** The unrolled LPA rounds: each is the vote-count + (cnt DESC,

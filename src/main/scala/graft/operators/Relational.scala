@@ -446,7 +446,7 @@ object Relational {
         |    sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS price_centi,
         |    sum(CAST(floor(l_discount * 1000000 + 0.5) AS BIGINT)) AS disc_ppm
         |  FROM lineitem GROUP BY l_returnflag)
-        |SELECT l_returnflag, metric, amount FROM (
+        |SELECT l_returnflag, metric, CAST(amount AS BIGINT) AS amount FROM (
         |  SELECT l_returnflag, 'qty_centi' AS metric, qty_centi AS amount FROM wide
         |  UNION ALL
         |  SELECT l_returnflag, 'price_centi', price_centi FROM wide
@@ -553,7 +553,7 @@ object Relational {
         |ORDER BY status, priority""".stripMargin,
     "q27_ntile" ->
       """SELECT l_returnflag, tile, count(*) AS n_rows,
-        | sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS price_centi
+        | CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_centi
         |FROM (
         |  SELECT l_returnflag, l_extendedprice,
         |    ntile(4) OVER (PARTITION BY l_returnflag

@@ -953,7 +953,8 @@ object Similarity {
       val bands = 64 / r
       s"""SELECT CAST($r AS BIGINT) AS r, CAST($bands AS BIGINT) AS bands,
          |  CAST(count(*) AS BIGINT) AS n_buckets,
-         |  max(n) AS max_bucket, sum(n * (n - 1) // 2) AS cand_pairs
+         |  max(n) AS max_bucket,
+         |  CAST(sum(n * (n - 1) // 2) AS BIGINT) AS cand_pairs
          |FROM (
          |  SELECT band, bkey, CAST(count(*) AS BIGINT) AS n FROM (
          |    SELECT vec_id, b.band,
