@@ -827,7 +827,70 @@ object Sources {
       .orderBy($"n_regionkey")
   }
 
+  /** Small-files READ-coalescing posture — the scan-side counterpart
+    * of fs_compact's write-side packing, and the Spark-native
+    * re-expression of the reference's CombineFileInputFormat
+    * (hadoop-mapreduce-project/hadoop-mapreduce-client/
+    * hadoop-mapreduce-client-core/src/main/java/org/apache/hadoop/
+    * mapreduce/lib/input/CombineFileInputFormat.java:1 — one split
+    * spanning MANY small files, so task count tracks bytes, not file
+    * count). Setup fans a lineitem projection out as ~256 tiny parquet
+    * files (the metadata-heavy lake shape a 100 TB estate degrades
+    * into weekly); the query reads them back through a session tuned
+    * so Spark's own FilePartition bin-packing coalesces many files per
+    * task, then aggregates. SourcesSpec asserts the posture
+    * mechanically: scan tasks ≤ files/8 under the tuned session while
+    * the same read at local defaults degrades to ~1 file per task, and
+    * both reads return identical rows.
+    *
+    * Scale honesty: `maxSplitBytes = min(maxPartitionBytes,
+    * max(openCostInBytes, totalBytes / minPartitionNum))`, so on a
+    * real cluster reading TBs, bytesPerCore alone pushes the split
+    * size to maxPartitionBytes and the 128 MB / 4 MB DEFAULTS already
+    * pack ~30 small files per task — no tuning needed. At KB-scale
+    * testdata bytesPerCore collapses to ~0, which is exactly the
+    * regime where openCostInBytes (4 MB default ≥ every file's cost)
+    * forces one-file-one-task; minPartitionNum=1 + a floppy-sized
+    * openCost recreate the large-scale packing regime locally rather
+    * than inventing a custom combiner. */
+  def src_small_files_scan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_smallfiles_${dirTag(d)}")
+    exportOnce(s"smallfiles:$d") {
+      Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_linestatus", $"l_extendedprice")
+        .repartition(256, $"l_orderkey")
+        .write.mode("overwrite").parquet(dir.getPath)
+    }
+    smallFilesAgg(coalescedScanSession(s), dir.getPath)
+  }
+
+  /** A sibling session whose file-scan knobs put parquet bin-packing
+    * back in the many-files-per-task regime at KB scale (see
+    * [[src_small_files_scan]]). Sessions share the SparkContext and
+    * cached data; only SQLConf differs. */
+  private[graft] def coalescedScanSession(s: SparkSession): SparkSession = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.files.openCostInBytes", 16384L)
+    s2.conf.set("spark.sql.files.minPartitionNum", 1)
+    s2
+  }
+
+  /** The read+aggregate body, session-parameterized so SourcesSpec can
+    * run it under both the tuned and the default session and compare
+    * rows AND scan-partition counts. */
+  private[graft] def smallFilesAgg(s: SparkSession, path: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(path)
+      .groupBy($"l_linestatus")
+      .agg(count(lit(1)).as("n_items"),
+        sum(round($"l_extendedprice" * 100).cast("long")).as("price_cents"))
+      .orderBy($"l_linestatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_small_files_scan" -> src_small_files_scan _,
     "src_fixedwidth_agg" -> src_fixedwidth_agg _,
     "src_json_multiline_agg" -> src_json_multiline_agg _,
     "src_csv_permissive" -> src_csv_permissive _,
@@ -849,6 +912,10 @@ object Sources {
     "src_partitioned_prune" -> src_partitioned_prune _)
 
   val oracle: Map[String, String] = Map(
+    "src_small_files_scan" ->
+      """SELECT l_linestatus, count(*) AS n_items,
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "src_fixedwidth_agg" ->
       """SELECT s_nationkey, count(*) AS n_suppliers,
         | CAST(sum(CAST(round(s_acctbal * 1000000) AS BIGINT)) AS BIGINT)

@@ -359,4 +359,30 @@ class SourcesSpec extends SparkSpec {
       assert(cents == rows.filterNot(_._2).map(_._3).sum, s"nation $nk cents")
     }
   }
+
+  test("src_small_files_scan: tuned scan packs many files per task; defaults don't; rows identical") {
+    // Materialize the 256-small-file layout (setup is memoized).
+    val viaTuned = Sources.src_small_files_scan(spark, sf0001).collect()
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_smallfiles_" + java.security.MessageDigest.getInstance("SHA-256")
+        .digest(sf0001.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString)
+    val nFiles = dir.listFiles().count(f =>
+      f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(nFiles >= 128, s"premise: expected a many-small-files layout, got $nFiles")
+
+    val tuned = Sources.coalescedScanSession(spark)
+    val tunedTasks = tuned.read.parquet(dir.getPath).rdd.getNumPartitions
+    val defaultTasks = spark.read.parquet(dir.getPath).rdd.getNumPartitions
+    // the posture: task count tracks bytes, not file count
+    assert(tunedTasks <= nFiles / 8,
+      s"coalesced scan should pack >=8 files/task: $tunedTasks tasks for $nFiles files")
+    // and the tuning is what did it — at KB scale the default openCost
+    // (4 MB >= every file's packing cost) degrades to ~1 file per task
+    assert(defaultTasks >= tunedTasks * 4,
+      s"expected defaults to under-pack at KB scale: default=$defaultTasks tuned=$tunedTasks")
+    // coalescing must not change results
+    val viaDefault = Sources.smallFilesAgg(spark, dir.getPath).collect()
+    assert(viaTuned.map(_.toString).toSeq == viaDefault.map(_.toString).toSeq)
+    assert(viaTuned.nonEmpty)
+  }
 }
