@@ -189,6 +189,87 @@ object Similarity {
       .orderBy($"qid", $"rank")
   }
 
+  /** One persisted IVF index per source dir, built once per JVM — the
+    * [[ann_lsh_index]] lifecycle applied to the TRAINED family: train
+    * the coarse quantizer, assign every corpus vector to its cell, and
+    * persist (cell, nid, nvec) BUCKETED on cell — the inverted lists
+    * as a table, with each list holding its vectors the way a real
+    * vector store's IVF lists do (search never joins back to the raw
+    * embedding table for candidates). Centroids are re-trained and the
+    * table rewritten on the first call of each JVM so the persisted
+    * assignments always match the memo'd centroids the search (and the
+    * literal-replay oracle) uses. */
+  private val ivfIndexBuilt = new java.util.HashSet[String]()
+  private[graft] val lastIvfIndexCents =
+    new java.util.concurrent.atomic.AtomicReference[Array[Array[Double]]]()
+  private def ivfIndexTable(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val tag = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(d.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+    val tbl = s"ivf_idx_$tag"
+    ivfIndexBuilt.synchronized { if (!ivfIndexBuilt.contains(d)) {
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      val loc = java.nio.file.Paths.get(wh, tbl)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      val e = Tables.embeddings(s, d)
+        .select($"vec_id", asDouble($"embedding").as("vec"))
+      val cents = kmeansCentroids(trainSlice(s, d, e), k = 32, iters = 1)
+      lastIvfIndexCents.set(cents)
+      e.select($"vec_id".as("nid"), $"vec".as("nvec"),
+          array_min(centroidDists(cents, $"vec")).getField("cid").as("cell"))
+        .write.mode("overwrite")
+        .bucketBy(8, "cell").sortBy("cell")
+        .format("parquet").saveAsTable(tbl)
+      ivfIndexBuilt.add(d)
+    } }
+    tbl
+  }
+
+  /** PERSISTED-INDEX IVF search — the build-once/search-many lifecycle
+    * for the trained family, closing the gap [[ann_lsh_index]] closed
+    * for LSH: [[ann_ivf]] re-trains and re-assigns the whole corpus
+    * in-flight on every call, which at 100 TB means paying the full
+    * corpus scan per query batch; here construction is a one-time
+    * write ([[ivfIndexTable]] — inverted lists persisted BUCKETED on
+    * the cell id, vectors stored IN the lists) and the registered
+    * query times only the search path. The probe join reads the index
+    * pre-partitioned on exactly its join key — NO Exchange ever
+    * touches the corpus-scale side (spec-gated mechanically, the
+    * ann_lsh_index rule); the merge hint keeps the MANY-QUERIES
+    * posture where broadcast stops applying and the write-time
+    * bucketing is what saves the corpus shuffle.
+    *
+    * Same k/nprobe operating point as [[ann_ivf]] (recall ≈ 0.76 on
+    * this deliberately-uniform corpus, gated ≥ 0.7); the oracle is the
+    * same literal-replay over THIS index's trained centroids —
+    * assignment, probe choice, candidate join, rescore and ranking all
+    * re-derived in DuckDB from the inlined floats. */
+  def ann_ivf_index(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tbl = ivfIndexTable(s, d)
+    val cents = lastIvfIndexCents.get()
+    val e = Tables.embeddings(s, d)
+      .select($"vec_id", asDouble($"embedding").as("vec"))
+    val probes = e.filter($"vec_id" < 16)
+      .select($"vec_id".as("qid"), $"vec".as("qvec"),
+        explode(slice(array_sort(centroidDists(cents, $"vec")), 1, 8)).as("probe"))
+      .select($"qid", $"qvec", $"probe.cid".as("cell"))
+    val idx = s.table(tbl)
+    val scored = idx.hint("merge").join(probes, "cell")
+      .filter($"nid" =!= $"qid")
+      .select($"qid", $"nid", cosine($"qvec", $"nvec").as("cos"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")))
+      .filter($"rank" <= 5)
+      .select($"qid", $"rank", $"nid", round($"cos", 6).as("cos_sim"))
+      .orderBy($"qid", $"rank")
+  }
+
   /** IVF (inverted-file) ANN — the coarse-quantizer scale path: K
     * centroids partition the corpus into cells (inverted lists); a
     * query probes only its `nprobe` nearest cells and brute-forces
@@ -937,6 +1018,7 @@ object Similarity {
     "ann_quantize" -> ann_quantize _,
     "ann_lsh" -> ann_lsh _,
     "ann_lsh_index" -> ann_lsh_index _,
+    "ann_ivf_index" -> ann_ivf_index _,
     "ann_ivf" -> ann_ivf _,
     "ann_pq" -> ann_pq _,
     "ann_ivfpq" -> ann_ivfpq _)
@@ -1301,6 +1383,12 @@ object Similarity {
   def oracle: Map[String, String] = Option(lastIvfCents.get())
     .map(c => Map("ann_ivf" -> annIvfOracleSql(c, nprobe = 8)))
     .getOrElse(Map.empty) ++
+    // same replay over the PERSISTED index's own trained centroids
+    // (two trainings have no cross-run bit determinism, so each memo
+    // feeds only its own oracle)
+    Option(lastIvfIndexCents.get())
+      .map(c => Map("ann_ivf_index" -> annIvfOracleSql(c, nprobe = 8)))
+      .getOrElse(Map.empty) ++
     Option(lastPqTrained.get())
       .map { case (b, t) => Map("ann_pq" -> annPqOracleSql(b, t, rerank = 64)) }
       .getOrElse(Map.empty) ++

@@ -216,6 +216,32 @@ class SimilaritySpec extends SparkSpec {
     assert(fullRecall >= 0.99, s"nprobe=k recall $fullRecall should be exact")
   }
 
+  test("ann_ivf_index holds IVF recall and searches the index without a corpus-side Exchange") {
+    val brute = Similarity.ann_topk_brute(spark, sf001)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaIndex = Similarity.ann_ivf_index(spark, sf001)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIndex.nonEmpty, "ann_ivf_index returned no rows")
+    val recall = (brute & viaIndex).size.toDouble / brute.size
+    assert(recall >= 0.7, s"indexed IVF recall@5 $recall < 0.7 (nprobe=8 of k=32 cells)")
+    // the lifecycle claim, held mechanically (the ann_lsh_index rule):
+    // the probe join is a SortMergeJoin reading the PRE-BUCKETED
+    // inverted lists — no Exchange between the index scan and the
+    // join; only the 16-query probe side shuffles
+    val plan = Similarity.ann_ivf_index(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"no SMJ:\n${plan.take(1200)}")
+    assert(plan.contains("Bucketed: true"),
+      s"index scan not bucketed:\n${plan.take(1200)}")
+    val lines = plan.linesIterator.toVector
+    val idxLine = lines.indexWhere(_.contains("default.ivf_idx"))
+    val smjLine = lines.lastIndexWhere(_.contains("SortMergeJoin"), idxLine)
+    assert(idxLine > smjLine && smjLine >= 0, "plan shape unexpected")
+    val between = lines.slice(smjLine + 1, idxLine)
+    assert(!between.exists(_.contains("Exchange")),
+      s"Exchange on the index branch:\n${between.mkString("\n")}")
+  }
+
   test("ann_pq recall@5 vs brute force; full rerank reproduces brute exactly") {
     val brute = Similarity.ann_topk_brute(spark, sf001)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
