@@ -1588,7 +1588,59 @@ object TextOps {
       .orderBy($"query_id", $"rank")
   }
 
+  /** MULTI-DESTINATION SINGLE-PASS WRITE — the reference's
+    * MultipleOutputs (hadoop-mapreduce-project/hadoop-mapreduce-client/
+    * hadoop-mapreduce-client-core/src/main/java/org/apache/hadoop/
+    * mapreduce/lib/output/MultipleOutputs.java:1 — one job writing to
+    * several NAMED outputs, a record free to land in more than one),
+    * the posture a curation pass needs at 100 TB: emitting curated +
+    * rejected + audit corpora by rescanning per destination triples
+    * the read. Spark-first: route each document in one map (quality
+    * gate → curated/rejected; every doc_id ≡ 0 mod 41 ALSO copies to
+    * audit — the overlapping-outputs case partitionBy alone can't
+    * fake), explode the per-row destination list, and write ONCE with
+    * `partitionBy("dest")` — a single scan, a single job, each
+    * destination its own directory subtree that downstream readers
+    * consume independently (and partition-prune to). The registered
+    * query reads the accounting BACK from the written splits, so the
+    * oracle hash-verifies the materialized routing, not an in-memory
+    * plan. Memoized setup (the exportOnce rule): the write is paid
+    * once; Verify/Bench time the read-back.
+    *
+    * Scale: the destination fan here is 3; partitionBy's cost model is
+    * one open writer per (task, live destination) — at wider fans sort
+    * within partitions on the route column first (or cap via
+    * maxRecordsPerFile) so each task streams one destination at a
+    * time instead of holding |dests| writers. */
+  private val multiRouteBuilt = new java.util.HashSet[String]()
+  def text_multi_route(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tag = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(d.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_multiroute_$tag")
+    multiRouteBuilt.synchronized { if (!multiRouteBuilt.contains(d)) {
+      val routed = Tables.documents(s, d)
+        .withColumn("route",
+          when($"lang" === "en" && $"n_chars" >= 150, "curated")
+            .otherwise("rejected"))
+        .withColumn("dest", explode(
+          when(pmod($"doc_id", lit(41)) === 0,
+            array($"route", lit("audit"))).otherwise(array($"route"))))
+      routed.select($"doc_id", $"lang", $"source", $"n_chars", $"dest")
+        .write.mode("overwrite").partitionBy("dest").parquet(dir.getPath)
+      multiRouteBuilt.add(d)
+    } }
+    s.read.parquet(dir.getPath)
+      .groupBy($"dest")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("total_chars"),
+        min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+      .orderBy($"dest")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_multi_route" -> text_multi_route _,
     "text_search_index" -> text_search_index _,
     "text_classify_centroid" -> text_classify_centroid _,
     "text_window_chunks" -> text_window_chunks _,
@@ -1780,6 +1832,18 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "text_multi_route" ->
+      """WITH routed AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN lang = 'en' AND n_chars >= 150 THEN 'curated'
+        |         ELSE 'rejected' END AS dest
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, n_chars, 'audit' FROM documents WHERE doc_id % 41 = 0)
+        |SELECT dest, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM routed GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_classify_centroid" -> classifyCentroidOracleSql,
     "text_bpe_train" -> bpeTrainOracleSql,
     "text_bpe_encode" -> bpeEncodeOracleSql,

@@ -761,4 +761,36 @@ class TextPipelineSpec extends SparkSpec {
     assert(!lines.slice(aggAbove + 1, idxLine).exists(_.contains("Exchange")),
       "Exchange between the df aggregate and the bucketed index scan")
   }
+
+  test("text_multi_route: one pass materializes disjoint curated/rejected plus an overlapping audit copy") {
+    import spark.implicits._
+    // run the registered query (builds the partitioned layout once)
+    val acct = TextOps.text_multi_route(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tag = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(sf0001.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"), s"graft_multiroute_$tag")
+    // every destination is its own independently-readable subtree
+    Seq("curated", "rejected", "audit").foreach { dest =>
+      assert(new java.io.File(base, s"dest=$dest").isDirectory, s"missing split $dest")
+    }
+    def ids(dest: String): Set[Long] =
+      spark.read.parquet(new java.io.File(base, s"dest=$dest").getPath)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val (cur, rej, aud) = (ids("curated"), ids("rejected"), ids("audit"))
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"lang", $"n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // curated/rejected PARTITION the corpus; audit OVERLAPS it (the
+    // MultipleOutputs case partitionBy alone cannot fake)
+    assert((cur & rej).isEmpty, "curated and rejected overlap")
+    assert((cur | rej) == docs.map(_._1).toSet, "curated+rejected must cover the corpus")
+    assert(aud == docs.map(_._1).filter(_ % 41 == 0).toSet, "audit is the mod-41 copy set")
+    assert(aud.exists(cur | rej), "audit must overlap the primary route")
+    // each split holds exactly the routing rule's rows
+    assert(cur == docs.filter(t => t._2 == "en" && t._3 >= 150).map(_._1).toSet)
+    // and the registered accounting matches the splits it read
+    assert(acct("curated") == cur.size && acct("rejected") == rej.size &&
+      acct("audit") == aud.size)
+  }
 }
