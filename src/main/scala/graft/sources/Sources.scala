@@ -889,7 +889,103 @@ object Sources {
       .orderBy($"l_linestatus")
   }
 
+  /** KeyValueText ingest — the reference's KeyValueTextInputFormat
+    * (hadoop-mapreduce-client-core .../lib/input/
+    * KeyValueTextInputFormat.java:1): each line splits at the FIRST
+    * separator byte into (key, value); everything after the first tab
+    * — including further tabs — stays in the value. The export bakes
+    * that trap in on purpose (value = status<TAB>price), and
+    * SourcesSpec asserts the read-back value still contains its inner
+    * tab. Read through the REAL Hadoop input format via
+    * newAPIHadoopFile (the Writable-boundary bridge the SequenceFile
+    * legs use) — line-range splittable, parallel at any scale — then
+    * parsed and aggregated; the parquet-side oracle proves the
+    * round-trip value-exact. Text/LongWritable objects are REUSED by
+    * Hadoop record readers, so the map materializes Strings before
+    * any shuffle. */
+  def src_kvtext_agg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.hadoop.io.Text
+    import org.apache.hadoop.mapreduce.lib.input.KeyValueTextInputFormat
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_kvtext_${dirTag(d)}")
+    exportOnce(s"kvtext:$d") {
+      Tables.orders(s, d)
+        .select(concat_ws("\t",
+          $"o_orderkey", $"o_orderstatus", $"o_totalprice").as("value"))
+        .write.mode("overwrite").text(dir.getPath)
+    }
+    s.sparkContext.newAPIHadoopFile(dir.getPath,
+        classOf[KeyValueTextInputFormat], classOf[Text], classOf[Text],
+        s.sparkContext.hadoopConfiguration)
+      .map { case (k, v) => (k.toString, v.toString) }
+      .toDF("k", "v")
+      .select($"k".cast("long").as("o_orderkey"),
+        split($"v", "\t").getItem(0).as("o_orderstatus"),
+        split($"v", "\t").getItem(1).cast("double").as("o_totalprice"))
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        max($"o_orderkey").as("max_order"),
+        sum(round($"o_totalprice" * 100).cast("long")).as("totalprice_cents"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** N-line split ingest — the reference's NLineInputFormat
+    * (hadoop-mapreduce-client-core .../lib/input/NLineInputFormat
+    * .java:1): splits carry exactly N LINES each, so task count tracks
+    * RECORDS, not bytes — the granularity control for inputs where
+    * per-record work dwarfs record size (parameter sweeps, simulation
+    * seeds, URL lists: a 1 KB line can mean minutes of compute, and
+    * byte-sized splits would serialize the job). The deliberate
+    * INVERSE of [[src_small_files_scan]]'s posture: there many files
+    * collapse into few tasks because bytes are the cost; here ONE tiny
+    * file fans out into ceil(lines/N) tasks because records are.
+    * Read through the real NLineInputFormat via newAPIHadoopFile with
+    * linespermap on the job conf; SourcesSpec asserts the partition
+    * arithmetic mechanically. The registered aggregate proves the
+    * line-range reader loses/duplicates nothing against the
+    * parquet-side oracle. */
+  def src_nline_agg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_nline_${dirTag(d)}")
+    exportOnce(s"nline:$d") {
+      Tables.nation(s, d)
+        .select(concat_ws("|", $"n_nationkey", $"n_name", $"n_regionkey")
+          .as("value"))
+        .coalesce(1).write.mode("overwrite").text(dir.getPath)
+    }
+    nlineLines(s, dir.getPath, linesPerMap = 4)
+      .select(split($"value", "\\|").as("f"))
+      .select($"f".getItem(0).cast("int").as("n_nationkey"),
+        $"f".getItem(1).as("n_name"),
+        $"f".getItem(2).cast("int").as("n_regionkey"))
+      .groupBy($"n_regionkey")
+      .agg(count(lit(1)).as("n_nations"),
+        sum($"n_nationkey".cast("long")).as("key_sum"),
+        max($"n_name").as("last_name"))
+      .orderBy($"n_regionkey")
+  }
+
+  /** The NLineInputFormat read itself, factored out so SourcesSpec can
+    * assert partitions == ceil(lines / N) at several N. */
+  private[graft] def nlineLines(s: SparkSession, path: String,
+      linesPerMap: Int): DataFrame = {
+    import s.implicits._
+    import org.apache.hadoop.io.{LongWritable, Text}
+    import org.apache.hadoop.mapreduce.lib.input.NLineInputFormat
+    val conf = new org.apache.hadoop.conf.Configuration(
+      s.sparkContext.hadoopConfiguration)
+    conf.setInt("mapreduce.input.lineinputformat.linespermap", linesPerMap)
+    s.sparkContext.newAPIHadoopFile(path,
+        classOf[NLineInputFormat], classOf[LongWritable], classOf[Text], conf)
+      .map(_._2.toString)
+      .toDF("value")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_kvtext_agg" -> src_kvtext_agg _,
+    "src_nline_agg" -> src_nline_agg _,
     "src_small_files_scan" -> src_small_files_scan _,
     "src_fixedwidth_agg" -> src_fixedwidth_agg _,
     "src_json_multiline_agg" -> src_json_multiline_agg _,
@@ -912,6 +1008,17 @@ object Sources {
     "src_partitioned_prune" -> src_partitioned_prune _)
 
   val oracle: Map[String, String] = Map(
+    "src_kvtext_agg" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        | max(o_orderkey) AS max_order,
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |   AS totalprice_cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src_nline_agg" ->
+      """SELECT n_regionkey, count(*) AS n_nations,
+        | CAST(sum(CAST(n_nationkey AS BIGINT)) AS BIGINT) AS key_sum,
+        | max(n_name) AS last_name
+        |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
     "src_small_files_scan" ->
       """SELECT l_linestatus, count(*) AS n_items,
         | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents

@@ -360,6 +360,52 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("src_kvtext_agg: KeyValueText splits at the FIRST tab only; inner tab survives in the value") {
+    import spark.implicits._
+    import org.apache.hadoop.io.Text
+    import org.apache.hadoop.mapreduce.lib.input.KeyValueTextInputFormat
+    // materialize the export (memoized), then look at the raw (k, v)
+    // boundary the input format actually produced
+    Sources.src_kvtext_agg(spark, sf0001).collect()
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_kvtext_" + java.security.MessageDigest.getInstance("SHA-256")
+        .digest(sf0001.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString)
+    val kv = spark.sparkContext.newAPIHadoopFile(dir.getPath,
+        classOf[KeyValueTextInputFormat], classOf[Text], classOf[Text],
+        spark.sparkContext.hadoopConfiguration)
+      .map { case (k, v) => (k.toString, v.toString) }.collect()
+    assert(kv.nonEmpty)
+    // every value kept its INNER tab (status<TAB>price) — the
+    // first-separator contract, not a split-on-every-tab
+    assert(kv.forall(_._2.count(_ == '\t') == 1),
+      s"expected exactly one inner tab per value, sample: ${kv.take(3).mkString}")
+    val expected = Tables.orders(spark, sf0001)
+      .select($"o_orderkey".cast("string"), concat_ws("\t", $"o_orderstatus", $"o_totalprice"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(kv.toSet == expected, "KeyValueText (k, v) boundary mismatch")
+  }
+
+  test("src_nline_agg: NLine splits carry exactly N lines — tasks = ceil(lines/N) from ONE file") {
+    Sources.src_nline_agg(spark, sf0001).collect()
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_nline_" + java.security.MessageDigest.getInstance("SHA-256")
+        .digest(sf0001.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString)
+    val nFiles = dir.listFiles().count(f =>
+      f.getName.startsWith("part-") && f.getName.endsWith(".txt"))
+    assert(nFiles == 1, s"premise: the export must coalesce to ONE file, got $nFiles")
+    val lines = Sources.nlineLines(spark, dir.getPath, 4)
+    val n = lines.count()
+    assert(n >= 8, s"premise: need several splits' worth of lines, got $n")
+    // the record-granular posture: one tiny file fans out into
+    // ceil(lines/N) tasks (the inverse of src_small_files_scan)
+    assert(lines.rdd.getNumPartitions == ((n + 3) / 4).toInt,
+      s"expected ceil($n/4) partitions, got ${lines.rdd.getNumPartitions}")
+    assert(Sources.nlineLines(spark, dir.getPath, 2).rdd.getNumPartitions
+      == ((n + 1) / 2).toInt, "linespermap=2 arithmetic")
+    // and no line lost or duplicated across split boundaries
+    assert(lines.distinct().count() == n)
+  }
+
   test("src_small_files_scan: tuned scan packs many files per task; defaults don't; rows identical") {
     // Materialize the 256-small-file layout (setup is memoized).
     val viaTuned = Sources.src_small_files_scan(spark, sf0001).collect()
