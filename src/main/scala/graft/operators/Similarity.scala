@@ -677,6 +677,22 @@ object Similarity {
       memo: java.util.concurrent.atomic.AtomicReference[
         (Array[Array[Double]], Array[Array[Array[Double]]],
           Seq[(Long, Int, Double, Seq[Double])])] = null): DataFrame = {
+    val (cents, books, encoded) = ivfPqModel(s, d, k, m, ks)
+    val probeRows = ivfPqProbeRows(s, d, cents, books, nprobe)
+    if (memo != null)
+      memo.set((cents.map(_.clone()), books.map(_.map(_.clone())), probeRows))
+    ivfPqSearch(s, d, encoded, probeRows, m, ks, rerank, bucketedIndex = false)
+  }
+
+  /** Shared IVF-PQ model: coarse quantizer (hash-mod sample, seed +
+    * one distributed Lloyd round), residual PQ codebooks (seed + one
+    * all-subspaces Lloyd pass), and the ENCODED corpus (nid, cell,
+    * codes) — factored out of [[annIvfPq]] so [[ann_ivfpq_index]] can
+    * persist the encoded corpus as its inverted lists instead of
+    * recomputing it per search. */
+  private[graft] def ivfPqModel(s: SparkSession, d: String, k: Int,
+      m: Int, ks: Int)
+      : (Array[Array[Double]], Array[Array[Array[Double]]], DataFrame) = {
     import s.implicits._
     val dim = 64
     require(dim % m == 0, s"m=$m must divide dim=$dim")
@@ -726,14 +742,26 @@ object Similarity {
 
     val encoded = withCodes(withCellRes(e))
       .select($"vec_id".as("nid"), $"cell", $"codes")
+    (cents, books, encoded)
+  }
 
-    // Driver-side probe set: per query ONE ADC table (cell-independent
-    // — residual books are shared across cells) + per probed cell the
-    // ⟨q,c⟩ scalar; cells ordered by the same (cosine dist, cid) key
-    // centroidDists uses, so nprobe=k degenerates to all cells.
+  /** Driver-side probe set for IVF-PQ search: per query ONE ADC table
+    * (cell-independent — residual books are shared across cells) plus
+    * per probed cell the ⟨q,c⟩ scalar; cells ordered by the same
+    * (cosine dist, cid) key centroidDists uses, so nprobe=k
+    * degenerates to all cells. Pure driver arithmetic over the
+    * 16-query collect — deterministic given (cents, books), which is
+    * what lets the replay oracle inline it. */
+  private[graft] def ivfPqProbeRows(s: SparkSession, d: String,
+      cents: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      nprobe: Int): Seq[(Long, Int, Double, Seq[Double])] = {
+    import s.implicits._
+    val m = books.length; val ds = books(0)(0).length; val dim = m * ds
+    val e = Tables.embeddings(s, d)
+      .select($"vec_id", asDouble($"embedding").as("vec"))
     val qRows = e.filter($"vec_id" < 16).select($"vec_id", $"vec").collect()
       .sortBy(_.getLong(0))
-    val probeRows: Seq[(Long, Int, Double, Seq[Double])] = qRows.toSeq.flatMap { r =>
+    qRows.toSeq.flatMap { r =>
       val qid = r.getLong(0)
       val q = r.getSeq[Double](1).toArray
       val tab = (0 until m).flatMap { mi =>
@@ -748,14 +776,29 @@ object Similarity {
       }.sortBy(t => (t._1, t._2)).take(nprobe)
         .map { case (_, cid, ip) => (qid, cid, ip, tab) }
     }
-    if (memo != null)
-      memo.set((cents.map(_.clone()), books.map(_.map(_.clone())), probeRows))
+  }
+
+  /** ADC candidate scan + exact rescore over an encoded corpus (in
+    * flight from [[ivfPqModel]], or the persisted inverted lists of
+    * [[ann_ivfpq_index]]). `bucketedIndex = true` switches the probe
+    * join from the broadcast shortcut to the merge-hinted
+    * bucketed-scan path — the many-queries posture where the
+    * write-time bucketing, not a broadcast, is what saves the
+    * corpus-side shuffle. */
+  private def ivfPqSearch(s: SparkSession, d: String, encoded: DataFrame,
+      probeRows: Seq[(Long, Int, Double, Seq[Double])], m: Int, ks: Int,
+      rerank: Int, bucketedIndex: Boolean): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .select($"vec_id", asDouble($"embedding").as("vec"))
     val probes = probeRows.toDF("qid", "cell", "qcip", "tab")
 
     val adc = $"qcip" + (0 until m)
       .map(mi => expr(s"element_at(tab, ${mi * ks + 1} + codes[$mi])"))
       .reduce(_ + _)
-    val cand = encoded.join(broadcast(probes), "cell")
+    val cand = (if (bucketedIndex)
+        encoded.hint("merge").join(probes, "cell")
+      else encoded.join(broadcast(probes), "cell"))
       .filter($"nid" =!= $"qid")
       .select($"qid", $"nid", adc.as("adc"))
       .withColumn("rk", row_number().over(
@@ -773,6 +816,62 @@ object Similarity {
       .filter($"rank" <= 5)
       .select($"qid", $"rank", $"nid", round($"cos", 6).as("cos_sim"))
       .orderBy($"qid", $"rank")
+  }
+
+  /** One persisted IVF-PQ index per source dir, built once per JVM —
+    * the sentence in [[ann_ivfpq]]'s scaladoc ("a real deployment
+    * materializes (nid, cell, codes) as a table BUCKETED by cell")
+    * made real: the encoded corpus persists as cell-bucketed inverted
+    * lists holding CODES, not vectors — the memory-compressed index
+    * shape ([[ann_quantize]]'s byte-budget argument applied to the
+    * index itself: ~8 int codes per vector instead of 64 doubles).
+    * Re-trained and rewritten on the first call of each JVM so the
+    * persisted codes always match the memo'd model. */
+  private val ivfPqIndexBuilt = new java.util.HashSet[String]()
+  private[graft] val lastIvfPqIndexTrained =
+    new java.util.concurrent.atomic.AtomicReference[
+      (Array[Array[Double]], Array[Array[Array[Double]]],
+        Seq[(Long, Int, Double, Seq[Double])])]()
+  private def ivfPqIndexTable(s: SparkSession, d: String): String = {
+    val tag = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(d.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+    val tbl = s"ivfpq_idx_$tag"
+    ivfPqIndexBuilt.synchronized { if (!ivfPqIndexBuilt.contains(d)) {
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      val loc = java.nio.file.Paths.get(wh, tbl)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      val (cents, books, encoded) = ivfPqModel(s, d, k = 16, m = 8, ks = 16)
+      // probe rows are recomputed per search; the memo carries them so
+      // the oracle dump never depends on a search having run last
+      lastIvfPqIndexTrained.set((cents, books,
+        ivfPqProbeRows(s, d, cents, books, nprobe = 4)))
+      encoded.write.mode("overwrite")
+        .bucketBy(8, "cell").sortBy("cell")
+        .format("parquet").saveAsTable(tbl)
+      ivfPqIndexBuilt.add(d)
+    } }
+    tbl
+  }
+
+  /** PERSISTED-INDEX IVF-PQ search — the compressed counterpart of
+    * [[ann_ivf_index]]: the inverted lists hold PQ CODES (the
+    * ~30×-smaller representation the ADC scan actually needs), exact
+    * vectors are fetched ONLY for the per-query top-`rerank`
+    * candidates. Same k/nprobe/m/ks/rerank operating point as
+    * [[ann_ivfpq]] (recall gate ≥ 0.5); the merge-hinted probe join
+    * reads the index pre-partitioned on the cell key — zero
+    * corpus-side Exchange, spec-gated mechanically — and the oracle is
+    * the ann_ivfpq literal replay over THIS index's own trained model. */
+  def ann_ivfpq_index(s: SparkSession, d: String): DataFrame = {
+    val tbl = ivfPqIndexTable(s, d)
+    val (cents, books, probeRows) = lastIvfPqIndexTrained.get()
+    ivfPqSearch(s, d, s.table(tbl), probeRows, m = 8, ks = 16,
+      rerank = 64, bucketedIndex = true)
   }
 
   /** FILTERED vector search — top-k under a metadata predicate (the
@@ -1019,6 +1118,7 @@ object Similarity {
     "ann_lsh" -> ann_lsh _,
     "ann_lsh_index" -> ann_lsh_index _,
     "ann_ivf_index" -> ann_ivf_index _,
+    "ann_ivfpq_index" -> ann_ivfpq_index _,
     "ann_ivf" -> ann_ivf _,
     "ann_pq" -> ann_pq _,
     "ann_ivfpq" -> ann_ivfpq _)
@@ -1395,6 +1495,10 @@ object Similarity {
     Option(lastIvfPqTrained.get())
       .map { case (c, b, p) =>
         Map("ann_ivfpq" -> annIvfPqOracleSql(c, b, p, rerank = 64)) }
+      .getOrElse(Map.empty) ++
+    Option(lastIvfPqIndexTrained.get())
+      .map { case (c, b, p) =>
+        Map("ann_ivfpq_index" -> annIvfPqOracleSql(c, b, p, rerank = 64)) }
       .getOrElse(Map.empty) ++ Map(
     "ann_hybrid_rrf" -> annHybridRrfOracleSql,
     "ann_lsh_tuning" -> annLshTuningOracleSql,

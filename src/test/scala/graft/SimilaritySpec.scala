@@ -242,6 +242,29 @@ class SimilaritySpec extends SparkSpec {
       s"Exchange on the index branch:\n${between.mkString("\n")}")
   }
 
+  test("ann_ivfpq_index holds IVF-PQ recall and searches compressed lists without a corpus-side Exchange") {
+    val brute = Similarity.ann_topk_brute(spark, sf001)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaIndex = Similarity.ann_ivfpq_index(spark, sf001)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIndex.nonEmpty, "ann_ivfpq_index returned no rows")
+    val recall = (brute & viaIndex).size.toDouble / brute.size
+    assert(recall >= 0.5, s"indexed IVF-PQ recall@5 $recall < 0.5 (k=16/nprobe=4/rerank=64)")
+    // the compressed-lifecycle claim, held mechanically: SMJ reads the
+    // PRE-BUCKETED code lists with no Exchange on the index branch
+    val plan = Similarity.ann_ivfpq_index(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"no SMJ:\n${plan.take(1200)}")
+    assert(plan.contains("Bucketed: true"),
+      s"index scan not bucketed:\n${plan.take(1200)}")
+    val lines = plan.linesIterator.toVector
+    val idxLine = lines.indexWhere(_.contains("default.ivfpq_idx"))
+    val smjLine = lines.lastIndexWhere(_.contains("SortMergeJoin"), idxLine)
+    assert(idxLine > smjLine && smjLine >= 0, "plan shape unexpected")
+    assert(!lines.slice(smjLine + 1, idxLine).exists(_.contains("Exchange")),
+      s"Exchange on the index branch:\n${lines.slice(smjLine + 1, idxLine).mkString("\n")}")
+  }
+
   test("ann_pq recall@5 vs brute force; full rerank reproduces brute exactly") {
     val brute = Similarity.ann_topk_brute(spark, sf001)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
