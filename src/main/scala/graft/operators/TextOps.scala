@@ -1613,6 +1613,24 @@ object TextOps {
     * maxRecordsPerFile) so each task streams one destination at a
     * time instead of holding |dests| writers. */
   private val multiRouteBuilt = new java.util.HashSet[String]()
+
+  /** The routing map itself — one stateless per-row pass from a
+    * documents-shaped frame to (doc_id, lang, source, n_chars, dest)
+    * with one row per (doc, destination). Shared verbatim by the batch
+    * write here and [[graft.streaming.StreamingOps.multiRouteStream]]
+    * (the same transform is a legal streaming plan: no state, no
+    * watermark — routing is append-only by nature). */
+  private[graft] def routedDocs(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("route",
+        when(col("lang") === "en" && col("n_chars") >= 150, "curated")
+          .otherwise("rejected"))
+      .withColumn("dest", explode(
+        when(pmod(col("doc_id"), lit(41)) === 0,
+          array(col("route"), lit("audit"))).otherwise(array(col("route")))))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("dest"))
+
   def text_multi_route(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val tag = java.security.MessageDigest.getInstance("SHA-256")
@@ -1620,14 +1638,7 @@ object TextOps {
     val dir = new java.io.File(
       System.getProperty("java.io.tmpdir"), s"graft_multiroute_$tag")
     multiRouteBuilt.synchronized { if (!multiRouteBuilt.contains(d)) {
-      val routed = Tables.documents(s, d)
-        .withColumn("route",
-          when($"lang" === "en" && $"n_chars" >= 150, "curated")
-            .otherwise("rejected"))
-        .withColumn("dest", explode(
-          when(pmod($"doc_id", lit(41)) === 0,
-            array($"route", lit("audit"))).otherwise(array($"route"))))
-      routed.select($"doc_id", $"lang", $"source", $"n_chars", $"dest")
+      routedDocs(Tables.documents(s, d))
         .write.mode("overwrite").partitionBy("dest").parquet(dir.getPath)
       multiRouteBuilt.add(d)
     } }

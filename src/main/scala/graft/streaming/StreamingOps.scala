@@ -239,6 +239,20 @@ object StreamingOps extends Serializable {
       .dropDuplicatesWithinWatermark("h")
       .select(col("doc_id"), col("h"), col("n_words"), col("quality_ppm"))
 
+  /** Streaming twin of text_multi_route — MULTI-DESTINATION writes as
+    * a CONTINUOUS pipeline: the same stateless routing map
+    * ([[graft.operators.TextOps.routedDocs]] verbatim), run over a
+    * document stream; downstream a parquet file sink with
+    * `partitionBy("dest")` materializes every destination subtree
+    * incrementally, micro-batch by micro-batch — curated, rejected and
+    * audit corpora all grow from ONE pass over the stream, no
+    * per-destination re-read (StreamingSpec drives the real file sink
+    * and asserts the on-disk splits equal the batch layout). No state,
+    * no watermark: routing is append-only, so this composes with any
+    * upstream dedup/curation stage that is. */
+  def multiRouteStream(docs: DataFrame): DataFrame =
+    graft.operators.TextOps.routedDocs(docs)
+
   /** Gap-based sessionization via the built-in session_window (the
     * production streaming path for ev_sessionize): sessions close when
     * the watermark passes start-of-gap. */

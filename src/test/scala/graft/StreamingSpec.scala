@@ -15,6 +15,7 @@ case class EvFull(event_id: Long, ts: Timestamp, user_id: Long,
 
 /** Streaming-curation input row (top-level for encoder derivation). */
 case class DocIn(doc_id: Long, text: String, ingest_ts: Timestamp)
+case class MultiDocIn(doc_id: Long, lang: String, source: String, n_chars: Long)
 
 /** Structured Streaming ≡ batch: the §2.4 streaming forms fed from a
   * MemoryStream must reproduce the batch EventOps results on the same
@@ -840,6 +841,49 @@ class StreamingSpec extends SparkSpec {
       ms.addData(b2); drain(q)
       assert(streamNearPairs("t_neardup_ooo") == batchNearPairs(),
         "pair set diverged under reversed ingest order")
+    } finally q.stop()
+  }
+
+  test("streaming multi-route through a real partitionBy file sink equals the batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+      .as[MultiDocIn].collect().sortBy(_.doc_id)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_mroute_stream").toFile
+    val out = new java.io.File(base, "out"); val ck = new java.io.File(base, "ck")
+    val ms = MemoryStream[MultiDocIn]
+    val q = StreamingOps.multiRouteStream(ms.toDF())
+      .writeStream.format("parquet")
+      .option("path", out.getPath)
+      .option("checkpointLocation", ck.getPath)
+      .partitionBy("dest")
+      .outputMode("append").start()
+    try {
+      // two micro-batches — every destination subtree must GROW
+      // incrementally, not be rewritten
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      ms.addData(b1); drain(q)
+      val afterB1 = spark.read.parquet(out.getPath).count()
+      ms.addData(b2); drain(q)
+      assert(spark.read.parquet(out.getPath).count() > afterB1)
+      // one pass materialized ALL destinations as independent subtrees
+      Seq("curated", "rejected", "audit").foreach { dest =>
+        assert(new java.io.File(out, s"dest=$dest").isDirectory, s"missing split $dest")
+      }
+      // and the on-disk (dest, doc_id) set equals the batch layout's
+      val streamed = spark.read.parquet(out.getPath)
+        .select($"dest", $"doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      graft.operators.TextOps.text_multi_route(spark, sf0001).collect() // builds batch layout
+      val tag = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(sf0001.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+      val batchDir = new java.io.File(System.getProperty("java.io.tmpdir"), s"graft_multiroute_$tag")
+      val batch = spark.read.parquet(batchDir.getPath)
+        .select($"dest", $"doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(streamed == batch, "streaming splits diverge from the batch layout")
     } finally q.stop()
   }
 }
