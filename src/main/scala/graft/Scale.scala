@@ -249,7 +249,32 @@ object Scale {
       // deterministic re-ingest regime. Output stays bucket-sized
       // (≤ types × 5 rows); the one growing structure is the
       // (batch, shard) spine, still metadata-scale; wall ~linear.
-      "ev_late_audit" -> (graft.operators.EventOps.ev_late_audit _))
+      "ev_late_audit" -> (graft.operators.EventOps.ev_late_audit _),
+      // r15: persisted-index ANN lifecycle under corpus growth. The
+      // FIRST cell pays index construction (train + assign + bucketed
+      // write — the amortized build) plus one search; the *_search
+      // cell immediately after hits the same per-dir memo, so its
+      // wall is the steady-state search alone. Posture claims under
+      // measurement: build ~linear in N (one corpus pass + k×dim
+      // collects); search touches only the probed nprobe/k fraction
+      // of the (bucketed, Exchange-free) lists with output EXACTLY 80
+      // rows at every factor — the fixed-query-set regime where
+      // corpus growth buys index size, not per-query candidate
+      // explosion.
+      "ann_ivf_index" -> (graft.operators.Similarity.ann_ivf_index _),
+      "ann_ivf_index_search" -> (graft.operators.Similarity.ann_ivf_index _),
+      // r15: the compressed twin — same split; the lists carry PQ
+      // codes so the search's ADC scan streams ~30× fewer bytes per
+      // list row, which is the wall-time delta vs ann_ivf_index_search
+      // this harness exists to show.
+      "ann_ivfpq_index" -> (graft.operators.Similarity.ann_ivfpq_index _),
+      "ann_ivfpq_index_search" -> (graft.operators.Similarity.ann_ivfpq_index _),
+      // r15: multi-destination write — the FIRST cell pays the one
+      // partitionBy write of all three splits (memoized after), so its
+      // wall measures single-pass multi-output throughput at N×;
+      // output stays the 3-row accounting, whose n_docs column must
+      // close at N× per destination (audit = N× the mod-41 count).
+      "text_multi_route" -> (graft.operators.TextOps.text_multi_route _))
     // r13: SemDeDup rides along with its DOCUMENTED posture applied —
     // k grows with the corpus (32·factor), holding E[|cell|] flat, so
     // per-cell pair volume (and wall time) should stay ~linear; past
