@@ -130,7 +130,12 @@ object SqlSurface {
     "mr_join" -> MapReduceOps.oracle("mr_join"),
     "ev_window_agg" -> EventOps.oracle("ev_window_agg"),
     "lateral_topk" -> lateralTopkSql,
-    "text_corpus_stats" -> textCorpusStatsSql)
+    "text_corpus_stats" -> textCorpusStatsSql,
+    // r15: the multi-route ACCOUNTING as one dialect-neutral statement
+    // (CASE routing + UNION ALL audit copy) — the SQL-surface view of
+    // text_multi_route's routing rule; the DataFrame form additionally
+    // materializes the splits, which SQL text alone cannot
+    "text_multi_route" -> TextOps.oracle("text_multi_route"))
 
   private def viaText(sql: String)(s: SparkSession, d: String): DataFrame = {
     registerViews(s, d)

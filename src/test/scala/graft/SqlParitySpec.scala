@@ -28,7 +28,11 @@ class SqlParitySpec extends SparkSpec {
     // substring-span dedup: the SQL text re-derives grams through the
     // extension-registered kernel + named-window islands, the
     // DataFrame form through posexplode + Column windows
-    "text_dup_spans" -> graft.operators.TextOps.text_dup_spans _)
+    "text_dup_spans" -> graft.operators.TextOps.text_dup_spans _,
+    // multi-route: the SQL text recomputes the routing accounting;
+    // the DataFrame form reads it back from the materialized splits —
+    // parity proves the written layout equals the declarative rule
+    "text_multi_route" -> graft.operators.TextOps.text_multi_route _)
 
   pairs.foreach { case (key, dfForm) =>
     test(s"spark.sql($key) == DataFrame $key") {
