@@ -189,6 +189,56 @@ object Similarity {
       .orderBy($"qid", $"rank")
   }
 
+  /** MULTI-PROBE search against the SAME persisted LSH index — the
+    * lifecycle property that makes a fixed index worth owning: recall
+    * is dialed at QUERY time, per query, with zero index changes and
+    * zero extra corpus cost. Each query looks up its exact band key
+    * PLUS the r single-bit-flip neighbors ([[annLsh]]'s probe
+    * arithmetic: per-band hit probability rises from p^r to
+    * p^r + r·p^(r-1)(1−p)), so the probed candidate set is a strict
+    * SUPERSET of [[ann_lsh_index]]'s — more of the index's buckets are
+    * consulted, only the tiny query-side key table (×(r+1)) grows.
+    * At 100 TB this is the knob that answers "this query needs higher
+    * recall" without rebuilding or widening the corpus-side index
+    * (band count multiplies corpus keys; probing multiplies only query
+    * keys). Same merge-hinted bucketed join — still NO Exchange on the
+    * corpus side (spec-gated), and SimilaritySpec asserts the
+    * candidate-superset + recall-dominance claims against the exact
+    * index search on the same table. Oracle: the ann_lsh replay with
+    * the probe keys re-derived via DuckDB xor(). */
+  def ann_lsh_index_probed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tbl = lshIndexTable(s, d)
+    val planes = randomPlanes(16 * 4, 64)
+    val mask = (1L << 4) - 1
+    val e = Tables.embeddings(s, d)
+    val q = e.filter($"vec_id" < 16)
+      .select($"vec_id",
+        hyperplaneSignature($"embedding", planes).as("sig"))
+    val qKeys = (0 until 16).flatMap { b =>
+      val exact = shiftrightunsigned($"sig", b * 4).bitwiseAND(lit(mask))
+      (exact +: (0 until 4).map(bit => exact.bitwiseXOR(lit(1L << bit))))
+        .map(k => struct(lit(b).as("band_q"), k.as("bkey_q")))
+    }
+    val qb = q.select($"vec_id".as("qid"), explode(array(qKeys: _*)).as("bk"))
+      .select($"qid", $"bk.band_q".as("band_q"), $"bk.bkey_q".as("bkey_q"))
+    val idx = s.table(tbl)
+    val cand = idx.hint("merge")
+      .join(qb, idx("band") === qb("band_q") && idx("bkey") === qb("bkey_q") &&
+        idx("nid") =!= qb("qid"))
+      .select($"qid", $"nid").distinct()
+    val scored = cand
+      .join(e.select($"vec_id".as("nid"), $"embedding"), "nid")
+      .join(broadcast(e.filter($"vec_id" < 16)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))), "qid")
+      .select($"qid", $"nid", cosine($"qvec", $"embedding").as("cos"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")))
+      .filter($"rank" <= 5)
+      .select($"qid", $"rank", $"nid", round($"cos", 6).as("cos_sim"))
+      .orderBy($"qid", $"rank")
+  }
+
   /** One persisted IVF index per source dir, built once per JVM — the
     * [[ann_lsh_index]] lifecycle applied to the TRAINED family: train
     * the coarse quantizer, assign every corpus vector to its cell, and
@@ -1117,6 +1167,7 @@ object Similarity {
     "ann_quantize" -> ann_quantize _,
     "ann_lsh" -> ann_lsh _,
     "ann_lsh_index" -> ann_lsh_index _,
+    "ann_lsh_index_probed" -> ann_lsh_index_probed _,
     "ann_ivf_index" -> ann_ivf_index _,
     "ann_ivfpq_index" -> ann_ivfpq_index _,
     "ann_ivf" -> ann_ivf _,
@@ -1206,6 +1257,46 @@ object Similarity {
     * dot products would change the candidate set and fail the hash —
     * this is the strongest available check that the LSH blocking is
     * deterministic and engine-independent. */
+  /** [[annLshOracleSql]] with MULTI-PROBE query keys: each query band
+    * key fans out to itself plus its 4 single-bit flips via xor()
+    * (flip masks 0/1/2/4/8 — 0 is the exact key), re-deriving exactly
+    * the probe set the Spark side's bitwiseXOR explode builds. The
+    * corpus keys stay exact — probing is query-side only, matching the
+    * persisted-index contract. */
+  private def annLshProbedOracleSql: String = {
+    val planes = randomPlanes(16 * 4, 64)
+    val pl = planes.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd FROM embeddings),
+       |pl AS (SELECT CAST($pl AS DOUBLE[][]) AS planes),
+       |keys AS (
+       |  SELECT vec_id, b.band,
+       |    CAST(sum(CASE WHEN list_inner_product(vd,
+       |          planes[CAST(b.band * 4 + j.j + 1 AS BIGINT)]) >= 0
+       |        THEN (1 << j.j) ELSE 0 END) AS BIGINT) AS bkey
+       |  FROM v, pl, unnest(range(16)) AS b(band), unnest(range(4)) AS j(j)
+       |  GROUP BY vec_id, b.band),
+       |qkeys AS (
+       |  SELECT vec_id, band,
+       |    CAST(xor(bkey, CAST(f.f AS BIGINT)) AS BIGINT) AS bkey
+       |  FROM keys, unnest([0, 1, 2, 4, 8]) AS f(f)
+       |  WHERE vec_id < 16),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+       |  FROM qkeys q JOIN keys c ON q.band = c.band AND q.bkey = c.bkey
+       |  WHERE c.vec_id <> q.vec_id),
+       |ranked AS (
+       |  SELECT cand.qid, cand.nid,
+       |    list_cosine_similarity(a.vd, b2.vd) AS cos,
+       |    row_number() OVER (PARTITION BY cand.qid
+       |      ORDER BY list_cosine_similarity(a.vd, b2.vd) DESC, cand.nid) AS rank
+       |  FROM cand
+       |  JOIN v a ON a.vec_id = cand.qid
+       |  JOIN v b2 ON b2.vec_id = cand.nid)
+       |SELECT qid, CAST(rank AS INTEGER) AS rank, nid, round(cos, 6) AS cos_sim
+       |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
+
   private def annLshOracleSql: String = {
     val planes = randomPlanes(16 * 4, 64)
     val pl = planes.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
@@ -1508,6 +1599,7 @@ object Similarity {
     // so the identical replay oracle — same answer, different
     // physical path, both hash-verified
     "ann_lsh_index" -> annLshOracleSql,
+    "ann_lsh_index_probed" -> annLshProbedOracleSql,
     "ann_topk_filtered" ->
       """SELECT qid, qlabel, rank, nid, round(cos, 6) AS cos_sim FROM (
         |  SELECT q.vec_id AS qid, q.label AS qlabel, c.vec_id AS nid,

@@ -216,6 +216,34 @@ class SimilaritySpec extends SparkSpec {
     assert(fullRecall >= 0.99, s"nprobe=k recall $fullRecall should be exact")
   }
 
+  test("ann_lsh_index_probed: query-time probing on the SAME index widens candidates, never loses them") {
+    val brute = Similarity.ann_topk_brute(spark, sf001)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.ann_lsh_index(spark, sf001)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probed = Similarity.ann_lsh_index_probed(spark, sf001)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probed.nonEmpty)
+    // the probed candidate set is a SUPERSET of the exact-key set on
+    // the same persisted index, so recall can only rise
+    val exactRecall = (brute & exact).size.toDouble / brute.size
+    val probedRecall = (brute & probed).size.toDouble / brute.size
+    assert(probedRecall >= exactRecall,
+      s"probing lost recall: $probedRecall < $exactRecall")
+    assert(probedRecall >= 0.9, s"probed recall@5 $probedRecall < 0.9")
+    // and the probe join still reads the index Exchange-free — the
+    // extra keys live on the query side only
+    val plan = Similarity.ann_lsh_index_probed(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") && plan.contains("Bucketed: true"))
+    val lines = plan.linesIterator.toVector
+    val idxLine = lines.indexWhere(_.contains("default.lsh_idx"))
+    val smjLine = lines.lastIndexWhere(_.contains("SortMergeJoin"), idxLine)
+    assert(idxLine > smjLine && smjLine >= 0, "plan shape unexpected")
+    assert(!lines.slice(smjLine + 1, idxLine).exists(_.contains("Exchange")),
+      s"Exchange on the index branch:\n${lines.slice(smjLine + 1, idxLine).mkString("\n")}")
+  }
+
   test("ann_ivf_index holds IVF recall and searches the index without a corpus-side Exchange") {
     val brute = Similarity.ann_topk_brute(spark, sf001)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
