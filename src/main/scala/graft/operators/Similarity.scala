@@ -299,10 +299,17 @@ object Similarity {
     * same literal-replay over THIS index's trained centroids —
     * assignment, probe choice, candidate join, rescore and ranking all
     * re-derived in DuckDB from the inlined floats. */
-  def ann_ivf_index(s: SparkSession, d: String): DataFrame = {
+  def ann_ivf_index(s: SparkSession, d: String): DataFrame =
+    ivfIndexSearch(s, d, ivfIndexTable(s, d), lastIvfIndexCents.get())
+
+  /** The IVF index search path, table-parameterized so
+    * [[ann_ivf_index]] and [[ann_ivf_index_delta]] share it verbatim:
+    * probe choice from the memo'd centroids, merge-hinted equi-join on
+    * the bucketed cell key (no corpus-side Exchange), exact-cosine
+    * rescore, per-query top-5. */
+  private def ivfIndexSearch(s: SparkSession, d: String, tbl: String,
+      cents: Array[Array[Double]]): DataFrame = {
     import s.implicits._
-    val tbl = ivfIndexTable(s, d)
-    val cents = lastIvfIndexCents.get()
     val e = Tables.embeddings(s, d)
       .select($"vec_id", asDouble($"embedding").as("vec"))
     val probes = e.filter($"vec_id" < 16)
@@ -319,6 +326,70 @@ object Similarity {
       .select($"qid", $"rank", $"nid", round($"cos", 6).as("cos_sim"))
       .orderBy($"qid", $"rank")
   }
+
+  /** One INCREMENTALLY-GROWN IVF index per source dir — the update
+    * path a production vector store lives by: new vectors arrive
+    * AFTER the quantizer is trained, and rebuilding the index per
+    * batch is exactly the cost persisting it was meant to avoid. The
+    * base index is built from 90% of the corpus (vec_id % 10 ≠ 0) and
+    * trains the centroids; the remaining 10% arrives as a DELTA batch,
+    * assigned with the SAME frozen centroids and APPENDED to the
+    * bucketed table (a second bucketed write job — each job's files
+    * carry their bucket ids, so the scan stays `Bucketed: true` and
+    * the probe join stays Exchange-free across both file generations,
+    * spec-gated). The search is [[ivfIndexSearch]] verbatim.
+    *
+    * The correctness claim is the IVM theorem applied to a vector
+    * index, and the driver's hash gate IS its proof: the oracle
+    * re-derives assignment/probe/rescore over the FULL corpus from the
+    * frozen centroids, so base-build + delta-append must equal the
+    * full recompute bit-for-bit — one mis-assigned or dropped delta
+    * vector fails the hash (the ev_ivm_delta pattern). */
+  private val ivfDeltaBuilt = new java.util.HashSet[String]()
+  private[graft] val lastIvfDeltaCents =
+    new java.util.concurrent.atomic.AtomicReference[Array[Array[Double]]]()
+  private def ivfDeltaIndexTable(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val tag = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(d.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+    val tbl = s"ivfd_idx_$tag"
+    ivfDeltaBuilt.synchronized { if (!ivfDeltaBuilt.contains(d)) {
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      val loc = java.nio.file.Paths.get(wh, tbl)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      val e = Tables.embeddings(s, d)
+        .select($"vec_id", asDouble($"embedding").as("vec"))
+      val base = e.filter(pmod($"vec_id", lit(10)) =!= 0)
+      // the quantizer predates the delta — trained on the base only
+      val cents = kmeansCentroids(trainSlice(s, d, base), k = 32, iters = 1)
+      lastIvfDeltaCents.set(cents)
+      def assigned(df: org.apache.spark.sql.DataFrame) =
+        df.select($"vec_id".as("nid"), $"vec".as("nvec"),
+          array_min(centroidDists(cents, $"vec")).getField("cid").as("cell"))
+      assigned(base).write.mode("overwrite")
+        .bucketBy(8, "cell").sortBy("cell")
+        .format("parquet").saveAsTable(tbl)
+      // the delta APPEND: same frozen centroids, a second bucketed
+      // write job into the same table
+      assigned(e.filter(pmod($"vec_id", lit(10)) === 0))
+        .write.mode("append")
+        .bucketBy(8, "cell").sortBy("cell")
+        .format("parquet").saveAsTable(tbl)
+      ivfDeltaBuilt.add(d)
+    } }
+    tbl
+  }
+
+  /** Search over the incrementally-grown index (see
+    * [[ivfDeltaIndexTable]]) — registered so the driver's hash gate
+    * proves base-build + delta-append ≡ full recompute. */
+  def ann_ivf_index_delta(s: SparkSession, d: String): DataFrame =
+    ivfIndexSearch(s, d, ivfDeltaIndexTable(s, d), lastIvfDeltaCents.get())
 
   /** IVF (inverted-file) ANN — the coarse-quantizer scale path: K
     * centroids partition the corpus into cells (inverted lists); a
@@ -1169,6 +1240,7 @@ object Similarity {
     "ann_lsh_index" -> ann_lsh_index _,
     "ann_lsh_index_probed" -> ann_lsh_index_probed _,
     "ann_ivf_index" -> ann_ivf_index _,
+    "ann_ivf_index_delta" -> ann_ivf_index_delta _,
     "ann_ivfpq_index" -> ann_ivfpq_index _,
     "ann_ivf" -> ann_ivf _,
     "ann_pq" -> ann_pq _,
@@ -1579,6 +1651,11 @@ object Similarity {
     // feeds only its own oracle)
     Option(lastIvfIndexCents.get())
       .map(c => Map("ann_ivf_index" -> annIvfOracleSql(c, nprobe = 8)))
+      .getOrElse(Map.empty) ++
+    // the full-corpus replay over the DELTA index's frozen centroids:
+    // hash-match here IS the merge-equals-recompute theorem
+    Option(lastIvfDeltaCents.get())
+      .map(c => Map("ann_ivf_index_delta" -> annIvfOracleSql(c, nprobe = 8)))
       .getOrElse(Map.empty) ++
     Option(lastPqTrained.get())
       .map { case (b, t) => Map("ann_pq" -> annPqOracleSql(b, t, rerank = 64)) }

@@ -270,6 +270,44 @@ class SimilaritySpec extends SparkSpec {
       s"Exchange on the index branch:\n${between.mkString("\n")}")
   }
 
+  test("ann_ivf_index_delta: appended lists stay bucketed and the grown index covers the full corpus") {
+    import spark.implicits._
+    val result = Similarity.ann_ivf_index_delta(spark, sf001)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(result.nonEmpty)
+    val tag = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(sf001.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+    val tbl = s"ivfd_idx_$tag"
+    // base + delta together hold EVERY corpus vector exactly once
+    val corpus = Tables.embeddings(spark, sf001).count()
+    assert(spark.table(tbl).count() == corpus, "grown index must cover the full corpus")
+    assert(spark.table(tbl).select("nid").distinct().count() == corpus, "duplicated vectors in lists")
+    // the delta vectors really came through the APPEND generation
+    val deltaInTable = spark.table(tbl).filter(pmod($"nid", lit(10)) === 0).count()
+    assert(deltaInTable == Tables.embeddings(spark, sf001)
+      .filter(pmod($"vec_id", lit(10)) === 0).count(), "delta batch missing from the lists")
+    // two write generations, one bucketed scan: still no Exchange on
+    // the index branch
+    val plan = Similarity.ann_ivf_index_delta(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") && plan.contains("Bucketed: true"))
+    val lines = plan.linesIterator.toVector
+    val idxLine = lines.indexWhere(_.contains("default.ivfd_idx"))
+    val smjLine = lines.lastIndexWhere(_.contains("SortMergeJoin"), idxLine)
+    assert(idxLine > smjLine && smjLine >= 0, "plan shape unexpected")
+    assert(!lines.slice(smjLine + 1, idxLine).exists(_.contains("Exchange")),
+      s"Exchange on the index branch:\n${lines.slice(smjLine + 1, idxLine).mkString("\n")}")
+    // recall sanity floor: the quantizer here trains on the 90% base
+    // only (the honest delta posture — it never sees the appended
+    // vectors), so it sits slightly under the full-train configs'
+    // ≥ 0.7 (measured 0.69 at sf0.01); the CORRECTNESS claim — merge
+    // ≡ full recompute — is the driver's hash gate, not this floor
+    val brute = Similarity.ann_topk_brute(spark, sf001)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & result).size.toDouble / brute.size
+    assert(recall >= 0.6, s"delta-grown IVF recall@5 $recall < 0.6")
+  }
+
   test("ann_ivfpq_index holds IVF-PQ recall and searches compressed lists without a corpus-side Exchange") {
     val brute = Similarity.ann_topk_brute(spark, sf001)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
