@@ -269,6 +269,16 @@ object Scale {
       // this harness exists to show.
       "ann_ivfpq_index" -> (graft.operators.Similarity.ann_ivfpq_index _),
       "ann_ivfpq_index_search" -> (graft.operators.Similarity.ann_ivfpq_index _),
+      // r15: the incremental-growth path — the FIRST cell pays
+      // base-build (90%) + delta-append (10%) + one search; the
+      // *_search cell is steady-state. The posture claim: the append
+      // is a pure assign+write map over ONLY the delta (no re-train,
+      // no re-assign of the base), so growing a corpus by 10% costs
+      // ~10% of a rebuild — the whole argument for owning a persisted
+      // index; wall for the combined cell should track ann_ivf_index's
+      // build cell (same total rows written across the two jobs).
+      "ann_ivf_index_delta" -> (graft.operators.Similarity.ann_ivf_index_delta _),
+      "ann_ivf_index_delta_search" -> (graft.operators.Similarity.ann_ivf_index_delta _),
       // r15: multi-destination write — the FIRST cell pays the one
       // partitionBy write of all three splits (memoized after), so its
       // wall measures single-pass multi-output throughput at N×;
