@@ -35,6 +35,23 @@ object Graph {
     cached
   }
 
+  /** Materialize a round AND return a scalar aggregate over it in ONE
+    * job — the dedup_clusters convergence device (Dedup.scala:646):
+    * the aggregate action is what populates the cache, so a loop's
+    * per-round bookkeeping (convergence count, removal count) costs
+    * zero extra job submissions instead of a dedicated count() plus a
+    * separate aggregate job per superstep. `agg` must be a single
+    * Long-valued aggregate expression (null → 0). */
+  private def materializeWith(df: DataFrame, agg: org.apache.spark.sql.Column)
+      : (DataFrame, Long) = {
+    val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+    val n = cached.agg(agg).collect()(0) match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    (cached, n)
+  }
+
   private def rebind(cached: DataFrame): DataFrame =
     cached.sparkSession.createDataFrame(cached.rdd, cached.schema)
 
@@ -162,15 +179,7 @@ object Graph {
     * explode) replays verbatim in DuckDB. */
   def graph_triangles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val minSupport = 2
-    val os = Tables.lineitem(s, d)
-      .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk")).distinct()
-    val e0 = os.as("a").join(os.as("b"),
-        $"a.ok" === $"b.ok" && $"a.sk" < $"b.sk")
-      .groupBy($"a.sk".as("u"), $"b.sk".as("v"))
-      .agg(count(lit(1)).as("support"))
-      .filter($"support" >= minSupport)
-      .select($"u", $"v")
+    val e0 = coSupplierEdges(s, d)
     val deg = e0.select(explode(array($"u", $"v")).as("node"))
       .groupBy($"node").agg(count(lit(1)).as("deg"))
     // orient each edge low→high by (deg, id); carry the dst's order
@@ -260,22 +269,24 @@ object Graph {
       // argmax under the total order (cnt DESC, label ASC) as a
       // max_by over struct(cnt, -label) — same winner as the
       // row_number window (the order is total, so argmax is unique)
-      // but an AGGREGATE: map-side partials, no per-node sort
+      // but an AGGREGATE: map-side partials, no per-node sort.
+      // The previous round's label rides along so the materializing
+      // action doubles as the fixpoint check (see below) — one job
+      // per superstep, not a count() plus a convergence join job.
       val next = votes
         .groupBy($"node")
         .agg(max_by($"label", struct($"cnt", -$"label")).as("label"))
-      val nextCached = materializeRound(next)
+        .join(labels.withColumnRenamed("label", "old"), Seq("node"))
       // fixpoint short-circuit — synchronous LPA is a deterministic
       // function of the label table, so round i ≡ round i−1 implies
-      // every remaining round is identical; the check is a join of
-      // two cached node-sized tables. The oracle still unrolls all
-      // `iters` rounds — agreement proves the skip was sound.
-      converged = rebind(nextCached)
-        .join(labels.withColumnRenamed("label", "old"), Seq("node"))
-        .filter($"label" =!= $"old").count() == 0
+      // every remaining round is identical. The oracle still unrolls
+      // all `iters` rounds — agreement proves the skip was sound.
+      val (nextCached, changed) = materializeWith(next,
+        sum(when($"label" =!= $"old", 1L).otherwise(0L)))
+      converged = changed == 0
       cached.unpersist(blocking = false)
       cached = nextCached
-      labels = rebind(cached)
+      labels = rebind(cached).select($"node", $"label")
       i += 1
     }
     graft.CacheRegistry.track(cached)
@@ -326,22 +337,11 @@ object Graph {
     * graph state. */
   def graph_bfs_layers(s: SparkSession, d: String, iters: Int = 6): DataFrame = {
     import s.implicits._
-    val os = Tables.lineitem(s, d)
-      .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk")).distinct()
-    val e0 = os.as("a").join(os.as("b"),
-        $"a.ok" === $"b.ok" && $"a.sk" < $"b.sk")
-      .groupBy($"a.sk".as("u"), $"b.sk".as("v"))
-      .agg(count(lit(1)).as("support"))
-      .filter($"support" >= 2)
-      .select($"u", $"v")
+    val e0 = coSupplierEdges(s, d)
     val adj = e0.select($"u".as("node"), $"v".as("nbr"))
       .union(e0.select($"v".as("node"), $"u".as("nbr")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      def argmin(df: DataFrame): DataFrame = df
-        .groupBy($"node")
-        .agg(min(struct($"dist", $"seed")).as("m"))
-        .select($"node", $"m.dist".as("dist"), $"m.seed".as("seed"))
       val seeds = adj.select($"node").distinct()
         .filter($"node" % 10 === 0)
         .select($"node", lit(0L).as("dist"), $"node".as("seed"))
@@ -350,24 +350,32 @@ object Graph {
       var i = 1
       var converged = false
       while (i <= iters && !converged) {
+        // the node's own prior state rides the union with a marker, so
+        // ONE argmin aggregate yields both the relaxed state and the
+        // fixpoint delta (old = min over own rows — at most one per
+        // node; null = newly reached): no convergence join, and the
+        // materializing action IS the changed-count job.
         val relaxed = adj
           .join(state.select($"node".as("nbr"), ($"dist" + 1L).as("dist"),
             $"seed"), "nbr")
-          .select($"node", $"dist", $"seed")
-          .union(state)
-        val nextCached = materializeRound(argmin(relaxed))
+          .select($"node", $"dist", $"seed", lit(false).as("own"))
+          .union(state.withColumn("own", lit(true)))
+        val next = relaxed
+          .groupBy($"node")
+          .agg(min(struct($"dist", $"seed")).as("m"),
+            min(when($"own", struct($"dist", $"seed"))).as("old"))
+          .select($"node", $"m.dist".as("dist"), $"m.seed".as("seed"),
+            ($"old".isNull || $"m" =!= $"old").as("moved"))
         // fixpoint short-circuit — the relaxation is a deterministic
         // function of the state table (the lexicographic min can only
         // move down), so an unchanged round implies all remaining
         // rounds are identical; the oracle still unrolls all rounds
-        converged = rebind(nextCached)
-          .join(state.select($"node", struct($"dist", $"seed").as("old")),
-            Seq("node"), "left")
-          .filter($"old".isNull || struct($"dist", $"seed") =!= $"old")
-          .count() == 0
+        val (nextCached, changed) = materializeWith(next,
+          sum(when($"moved", 1L).otherwise(0L)))
+        converged = changed == 0
         cached.unpersist(blocking = false)
         cached = nextCached
-        state = rebind(cached)
+        state = rebind(cached).select($"node", $"dist", $"seed")
         i += 1
       }
       val out = state.select($"node".as("s_suppkey"), $"dist", $"seed")
@@ -498,10 +506,12 @@ object Graph {
       while (r <= iters && !converged) {
         val removed = degState.filter($"deg" < k)
           .select($"node", lit(r.toLong).as("peel_round"))
-        val removedCached = materializeRound(removed)
+        // the materializing action doubles as the emptiness check —
+        // no second count() over the already-cached removal set
+        val (removedCached, nRemoved) = materializeWith(removed, count(lit(1)))
         graft.CacheRegistry.track(removedCached)
         peeled += rebind(removedCached)
-        converged = removedCached.count() == 0
+        converged = nRemoved == 0
         if (!converged) {
           val drops = adj
             .join(broadcast(removedCached.select($"node".as("nbr"))), Seq("nbr"))
