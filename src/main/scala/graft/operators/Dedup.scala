@@ -827,7 +827,9 @@ object Dedup {
     * Shared by every gram-consuming oracle (minhash_lsh, incremental,
     * ngram_jaccard, simhash) so all re-derivations stay provably
     * identical. */
-  private val gramSql: String =
+  /** `private[operators]`: Similarity composes it into the
+    * ann_hybrid_rrf lexical-leg oracle. */
+  private[operators] val gramSql: String =
     """|WITH w0 AS (
         |  SELECT doc_id, t.i AS widx,
         |    list_reduce(

