@@ -99,27 +99,46 @@ object Similarity {
       .orderBy($"qid", $"rank")
   }
 
-  /** One LSH index table per source dir, built once per JVM — the
-    * setup-not-query rule the JDBC/bucketed sources follow: the write
-    * is index CONSTRUCTION (paid once, like a vector store's build
-    * phase), the registered query times the SEARCH path. */
-  private val lshIndexBuilt = new java.util.HashSet[String]()
-  private def lshIndexTable(s: SparkSession, d: String): String = {
-    import s.implicits._
-    val tag = java.security.MessageDigest.getInstance("SHA-256")
+  /** Drop a persisted index table from both the (in-memory) catalog
+    * and the warehouse dir — a previous JVM may have left table files
+    * the in-memory catalog doesn't know about (the bucketedTables
+    * rule). Shared by every persisted-index builder here. */
+  private def dropIndexTable(s: SparkSession, tbl: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val loc = java.nio.file.Paths.get(wh, tbl)
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  /** Per-dir SHA tag for persisted index table names. */
+  private def dirTag(d: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
       .digest(d.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
-    val tbl = s"lsh_idx_$tag"
+
+  /** One LSH index (TWO tables) per source dir, built once per JVM —
+    * the setup-not-query rule the JDBC/bucketed sources follow: the
+    * write is index CONSTRUCTION (paid once, like a vector store's
+    * build phase), the registered query times the SEARCH path. The
+    * index is (a) the band-key table bucketed on (band, bkey) — the
+    * candidate join's key — and (b) a companion VECTOR table bucketed
+    * on nid, so the exact-cosine rescore fetches candidate vectors
+    * from the index itself instead of rejoining the raw embeddings
+    * table (the IVF inverted-lists design; storing the vector on each
+    * of the 16 band rows would instead 16× the index bytes). Both
+    * search joins therefore read a side pre-partitioned on exactly
+    * their join key — zero Exchange ever touches corpus-scale data. */
+  private val lshIndexBuilt = new java.util.HashSet[String]()
+  private def lshIndexTables(s: SparkSession, d: String): (String, String) = {
+    import s.implicits._
+    val tbl = s"lsh_idx_${dirTag(d)}"
+    val vecTbl = s"lsh_vec_${dirTag(d)}"
     lshIndexBuilt.synchronized { if (!lshIndexBuilt.contains(d)) {
-      // a previous JVM may have left table files the in-memory catalog
-      // doesn't know about (the bucketedTables rule)
-      s.sql(s"DROP TABLE IF EXISTS $tbl")
-      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-      val loc = java.nio.file.Paths.get(wh, tbl)
-      if (java.nio.file.Files.exists(loc)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }
+      dropIndexTable(s, tbl)
+      dropIndexTable(s, vecTbl)
       val planes = randomPlanes(16 * 4, 64)
       val mask = (1L << 4) - 1
       val e = Tables.embeddings(s, d)
@@ -133,9 +152,56 @@ object Similarity {
         .write.mode("overwrite")
         .bucketBy(8, "band", "bkey").sortBy("band", "bkey")
         .format("parquet").saveAsTable(tbl)
+      Tables.embeddings(s, d)
+        .select($"vec_id".as("nid"), $"embedding".as("nvec"))
+        .write.mode("overwrite")
+        .bucketBy(8, "nid").sortBy("nid")
+        .format("parquet").saveAsTable(vecTbl)
       lshIndexBuilt.add(d)
     } }
-    tbl
+    (tbl, vecTbl)
+  }
+
+  /** The persisted-LSH search path, shared verbatim by
+    * [[ann_lsh_index]] (exact band keys) and [[ann_lsh_index_probed]]
+    * (each key plus its 4 single-bit flips): probe-key explode on the
+    * query side, merge-hinted candidate join on the bucketed
+    * (band, bkey) index, exact-cosine rescore against the bucketed
+    * nid-keyed vector table, per-query top-5. Only the tiny query/
+    * candidate sides ever exchange. */
+  private def lshIndexSearch(s: SparkSession, d: String,
+      probed: Boolean): DataFrame = {
+    import s.implicits._
+    val (tbl, vecTbl) = lshIndexTables(s, d)
+    val planes = randomPlanes(16 * 4, 64)
+    val mask = (1L << 4) - 1
+    val e = Tables.embeddings(s, d)
+    val q = e.filter($"vec_id" < 16)
+      .select($"vec_id",
+        hyperplaneSignature($"embedding", planes).as("sig"))
+    val qKeys = (0 until 16).flatMap { b =>
+      val exact = shiftrightunsigned($"sig", b * 4).bitwiseAND(lit(mask))
+      val variants =
+        if (probed) exact +: (0 until 4).map(bit => exact.bitwiseXOR(lit(1L << bit)))
+        else Seq(exact)
+      variants.map(k => struct(lit(b).as("band_q"), k.as("bkey_q")))
+    }
+    val qb = q.select($"vec_id".as("qid"), explode(array(qKeys: _*)).as("bk"))
+      .select($"qid", $"bk.band_q".as("band_q"), $"bk.bkey_q".as("bkey_q"))
+    val idx = s.table(tbl)
+    val cand = idx.hint("merge")
+      .join(qb, idx("band") === qb("band_q") && idx("bkey") === qb("bkey_q") &&
+        idx("nid") =!= qb("qid"))
+      .select($"qid", $"nid").distinct()
+    val scored = s.table(vecTbl).hint("merge").join(cand, "nid")
+      .join(broadcast(e.filter($"vec_id" < 16)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))), "qid")
+      .select($"qid", $"nid", cosine($"qvec", $"nvec").as("cos"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")))
+      .filter($"rank" <= 5)
+      .select($"qid", $"rank", $"nid", round($"cos", 6).as("cos_sim"))
+      .orderBy($"qid", $"rank")
   }
 
   /** PERSISTED-INDEX LSH search — the vector-store LIFECYCLE the
@@ -157,37 +223,8 @@ object Similarity {
     * result is IDENTICAL by construction, so it carries the identical
     * DuckDB oracle: same answer, different physical path, both
     * hash-verified. */
-  def ann_lsh_index(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val tbl = lshIndexTable(s, d)
-    val planes = randomPlanes(16 * 4, 64)
-    val mask = (1L << 4) - 1
-    val e = Tables.embeddings(s, d)
-    val q = e.filter($"vec_id" < 16)
-      .select($"vec_id",
-        hyperplaneSignature($"embedding", planes).as("sig"))
-    val qKeys = (0 until 16).map { b =>
-      struct(lit(b).as("band_q"),
-        shiftrightunsigned($"sig", b * 4).bitwiseAND(lit(mask)).as("bkey_q"))
-    }
-    val qb = q.select($"vec_id".as("qid"), explode(array(qKeys: _*)).as("bk"))
-      .select($"qid", $"bk.band_q".as("band_q"), $"bk.bkey_q".as("bkey_q"))
-    val idx = s.table(tbl)
-    val cand = idx.hint("merge")
-      .join(qb, idx("band") === qb("band_q") && idx("bkey") === qb("bkey_q") &&
-        idx("nid") =!= qb("qid"))
-      .select($"qid", $"nid").distinct()
-    val scored = cand
-      .join(e.select($"vec_id".as("nid"), $"embedding"), "nid")
-      .join(broadcast(e.filter($"vec_id" < 16)
-        .select($"vec_id".as("qid"), $"embedding".as("qvec"))), "qid")
-      .select($"qid", $"nid", cosine($"qvec", $"embedding").as("cos"))
-    scored.withColumn("rank", row_number().over(
-        Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")))
-      .filter($"rank" <= 5)
-      .select($"qid", $"rank", $"nid", round($"cos", 6).as("cos_sim"))
-      .orderBy($"qid", $"rank")
-  }
+  def ann_lsh_index(s: SparkSession, d: String): DataFrame =
+    lshIndexSearch(s, d, probed = false)
 
   /** MULTI-PROBE search against the SAME persisted LSH index — the
     * lifecycle property that makes a fixed index worth owning: recall
@@ -206,38 +243,8 @@ object Similarity {
     * candidate-superset + recall-dominance claims against the exact
     * index search on the same table. Oracle: the ann_lsh replay with
     * the probe keys re-derived via DuckDB xor(). */
-  def ann_lsh_index_probed(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val tbl = lshIndexTable(s, d)
-    val planes = randomPlanes(16 * 4, 64)
-    val mask = (1L << 4) - 1
-    val e = Tables.embeddings(s, d)
-    val q = e.filter($"vec_id" < 16)
-      .select($"vec_id",
-        hyperplaneSignature($"embedding", planes).as("sig"))
-    val qKeys = (0 until 16).flatMap { b =>
-      val exact = shiftrightunsigned($"sig", b * 4).bitwiseAND(lit(mask))
-      (exact +: (0 until 4).map(bit => exact.bitwiseXOR(lit(1L << bit))))
-        .map(k => struct(lit(b).as("band_q"), k.as("bkey_q")))
-    }
-    val qb = q.select($"vec_id".as("qid"), explode(array(qKeys: _*)).as("bk"))
-      .select($"qid", $"bk.band_q".as("band_q"), $"bk.bkey_q".as("bkey_q"))
-    val idx = s.table(tbl)
-    val cand = idx.hint("merge")
-      .join(qb, idx("band") === qb("band_q") && idx("bkey") === qb("bkey_q") &&
-        idx("nid") =!= qb("qid"))
-      .select($"qid", $"nid").distinct()
-    val scored = cand
-      .join(e.select($"vec_id".as("nid"), $"embedding"), "nid")
-      .join(broadcast(e.filter($"vec_id" < 16)
-        .select($"vec_id".as("qid"), $"embedding".as("qvec"))), "qid")
-      .select($"qid", $"nid", cosine($"qvec", $"embedding").as("cos"))
-    scored.withColumn("rank", row_number().over(
-        Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")))
-      .filter($"rank" <= 5)
-      .select($"qid", $"rank", $"nid", round($"cos", 6).as("cos_sim"))
-      .orderBy($"qid", $"rank")
-  }
+  def ann_lsh_index_probed(s: SparkSession, d: String): DataFrame =
+    lshIndexSearch(s, d, probed = true)
 
   /** One persisted IVF index per source dir, built once per JVM — the
     * [[ann_lsh_index]] lifecycle applied to the TRAINED family: train
@@ -245,31 +252,25 @@ object Similarity {
     * persist (cell, nid, nvec) BUCKETED on cell — the inverted lists
     * as a table, with each list holding its vectors the way a real
     * vector store's IVF lists do (search never joins back to the raw
-    * embedding table for candidates). Centroids are re-trained and the
-    * table rewritten on the first call of each JVM so the persisted
-    * assignments always match the memo'd centroids the search (and the
-    * literal-replay oracle) uses. */
+    * embedding table for candidates). Centroids are trained on the
+    * first call of each JVM per dir and memo'd PER DIR, so a search
+    * (and the literal-replay oracle) always uses the model the
+    * persisted assignments were written with — even when several dirs
+    * alternate within one JVM. */
   private val ivfIndexBuilt = new java.util.HashSet[String]()
-  private[graft] val lastIvfIndexCents =
-    new java.util.concurrent.atomic.AtomicReference[Array[Array[Double]]]()
+  private[graft] val ivfIndexCents =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+  private[graft] val lastIvfIndexDir =
+    new java.util.concurrent.atomic.AtomicReference[String]()
   private def ivfIndexTable(s: SparkSession, d: String): String = {
     import s.implicits._
-    val tag = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(d.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
-    val tbl = s"ivf_idx_$tag"
+    val tbl = s"ivf_idx_${dirTag(d)}"
     ivfIndexBuilt.synchronized { if (!ivfIndexBuilt.contains(d)) {
-      s.sql(s"DROP TABLE IF EXISTS $tbl")
-      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-      val loc = java.nio.file.Paths.get(wh, tbl)
-      if (java.nio.file.Files.exists(loc)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }
+      dropIndexTable(s, tbl)
       val e = Tables.embeddings(s, d)
         .select($"vec_id", asDouble($"embedding").as("vec"))
       val cents = kmeansCentroids(trainSlice(s, d, e), k = 32, iters = 1)
-      lastIvfIndexCents.set(cents)
+      ivfIndexCents.put(d, cents)
       e.select($"vec_id".as("nid"), $"vec".as("nvec"),
           array_min(centroidDists(cents, $"vec")).getField("cid").as("cell"))
         .write.mode("overwrite")
@@ -299,8 +300,11 @@ object Similarity {
     * same literal-replay over THIS index's trained centroids —
     * assignment, probe choice, candidate join, rescore and ranking all
     * re-derived in DuckDB from the inlined floats. */
-  def ann_ivf_index(s: SparkSession, d: String): DataFrame =
-    ivfIndexSearch(s, d, ivfIndexTable(s, d), lastIvfIndexCents.get())
+  def ann_ivf_index(s: SparkSession, d: String): DataFrame = {
+    val tbl = ivfIndexTable(s, d)
+    lastIvfIndexDir.set(d)
+    ivfIndexSearch(s, d, tbl, ivfIndexCents.get(d))
+  }
 
   /** The IVF index search path, table-parameterized so
     * [[ann_ivf_index]] and [[ann_ivf_index_delta]] share it verbatim:
@@ -346,28 +350,21 @@ object Similarity {
     * full recompute bit-for-bit — one mis-assigned or dropped delta
     * vector fails the hash (the ev_ivm_delta pattern). */
   private val ivfDeltaBuilt = new java.util.HashSet[String]()
-  private[graft] val lastIvfDeltaCents =
-    new java.util.concurrent.atomic.AtomicReference[Array[Array[Double]]]()
+  private[graft] val ivfDeltaCents =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+  private[graft] val lastIvfDeltaDir =
+    new java.util.concurrent.atomic.AtomicReference[String]()
   private def ivfDeltaIndexTable(s: SparkSession, d: String): String = {
     import s.implicits._
-    val tag = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(d.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
-    val tbl = s"ivfd_idx_$tag"
+    val tbl = s"ivfd_idx_${dirTag(d)}"
     ivfDeltaBuilt.synchronized { if (!ivfDeltaBuilt.contains(d)) {
-      s.sql(s"DROP TABLE IF EXISTS $tbl")
-      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-      val loc = java.nio.file.Paths.get(wh, tbl)
-      if (java.nio.file.Files.exists(loc)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }
+      dropIndexTable(s, tbl)
       val e = Tables.embeddings(s, d)
         .select($"vec_id", asDouble($"embedding").as("vec"))
       val base = e.filter(pmod($"vec_id", lit(10)) =!= 0)
       // the quantizer predates the delta — trained on the base only
       val cents = kmeansCentroids(trainSlice(s, d, base), k = 32, iters = 1)
-      lastIvfDeltaCents.set(cents)
+      ivfDeltaCents.put(d, cents)
       def assigned(df: org.apache.spark.sql.DataFrame) =
         df.select($"vec_id".as("nid"), $"vec".as("nvec"),
           array_min(centroidDists(cents, $"vec")).getField("cid").as("cell"))
@@ -388,8 +385,11 @@ object Similarity {
   /** Search over the incrementally-grown index (see
     * [[ivfDeltaIndexTable]]) — registered so the driver's hash gate
     * proves base-build + delta-append ≡ full recompute. */
-  def ann_ivf_index_delta(s: SparkSession, d: String): DataFrame =
-    ivfIndexSearch(s, d, ivfDeltaIndexTable(s, d), lastIvfDeltaCents.get())
+  def ann_ivf_index_delta(s: SparkSession, d: String): DataFrame = {
+    val tbl = ivfDeltaIndexTable(s, d)
+    lastIvfDeltaDir.set(d)
+    ivfIndexSearch(s, d, tbl, ivfDeltaCents.get(d))
+  }
 
   /** IVF (inverted-file) ANN — the coarse-quantizer scale path: K
     * centroids partition the corpus into cells (inverted lists); a
@@ -949,27 +949,22 @@ object Similarity {
     * Re-trained and rewritten on the first call of each JVM so the
     * persisted codes always match the memo'd model. */
   private val ivfPqIndexBuilt = new java.util.HashSet[String]()
-  private[graft] val lastIvfPqIndexTrained =
-    new java.util.concurrent.atomic.AtomicReference[
+  private[graft] val ivfPqIndexTrained =
+    new java.util.concurrent.ConcurrentHashMap[String,
       (Array[Array[Double]], Array[Array[Array[Double]]],
         Seq[(Long, Int, Double, Seq[Double])])]()
+  private[graft] val lastIvfPqIndexDir =
+    new java.util.concurrent.atomic.AtomicReference[String]()
   private def ivfPqIndexTable(s: SparkSession, d: String): String = {
-    val tag = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(d.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
-    val tbl = s"ivfpq_idx_$tag"
+    val tbl = s"ivfpq_idx_${dirTag(d)}"
     ivfPqIndexBuilt.synchronized { if (!ivfPqIndexBuilt.contains(d)) {
-      s.sql(s"DROP TABLE IF EXISTS $tbl")
-      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-      val loc = java.nio.file.Paths.get(wh, tbl)
-      if (java.nio.file.Files.exists(loc)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }
+      dropIndexTable(s, tbl)
       val (cents, books, encoded) = ivfPqModel(s, d, k = 16, m = 8, ks = 16)
-      // probe rows are recomputed per search; the memo carries them so
-      // the oracle dump never depends on a search having run last
-      lastIvfPqIndexTrained.set((cents, books,
+      // probe rows derive once at BUILD time from the frozen model and
+      // ride the per-dir memo (they are a deterministic function of
+      // (cents, books), so every later search — and the oracle dump —
+      // reuses exactly what this build produced)
+      ivfPqIndexTrained.put(d, (cents, books,
         ivfPqProbeRows(s, d, cents, books, nprobe = 4)))
       encoded.write.mode("overwrite")
         .bucketBy(8, "cell").sortBy("cell")
@@ -990,7 +985,8 @@ object Similarity {
     * the ann_ivfpq literal replay over THIS index's own trained model. */
   def ann_ivfpq_index(s: SparkSession, d: String): DataFrame = {
     val tbl = ivfPqIndexTable(s, d)
-    val (cents, books, probeRows) = lastIvfPqIndexTrained.get()
+    lastIvfPqIndexDir.set(d)
+    val (_, _, probeRows) = ivfPqIndexTrained.get(d)
     ivfPqSearch(s, d, s.table(tbl), probeRows, m = 8, ks = 16,
       rerank = 64, bucketedIndex = true)
   }
@@ -1652,13 +1648,14 @@ object Similarity {
     .getOrElse(Map.empty) ++
     // same replay over the PERSISTED index's own trained centroids
     // (two trainings have no cross-run bit determinism, so each memo
-    // feeds only its own oracle)
-    Option(lastIvfIndexCents.get())
+    // feeds only its own oracle); per-dir memos looked up for the
+    // LAST-SEARCHED dir — the dir Verify just ran every query on
+    Option(lastIvfIndexDir.get()).flatMap(dd => Option(ivfIndexCents.get(dd)))
       .map(c => Map("ann_ivf_index" -> annIvfOracleSql(c, nprobe = 8)))
       .getOrElse(Map.empty) ++
     // the full-corpus replay over the DELTA index's frozen centroids:
     // hash-match here IS the merge-equals-recompute theorem
-    Option(lastIvfDeltaCents.get())
+    Option(lastIvfDeltaDir.get()).flatMap(dd => Option(ivfDeltaCents.get(dd)))
       .map(c => Map("ann_ivf_index_delta" -> annIvfOracleSql(c, nprobe = 8)))
       .getOrElse(Map.empty) ++
     Option(lastPqTrained.get())
@@ -1668,7 +1665,7 @@ object Similarity {
       .map { case (c, b, p) =>
         Map("ann_ivfpq" -> annIvfPqOracleSql(c, b, p, rerank = 64)) }
       .getOrElse(Map.empty) ++
-    Option(lastIvfPqIndexTrained.get())
+    Option(lastIvfPqIndexDir.get()).flatMap(dd => Option(ivfPqIndexTrained.get(dd)))
       .map { case (c, b, p) =>
         Map("ann_ivfpq_index" -> annIvfPqOracleSql(c, b, p, rerank = 64)) }
       .getOrElse(Map.empty) ++ Map(

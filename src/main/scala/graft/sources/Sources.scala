@@ -869,13 +869,25 @@ object Sources {
   /** A sibling session whose file-scan knobs put parquet bin-packing
     * back in the many-files-per-task regime at KB scale (see
     * [[src_small_files_scan]]). Sessions share the SparkContext and
-    * cached data; only SQLConf differs. */
-  private[graft] def coalescedScanSession(s: SparkSession): SparkSession = {
-    val s2 = s.newSession()
-    s2.conf.set("spark.sql.files.openCostInBytes", 16384L)
-    s2.conf.set("spark.sql.files.minPartitionNum", 1)
-    s2
-  }
+    * cached data; only SQLConf differs. Memoized per parent session
+    * (Bench re-runs the query many times — newSession() per call
+    * would accumulate sessions on the shared context), and the
+    * parent's RUNTIME SQLConf is copied first: newSession() inherits
+    * only SparkConf-level settings, so a runtime conf set on the
+    * parent (timezone, ANSI flags) would otherwise silently differ in
+    * the tuned read. */
+  private val tunedSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  private[graft] def coalescedScanSession(s: SparkSession): SparkSession =
+    tunedSessions.computeIfAbsent(s, { parent =>
+      val s2 = parent.newSession()
+      parent.conf.getAll.foreach { case (k, v) =>
+        try s2.conf.set(k, v) catch { case _: Exception => () } // static confs
+      }
+      s2.conf.set("spark.sql.files.openCostInBytes", 16384L)
+      s2.conf.set("spark.sql.files.minPartitionNum", 1)
+      s2
+    })
 
   /** The read+aggregate body, session-parameterized so SourcesSpec can
     * run it under both the tuned and the default session and compare

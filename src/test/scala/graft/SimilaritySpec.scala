@@ -180,12 +180,21 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("Bucketed: true"),
       s"index scan not bucketed:\n${plan.take(1200)}")
     val lines = plan.linesIterator.toVector
-    val idxLine = lines.indexWhere(_.contains("default.lsh_idx"))
-    val smjLine = lines.lastIndexWhere(_.contains("SortMergeJoin"), idxLine)
-    assert(idxLine > smjLine && smjLine >= 0, "plan shape unexpected")
-    val between = lines.slice(smjLine + 1, idxLine)
-    assert(!between.exists(_.contains("Exchange")),
-      s"Exchange on the index branch:\n${between.mkString("\n")}")
+    // candidate join: bucketed (band, bkey) scan feeds its SMJ with
+    // no Exchange; rescore: the candidate vectors come from the
+    // index's own nid-bucketed vector table (never a rejoin of the
+    // raw embeddings), likewise Exchange-free on the index side
+    for (tblPat <- Seq("default.lsh_idx", "default.lsh_vec")) {
+      val idxLine = lines.indexWhere(_.contains(tblPat))
+      val smjLine = lines.lastIndexWhere(_.contains("SortMergeJoin"), idxLine)
+      assert(idxLine > smjLine && smjLine >= 0, s"plan shape unexpected at $tblPat")
+      val between = lines.slice(smjLine + 1, idxLine)
+      assert(!between.exists(_.contains("Exchange")),
+        s"Exchange on the $tblPat branch:\n${between.mkString("\n")}")
+    }
+    assert(!plan.contains("embeddings.parquet") ||
+      lines.count(_.contains("embeddings.parquet")) <= 2,
+      "rescore rejoined the raw embeddings table")
   }
 
   test("multi-probe ann_lsh holds recall with half the corpus-side keys") {
