@@ -1187,6 +1187,82 @@ object Similarity {
     } finally e.unpersist(blocking = false)
   }
 
+  /** ONE NN-DESCENT REFINEMENT ROUND over [[ann_knn_graph]] — the
+    * standard public recipe (Dong, Moses & Li, WWW'11: "a neighbor of
+    * a neighbor is likely a neighbor") for lifting a blocked k-NN
+    * graph's recall past its blocking ceiling: take the LSH-blocked
+    * top-5 graph, expand every node's candidate set with its
+    * neighbors' neighbors (over the UNDIRECTED graph — NN-descent's
+    * reverse-neighbor trick, since being someone's top-5 is as
+    * informative as having them in yours), rescore the expanded set
+    * exactly, and re-take the top-5. Candidates the LSH bands never
+    * co-bucketed become reachable through one hop of graph structure.
+    *
+    * Scale shape: the expansion is ONE equi-join of the capped
+    * undirected edge list with itself (the graph_pagerank superstep
+    * idiom — each round of full NN-descent is exactly this join), and
+    * the per-node fan is capped at the first 32 undirected neighbors
+    * by id (the graph_jaccard_links discipline: out-degree is k=5 by
+    * construction, but REVERSE degree is unbounded — a hub vector in
+    * many top-5 lists would otherwise fan quadratically; the cap is
+    * deterministic and replayed identically in the oracle), so
+    * expansion volume is ≤ 32² rows per node — linear in the corpus.
+    * Scoring stays floor-ppm integer cosine, so the whole composition
+    * (blocked graph → undirected cap → expansion join → distinct →
+    * rescore → rank) replays in DuckDB and hash-verifies; recall
+    * dominance over the blocking-only graph is gated in
+    * SimilaritySpec (the refined candidate set contains the current
+    * top-5 edges, so per-node selections can only improve).
+    *
+    * The input graph is PERSISTED (the [[ann_lsh_index]] lifecycle —
+    * built once per dir as an nid-bucketed table): NN-descent is by
+    * nature an UPDATE pass over an existing graph, and a production
+    * run applies rounds to the stored artifact rather than re-deriving
+    * the blocked graph per round — the registered query times the
+    * refinement round, which is what repeats. */
+  private val knnGraphBuilt = new java.util.HashSet[String]()
+  private def knnGraphTable(s: SparkSession, d: String): String = {
+    val tbl = s"knng_${dirTag(d)}"
+    knnGraphBuilt.synchronized { if (!knnGraphBuilt.contains(d)) {
+      dropIndexTable(s, tbl)
+      annKnnGraph(s, d, bands = 16, r = 4, cap = 500L, k = 5)
+        .write.mode("overwrite")
+        .bucketBy(8, "nid").sortBy("nid")
+        .format("parquet").saveAsTable(tbl)
+      knnGraphBuilt.add(d)
+    } }
+    tbl
+  }
+
+  def ann_knn_graph_refine(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g0 = s.table(knnGraphTable(s, d)).select($"nid", $"nbr")
+    val e = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+    val u = g0.unionByName(g0.select($"nbr".as("nid"), $"nid".as("nbr")))
+      .distinct()
+    val capped = u.withColumn("rn", row_number().over(
+        Window.partitionBy($"nid").orderBy($"nbr")))
+      .filter($"rn" <= 32).drop("rn")
+    val cand2 = capped.as("a").join(capped.as("b"),
+        $"a.nbr" === $"b.nid" && $"a.nid" =!= $"b.nbr")
+      .select($"a.nid".as("nid"), $"b.nbr".as("nbr"))
+    val cand = g0.unionByName(cand2).distinct()
+    val scored = cand
+      .join(e.select($"vec_id".as("nid"), $"embedding".as("v1")), "nid")
+      .join(e.select($"vec_id".as("nbr"), $"embedding".as("v2")), "nbr")
+      .select($"nid", $"nbr",
+        floor(cosine($"v1", $"v2") * 1e6).cast("long").as("cos_ppm"))
+    val out = scored.withColumn("rank", row_number().over(
+        Window.partitionBy($"nid").orderBy($"cos_ppm".desc, $"nbr")))
+      .filter($"rank" <= 5)
+      .select($"nid", $"rank", $"nbr", $"cos_ppm")
+    val rows = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rows.count()
+    graft.CacheRegistry.track(rows)
+    rows.sparkSession.createDataFrame(rows.rdd, rows.schema)
+      .orderBy($"nid", $"rank")
+  }
+
   /** LSH BANDING CAPACITY PLANNER — the report an operator runs
     * BEFORE committing a band width at a new corpus scale (the
     * decision the ann_knn_graph 30×-inflation run showed is
@@ -1234,6 +1310,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_lsh_tuning" -> ann_lsh_tuning _,
     "ann_knn_graph" -> ann_knn_graph _,
+    "ann_knn_graph_refine" -> ann_knn_graph_refine _,
     "ann_hybrid_rrf" -> ann_hybrid_rrf _,
     "ann_topk_filtered" -> ann_topk_filtered _,
     "ann_topk_brute" -> ann_topk_brute _,
@@ -1284,7 +1361,10 @@ object Similarity {
     * replay as [[annLshOracleSql]], but the band-key table self-joins
     * (capped buckets first) and the rescore ranks on floor-ppm
     * integer cosine per node. */
-  private def annKnnGraphOracleSql: String = {
+  /** The shared WITH-chain of the k-NN-graph oracles: literal planes
+    * → band keys → capped buckets → self-join candidates → floor-ppm
+    * rescore with the per-node rank (CTE `ranked`). */
+  private def annKnnGraphChainSql: String = {
     val planes = randomPlanes(16 * 4, 64)
     val pl = planes.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
     s"""WITH v AS (
@@ -1311,10 +1391,48 @@ object Similarity {
        |        cand.nbr) AS rank
        |  FROM cand
        |  JOIN v x ON x.vec_id = cand.nid
-       |  JOIN v y ON y.vec_id = cand.nbr)
+       |  JOIN v y ON y.vec_id = cand.nbr)""".stripMargin
+  }
+
+  private def annKnnGraphOracleSql: String =
+    annKnnGraphChainSql + """
        |SELECT nid, CAST(rank AS INTEGER) AS rank, nbr, cos_ppm
        |FROM ranked WHERE rank <= 5 ORDER BY nid, rank""".stripMargin
-  }
+
+  /** [[annKnnGraphOracleSql]] extended one NN-descent round: the
+    * blocked top-5 graph (g0), its undirected form capped at the
+    * first 32 neighbors by id, the neighbor-of-neighbor expansion
+    * join, distinct union with g0, exact floor-ppm rescore, re-top-5 —
+    * each stage the literal SQL twin of the Spark derivation. */
+  private def annKnnGraphRefineOracleSql: String =
+    annKnnGraphChainSql + """,
+       |g0 AS (SELECT nid, nbr FROM ranked WHERE rank <= 5),
+       |uu AS (
+       |  SELECT DISTINCT nid, nbr FROM (
+       |    SELECT nid, nbr FROM g0 UNION ALL SELECT nbr, nid FROM g0)),
+       |uc AS (
+       |  SELECT nid, nbr FROM (
+       |    SELECT nid, nbr,
+       |      row_number() OVER (PARTITION BY nid ORDER BY nbr) AS rn
+       |    FROM uu)
+       |  WHERE rn <= 32),
+       |exp2 AS (
+       |  SELECT a.nid, b.nbr
+       |  FROM uc a JOIN uc b ON a.nbr = b.nid AND a.nid <> b.nbr),
+       |ca AS (
+       |  SELECT DISTINCT nid, nbr FROM (
+       |    SELECT nid, nbr FROM g0 UNION ALL SELECT nid, nbr FROM exp2)),
+       |rr AS (
+       |  SELECT ca.nid, ca.nbr,
+       |    CAST(floor(list_cosine_similarity(x.vd, y.vd) * 1e6) AS BIGINT) AS cos_ppm,
+       |    row_number() OVER (PARTITION BY ca.nid
+       |      ORDER BY CAST(floor(list_cosine_similarity(x.vd, y.vd) * 1e6) AS BIGINT) DESC,
+       |        ca.nbr) AS rank
+       |  FROM ca
+       |  JOIN v x ON x.vec_id = ca.nid
+       |  JOIN v y ON y.vec_id = ca.nbr)
+       |SELECT nid, CAST(rank AS INTEGER) AS rank, nbr, cos_ppm
+       |FROM rr WHERE rank <= 5 ORDER BY nid, rank""".stripMargin
 
   /** DuckDB re-derivation of [[ann_lsh]] — the hyperplane-LSH
     * candidate generation itself verified on a second engine (the
@@ -1672,6 +1790,7 @@ object Similarity {
     "ann_hybrid_rrf" -> annHybridRrfOracleSql,
     "ann_lsh_tuning" -> annLshTuningOracleSql,
     "ann_knn_graph" -> annKnnGraphOracleSql,
+    "ann_knn_graph_refine" -> annKnnGraphRefineOracleSql,
     "ann_lsh" -> annLshOracleSql,
     // identical result by construction (same planes/banding/rescore),
     // so the identical replay oracle — same answer, different

@@ -103,6 +103,53 @@ class SimilaritySpec extends SparkSpec {
     assert(maxBucket <= 500, s"premise: cap must be a no-op at sf0.001 (max bucket $maxBucket)")
   }
 
+  test("ann_knn_graph_refine: one NN-descent round dominates the blocked graph's recall") {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, sf0001)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as e").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val brute = vecs.keys.map { n =>
+      n -> vecs.keys.filter(_ != n).toSeq
+        .map(m => (m, math.floor(cos(vecs(n), vecs(m)) * 1e6).toLong))
+        .sortBy { case (m, c) => (-c, m) }.take(5).map(_._1).toSet
+    }.toMap
+    val blocked = Similarity.ann_knn_graph(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val refined = Similarity.ann_knn_graph_refine(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    CacheRegistry.releaseAll()
+    def meanRecall(g: Map[Long, Set[Long]]): Double = vecs.keys.toSeq
+      .map(n => (brute(n) & g.getOrElse(n, Set.empty)).size.toDouble / 5)
+      .sum / vecs.size
+    val r0 = meanRecall(blocked)
+    val r1 = meanRecall(refined)
+    // the refined candidate set contains every current top-5 edge, so
+    // per-node selections only improve in score; mean recall must not
+    // drop, and the expansion should actually find new true neighbors
+    assert(r1 >= r0, s"NN-descent round LOST recall: $r1 < $r0")
+    assert(r1 > r0, s"premise: expansion found no new true neighbors ($r1 == $r0)")
+    // refined neighbors keep per-node score dominance: each node's
+    // 5th-best refined score >= its 5th-best blocked score
+    val blockedMin = Similarity.ann_knn_graph(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).min).toMap
+    val refinedMin = Similarity.ann_knn_graph_refine(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).min).toMap
+    CacheRegistry.releaseAll()
+    blockedMin.foreach { case (n, m) =>
+      assert(refinedMin.getOrElse(n, Long.MinValue) >= m,
+        s"node $n: refined 5th-best ${refinedMin.get(n)} < blocked $m")
+    }
+  }
+
   test("ann_lsh_tuning equals a driver-side bucket census and orders the widths correctly") {
     import spark.implicits._
     val vecs = Tables.embeddings(spark, sf0001)
