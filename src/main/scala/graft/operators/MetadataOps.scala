@@ -1389,7 +1389,72 @@ object MetadataOps {
       .orderBy($"source")
   }
 
+  /** ACL EFFECTIVE-ACCESS AUDIT — the permission model PAST the mode
+    * bits [[fs_perm_audit]] covers (reference: hadoop-common-project/
+    * hadoop-common/src/main/java/org/apache/hadoop/fs/permission/
+    * AclEntry.java:1 — extended ACL entries (type, name, perms) stored
+    * per inode, which HopsFS holds as metadata rows; and
+    * FsPermission's documented check order: owner triple UNMASKED,
+    * then named-user entry ∧ mask, then group triple ∧ mask, then
+    * other triple). For every (directory, principal) pair the audit
+    * reports how many files each principal can effectively read/write
+    * and through WHICH path access resolves — the report a hardening
+    * pass wants ("who can actually touch this tree, and why").
+    *
+    * Synthesis is closed-form integer arithmetic (the
+    * fs_snapshot_diff attribute rule): owner = id mod 10, group = id
+    * mod 4, mode bits as fs_perm_audit, per-inode mask = 7 − id mod 3;
+    * named-user grants live in a real ACL DIM — one row per
+    * (directory, principal) where (srcnum·7 + p) mod 3 = 0, perms
+    * (srcnum + 5p) mod 8 — broadcast onto the corpus scan (the
+    * fs_nearest_quota broadcast-directive shape: the ACL table is
+    * namespace-dimension-sized, never corpus-sized). The per-file
+    * principal fan is a 10-way explode fused into the same scan; one
+    * map-side-combined rollup per (directory, principal). All bit
+    * arithmetic is div/mod/& on non-negative integers — identical in
+    * both engines, so the full audit hash-verifies. */
+  def fs_acl_audit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val dirs = docs.select($"source").distinct()
+      .select($"source", substring($"source", 4, 18).cast("long").as("src_num"))
+    val acl = dirs
+      .select($"source", explode(sequence(lit(0L), lit(9L))).as("p"), $"src_num")
+      .filter(($"src_num" * 7 + $"p") % 3 === 0)
+      .select($"source", $"p", (($"src_num" + $"p" * 5) % 8).as("acl_perms"))
+    val files = docs.select($"source",
+        expr("384 + (doc_id % 8) * 8 + (doc_id * 7) % 8").as("mode"),
+        ($"doc_id" % 10).as("owner"), ($"doc_id" % 4).as("grp"),
+        (lit(7L) - $"doc_id" % 3).as("mask"),
+        explode(sequence(lit(0L), lit(9L))).as("p"))
+    val resolved = files
+      .join(broadcast(acl), Seq("source", "p"), "left")
+      .select($"source", $"p",
+        when($"p" === $"owner", expr("(mode div 64) % 8"))
+          .when($"acl_perms".isNotNull, expr("acl_perms & mask"))
+          .when($"p" % 4 === $"grp", expr("((mode div 8) % 8) & mask"))
+          .otherwise(expr("mode % 8")).as("eff"),
+        when($"p" === $"owner", 0L)
+          .when($"acl_perms".isNotNull, 1L)
+          .when($"p" % 4 === $"grp", 2L)
+          .otherwise(3L).as("via"))
+    resolved.groupBy($"source", $"p")
+      .agg(count(lit(1)).as("n_files"),
+        sum(when($"via" === 0, 1L).otherwise(0L)).as("n_owner"),
+        sum(when($"via" === 1, 1L).otherwise(0L)).as("n_acl"),
+        sum(when($"via" === 2, 1L).otherwise(0L)).as("n_group"),
+        sum(when($"via" === 3, 1L).otherwise(0L)).as("n_other"),
+        sum(expr("(eff div 4) % 2")).as("n_readable"),
+        sum(expr("(eff div 2) % 2")).as("n_writable"))
+      .select($"source", concat(lit("u"), $"p").as("principal"),
+        $"n_files", $"n_owner", $"n_acl", $"n_group", $"n_other",
+        $"n_readable", $"n_writable",
+        expr("n_readable * 1000000 div n_files").as("readable_ppm"))
+      .orderBy($"source", $"principal")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fs_acl_audit" -> fs_acl_audit _,
     "fs_perm_audit" -> fs_perm_audit _,
     "fs_scd2_history" -> fs_scd2_history _,
     "fs_chargeback" -> fs_chargeback _,
@@ -1467,6 +1532,51 @@ object MetadataOps {
       |  WHERE w.cur IS NULL)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "fs_acl_audit" ->
+      """WITH f AS (
+        |  SELECT source, doc_id,
+        |    384 + (doc_id % 8) * 8 + (doc_id * 7) % 8 AS mode,
+        |    doc_id % 10 AS owner, doc_id % 4 AS grp,
+        |    7 - (doc_id % 3) AS mask
+        |  FROM documents),
+        |pr AS (SELECT CAST(t.p AS BIGINT) AS p FROM unnest(range(10)) AS t(p)),
+        |dirs AS (
+        |  SELECT DISTINCT source,
+        |    CAST(substring(source, 4) AS BIGINT) AS src_num
+        |  FROM documents),
+        |acl AS (
+        |  SELECT source, p, (src_num + p * 5) % 8 AS acl_perms
+        |  FROM dirs CROSS JOIN pr WHERE (src_num * 7 + p) % 3 = 0),
+        |e AS (
+        |  SELECT f.source, pr.p,
+        |    CASE WHEN pr.p = f.owner THEN (f.mode // 64) % 8
+        |         WHEN a.acl_perms IS NOT NULL THEN a.acl_perms & f.mask
+        |         WHEN pr.p % 4 = f.grp THEN ((f.mode // 8) % 8) & f.mask
+        |         ELSE f.mode % 8 END AS eff,
+        |    CASE WHEN pr.p = f.owner THEN 0
+        |         WHEN a.acl_perms IS NOT NULL THEN 1
+        |         WHEN pr.p % 4 = f.grp THEN 2 ELSE 3 END AS via
+        |  FROM f CROSS JOIN pr
+        |  LEFT JOIN acl a ON a.source = f.source AND a.p = pr.p),
+        |agg AS (
+        |  SELECT source, p, count(*) AS n_files,
+        |    sum(CASE WHEN via = 0 THEN 1 ELSE 0 END) AS n_owner,
+        |    sum(CASE WHEN via = 1 THEN 1 ELSE 0 END) AS n_acl,
+        |    sum(CASE WHEN via = 2 THEN 1 ELSE 0 END) AS n_group,
+        |    sum(CASE WHEN via = 3 THEN 1 ELSE 0 END) AS n_other,
+        |    sum((eff // 4) % 2) AS n_readable,
+        |    sum((eff // 2) % 2) AS n_writable
+        |  FROM e GROUP BY 1, 2)
+        |SELECT source, 'u' || p AS principal,
+        |  CAST(n_files AS BIGINT) AS n_files,
+        |  CAST(n_owner AS BIGINT) AS n_owner,
+        |  CAST(n_acl AS BIGINT) AS n_acl,
+        |  CAST(n_group AS BIGINT) AS n_group,
+        |  CAST(n_other AS BIGINT) AS n_other,
+        |  CAST(n_readable AS BIGINT) AS n_readable,
+        |  CAST(n_writable AS BIGINT) AS n_writable,
+        |  CAST(n_readable * 1000000 // n_files AS BIGINT) AS readable_ppm
+        |FROM agg ORDER BY source, principal""".stripMargin,
     "fs_perm_audit" ->
       """WITH inodes AS (
         |  SELECT source,

@@ -566,4 +566,62 @@ class MetadataSpec extends SparkSpec {
     assert(hist.exists(h => h._1 % 19 >= 1 && h._1 % 19 <= 3),
       "premise: a deleted doc")
   }
+
+  test("fs_acl_audit equals a driver-side replay of the Hadoop check order; every branch populated") {
+    val docs = Tables.documents(spark, sf0001)
+      .selectExpr("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // sequential replay of the documented check order: owner triple
+    // unmasked -> named-user entry AND mask -> group triple AND mask
+    // -> other triple
+    case class Acc(files: Long = 0, owner: Long = 0, acl: Long = 0,
+      group: Long = 0, other: Long = 0, read: Long = 0, write: Long = 0)
+    val acc = scala.collection.mutable.Map.empty[(String, Long), Acc]
+    for ((src, id) <- docs; p <- 0L to 9L) {
+      val srcNum = src.drop(3).toLong
+      val mode = 384 + (id % 8) * 8 + (id * 7) % 8
+      val mask = 7 - id % 3
+      val hasAcl = (srcNum * 7 + p) % 3 == 0
+      val aclPerms = (srcNum + p * 5) % 8
+      val (eff, via) =
+        if (p == id % 10) ((mode / 64) % 8, 'o')
+        else if (hasAcl) (aclPerms & mask, 'a')
+        else if (p % 4 == id % 4) (((mode / 8) % 8) & mask, 'g')
+        else (mode % 8, 'x')
+      val k = (src, p)
+      val c = acc.getOrElse(k, Acc())
+      acc(k) = c.copy(files = c.files + 1,
+        owner = c.owner + (if (via == 'o') 1 else 0),
+        acl = c.acl + (if (via == 'a') 1 else 0),
+        group = c.group + (if (via == 'g') 1 else 0),
+        other = c.other + (if (via == 'x') 1 else 0),
+        read = c.read + (eff / 4) % 2, write = c.write + (eff / 2) % 2)
+    }
+    val got = MetadataOps.fs_acl_audit(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1).drop(1).toLong) ->
+        Acc(r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7), r.getLong(8))).toMap
+    assert(got == acc.toMap, "distributed ACL audit diverged from the sequential replay")
+    // every resolution branch must actually fire somewhere (the
+    // synthesis is pointless if a branch is dead)
+    assert(acc.values.exists(_.owner > 0), "owner branch never fired")
+    assert(acc.values.exists(_.acl > 0), "named-user ACL branch never fired")
+    assert(acc.values.exists(_.group > 0), "group branch never fired")
+    assert(acc.values.exists(_.other > 0), "other branch never fired")
+    // conservation: the four paths partition every (file, principal)
+    acc.values.foreach(c =>
+      assert(c.owner + c.acl + c.group + c.other == c.files, "paths must partition"))
+    // the mask must BITE somewhere: a named-user grant or group triple
+    // with a read bit the mask strips (eff loses access the raw entry
+    // had) — recompute one masked case directly
+    val maskBites = docs.exists { case (src, id) =>
+      val srcNum = src.drop(3).toLong
+      val mask = 7 - id % 3
+      (0L to 9L).exists { p =>
+        val hasAcl = (srcNum * 7 + p) % 3 == 0 && p != id % 10
+        hasAcl && ((srcNum + p * 5) % 8 & ~mask & 7) != 0
+      }
+    }
+    assert(maskBites, "premise: the mask never restricted any grant")
+  }
 }
