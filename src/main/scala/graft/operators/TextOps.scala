@@ -1042,6 +1042,34 @@ object TextOps {
       .orderBy($"doc_id", $"copy_idx")
   }
 
+  /** DETERMINISTIC EPOCH SHUFFLE ORDER — the last missing piece of
+    * the data-loading story over [[text_mixture_epochs]]'s (doc,
+    * copy) multiplicity: the engine-portable WITHIN-EPOCH read order
+    * a dataloader consumes. Every (doc, epoch) instance gets a salted
+    * md5 sort key (salt = "shuffle:" + epoch + ":" + doc_id — a new
+    * permutation each epoch, the property "reshuffle every epoch"
+    * actually means), plus the hash shard (key mod 8) a distributed
+    * loader uses to deal instances to workers. The ORDER IS THE
+    * DELIVERABLE: reading (epoch, shuffle_key, doc_id) ascending is
+    * the training stream, realized at scale by Spark's
+    * range-partitioned sort (the mr_sort TeraSort posture) — a dense
+    * global position column is deliberately NOT emitted, because a
+    * global row_number funnels the corpus through one task while the
+    * sort key carries the same information. First-8-hex→60-bit-int
+    * key (the mixture bucket device), so the whole composition —
+    * mixture multiplicity, salted keys, shards, order — replays
+    * bit-exactly in DuckDB. */
+  def text_epoch_order(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    text_mixture_epochs(s, d)
+      .select($"doc_id", $"lang", $"copy_idx".as("epoch"),
+        conv(substring(md5(concat(lit("shuffle:"), $"copy_idx".cast("string"),
+          lit(":"), $"doc_id".cast("string"))), 1, 15), 16, 10)
+          .cast("long").as("shuffle_key"))
+      .withColumn("shard", $"shuffle_key" % 8)
+      .orderBy($"epoch", $"shuffle_key", $"doc_id")
+  }
+
   /** Per-language SALIENT TERMS (tf-idf family) — the vocabulary
     * audit behind contamination and domain-shift checks: for each
     * language slice, the terms most over-represented relative to how
@@ -1662,6 +1690,7 @@ object TextOps {
     "text_pack" -> ((s, d) => text_pack(s, d)),
     "text_sample" -> text_sample _,
     "text_mixture_epochs" -> text_mixture_epochs _,
+    "text_epoch_order" -> text_epoch_order _,
     "text_tfidf" -> text_tfidf _,
     "text_unigram_score" -> text_unigram_score _,
     "text_normalize" -> text_normalize _,
@@ -2014,6 +2043,30 @@ object TextOps {
         | (start_off + greatest(n_tokens, 1) - 1) // 2048
         |   - start_off // 2048 + 1 AS n_ctx
         |FROM c ORDER BY doc_id""".stripMargin,
+    "text_epoch_order" ->
+      """WITH b AS (
+        | SELECT doc_id, lang,
+        |  CAST(CAST(('0x' || substr(md5('epoch:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+        |    % 1000 AS BIGINT) AS bucket,
+        |  CASE WHEN lang = 'en' THEN 900
+        |       WHEN lang IN ('fr', 'es') THEN 1500
+        |       WHEN lang = 'de' THEN 2250
+        |       ELSE 500 END AS rate_pm
+        | FROM documents),
+        |n AS (
+        | SELECT doc_id, lang,
+        |  rate_pm // 1000 + CASE WHEN bucket < rate_pm % 1000 THEN 1 ELSE 0 END AS n_copies
+        | FROM b),
+        |m AS (
+        | SELECT doc_id, lang, CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy_idx
+        | FROM n WHERE n_copies >= 1),
+        |k AS (
+        | SELECT doc_id, lang, copy_idx AS epoch,
+        |  CAST(CAST(('0x' || substr(md5('shuffle:' || CAST(copy_idx AS VARCHAR)
+        |    || ':' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) AS shuffle_key
+        | FROM m)
+        |SELECT doc_id, lang, epoch, shuffle_key, shuffle_key % 8 AS shard
+        |FROM k ORDER BY epoch, shuffle_key, doc_id""".stripMargin,
     "text_mixture_epochs" ->
       """WITH b AS (
         | SELECT doc_id, lang,

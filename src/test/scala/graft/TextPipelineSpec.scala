@@ -677,6 +677,31 @@ class TextPipelineSpec extends SparkSpec {
     }
   }
 
+  test("text_epoch_order reshuffles per epoch, covers the mixture exactly, and deals all shards") {
+    import spark.implicits._
+    val order = TextOps.text_epoch_order(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val mixture = TextOps.text_mixture_epochs(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    // exact coverage: one ordered instance per (doc, copy) of the mixture
+    assert(order.map(o => (o._1, o._3)).toSet == mixture &&
+      order.length == mixture.size, "epoch order must cover the mixture 1:1")
+    // shard = key mod 8, and all 8 shards are populated
+    order.foreach(o => assert(o._5 == o._4 % 8))
+    assert(order.map(_._5).distinct.sorted.toSeq == (0L to 7L),
+      "all 8 worker shards must be populated")
+    // the salt includes the epoch: epochs 1 and 2 order their shared
+    // docs DIFFERENTLY (the reshuffle-every-epoch property)
+    val e1 = order.filter(_._3 == 1L).sortBy(o => (o._4, o._1)).map(_._1).toSeq
+    val e2docs = order.filter(_._3 == 2L).map(_._1).toSet
+    val e1shared = e1.filter(e2docs)
+    val e2 = order.filter(_._3 == 2L).sortBy(o => (o._4, o._1)).map(_._1).toSeq
+    assert(e1shared.nonEmpty && e1shared != e2,
+      "epochs 1 and 2 must read shared docs in different orders")
+    // keys are collision-free at this scale (60-bit space)
+    assert(order.map(_._4).distinct.length == order.length)
+  }
+
   test("text_repetition flags a stamped phrase and passes varied text") {
     import spark.implicits._
     val fixtures = Seq(
