@@ -488,6 +488,93 @@ object StreamingOps extends Serializable {
       }
   }
 
+  /** One sealed hourly lateness-audit row (see [[lateAuditStream]]). */
+  final case class LateAuditOut(hour: Timestamp, event_type: String,
+      n_events: Long, n_disordered: Long, total_disorder_s: Long,
+      max_disorder_s: Long)
+
+  /** Keyed late-audit state: buffered (event_id, shard, etsUs) per
+    * open hour — O(open hours × their events), watermark-bounded. */
+  final case class LateAuditState(pending: Seq[(Long, Seq[(Long, Long, Long)])])
+
+  /** Streaming LATENESS AUDIT — the continuous query that CHOOSES a
+    * watermark delay (the batch [[graft.operators.EventOps
+    * .ev_late_audit]] posture made continuous): per event type and
+    * sealed event-time hour, how disordered did this hour's data run,
+    * reported while the pipeline is live so the delay can be retuned
+    * before the next deploy. The delivery order is the SAME simulated
+    * arrival key the batch audit orders by — (event_id div 100 micro-
+    * batch, user_id mod 4 shard lane, event_id sequence) — so the
+    * signal is a deterministic function of the DATA and identical
+    * under any ingest order (the ≡-batch property every operator in
+    * this file holds): within the sealed hour, walk events in
+    * delivery order and charge each one that runs behind the running
+    * event-time max (disorder_s = prefix_max_ets − ets, floored at
+    * 0) — max_disorder_s IS the watermark delay this hour needed.
+    *
+    * Deliberately hour-LOCAL: the batch audit's global spine term
+    * (lateness against ALL earlier-delivered data) is not finalizable
+    * at hour seal under a finite watermark — an event beyond the
+    * current watermark may still arrive carrying an earlier delivery
+    * key, which would retroactively change a sealed answer. The
+    * hour-local prefix is exactly the part of the audit a watermarked
+    * pipeline CAN promise, which is itself the point of the report.
+    * Hour buffers seal exactly like [[anomalyStream]] (the watermark
+    * passing the hour's end makes the buffer final; Spark drops
+    * sub-watermark arrivals), state is watermark-bounded, and keying
+    * by event_type scales the audit out with the stream. */
+  def lateAuditStream(events: Dataset[TypedEv]): Dataset[LateAuditOut] = {
+    implicit val strEnc: org.apache.spark.sql.Encoder[String] =
+      org.apache.spark.sql.Encoders.STRING
+    implicit val stateEnc: org.apache.spark.sql.Encoder[LateAuditState] =
+      org.apache.spark.sql.Encoders.product[LateAuditState]
+    implicit val outEnc: org.apache.spark.sql.Encoder[LateAuditOut] =
+      org.apache.spark.sql.Encoders.product[LateAuditOut]
+    val hourUs = 3600000000L
+
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[LateAuditState, LateAuditOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (etype: String, batch: Iterator[TypedEv],
+         state: GroupState[LateAuditState]) =>
+          val st = state.getOption.getOrElse(LateAuditState(Nil))
+          val pend = scala.collection.mutable.Map(
+            st.pending.map { case (h, evs) =>
+              h -> scala.collection.mutable.ArrayBuffer(evs: _*) }: _*)
+          batch.foreach { e =>
+            val us = tsToUs(e.ts)
+            pend.getOrElseUpdate(us / hourUs,
+              scala.collection.mutable.ArrayBuffer.empty) +=
+              ((e.event_id, e.user_id % 4, us))
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ripe, open) = pend.toSeq.partition {
+            case (h, _) => (h + 1) * hourUs <= wmUs
+          }
+          val out = ripe.sortBy(_._1).map { case (h, evs) =>
+            // delivery order: (micro-batch, shard lane, sequence)
+            val seq = evs.sortBy { case (id, shard, _) =>
+              (id / 100, shard, id) }
+            var prefMax = Long.MinValue
+            var nDis = 0L; var total = 0L; var maxDis = 0L
+            seq.foreach { case (_, _, us) =>
+              if (prefMax > us) {
+                val dis = (prefMax - us) / 1000000L
+                nDis += 1; total += dis; if (dis > maxDis) maxDis = dis
+              }
+              if (us > prefMax) prefMax = us
+            }
+            LateAuditOut(usToTs(h * hourUs), etype, seq.length.toLong,
+              nDis, total, maxDis)
+          }
+          state.update(LateAuditState(
+            open.map { case (h, evs) => h -> evs.toSeq }))
+          if (open.nonEmpty)
+            state.setTimeoutTimestamp((open.map(_._1).min + 1) * 3600000L + 1)
+          out.iterator
+      }
+  }
+
   /** One sealed hourly anomaly row —
     * [[graft.operators.EventOps.ev_anomaly]]'s schema, typed. */
   final case class AnomalyOut(hour: Timestamp, event_type: String,

@@ -886,4 +886,92 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batch, "streaming splits diverge from the batch layout")
     } finally q.stop()
   }
+
+  test("streaming late audit equals a sequential sealed-hour replay under reversed batched ingest") {
+    import graft.streaming.StreamingOps.TypedEv
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = loadEvents().map(e => TypedEv(e.event_id, e.ts, e.user_id, e.event_type))
+    val ms = MemoryStream[TypedEv]
+    val withWm = ms.toDS().withWatermark("ts", "2 hours").as[TypedEv]
+    val q = StreamingOps.lateAuditStream(withWm)
+      .writeStream.format("memory").queryName("t_lateaudit")
+      .outputMode("append").start()
+    try {
+      // four chunks, each reversed: sealing must wait out in-chunk
+      // disorder before an hour's delivery walk is final
+      val sorted = events.sortBy(e => (e.ts.getTime, e.event_id))
+      sorted.grouped((sorted.size + 3) / 4).foreach { chunk =>
+        ms.addData(chunk.reverse); drain(q)
+      }
+      val maxTs = sorted.last.ts.getTime
+      val sentinel = TypedEv(-1L, new java.sql.Timestamp(maxTs + 86400000L * 2), -1L, "zz_s")
+      ms.addData(Seq(sentinel)); drain(q)
+      ms.addData(Seq(sentinel.copy(event_id = -2L))); drain(q)
+      val got = spark.table("t_lateaudit").collect()
+        .filter(_.getString(1) != "zz_s")
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        .toMap
+      // sequential replay: per (type, hour), the (micro-batch, shard
+      // lane, sequence) delivery walk with its running event-time max
+      val exp = events.groupBy(_.event_type).flatMap { case (t, evs) =>
+        evs.groupBy(e => e.ts.getTime / 3600000L).toSeq.map {
+          case (h, hourEvs) =>
+            val seq = hourEvs
+              .sortBy(e => (e.event_id / 100, e.user_id % 4, e.event_id))
+              .map(e => e.ts.getTime * 1000L)
+            var prefMax = Long.MinValue
+            var nDis = 0L; var tot = 0L; var mx = 0L
+            seq.foreach { us =>
+              if (prefMax > us) {
+                val d = (prefMax - us) / 1000000L
+                nDis += 1; tot += d; if (d > mx) mx = d
+              }
+              if (us > prefMax) prefMax = us
+            }
+            (h * 3600000L, t) -> (seq.length.toLong, nDis, tot, mx)
+        }
+      }.toMap
+      assert(got == exp, "streaming late audit diverged from the sequential replay")
+      // non-degenerate: the shard-lane delivery order actually runs
+      // events behind their hour's event-time frontier at this SF
+      assert(got.values.exists(_._2 > 0), "premise: no intra-hour disorder at this SF")
+    } finally q.stop()
+  }
+
+  test("streaming late audit: a planted straggler is charged its exact disorder") {
+    import graft.streaming.StreamingOps.TypedEv
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp(86400000L + min * 60000L)
+    // one user (one shard lane), ids in one micro-batch -> delivery
+    // order is plain event_id order. Hour 0: id 3 runs 10 min behind
+    // id 2 (600 s). Hour 1: id 5 runs 5 min behind id 4 (300 s).
+    val evs = Seq(
+      TypedEv(1L, ts(10), 1L, "view"),
+      TypedEv(2L, ts(50), 1L, "view"),
+      TypedEv(3L, ts(40), 1L, "view"),
+      TypedEv(4L, ts(70), 1L, "view"),
+      TypedEv(5L, ts(65), 1L, "view"))
+    val ms = MemoryStream[TypedEv]
+    val withWm = ms.toDS().withWatermark("ts", "1 hour").as[TypedEv]
+    val q = StreamingOps.lateAuditStream(withWm)
+      .writeStream.format("memory").queryName("t_lateaudit_fix")
+      .outputMode("append").start()
+    try {
+      ms.addData(evs); drain(q)
+      val sentinel = TypedEv(-9L, ts(60 * 24 * 3), -1L, "zz_s")
+      ms.addData(Seq(sentinel)); drain(q)
+      ms.addData(Seq(sentinel.copy(event_id = -10L))); drain(q)
+      val got = spark.table("t_lateaudit_fix").collect()
+        .filter(_.getString(1) == "view")
+        .map(r => r.getTimestamp(0).getTime -> (r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toMap
+      assert(got(86400000L) == ((3L, 1L, 600L, 600L)),
+        s"hour 0 wrong: ${got.get(86400000L)}")
+      assert(got(86400000L + 3600000L) == ((2L, 1L, 300L, 300L)),
+        s"hour 1 wrong: ${got.get(86400000L + 3600000L)}")
+    } finally q.stop()
+  }
 }
