@@ -313,9 +313,19 @@ object Scale {
       (s, dir) => graft.operators.Similarity.annKnnGraph(
         s, dir, bands = bands, r = r, cap = 500L, k = 5)
     }
+    // r16: one NN-descent round over the factor's blocked graph — the
+    // posture claims under measurement: expansion volume is capped at
+    // C(32, 2)·nodes (linear — the reverse-degree fan cap), so the
+    // round's wall must track the blocked build's ~linear wall, and
+    // rows stay exactly 5 × vectors at every factor (every node keeps
+    // a top-5; the refined set contains the blocked edges).
+    def knnRefineAt(factor: Int): (SparkSession, String) => DataFrame =
+      (s, dir) => graft.operators.Similarity.knnRefineRound(s, dir,
+        knnAt(factor)(s, dir).select(col("nid"), col("nbr")))
     def queriesFor(factor: Int): Seq[(String, (SparkSession, String) => DataFrame)] = {
       val all = allQueries :+ ("dedup_semantic" -> semanticAt(factor)) :+
-        ("ann_knn_graph" -> knnAt(factor))
+        ("ann_knn_graph" -> knnAt(factor)) :+
+        ("ann_knn_graph_refine" -> knnRefineAt(factor))
       queryFilter.map(f => all.filter(q => f(q._1))).getOrElse(all)
     }
 

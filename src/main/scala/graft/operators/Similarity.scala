@@ -1236,7 +1236,16 @@ object Similarity {
 
   def ann_knn_graph_refine(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val g0 = s.table(knnGraphTable(s, d)).select($"nid", $"nbr")
+    knnRefineRound(s, d, s.table(knnGraphTable(s, d)).select($"nid", $"nbr"))
+  }
+
+  /** The NN-descent expansion round over an arbitrary blocked top-k
+    * graph — [[ann_knn_graph_refine]]'s body, graph-parameterized so
+    * the Scale harness can refine a graph blocked at its per-factor
+    * banding instead of the registered 16×4 config. */
+  private[graft] def knnRefineRound(s: SparkSession, d: String,
+      g0: DataFrame): DataFrame = {
+    import s.implicits._
     val e = Tables.embeddings(s, d).select($"vec_id", $"embedding")
     val u = g0.unionByName(g0.select($"nbr".as("nid"), $"nid".as("nbr")))
       .distinct()
