@@ -609,13 +609,187 @@ object Graph {
     } finally e0.unpersist(blocking = false)
   }
 
+  // ──────────────────────────────────────────────────────────────────
+  // Persisted-index lifecycle for the graph family — the ANN family's
+  // vector-store posture ([[Similarity.ann_ivf_index]]) applied to
+  // iterative graph analytics: real deployments don't re-derive the
+  // edge list per run, they materialize it ONCE (a write-time cost
+  // amortized over every later analytic) and every superstep joins
+  // against the prebuilt structure. The index is bucketed+sorted on
+  // the superstep join key, so each round's corpus-scale side (the
+  // EDGES — at 100 TB, edges ≫ node state) reads pre-partitioned with
+  // ZERO Exchange: only the node-sized rank/label state ever shuffles.
+  // GraphSpec gates the bucketed-scan/no-Exchange shape mechanically,
+  // and the results are IDENTICAL to the in-flight derivations by
+  // construction, so both queries carry the siblings' DuckDB oracles
+  // verbatim — same answer, different physical path, both
+  // hash-verified.
+  // ──────────────────────────────────────────────────────────────────
+
+  private val prIndexBuilt = new java.util.HashSet[String]()
+  /** Build-once page-transition edge index for
+    * [[graph_pagerank_index]]: (src, dst, w, out_w) bucketed+sorted on
+    * src — the superstep join key — with each src's total out-weight
+    * DENORMALIZED onto its edge rows (the IVF store-the-vectors-in-
+    * the-lists play: the per-round outW join disappears because the
+    * index row already carries the divisor). Built once per (JVM, dir)
+    * — the setup-not-query rule the ANN index builders follow. */
+  private def pagerankIndexTable(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val tbl = s"pr_edges_${IndexUtil.dirTag(d)}"
+    prIndexBuilt.synchronized { if (!prIndexBuilt.contains(d)) {
+      IndexUtil.dropIndexTable(s, tbl)
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val ev = Tables.events(s, d)
+        .select($"user_id", $"ts", $"event_id",
+          get_json_object($"props", "$.k").cast("long").as("page"))
+      val edges = ev.withColumn("next_page", lead($"page", 1).over(w))
+        .filter($"next_page".isNotNull && $"next_page" =!= $"page")
+        .groupBy($"page".as("src"), $"next_page".as("dst"))
+        .agg(count(lit(1)).as("w"))
+      edges.join(edges.groupBy($"src").agg(sum($"w").as("out_w")), "src")
+        .write.mode("overwrite").bucketBy(8, "src").sortBy("src")
+        .format("parquet").saveAsTable(tbl)
+      prIndexBuilt.add(d)
+    } }
+    tbl
+  }
+
+  /** PAGERANK over the PERSISTED edge index — identical ranks to
+    * [[graph_pagerank]] (same integer recurrence, same floored
+    * divisions; the oracle is [[pagerankOracle]] verbatim) through the
+    * index physical path: every one of the 8 rounds joins ranks to an
+    * edge table read PRE-BUCKETED on src (no Exchange, no sort on the
+    * corpus-scale side — at web scale the edge list is the 100 TB
+    * operand) and the out-weight divisor rides the index row, so the
+    * in-flight form's per-round outW join vanishes entirely. The
+    * merge hint pins SMJ: rank state is node-sized but NOT broadcast —
+    * the posture is a rank table too large to broadcast, where the
+    * write-time bucketing is what saves the per-round edge shuffle.
+    * Dangling mass uses the distinct-src table derived once before the
+    * loop (node-sized, persisted — the same loop-invariant treatment
+    * the in-flight form gives outW). */
+  def graph_pagerank_index(s: SparkSession, d: String, iters: Int = 8): DataFrame = {
+    import s.implicits._
+    val idx = s.table(pagerankIndexTable(s, d))
+    val srcs = idx.select($"src").distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = idx.select($"src".as("node"))
+      .union(idx.select($"dst".as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = nodes.count()
+      var cached = materializeRound(
+        nodes.withColumn("rank", lit(1000000000L)))
+      var ranks = rebind(cached)
+      for (_ <- 1 to iters) {
+        val inflow = idx.hint("merge")
+          .join(ranks, idx("src") === ranks("node"))
+          .select($"dst", expr("rank * w div out_w").as("contrib"))
+          .groupBy($"dst").agg(sum($"contrib").as("inflow"))
+        val dangling = ranks
+          .join(srcs, ranks("node") === srcs("src"), "left_anti")
+          .agg(coalesce(sum($"rank"), lit(0L)).as("dang"))
+        val next = nodes
+          .join(inflow, nodes("node") === inflow("dst"), "left")
+          .crossJoin(broadcast(dangling))
+          .select(nodes("node"),
+            (lit(150000000L) +
+              expr(s"85 * (coalesce(inflow, 0L) + dang div ${n}L) div 100")
+            ).as("rank"))
+        val nextCached = materializeRound(next)
+        cached.unpersist(blocking = false)
+        cached = nextCached
+        ranks = rebind(cached)
+      }
+      val out = ranks.select($"node".as("page"), $"rank")
+      val rows = out.persist(StorageLevel.MEMORY_AND_DISK)
+      rows.count()
+      graft.CacheRegistry.track(rows)
+      cached.unpersist(blocking = false)
+      rebind(rows).orderBy($"rank".desc, $"page")
+    } finally {
+      srcs.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+    }
+  }
+
+  /** One rank-propagation round over the persisted edge index, as a
+    * single inspectable plan — the loop's per-round LogicalRDD rebind
+    * hides superstep plans from the final query, so GraphSpec gates
+    * the zero-Exchange index-scan shape on this. */
+  private[graft] def pagerankIndexRoundPlan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val idx = s.table(pagerankIndexTable(s, d))
+    val ranks = idx.select($"src".as("node")).distinct()
+      .withColumn("rank", lit(1000000000L))
+    idx.hint("merge")
+      .join(ranks, idx("src") === ranks("node"))
+      .select($"dst", expr("rank * w div out_w").as("contrib"))
+      .groupBy($"dst").agg(sum($"contrib").as("inflow"))
+  }
+
+  private val adjIndexBuilt = new java.util.HashSet[String]()
+  /** Build-once co-supplier adjacency index for [[graph_lpa_index]]:
+    * both directions of the support-≥2 edge list, bucketed+sorted on
+    * nbr — the vote join's key. */
+  private def adjIndexTable(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val tbl = s"adj_cosupp_${IndexUtil.dirTag(d)}"
+    adjIndexBuilt.synchronized { if (!adjIndexBuilt.contains(d)) {
+      IndexUtil.dropIndexTable(s, tbl)
+      val e0 = coSupplierEdges(s, d)
+      e0.select($"u".as("node"), $"v".as("nbr"))
+        .union(e0.select($"v".as("node"), $"u".as("nbr")))
+        .write.mode("overwrite").bucketBy(8, "nbr").sortBy("nbr")
+        .format("parquet").saveAsTable(tbl)
+      adjIndexBuilt.add(d)
+    } }
+    tbl
+  }
+
+  /** LABEL PROPAGATION over the PERSISTED adjacency index — identical
+    * communities to [[graph_label_prop]] (same [[lpaLoop]], same
+    * unrolled-CTE oracle) with every vote round's corpus-scale side
+    * (the adjacency) read pre-bucketed on the join key: no Exchange,
+    * no sort on the edges, only the node-sized label state shuffles
+    * per round. The merge hint pins SMJ for the same
+    * too-big-to-broadcast reason as [[graph_pagerank_index]]. */
+  def graph_lpa_index(s: SparkSession, d: String, iters: Int = 6): DataFrame = {
+    import s.implicits._
+    val adj = s.table(adjIndexTable(s, d)).hint("merge")
+    val labels = lpaLoop(adj, iters)
+    val out = labels
+      .withColumn("community_size",
+        count(lit(1)).over(Window.partitionBy($"label")))
+      .select($"node".as("s_suppkey"), $"label".as("community"),
+        $"community_size")
+    val rows = out.persist(StorageLevel.MEMORY_AND_DISK)
+    rows.count()
+    graft.CacheRegistry.track(rows)
+    rebind(rows).orderBy($"s_suppkey")
+  }
+
+  /** One LPA vote round over the persisted adjacency index — the
+    * spec's zero-Exchange plan-gate handle (same rationale as
+    * [[pagerankIndexRoundPlan]]). */
+  private[graft] def lpaIndexRoundPlan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val adj = s.table(adjIndexTable(s, d)).hint("merge")
+    val labels = adj.select($"node").distinct().withColumn("label", $"node")
+    adj.join(labels.select($"node".as("nbr"), $"label"), "nbr")
+      .groupBy($"node", $"label").agg(count(lit(1)).as("cnt"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_modularity" -> graph_modularity _,
     "graph_bfs_layers" -> ((s, d) => graph_bfs_layers(s, d)),
     "graph_kcore" -> ((s, d) => graph_kcore(s, d)),
     "graph_jaccard_links" -> ((s, d) => graph_jaccard_links(s, d)),
     "graph_pagerank" -> ((s, d) => graph_pagerank(s, d)),
+    "graph_pagerank_index" -> ((s, d) => graph_pagerank_index(s, d)),
     "graph_label_prop" -> ((s, d) => graph_label_prop(s, d)),
+    "graph_lpa_index" -> ((s, d) => graph_lpa_index(s, d)),
     "graph_triangles" -> graph_triangles _)
 
   /** The 8 unrolled PageRank rounds, generated: each round's CTE is
@@ -836,7 +1010,12 @@ object Graph {
         |LIMIT 100""".stripMargin,
     "graph_bfs_layers" -> bfsOracle(6),
     "graph_pagerank" -> pagerankOracle(8),
+    // the index variants are result-identical by construction, so they
+    // carry the in-flight siblings' oracles verbatim — same answer,
+    // different physical path, both hash-verified
+    "graph_pagerank_index" -> pagerankOracle(8),
     "graph_label_prop" -> labelPropOracle(6),
+    "graph_lpa_index" -> labelPropOracle(6),
     "graph_triangles" ->
       """WITH os AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),

@@ -99,25 +99,10 @@ object Similarity {
       .orderBy($"qid", $"rank")
   }
 
-  /** Drop a persisted index table from both the (in-memory) catalog
-    * and the warehouse dir — a previous JVM may have left table files
-    * the in-memory catalog doesn't know about (the bucketedTables
-    * rule). Shared by every persisted-index builder here. */
-  private def dropIndexTable(s: SparkSession, tbl: String): Unit = {
-    s.sql(s"DROP TABLE IF EXISTS $tbl")
-    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    val loc = java.nio.file.Paths.get(wh, tbl)
-    if (java.nio.file.Files.exists(loc)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
-  }
-
-  /** Per-dir SHA tag for persisted index table names. */
-  private def dirTag(d: String): String =
-    java.security.MessageDigest.getInstance("SHA-256")
-      .digest(d.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+  // Persisted-index table plumbing shared with the graph family.
+  private def dropIndexTable(s: SparkSession, tbl: String): Unit =
+    IndexUtil.dropIndexTable(s, tbl)
+  private def dirTag(d: String): String = IndexUtil.dirTag(d)
 
   /** One LSH index (TWO tables) per source dir, built once per JVM —
     * the setup-not-query rule the JDBC/bucketed sources follow: the

@@ -259,4 +259,53 @@ class GraphSpec extends SparkSpec {
     assert(nComms < adj.size,
       s"degenerate communities: $nComms of ${adj.size} nodes")
   }
+
+  /** Shared zero-Exchange gate for the persisted-index superstep
+    * plans: the bucketed index scan must feed its SortMergeJoin with
+    * no Exchange on the index branch — only the node-sized state side
+    * shuffles. */
+  private def assertIndexBranchExchangeFree(
+      df: org.apache.spark.sql.DataFrame, tblPat: String): Unit = {
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"no SMJ:\n${plan.take(1200)}")
+    assert(plan.contains("Bucketed: true"),
+      s"index scan not bucketed:\n${plan.take(1200)}")
+    val lines = plan.linesIterator.toVector
+    val idxLine = lines.indexWhere(_.contains(tblPat))
+    val smjLine = lines.lastIndexWhere(_.contains("SortMergeJoin"), idxLine)
+    assert(idxLine > smjLine && smjLine >= 0, s"plan shape unexpected at $tblPat")
+    val between = lines.slice(smjLine + 1, idxLine)
+    assert(!between.exists(_.contains("Exchange")),
+      s"Exchange on the $tblPat branch:\n${between.mkString("\n")}")
+  }
+
+  test("graph_pagerank_index equals graph_pagerank and joins the edge index without a corpus-side Exchange") {
+    val viaIndex = Graph.graph_pagerank_index(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    CacheRegistry.releaseAll()
+    val inFlight = Graph.graph_pagerank(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    CacheRegistry.releaseAll()
+    assert(viaIndex.nonEmpty && viaIndex == inFlight,
+      "indexed pagerank diverged from the in-flight derivation")
+    // the lifecycle claim, held mechanically: a superstep joins ranks
+    // to the PRE-BUCKETED edge table — no Exchange, no sort on the
+    // corpus-scale side (the per-round plan is inspected directly;
+    // the loop's LogicalRDD rebind hides it from the final query)
+    assertIndexBranchExchangeFree(
+      Graph.pagerankIndexRoundPlan(spark, sf0001), "default.pr_edges")
+  }
+
+  test("graph_lpa_index equals graph_label_prop and joins the adjacency index without a corpus-side Exchange") {
+    val viaIndex = Graph.graph_lpa_index(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    CacheRegistry.releaseAll()
+    val inFlight = Graph.graph_label_prop(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    CacheRegistry.releaseAll()
+    assert(viaIndex.nonEmpty && viaIndex == inFlight,
+      "indexed LPA diverged from the in-flight derivation")
+    assertIndexBranchExchangeFree(
+      Graph.lpaIndexRoundPlan(spark, sf0001), "default.adj_cosupp")
+  }
 }
