@@ -488,6 +488,79 @@ object StreamingOps extends Serializable {
       }
   }
 
+  /** Per-user funnel status emitted by [[funnelStream]] whenever the
+    * stage mins move; `rev` increases per emission so an upsert sink
+    * (and the spec) can pick the latest row per user without relying
+    * on sink ordering. */
+  final case class FunnelOut(user_id: Long, t_signup: Option[Timestamp],
+      t_click: Option[Timestamp], t_purchase: Option[Timestamp],
+      qualified: Boolean, rev: Long)
+
+  /** Keyed funnel state: running min event time per stage in micros
+    * (Long.MaxValue = stage unseen) + the emission revision counter. */
+  final case class FunnelState(sigUs: Long, clkUs: Long, purUs: Long,
+      rev: Long)
+
+  /** Streaming CONVERSION FUNNEL — the continuous form of
+    * [[graft.operators.EventOps.ev_funnel]] (signup → click → purchase
+    * per user, each stage's time the MIN over all its events): keyed
+    * state is the running min event time per stage, and min is
+    * commutative + associative, so the final state equals the batch
+    * answer under ANY arrival order with NO watermark needed for
+    * correctness — unlike the sealed-hour twins, a funnel dashboard
+    * never has to wait; it can always show the truth of what has
+    * arrived. What CAN change retroactively is the VERDICT: a late
+    * EARLIER click can disqualify a user whose qualification was
+    * already emitted (t_click must fall strictly between signup and
+    * purchase), so emission is Update-mode per-user status with a
+    * `qualified` flag that flips BOTH ways and a monotone `rev` stamp —
+    * the sink contract is a keyed upsert (highest rev per user wins).
+    * StreamingSpec gates a planted retraction and ≡-batch equality of
+    * the final upsert image under reversed split ingest. Unchanged
+    * users emit nothing; state is three longs + a counter per user —
+    * the information-theoretic minimum for the exact any-age funnel
+    * the batch query defines (an eviction horizon would bound state at
+    * the cost of the any-age semantics — the same documented trade as
+    * [[asofStateful]]'s clickRetentionHours). */
+  def funnelStream(events: Dataset[TypedEv]): Dataset[FunnelOut] = {
+    implicit val longEnc: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+    implicit val stateEnc: org.apache.spark.sql.Encoder[FunnelState] =
+      org.apache.spark.sql.Encoders.product[FunnelState]
+    implicit val outEnc: org.apache.spark.sql.Encoder[FunnelOut] =
+      org.apache.spark.sql.Encoders.product[FunnelOut]
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[TypedEv], state: GroupState[FunnelState]) =>
+          val prev = state.getOption.getOrElse(
+            FunnelState(Long.MaxValue, Long.MaxValue, Long.MaxValue, 0L))
+          var st = prev
+          batch.foreach { e =>
+            val us = tsToUs(e.ts)
+            e.event_type match {
+              case "signup" if us < st.sigUs => st = st.copy(sigUs = us)
+              case "click" if us < st.clkUs => st = st.copy(clkUs = us)
+              case "purchase" if us < st.purUs => st = st.copy(purUs = us)
+              case _ => ()
+            }
+          }
+          if (st == prev) Iterator.empty
+          else {
+            st = st.copy(rev = prev.rev + 1)
+            state.update(st)
+            def opt(us: Long): Option[Timestamp] =
+              if (us == Long.MaxValue) None else Some(usToTs(us))
+            val qualified = st.sigUs != Long.MaxValue &&
+              st.clkUs != Long.MaxValue && st.purUs != Long.MaxValue &&
+              st.clkUs > st.sigUs && st.purUs > st.clkUs
+            Iterator.single(FunnelOut(userId, opt(st.sigUs), opt(st.clkUs),
+              opt(st.purUs), qualified, st.rev))
+          }
+      }
+  }
+
   /** One sealed hourly lateness-audit row (see [[lateAuditStream]]). */
   final case class LateAuditOut(hour: Timestamp, event_type: String,
       n_events: Long, n_disordered: Long, total_disorder_s: Long,

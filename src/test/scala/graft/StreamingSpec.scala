@@ -974,4 +974,63 @@ class StreamingSpec extends SparkSpec {
         s"hour 1 wrong: ${got.get(86400000L + 3600000L)}")
     } finally q.stop()
   }
+
+  test("streaming funnel: final upsert image equals batch ev_funnel under reversed split ingest") {
+    import graft.streaming.StreamingOps.TypedEv
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = loadEvents().map(e => TypedEv(e.event_id, e.ts, e.user_id, e.event_type))
+    val ms = MemoryStream[TypedEv]
+    val q = StreamingOps.funnelStream(ms.toDS())
+      .writeStream.format("memory").queryName("t_funnel")
+      .outputMode("update").start()
+    try {
+      // three chunks, each reversed: the min-fold is order-independent,
+      // so the FINAL per-user image must not care
+      val sorted = events.sortBy(e => (e.ts.getTime, e.event_id))
+      sorted.grouped((sorted.size + 2) / 3).foreach { chunk =>
+        ms.addData(chunk.reverse); drain(q)
+      }
+      // keyed-upsert contract: highest rev per user wins
+      val img = spark.table("t_funnel").collect()
+        .groupBy(_.getLong(0))
+        .map { case (u, rows) => u -> rows.maxBy(_.getLong(5)) }
+      val streamed = img.values.filter(_.getBoolean(4))
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getTimestamp(3))).toSet
+      val batch = graft.operators.EventOps.ev_funnel(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getTimestamp(3))).toSet
+      assert(batch.nonEmpty, "premise: batch funnel is empty at this SF")
+      assert(streamed == batch, "streaming funnel image diverged from batch")
+    } finally q.stop()
+  }
+
+  test("streaming funnel: a late earlier click retracts an emitted qualification") {
+    import graft.streaming.StreamingOps.TypedEv
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp(86400000L + min * 60000L)
+    val ms = MemoryStream[TypedEv]
+    val q = StreamingOps.funnelStream(ms.toDS())
+      .writeStream.format("memory").queryName("t_funnel_fix")
+      .outputMode("update").start()
+    try {
+      // batch 1: a clean signup → click → purchase ordering qualifies
+      ms.addData(Seq(
+        TypedEv(1L, ts(10), 7L, "signup"),
+        TypedEv(2L, ts(20), 7L, "click"),
+        TypedEv(3L, ts(30), 7L, "purchase"))); drain(q)
+      // batch 2: an EARLIER click arrives late — min(t_click) drops
+      // below t_signup, so the verdict must flip to false
+      ms.addData(Seq(TypedEv(4L, ts(5), 7L, "click"))); drain(q)
+      val rows = spark.table("t_funnel_fix").collect()
+        .filter(_.getLong(0) == 7L).sortBy(_.getLong(5))
+      assert(rows.length == 2, s"expected 2 emissions, got ${rows.length}")
+      assert(rows.head.getBoolean(4), "first emission should qualify")
+      assert(!rows.last.getBoolean(4), "retraction emission should disqualify")
+      assert(rows.last.getTimestamp(2).getTime == ts(5).getTime,
+        "retraction should carry the new min click time")
+    } finally q.stop()
+  }
 }
