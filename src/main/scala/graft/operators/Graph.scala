@@ -255,15 +255,20 @@ object Graph {
     * returns the materialized, cache-tracked (node, label) table.
     * Shared by [[graph_label_prop]] and [[graph_modularity]] so the
     * modularity report doesn't pay the edge derivation twice. */
-  private def lpaLoop(adj: DataFrame, iters: Int): DataFrame = {
+  private def lpaLoop(adj: DataFrame, iters: Int,
+      mergeHint: Boolean = false): DataFrame = {
     import adj.sparkSession.implicits._
+    // hint scoped to the join side only — hinting the whole frame
+    // would warn on the non-join uses (the initial distinct) and
+    // force SMJ for the in-flight callers too
+    val joinSide = if (mergeHint) adj.hint("merge") else adj
     var cached = materializeRound(
       adj.select($"node").distinct().withColumn("label", $"node"))
     var labels = rebind(cached)
     var i = 1
     var converged = false
     while (i <= iters && !converged) {
-      val votes = adj
+      val votes = joinSide
         .join(labels.select($"node".as("nbr"), $"label"), "nbr")
         .groupBy($"node", $"label").agg(count(lit(1)).as("cnt"))
       // argmax under the total order (cnt DESC, label ASC) as a
@@ -757,8 +762,8 @@ object Graph {
     * too-big-to-broadcast reason as [[graph_pagerank_index]]. */
   def graph_lpa_index(s: SparkSession, d: String, iters: Int = 6): DataFrame = {
     import s.implicits._
-    val adj = s.table(adjIndexTable(s, d)).hint("merge")
-    val labels = lpaLoop(adj, iters)
+    val adj = s.table(adjIndexTable(s, d))
+    val labels = lpaLoop(adj, iters, mergeHint = true)
     val out = labels
       .withColumn("community_size",
         count(lit(1)).over(Window.partitionBy($"label")))
@@ -781,6 +786,88 @@ object Graph {
       .groupBy($"node", $"label").agg(count(lit(1)).as("cnt"))
   }
 
+  private val triIndexBuilt = new java.util.HashSet[String]()
+  /** Build-once ORIENTED co-supplier edge index for
+    * [[graph_triangles_index]] — TWO layouts of the degree-ordered
+    * (src, dst, ddeg) orientation ([[graph_triangles]]'s `ed` stage,
+    * the expensive part: co-occurrence self-join + two degree joins),
+    * one per downstream join key set (the two-table play of the LSH
+    * index, Similarity.lshIndexTables): bucketed on src for the wedge
+    * SELF-join, and bucketed on (src, dst) for the closure probe —
+    * Spark's co-partition rule requires ALL join keys in the
+    * partitioning, so the src-only layout cannot also serve the
+    * two-key closure join without re-shuffling. */
+  private def triIndexTables(s: SparkSession, d: String): (String, String) = {
+    import s.implicits._
+    val tbl = s"tri_edges_${IndexUtil.dirTag(d)}"
+    val tbl2 = s"tri_close_${IndexUtil.dirTag(d)}"
+    triIndexBuilt.synchronized { if (!triIndexBuilt.contains(d)) {
+      IndexUtil.dropIndexTable(s, tbl)
+      IndexUtil.dropIndexTable(s, tbl2)
+      val e0 = coSupplierEdges(s, d)
+      val deg = e0.select(explode(array($"u", $"v")).as("node"))
+        .groupBy($"node").agg(count(lit(1)).as("deg"))
+      val ed = e0
+        .join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), Seq("u"))
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), Seq("v"))
+        .select(
+          when(struct($"du", $"u") < struct($"dv", $"v"), $"u").otherwise($"v").as("src"),
+          when(struct($"du", $"u") < struct($"dv", $"v"), $"v").otherwise($"u").as("dst"),
+          when(struct($"du", $"u") < struct($"dv", $"v"), $"dv").otherwise($"du").as("ddeg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        ed.write.mode("overwrite").bucketBy(8, "src").sortBy("src")
+          .format("parquet").saveAsTable(tbl)
+        ed.select($"src", $"dst")
+          .write.mode("overwrite").bucketBy(8, "src", "dst").sortBy("src", "dst")
+          .format("parquet").saveAsTable(tbl2)
+      } finally ed.unpersist(blocking = false)
+      triIndexBuilt.add(d)
+    } }
+    (tbl, tbl2)
+  }
+
+  /** TRIANGLE COUNTING over the PERSISTED oriented edge index —
+    * identical counts to [[graph_triangles]] (same degree-ordered
+    * wedge algorithm; carries its DuckDB oracle verbatim) with the
+    * derivation paid at build time and EVERY edge scan co-located
+    * with its join: the wedge SELF-join reads the src-bucketed layout
+    * on both legs and the closure probe reads the (src, dst)-bucketed
+    * layout, so no Exchange ever touches the edge list — at 100 TB it
+    * never moves. The one shuffle left is the wedge stream re-keying
+    * onto (x, y) for closure (wedges are born at their source vertex
+    * and must meet the edge set at their far pair — that movement IS
+    * the algorithm). */
+  def graph_triangles_index(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = trianglesIndexPlan(s, d)
+    val rows = out.persist(StorageLevel.MEMORY_AND_DISK)
+    rows.count()
+    graft.CacheRegistry.track(rows)
+    rebind(rows).orderBy($"s_suppkey")
+  }
+
+  /** The full indexed-triangles plan before materialization — the
+    * spec's plan-gate handle: every scan of the edge index must feed
+    * its SortMergeJoin Exchange-free. */
+  private[graft] def trianglesIndexPlan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (wedgeTbl, closeTbl) = triIndexTables(s, d)
+    val ed = s.table(wedgeTbl)
+    val wedges = ed.as("e1").hint("merge").join(ed.as("e2"),
+        $"e1.src" === $"e2.src" &&
+          struct($"e1.ddeg", $"e1.dst") < struct($"e2.ddeg", $"e2.dst"))
+      .select($"e1.src".as("a"), $"e1.dst".as("x"), $"e2.dst".as("y"))
+    val closing = s.table(closeTbl)
+      .select($"src".as("cs"), $"dst".as("cd"))
+    val tri = closing.hint("merge")
+      .join(wedges, $"x" === $"cs" && $"y" === $"cd")
+      .select($"a", $"x", $"y")
+    tri.select(explode(array($"a", $"x", $"y")).as("s_suppkey"))
+      .groupBy($"s_suppkey").agg(count(lit(1)).as("n_triangles"))
+      .orderBy($"s_suppkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_modularity" -> graph_modularity _,
     "graph_bfs_layers" -> ((s, d) => graph_bfs_layers(s, d)),
@@ -790,7 +877,8 @@ object Graph {
     "graph_pagerank_index" -> ((s, d) => graph_pagerank_index(s, d)),
     "graph_label_prop" -> ((s, d) => graph_label_prop(s, d)),
     "graph_lpa_index" -> ((s, d) => graph_lpa_index(s, d)),
-    "graph_triangles" -> graph_triangles _)
+    "graph_triangles" -> graph_triangles _,
+    "graph_triangles_index" -> graph_triangles_index _)
 
   /** The 8 unrolled PageRank rounds, generated: each round's CTE is
     * the same integer formula over the previous round's table, so the
@@ -1016,35 +1104,40 @@ object Graph {
     "graph_pagerank_index" -> pagerankOracle(8),
     "graph_label_prop" -> labelPropOracle(6),
     "graph_lpa_index" -> labelPropOracle(6),
-    "graph_triangles" ->
-      """WITH os AS (
-        |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
-        |e0 AS (
-        |  SELECT a.sk AS u, b.sk AS v
-        |  FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk
-        |  GROUP BY 1, 2 HAVING count(*) >= 2),
-        |deg AS (
-        |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
-        |    SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
-        |  GROUP BY 1),
-        |ed AS (
-        |  SELECT
-        |    CASE WHEN (du.deg, e0.u) < (dv.deg, e0.v) THEN e0.u ELSE e0.v END AS src,
-        |    CASE WHEN (du.deg, e0.u) < (dv.deg, e0.v) THEN e0.v ELSE e0.u END AS dst,
-        |    CASE WHEN (du.deg, e0.u) < (dv.deg, e0.v) THEN dv.deg ELSE du.deg END AS ddeg
-        |  FROM e0
-        |  JOIN deg du ON e0.u = du.node
-        |  JOIN deg dv ON e0.v = dv.node),
-        |wedges AS (
-        |  SELECT e1.src AS a, e1.dst AS x, e2.dst AS y
-        |  FROM ed e1 JOIN ed e2
-        |    ON e1.src = e2.src AND (e1.ddeg, e1.dst) < (e2.ddeg, e2.dst)),
-        |tri AS (
-        |  SELECT w.a, w.x, w.y
-        |  FROM wedges w JOIN ed e ON w.x = e.src AND w.y = e.dst)
-        |SELECT node AS s_suppkey, CAST(count(*) AS BIGINT) AS n_triangles
-        |FROM (SELECT a AS node FROM tri UNION ALL
-        |      SELECT x FROM tri UNION ALL
-        |      SELECT y FROM tri)
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+    "graph_triangles" -> trianglesOracle,
+    // the index variant is result-identical (same oriented-wedge
+    // algorithm over the persisted edge table) — oracle verbatim
+    "graph_triangles_index" -> trianglesOracle)
+
+  private def trianglesOracle: String =
+    """WITH os AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+      |e0 AS (
+      |  SELECT a.sk AS u, b.sk AS v
+      |  FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |deg AS (
+      |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+      |    SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+      |  GROUP BY 1),
+      |ed AS (
+      |  SELECT
+      |    CASE WHEN (du.deg, e0.u) < (dv.deg, e0.v) THEN e0.u ELSE e0.v END AS src,
+      |    CASE WHEN (du.deg, e0.u) < (dv.deg, e0.v) THEN e0.v ELSE e0.u END AS dst,
+      |    CASE WHEN (du.deg, e0.u) < (dv.deg, e0.v) THEN dv.deg ELSE du.deg END AS ddeg
+      |  FROM e0
+      |  JOIN deg du ON e0.u = du.node
+      |  JOIN deg dv ON e0.v = dv.node),
+      |wedges AS (
+      |  SELECT e1.src AS a, e1.dst AS x, e2.dst AS y
+      |  FROM ed e1 JOIN ed e2
+      |    ON e1.src = e2.src AND (e1.ddeg, e1.dst) < (e2.ddeg, e2.dst)),
+      |tri AS (
+      |  SELECT w.a, w.x, w.y
+      |  FROM wedges w JOIN ed e ON w.x = e.src AND w.y = e.dst)
+      |SELECT node AS s_suppkey, CAST(count(*) AS BIGINT) AS n_triangles
+      |FROM (SELECT a AS node FROM tri UNION ALL
+      |      SELECT x FROM tri UNION ALL
+      |      SELECT y FROM tri)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

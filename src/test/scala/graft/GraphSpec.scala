@@ -308,4 +308,36 @@ class GraphSpec extends SparkSpec {
     assertIndexBranchExchangeFree(
       Graph.lpaIndexRoundPlan(spark, sf0001), "default.adj_cosupp")
   }
+
+  test("graph_triangles_index equals graph_triangles; every index scan feeds its join Exchange-free") {
+    val viaIndex = Graph.graph_triangles_index(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    CacheRegistry.releaseAll()
+    val inFlight = Graph.graph_triangles(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    CacheRegistry.releaseAll()
+    assert(viaIndex.nonEmpty && viaIndex == inFlight,
+      "indexed triangles diverged from the in-flight derivation")
+    // each join reads the index layout bucketed on exactly its keys —
+    // the wedge self-join the src layout (both legs), the closure
+    // probe the (src, dst) layout: no Exchange above ANY of the three
+    // index scans (the wedge stream's re-key onto (x, y) is the one
+    // shuffle the algorithm genuinely needs)
+    val plan = Graph.trianglesIndexPlan(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") && plan.contains("Bucketed: true"),
+      s"expected bucketed SMJs:\n${plan.take(1500)}")
+    val lines = plan.linesIterator.toVector
+    val scans = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("default.tri_edges") ||
+        l.contains("default.tri_close") => i }
+    assert(scans.size == 3, s"expected 3 index scans, got ${scans.size}")
+    scans.foreach { idxLine =>
+      val smjLine = lines.lastIndexWhere(_.contains("SortMergeJoin"), idxLine)
+      assert(smjLine >= 0, "no SMJ above an index scan")
+      val between = lines.slice(smjLine + 1, idxLine)
+      assert(!between.exists(_.contains("Exchange")),
+        s"Exchange above the index scan at line $idxLine:\n${between.mkString("\n")}")
+    }
+  }
 }
