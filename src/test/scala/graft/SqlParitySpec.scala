@@ -32,7 +32,10 @@ class SqlParitySpec extends SparkSpec {
     // multi-route: the SQL text recomputes the routing accounting;
     // the DataFrame form reads it back from the materialized splits —
     // parity proves the written layout equals the declarative rule
-    "text_multi_route" -> graft.operators.TextOps.text_multi_route _)
+    "text_multi_route" -> graft.operators.TextOps.text_multi_route _,
+    // graph family from the SQL persona: the wedge algorithm as one
+    // statement (struct comparisons for the degree-id orientation)
+    "graph_triangles" -> graft.operators.Graph.graph_triangles _)
 
   pairs.foreach { case (key, dfForm) =>
     test(s"spark.sql($key) == DataFrame $key") {
