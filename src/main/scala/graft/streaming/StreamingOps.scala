@@ -488,6 +488,67 @@ object StreamingOps extends Serializable {
       }
   }
 
+  /** One sealed (user, day) activity verdict (see [[retentionStream]];
+    * aggregate downstream into ev_retention's per-day counts). */
+  final case class RetentionOut(user_id: Long, day: Timestamp,
+      retained: Boolean)
+
+  /** Keyed retention state: the user's not-yet-sealed active days
+    * (epoch days) — O(open days), watermark-bounded. */
+  final case class RetentionState(days: Seq[Long])
+
+  /** Streaming DAY-OVER-DAY RETENTION (the streaming twin of
+    * ev_retention): per user and active day, did the user return the
+    * NEXT day — emitted as one sealed verdict row per (user, day),
+    * aggregated downstream into the batch query's per-day
+    * (n_active, n_retained) counts exactly like [[transitionsStream]]
+    * feeds ev_markov's matrix.
+    *
+    * Sealing is the whole problem: "returned on day d+1" is a
+    * negative-evidence verdict — absence can only be final once no
+    * day-(d+1) event can arrive anymore, i.e. once the watermark
+    * passes the END of day d+1 (Spark drops sub-watermark arrivals
+    * before the operator, so day-(d+1) membership in the state is
+    * final exactly then — the [[anomalyStream]] sealed-bucket
+    * argument applied to calendar days). Each pass: fold the batch
+    * into the day set, emit a verdict for every day whose seal point
+    * the watermark passed — evaluated against the FULL set (the
+    * needed day d+1 seals strictly later, so it is still present) —
+    * then drop only the sealed days. State is the open-day set alone
+    * (two days' width under any delay), reclaimed by an event-time
+    * timeout at the earliest unsealed day's seal point so verdicts
+    * flush even when the user never returns. */
+  def retentionStream(events: Dataset[TypedEv]): Dataset[RetentionOut] = {
+    implicit val longEnc: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+    implicit val stateEnc: org.apache.spark.sql.Encoder[RetentionState] =
+      org.apache.spark.sql.Encoders.product[RetentionState]
+    implicit val outEnc: org.apache.spark.sql.Encoder[RetentionOut] =
+      org.apache.spark.sql.Encoders.product[RetentionOut]
+    val dayUs = 86400L * 1000000L
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RetentionState, RetentionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[TypedEv], state: GroupState[RetentionState]) =>
+          val prev = state.getOption.getOrElse(RetentionState(Nil))
+          val days = scala.collection.mutable.SortedSet.empty[Long] ++ prev.days
+          batch.foreach { e => days += Math.floorDiv(tsToUs(e.ts), dayUs) }
+          val wmUs = state.getCurrentWatermarkMs() * 1000
+          // day d is sealed once the watermark passes the end of day
+          // d+1 — no day-(d+1) event can be admitted anymore
+          val (ripe, open) = days.toSeq.partition(d => (d + 2) * dayUs <= wmUs)
+          val out = ripe.map(d =>
+            RetentionOut(userId, usToTs(d * dayUs), days.contains(d + 1)))
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(RetentionState(open))
+            state.setTimeoutTimestamp((open.min + 2) * dayUs / 1000 + 1)
+          }
+          out.iterator
+      }
+  }
+
   /** Per-user funnel status emitted by [[funnelStream]] whenever the
     * stage mins move; `rev` increases per emission so an upsert sink
     * (and the spec) can pick the latest row per user without relying
