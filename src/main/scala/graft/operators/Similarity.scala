@@ -291,19 +291,36 @@ object Similarity {
     ivfIndexSearch(s, d, tbl, ivfIndexCents.get(d))
   }
 
+  /** WIDER-PROBE search against the SAME persisted IVF index — the
+    * query-time recall dial [[ann_lsh_index_probed]] gives the LSH
+    * index, completing it for the trained family: doubling nprobe
+    * (16 of 32 cells) is a pure QUERY-side change — more probe rows
+    * explode on the tiny query side, the index is untouched and its
+    * bucketed scan stays Exchange-free — trading scan volume for
+    * recall per query batch with zero index changes (re-bucketing at
+    * 100 TB is a rebuild; widening nprobe is free). Oracle = the same
+    * literal replay over the shared index's trained centroids at
+    * nprobe = 16; SimilaritySpec gates recall-monotonicity vs
+    * [[ann_ivf_index]] on the same index. */
+  def ann_ivf_index_probed(s: SparkSession, d: String): DataFrame = {
+    val tbl = ivfIndexTable(s, d)
+    lastIvfIndexDir.set(d)
+    ivfIndexSearch(s, d, tbl, ivfIndexCents.get(d), nprobe = 16)
+  }
+
   /** The IVF index search path, table-parameterized so
     * [[ann_ivf_index]] and [[ann_ivf_index_delta]] share it verbatim:
     * probe choice from the memo'd centroids, merge-hinted equi-join on
     * the bucketed cell key (no corpus-side Exchange), exact-cosine
     * rescore, per-query top-5. */
   private def ivfIndexSearch(s: SparkSession, d: String, tbl: String,
-      cents: Array[Array[Double]]): DataFrame = {
+      cents: Array[Array[Double]], nprobe: Int = 8): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, d)
       .select($"vec_id", asDouble($"embedding").as("vec"))
     val probes = e.filter($"vec_id" < 16)
       .select($"vec_id".as("qid"), $"vec".as("qvec"),
-        explode(slice(array_sort(centroidDists(cents, $"vec")), 1, 8)).as("probe"))
+        explode(slice(array_sort(centroidDists(cents, $"vec")), 1, nprobe)).as("probe"))
       .select($"qid", $"qvec", $"probe.cid".as("cell"))
     val idx = s.table(tbl)
     val scored = idx.hint("merge").join(probes, "cell")
@@ -1314,6 +1331,7 @@ object Similarity {
     "ann_lsh_index" -> ann_lsh_index _,
     "ann_lsh_index_probed" -> ann_lsh_index_probed _,
     "ann_ivf_index" -> ann_ivf_index _,
+    "ann_ivf_index_probed" -> ann_ivf_index_probed _,
     "ann_ivf_index_delta" -> ann_ivf_index_delta _,
     "ann_ivfpq_index" -> ann_ivfpq_index _,
     "ann_ivf" -> ann_ivf _,
@@ -1763,7 +1781,10 @@ object Similarity {
     // feeds only its own oracle); per-dir memos looked up for the
     // LAST-SEARCHED dir — the dir Verify just ran every query on
     Option(lastIvfIndexDir.get()).flatMap(dd => Option(ivfIndexCents.get(dd)))
-      .map(c => Map("ann_ivf_index" -> annIvfOracleSql(c, nprobe = 8)))
+      .map(c => Map(
+        "ann_ivf_index" -> annIvfOracleSql(c, nprobe = 8),
+        // same index, same centroids, wider query-side probe set
+        "ann_ivf_index_probed" -> annIvfOracleSql(c, nprobe = 16)))
       .getOrElse(Map.empty) ++
     // the full-corpus replay over the DELTA index's frozen centroids:
     // hash-match here IS the merge-equals-recompute theorem

@@ -326,6 +326,34 @@ class SimilaritySpec extends SparkSpec {
       s"Exchange on the index branch:\n${between.mkString("\n")}")
   }
 
+  test("ann_ivf_index_probed: widening nprobe on the SAME index raises recall, index stays Exchange-free") {
+    val brute = Similarity.ann_topk_brute(spark, sf001)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.ann_ivf_index(spark, sf001)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probed = Similarity.ann_ivf_index_probed(spark, sf001)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probed.nonEmpty)
+    // the probed candidate set is a SUPERSET per query (nprobe 16 ⊇
+    // nprobe 8 of the same sorted cell list), so recall only rises
+    val exactRecall = (brute & exact).size.toDouble / brute.size
+    val probedRecall = (brute & probed).size.toDouble / brute.size
+    assert(probedRecall >= exactRecall,
+      s"wider probe lost recall: $probedRecall < $exactRecall")
+    assert(probedRecall >= 0.8, s"nprobe=16 recall@5 $probedRecall < 0.8")
+    // and the wider probe is a pure query-side change: the index scan
+    // still feeds the join Exchange-free
+    val plan = Similarity.ann_ivf_index_probed(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") && plan.contains("Bucketed: true"))
+    val lines = plan.linesIterator.toVector
+    val idxLine = lines.indexWhere(_.contains("default.ivf_idx"))
+    val smjLine = lines.lastIndexWhere(_.contains("SortMergeJoin"), idxLine)
+    assert(idxLine > smjLine && smjLine >= 0, "plan shape unexpected")
+    assert(!lines.slice(smjLine + 1, idxLine).exists(_.contains("Exchange")),
+      s"Exchange on the index branch:\n${lines.slice(smjLine + 1, idxLine).mkString("\n")}")
+  }
+
   test("ann_ivf_index_delta: appended lists stay bucketed and the grown index covers the full corpus") {
     import spark.implicits._
     val result = Similarity.ann_ivf_index_delta(spark, sf001)
