@@ -346,51 +346,73 @@ object Graph {
     val adj = e0.select($"u".as("node"), $"v".as("nbr"))
       .union(e0.select($"v".as("node"), $"u".as("nbr")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      val seeds = adj.select($"node").distinct()
-        .filter($"node" % 10 === 0)
-        .select($"node", lit(0L).as("dist"), $"node".as("seed"))
-      var cached = materializeRound(seeds)
-      var state = rebind(cached)
-      var i = 1
-      var converged = false
-      while (i <= iters && !converged) {
-        // the node's own prior state rides the union with a marker, so
-        // ONE argmin aggregate yields both the relaxed state and the
-        // fixpoint delta (old = min over own rows — at most one per
-        // node; null = newly reached): no convergence join, and the
-        // materializing action IS the changed-count job.
-        val relaxed = adj
-          .join(state.select($"node".as("nbr"), ($"dist" + 1L).as("dist"),
-            $"seed"), "nbr")
-          .select($"node", $"dist", $"seed", lit(false).as("own"))
-          .union(state.withColumn("own", lit(true)))
-        val next = relaxed
-          .groupBy($"node")
-          .agg(min(struct($"dist", $"seed")).as("m"),
-            min(when($"own", struct($"dist", $"seed"))).as("old"))
-          .select($"node", $"m.dist".as("dist"), $"m.seed".as("seed"),
-            ($"old".isNull || $"m" =!= $"old").as("moved"))
-        // fixpoint short-circuit — the relaxation is a deterministic
-        // function of the state table (the lexicographic min can only
-        // move down), so an unchanged round implies all remaining
-        // rounds are identical; the oracle still unrolls all rounds
-        val (nextCached, changed) = materializeWith(next,
-          sum(when($"moved", 1L).otherwise(0L)))
-        converged = changed == 0
-        cached.unpersist(blocking = false)
-        cached = nextCached
-        state = rebind(cached).select($"node", $"dist", $"seed")
-        i += 1
-      }
-      val out = state.select($"node".as("s_suppkey"), $"dist", $"seed")
-      val rows = out.persist(StorageLevel.MEMORY_AND_DISK)
-      rows.count()
-      graft.CacheRegistry.track(rows)
-      cached.unpersist(blocking = false)
-      rebind(rows).orderBy($"s_suppkey")
-    } finally adj.unpersist(blocking = false)
+    try bfsLoop(adj, iters)
+    finally adj.unpersist(blocking = false)
   }
+
+  /** The BFS relaxation loop over a caller-provided adjacency —
+    * shared by [[graph_bfs_layers]] (in-flight derivation) and
+    * [[graph_bfs_index]] (persisted adjacency index), the lpaLoop
+    * factoring applied to BFS. Returns the materialized
+    * (s_suppkey, dist, seed) result. */
+  private def bfsLoop(adj: DataFrame, iters: Int,
+      mergeHint: Boolean = false): DataFrame = {
+    import adj.sparkSession.implicits._
+    val joinSide = if (mergeHint) adj.hint("merge") else adj
+    val seeds = adj.select($"node").distinct()
+      .filter($"node" % 10 === 0)
+      .select($"node", lit(0L).as("dist"), $"node".as("seed"))
+    var cached = materializeRound(seeds)
+    var state = rebind(cached)
+    var i = 1
+    var converged = false
+    while (i <= iters && !converged) {
+      // the node's own prior state rides the union with a marker, so
+      // ONE argmin aggregate yields both the relaxed state and the
+      // fixpoint delta (old = min over own rows — at most one per
+      // node; null = newly reached): no convergence join, and the
+      // materializing action IS the changed-count job.
+      val relaxed = joinSide
+        .join(state.select($"node".as("nbr"), ($"dist" + 1L).as("dist"),
+          $"seed"), "nbr")
+        .select($"node", $"dist", $"seed", lit(false).as("own"))
+        .union(state.withColumn("own", lit(true)))
+      val next = relaxed
+        .groupBy($"node")
+        .agg(min(struct($"dist", $"seed")).as("m"),
+          min(when($"own", struct($"dist", $"seed"))).as("old"))
+        .select($"node", $"m.dist".as("dist"), $"m.seed".as("seed"),
+          ($"old".isNull || $"m" =!= $"old").as("moved"))
+      // fixpoint short-circuit — the relaxation is a deterministic
+      // function of the state table (the lexicographic min can only
+      // move down), so an unchanged round implies all remaining
+      // rounds are identical; the oracle still unrolls all rounds
+      val (nextCached, changed) = materializeWith(next,
+        sum(when($"moved", 1L).otherwise(0L)))
+      converged = changed == 0
+      cached.unpersist(blocking = false)
+      cached = nextCached
+      state = rebind(cached).select($"node", $"dist", $"seed")
+      i += 1
+    }
+    val out = state.select($"node".as("s_suppkey"), $"dist", $"seed")
+    val rows = out.persist(StorageLevel.MEMORY_AND_DISK)
+    rows.count()
+    graft.CacheRegistry.track(rows)
+    cached.unpersist(blocking = false)
+    rebind(rows).orderBy($"s_suppkey")
+  }
+
+  /** MULTI-SOURCE BFS over the PERSISTED adjacency index — the SAME
+    * index table [[graph_lpa_index]] searches (one materialized edge
+    * list amortizing across ANALYTICS, not just across runs: LPA's
+    * vote join and BFS's relaxation join share the nbr key, so one
+    * bucketed layout serves both). Identical layers to
+    * [[graph_bfs_layers]] → carries bfsOracle(6) verbatim; every
+    * relaxation round reads the corpus-scale adjacency Exchange-free,
+    * only the node-sized frontier state shuffles. */
+  def graph_bfs_index(s: SparkSession, d: String, iters: Int = 6): DataFrame =
+    bfsLoop(s.table(adjIndexTable(s, d)), iters, mergeHint = true)
 
   /** COMMUNITY MODULARITY REPORT — the quality measurement for the
     * [[graph_label_prop]] partition (Newman modularity, the standard
@@ -871,6 +893,7 @@ object Graph {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_modularity" -> graph_modularity _,
     "graph_bfs_layers" -> ((s, d) => graph_bfs_layers(s, d)),
+    "graph_bfs_index" -> ((s, d) => graph_bfs_index(s, d)),
     "graph_kcore" -> ((s, d) => graph_kcore(s, d)),
     "graph_jaccard_links" -> ((s, d) => graph_jaccard_links(s, d)),
     "graph_pagerank" -> ((s, d) => graph_pagerank(s, d)),
@@ -1097,6 +1120,7 @@ object Graph {
         |ORDER BY jaccard_ppm DESC, c.common DESC, c.u, c.v
         |LIMIT 100""".stripMargin,
     "graph_bfs_layers" -> bfsOracle(6),
+    "graph_bfs_index" -> bfsOracle(6),
     "graph_pagerank" -> pagerankOracle(8),
     // the index variants are result-identical by construction, so they
     // carry the in-flight siblings' oracles verbatim — same answer,

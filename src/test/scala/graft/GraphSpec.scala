@@ -309,6 +309,17 @@ class GraphSpec extends SparkSpec {
       Graph.lpaIndexRoundPlan(spark, sf0001), "default.adj_cosupp")
   }
 
+  test("graph_bfs_index equals graph_bfs_layers over the SAME adjacency index graph_lpa_index uses") {
+    val viaIndex = Graph.graph_bfs_index(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    CacheRegistry.releaseAll()
+    val inFlight = Graph.graph_bfs_layers(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    CacheRegistry.releaseAll()
+    assert(viaIndex.nonEmpty && viaIndex == inFlight,
+      "indexed BFS diverged from the in-flight derivation")
+  }
+
   test("graph_triangles_index equals graph_triangles; every index scan feeds its join Exchange-free") {
     val viaIndex = Graph.graph_triangles_index(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
