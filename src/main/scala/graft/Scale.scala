@@ -296,6 +296,15 @@ object Scale {
         graft.operators.Graph.graph_lpa_index(s, dir)),
       "graph_lpa_index_steady" -> ((s: SparkSession, dir: String) =>
         graft.operators.Graph.graph_lpa_index(s, dir)),
+      // r16: triangles over the persisted oriented-edge index — the
+      // FIRST cell pays derivation + the two bucketed writes + one
+      // count; *_steady is the wedge-join + closure alone over the
+      // prebuilt layouts (both wedge legs co-located, closure's edge
+      // side too). N-disjoint copies: rows must stay exactly N× base
+      // and steady wall ~linear in wedges, compared against the
+      // in-flight graph_triangles cell above at the same factor.
+      "graph_triangles_index" -> (graft.operators.Graph.graph_triangles_index _),
+      "graph_triangles_index_steady" -> (graft.operators.Graph.graph_triangles_index _),
       // r16: PageRank over the persisted edge index — the sharpest
       // index claim in the suite: events inflate as N× TRAFFIC on the
       // SAME ~100-node page graph (edge ROWS constant, weights N×), so

@@ -146,6 +146,30 @@ object StreamingOps extends Serializable {
       .groupBy(col("rc.row").as("row"), col("rc.cell").as("cell"))
       .agg(count(lit(1)).as("n"))
 
+  /** Streaming FIXED-WIDTH HISTOGRAM sketch — [[graft.operators
+    * .EventOps.ev_quantile_sketch]]'s (event_type, bucket) count
+    * table as continuously-maintained aggregation state, completing
+    * the streaming sketch QUARTET (HLL partials, CMS cells, KMV
+    * bottom-k, quantile histogram). The bucket keyspace is bounded by
+    * the value range over the 64-centi width — state is
+    * histogram-sized forever, no watermark, nothing to expire — and
+    * each micro-batch's partial histogram merges cellwise through the
+    * same map-side combine as batch (cellwise SUM is the histogram
+    * merge; order-independence is why the streamed table equals the
+    * batch table exactly, asserted under reversed split ingest in
+    * StreamingSpec). The bucketing arithmetic is the batch operator's
+    * verbatim (integer centi-values, truncating div on cv ≥ 0).
+    * Complete-mode output IS the sketch; the p50/p90/p99 readout is
+    * the same cumulative walk as batch, run downstream over the
+    * (tiny) sketch — StreamingSpec derives it and matches
+    * ev_quantile_sketch's rows exactly. */
+  def quantileSketchStream(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        expr("cast(round(value * 100) as long) div 64").as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+
   /** Streaming KMV DISTINCT-COUNT sketch — the bottom-k theta sketch
     * ([[graft.operators.EventOps.ev_kmv_uniques]]) as continuously-
     * maintained aggregation state, completing the streaming sketch

@@ -975,6 +975,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quantile histogram equals the batch sketch; p50/p90/p99 readout matches ev_quantile_sketch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[EvFull]
+    val q = StreamingOps.quantileSketchStream(ms.toDF())
+      .writeStream.format("memory").queryName("t_qsketch")
+      .outputMode("complete").start()
+    try {
+      // reversed split ingest: cellwise-sum merge must be
+      // order-independent across micro-batches
+      val evs = loadEvents()
+      val (a, b) = evs.splitAt(evs.length / 2)
+      ms.addData(b.reverse); drain(q)
+      ms.addData(a.reverse); drain(q)
+      val got = spark.table("t_qsketch").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // the batch histogram replayed sequentially (same centi/width math)
+      val exp = evs.map(e => (e.event_type, Math.round(e.value * 100) / 64L))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(got == exp, "streamed histogram diverged from the sequential sketch")
+      // the cumulative quantile walk over the STREAMED sketch must
+      // reproduce ev_quantile_sketch's rows exactly
+      val batch = EventOps.ev_quantile_sketch(spark, sf0001).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      val derived = got.keys.map(_._1).toSeq.distinct.flatMap { t =>
+        val hist = got.collect { case ((`t`, bkt), n) => (bkt, n) }.toSeq.sortBy(_._1)
+        val total = hist.map(_._2).sum
+        Seq(50L, 90L, 99L).map { p =>
+          val rank = (total * p + 99) / 100
+          var cum = 0L
+          val bkt = hist.collectFirst {
+            case (bk, n) if { cum += n; cum >= rank } => bk }.get
+          (t, p) -> (total, bkt * 64 + 64)
+        }
+      }.toMap
+      assert(derived == batch, "quantile readout over the streamed sketch diverged from batch")
+    } finally q.stop()
+  }
+
   test("streaming retention verdicts aggregate to batch ev_retention under reversed split ingest") {
     import graft.streaming.StreamingOps.TypedEv
     import spark.implicits._
