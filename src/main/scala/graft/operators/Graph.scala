@@ -651,6 +651,16 @@ object Graph {
   // construction, so both queries carry the siblings' DuckDB oracles
   // verbatim — same answer, different physical path, both
   // hash-verified.
+  //
+  // BUCKET COUNT IS A CLUSTER-SIZING KNOB, not a constant: a bucketed
+  // join's parallelism is capped at the bucket count, and graph
+  // supersteps (the wedge join above all) are compute-heavy per
+  // bucket — measured: the triangles wedge join over an 8-bucket
+  // index ran at 8-way parallelism on a 16-core session and gave the
+  // whole derivation saving back (22.4 s steady vs 21.9 in-flight);
+  // 32 buckets restores it. At 1000 executors the same rule says
+  // thousands of buckets. The ANN indexes keep 8 — their per-bucket
+  // search work is trivial, so parallelism never binds.
   // ──────────────────────────────────────────────────────────────────
 
   private val prIndexBuilt = new java.util.HashSet[String]()
@@ -675,7 +685,7 @@ object Graph {
         .groupBy($"page".as("src"), $"next_page".as("dst"))
         .agg(count(lit(1)).as("w"))
       edges.join(edges.groupBy($"src").agg(sum($"w").as("out_w")), "src")
-        .write.mode("overwrite").bucketBy(8, "src").sortBy("src")
+        .write.mode("overwrite").bucketBy(32, "src").sortBy("src")
         .format("parquet").saveAsTable(tbl)
       prIndexBuilt.add(d)
     } }
@@ -768,7 +778,7 @@ object Graph {
       val e0 = coSupplierEdges(s, d)
       e0.select($"u".as("node"), $"v".as("nbr"))
         .union(e0.select($"v".as("node"), $"u".as("nbr")))
-        .write.mode("overwrite").bucketBy(8, "nbr").sortBy("nbr")
+        .write.mode("overwrite").bucketBy(32, "nbr").sortBy("nbr")
         .format("parquet").saveAsTable(tbl)
       adjIndexBuilt.add(d)
     } }
@@ -838,10 +848,10 @@ object Graph {
           when(struct($"du", $"u") < struct($"dv", $"v"), $"dv").otherwise($"du").as("ddeg"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       try {
-        ed.write.mode("overwrite").bucketBy(8, "src").sortBy("src")
+        ed.write.mode("overwrite").bucketBy(32, "src").sortBy("src")
           .format("parquet").saveAsTable(tbl)
         ed.select($"src", $"dst")
-          .write.mode("overwrite").bucketBy(8, "src", "dst").sortBy("src", "dst")
+          .write.mode("overwrite").bucketBy(32, "src", "dst").sortBy("src", "dst")
           .format("parquet").saveAsTable(tbl2)
       } finally ed.unpersist(blocking = false)
       triIndexBuilt.add(d)

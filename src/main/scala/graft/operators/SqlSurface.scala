@@ -135,7 +135,14 @@ object SqlSurface {
     // (CASE routing + UNION ALL audit copy) — the SQL-surface view of
     // text_multi_route's routing rule; the DataFrame form additionally
     // materializes the splits, which SQL text alone cannot
-    "text_multi_route" -> TextOps.oracle("text_multi_route"))
+    "text_multi_route" -> TextOps.oracle("text_multi_route"),
+    // r16: three more event analytics verbatim through spark.sql —
+    // the conversion funnel (conditional-min + sequencing HAVING),
+    // its day-over-day retention sibling (INTERVAL day arithmetic,
+    // both engines parse it), and the exact heavy-hitter readout
+    "ev_funnel" -> EventOps.oracle("ev_funnel"),
+    "ev_retention" -> EventOps.oracle("ev_retention"),
+    "ev_heavy_hitters" -> EventOps.oracle("ev_heavy_hitters"))
 
   private def viaText(sql: String)(s: SparkSession, d: String): DataFrame = {
     registerViews(s, d)

@@ -35,7 +35,10 @@ class SqlParitySpec extends SparkSpec {
     "text_multi_route" -> graft.operators.TextOps.text_multi_route _,
     // graph family from the SQL persona: the wedge algorithm as one
     // statement (struct comparisons for the degree-id orientation)
-    "graph_triangles" -> graft.operators.Graph.graph_triangles _)
+    "graph_triangles" -> graft.operators.Graph.graph_triangles _,
+    "ev_funnel" -> EventOps.ev_funnel _,
+    "ev_retention" -> EventOps.ev_retention _,
+    "ev_heavy_hitters" -> EventOps.ev_heavy_hitters _)
 
   pairs.foreach { case (key, dfForm) =>
     test(s"spark.sql($key) == DataFrame $key") {
