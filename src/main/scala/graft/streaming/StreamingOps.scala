@@ -512,6 +512,102 @@ object StreamingOps extends Serializable {
       }
   }
 
+  /** Typed event row for the streaming attribution operator (the
+    * purchase's centi-value and the touch's page ride along). */
+  final case class AttrEv(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, centi: Long, page: Long)
+
+  /** One attributed touch (see [[attributionStream]]; aggregate
+    * downstream into ev_attribution's (touch_type, page) matrix —
+    * attributed_centi is already the batch form's per-touch
+    * `cv * w_ppm div 1e6` integer). */
+  final case class AttrOut(user_id: Long, purchase_id: Long,
+      touch_type: String, page: Long, attributed_centi: Long)
+
+  /** Keyed attribution state: sealed-but-unclaimed touches and
+    * not-yet-sealed purchases, both (us, id, ...) tuples. */
+  final case class AttrState(touches: Seq[(Long, Long, String, Long)],
+      purchases: Seq[(Long, Long, Long)])
+
+  /** Streaming MULTI-TOUCH ATTRIBUTION — the continuous form of
+    * [[graft.operators.EventOps.ev_attribution]] (U-shaped position
+    * weights over the clicks/views in the 7 days before each
+    * purchase): per user, a purchase's conversion group is FINAL
+    * exactly when the watermark passes the purchase's event time —
+    * every touch at or before it is then sealed (Spark drops
+    * sub-watermark arrivals), and group membership looks only
+    * backward, so the U-weights can never be invalidated by later
+    * data (the [[transitionsStream]] stable-prefix argument applied
+    * to conversion windows). Each sealed purchase claims the buffered
+    * touches in its trailing 7-day window under the batch total order
+    * ((ts, event_id) — a touch at the purchase's exact timestamp with
+    * a LARGER id belongs to the next purchase, matching the batch
+    * descending-window tag), emits one [[AttrOut]] row per touch with
+    * the batch form's exact integer weight arithmetic, and removes
+    * every claimed-or-older touch (a touch attributes to its FIRST
+    * following purchase only). Touches whose 7-day attribution
+    * horizon passes with no purchase are dropped — state is bounded
+    * by the horizon on the touch side and the watermark on the
+    * purchase side; an event-time timeout flushes users whose stream
+    * goes quiet. */
+  def attributionStream(events: Dataset[AttrEv]): Dataset[AttrOut] = {
+    implicit val longEnc: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+    implicit val stateEnc: org.apache.spark.sql.Encoder[AttrState] =
+      org.apache.spark.sql.Encoders.product[AttrState]
+    implicit val outEnc: org.apache.spark.sql.Encoder[AttrOut] =
+      org.apache.spark.sql.Encoders.product[AttrOut]
+    val horizonUs = 7L * 86400L * 1000000L
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttrState, AttrOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[AttrEv], state: GroupState[AttrState]) =>
+          var st = state.getOption.getOrElse(AttrState(Nil, Nil))
+          batch.foreach { e =>
+            val us = tsToUs(e.ts)
+            if (e.event_type == "purchase")
+              st = st.copy(purchases = st.purchases :+ ((us, e.event_id, e.centi)))
+            else if (e.event_type == "click" || e.event_type == "view")
+              st = st.copy(touches = st.touches :+ ((us, e.event_id, e.event_type, e.page)))
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000
+          val (ripe, openP) = st.purchases.partition(_._1 <= wmUs)
+          var touches = st.touches
+          val out = scala.collection.mutable.ListBuffer.empty[AttrOut]
+          // process sealed purchases in the batch total order: each
+          // claims (and consumes) every touch at or before it
+          ripe.sortBy(p => (p._1, p._2)).foreach { case (pUs, pId, cv) =>
+            val (before, after) = touches.partition(t =>
+              t._1 < pUs || (t._1 == pUs && t._2 < pId))
+            val group = before.filter(_._1 >= pUs - horizonUs)
+              .sortBy(t => (t._1, t._2))
+            val n = group.size.toLong
+            group.zipWithIndex.foreach { case ((_, _, ty, pg), i) =>
+              val pos = i + 1L
+              val wPpm =
+                if (n == 1) 1000000L
+                else if (n == 2) 500000L
+                else if (pos == 1 || pos == n) 400000L
+                else 200000L / (n - 2)
+              out += AttrOut(userId, pId, ty, pg, cv * wPpm / 1000000L)
+            }
+            touches = after
+          }
+          // a touch whose horizon passed with no purchase can never be
+          // claimed (any future purchase is above the watermark, hence
+          // more than 7 days later)
+          touches = touches.filter(_._1 + horizonUs > wmUs)
+          if (touches.isEmpty && openP.isEmpty) state.remove()
+          else {
+            state.update(AttrState(touches, openP))
+            val nextSeal = (openP.map(_._1) ++ touches.map(_._1 + horizonUs)).min
+            state.setTimeoutTimestamp(nextSeal / 1000 + 1)
+          }
+          out.iterator
+      }
+  }
+
   /** One sealed (user, day) activity verdict (see [[retentionStream]];
     * aggregate downstream into ev_retention's per-day counts). */
   final case class RetentionOut(user_id: Long, day: Timestamp,

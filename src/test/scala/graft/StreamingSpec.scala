@@ -975,6 +975,78 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming attribution aggregates to batch ev_attribution under reversed split ingest") {
+    import graft.streaming.StreamingOps.AttrEv
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = Tables.events(spark, sf0001)
+      .selectExpr("event_id", "ts", "user_id", "event_type",
+        "cast(round(value * 100) as long) as centi",
+        "coalesce(cast(get_json_object(props, '$.k') as long), -1L) as page")
+      .as[AttrEv].collect().toSeq
+    val ms = MemoryStream[AttrEv]
+    val withWm = ms.toDS().withWatermark("ts", "2 hours").as[AttrEv]
+    val q = StreamingOps.attributionStream(withWm)
+      .writeStream.format("memory").queryName("t_attr")
+      .outputMode("append").start()
+    try {
+      val sorted = events.sortBy(e => (e.ts.getTime, e.event_id))
+      sorted.grouped((sorted.size + 3) / 4).foreach { chunk =>
+        ms.addData(chunk.reverse); drain(q)
+      }
+      val maxTs = sorted.last.ts.getTime
+      val sentinel = AttrEv(-1L, new java.sql.Timestamp(maxTs + 86400000L * 9), -1L, "zz", 0L, -1L)
+      ms.addData(Seq(sentinel)); drain(q)
+      ms.addData(Seq(sentinel.copy(event_id = -2L))); drain(q)
+      val got = spark.table("t_attr").collect()
+        .map(r => (r.getString(2), r.getLong(3)) -> (1L, r.getLong(4)))
+        .groupBy(_._1)
+        .map { case (k, vs) => k -> (vs.length.toLong, vs.map(_._2._2).sum) }
+      val batch = graft.operators.EventOps.ev_attribution(spark, sf0001).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      assert(batch.nonEmpty && got == batch,
+        s"streaming attribution diverged: ${got.size} keys vs batch ${batch.size}")
+    } finally q.stop()
+  }
+
+  test("streaming attribution: equal-timestamp tie-break and the 7-day horizon match batch semantics") {
+    import graft.streaming.StreamingOps.AttrEv
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(h: Int) = new java.sql.Timestamp(86400000L * 30 + h * 3600000L)
+    val ms = MemoryStream[AttrEv]
+    val withWm = ms.toDS().withWatermark("ts", "1 hour").as[AttrEv]
+    val q = StreamingOps.attributionStream(withWm)
+      .writeStream.format("memory").queryName("t_attr_fix")
+      .outputMode("append").start()
+    try {
+      ms.addData(Seq(
+        // user 1: click(id 1) → purchase(id 5, SAME ts as click id 9):
+        // id 1 attributes to purchase 5; id 9 (same ts, HIGHER id than
+        // the purchase) belongs to the NEXT purchase (id 20)
+        AttrEv(1L, ts(1), 1L, "click", 0L, 100L),
+        AttrEv(5L, ts(2), 1L, "purchase", 250L, -1L),
+        AttrEv(9L, ts(2), 1L, "click", 0L, 101L),
+        AttrEv(20L, ts(3), 1L, "purchase", 100L, -1L),
+        // user 2: a view 8 days before its purchase — outside the
+        // 7-day horizon, never attributed
+        AttrEv(30L, ts(0), 2L, "view", 0L, 200L),
+        AttrEv(31L, ts(8 * 24), 2L, "purchase", 500L, -1L))); drain(q)
+      val sentinel = AttrEv(-1L, ts(24 * 40), -9L, "zz", 0L, -1L)
+      ms.addData(Seq(sentinel)); drain(q)
+      ms.addData(Seq(sentinel.copy(event_id = -2L))); drain(q)
+      val got = spark.table("t_attr_fix").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      // purchase 5 claims click 1 alone (full weight); purchase 20
+      // claims click 9 alone; user 2's stale view attributes nowhere
+      assert(got == Set(
+        (1L, 5L, "click", 100L, 250L),
+        (1L, 20L, "click", 101L, 100L)), s"attribution rows wrong: $got")
+    } finally q.stop()
+  }
+
   test("streaming quantile histogram equals the batch sketch; p50/p90/p99 readout matches ev_quantile_sketch") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
