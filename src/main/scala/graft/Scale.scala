@@ -317,6 +317,20 @@ object Scale {
         graft.operators.Graph.graph_pagerank_index(s, dir)),
       "graph_pagerank_index_steady" -> ((s: SparkSession, dir: String) =>
         graft.operators.Graph.graph_pagerank_index(s, dir)),
+      // r16: persisted dedup band index — the ANN build/search split
+      // applied to minhash dedup. The FIRST cell pays the corpus
+      // signature pass + the two bucketed writes (band rows + sigs)
+      // plus one probe; *_steady hits the per-dir memo, so its wall is
+      // the delta probe alone: delta band keys semi-joining the
+      // pre-bucketed band table (zero corpus-side Exchange) and the
+      // doc_id-bucketed signature rescore. Posture claims: build
+      // ~linear in N (one signature pass); steady probe wall must
+      // track the DELTA (the %10 slice — itself N×, so ~linear but a
+      // constant ~5× below dedup_incremental's full re-derivation
+      // above, which re-signatures the whole corpus per run); rows
+      // exactly dedup_incremental's at every factor.
+      "dedup_minhash_index" -> (Dedup.dedup_minhash_index _),
+      "dedup_minhash_index_steady" -> (Dedup.dedup_minhash_index _),
       // r15: multi-destination write — the FIRST cell pays the one
       // partitionBy write of all three splits (memoized after), so its
       // wall measures single-pass multi-output throughput at N×;

@@ -183,6 +183,192 @@ object Dedup {
       .orderBy($"probe_id", $"match_id")
   }
 
+  // ──────────────────────────────────────────────────────────────────
+  // Persisted band-index lifecycle for the dedup family — the ANN
+  // vector-store posture (Similarity.lshIndexTables) applied to
+  // minhash dedup: [[dedup_incremental]]'s scaladoc already states the
+  // at-scale design ("the base band index is a MATERIALIZED table,
+  // bucketed by (band, key), computed once per corpus — not per
+  // batch"); these queries BUILD that table and probe it. Two tables
+  // per dir (the LSH-index two-table play): the flat band-key table
+  // bucketed on the candidate join's key, and a companion signature
+  // table bucketed on doc_id for the rescore — storing the 32-element
+  // signature on each of the 8 band rows would 8× the index bytes.
+  // ──────────────────────────────────────────────────────────────────
+
+  private val mhIndexBuilt = new java.util.HashSet[String]()
+  /** Build-once corpus band index for [[dedup_minhash_index]]: band
+    * keys and signatures of the BASE split (doc_id % 10 ≠ 0 — the
+    * "already-indexed corpus"), from the exact expressions
+    * [[dedup_incremental]] computes in-flight. Built once per
+    * (JVM, dir) — the setup-not-query rule every index builder
+    * follows; the registered query times the PROBE. */
+  private def mhIndexTables(s: SparkSession, d: String): (String, String) = {
+    import s.implicits._
+    val tbl = s"mh_band_${IndexUtil.dirTag(d)}"
+    val sigTbl = s"mh_sig_${IndexUtil.dirTag(d)}"
+    mhIndexBuilt.synchronized { if (!mhIndexBuilt.contains(d)) {
+      IndexUtil.dropIndexTable(s, tbl)
+      IndexUtil.dropIndexTable(s, sigTbl)
+      writeMhIndex(baseSigs(s, d).filter($"doc_id" % 10 =!= 0),
+        tbl, sigTbl, mode = "overwrite")
+      mhIndexBuilt.add(d)
+    } }
+    (tbl, sigTbl)
+  }
+
+  private val mhDeltaBuilt = new java.util.HashSet[String]()
+  /** Incrementally-grown band index for [[dedup_minhash_index_delta]]:
+    * the initial build indexes doc_id % 10 ∉ {0, 5} and a SECOND
+    * bucketed write APPENDS the % 10 = 5 slice ("yesterday's accepted
+    * batch") into both tables — the [[Similarity.ann_ivf_index_delta]]
+    * append play. The merged contents equal [[mhIndexTables]]'s
+    * base split exactly, so the probe result must match
+    * [[dedup_incremental]] bit-for-bit: the driver's hash gate IS the
+    * append ≡ rebuild theorem (one band row lost or doubled in the
+    * append fails the hash). Minhash band entries need no frozen
+    * model for this to hold — a doc's band keys never depend on the
+    * rest of the corpus — which is exactly why production minhash
+    * indexes grow by pure append. */
+  private def mhDeltaIndexTables(s: SparkSession, d: String): (String, String) = {
+    import s.implicits._
+    val tbl = s"mhd_band_${IndexUtil.dirTag(d)}"
+    val sigTbl = s"mhd_sig_${IndexUtil.dirTag(d)}"
+    mhDeltaBuilt.synchronized { if (!mhDeltaBuilt.contains(d)) {
+      IndexUtil.dropIndexTable(s, tbl)
+      IndexUtil.dropIndexTable(s, sigTbl)
+      val sigs = baseSigs(s, d)
+      writeMhIndex(sigs.filter($"doc_id" % 10 =!= 0 && $"doc_id" % 10 =!= 5),
+        tbl, sigTbl, mode = "overwrite")
+      writeMhIndex(sigs.filter($"doc_id" % 10 === 5),
+        tbl, sigTbl, mode = "append")
+      mhDeltaBuilt.add(d)
+    } }
+    (tbl, sigTbl)
+  }
+
+  /** (doc_id, sig) over the documents table — the signature expression
+    * every minhash query shares (32 perms over word-3-gram hashes). */
+  private def baseSigs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", minhashSignature(shingleHashes($"text", 3), 32).as("sig"))
+  }
+
+  /** One bucketed write pass into the (band table, signature table)
+    * pair — shared by the full build and the delta append. Bucket
+    * counts are the ANN indexes' 8: per-bucket probe work is trivial,
+    * so parallelism never binds (the graph indexes' 32-bucket sizing
+    * rule applies to compute-heavy supersteps, not point probes). */
+  private def writeMhIndex(sigs: DataFrame, tbl: String, sigTbl: String,
+      mode: String): Unit = {
+    import sigs.sparkSession.implicits._
+    sigs.select($"doc_id", explode(bandKeys($"sig", 8, 4)).as("bk"))
+      .select($"doc_id", $"bk.band".as("band"), $"bk.bkey".as("bkey"))
+      .write.mode(mode).bucketBy(8, "band", "bkey").sortBy("band", "bkey")
+      .format("parquet").saveAsTable(tbl)
+    sigs.write.mode(mode).bucketBy(8, "doc_id").sortBy("doc_id")
+      .format("parquet").saveAsTable(sigTbl)
+  }
+
+  /** The persisted-index delta probe, shared verbatim by
+    * [[dedup_minhash_index]] and [[dedup_minhash_index_delta]] —
+    * [[dedup_incremental]]'s semantics through the index physical
+    * path:
+    *
+    *  1. candidate buckets: the delta's band keys semi-join the
+    *     band table MERGE-hinted on its bucketed (band, bkey) layout —
+    *     zero Exchange on the corpus side, and only base rows in
+    *     delta-touched buckets ever leave the scan (output volume ∝
+    *     delta, the incremental promise);
+    *  2. bucket membership = those base rows ∪ the delta's own rows,
+    *     so the size-2..cap / has-delta semantics see exactly the
+    *     members [[dedup_incremental]]'s full groupBy sees (base-only
+    *     buckets are never consulted — they can't qualify);
+    *  3. rescore: probe signatures come from the in-flight delta,
+    *     match signatures from the companion doc_id-bucketed signature
+    *     table (merge join — again no corpus-side Exchange), with
+    *     delta-delta matches falling back to the in-flight sigs.
+    *
+    * Identical output to [[dedup_incremental]] by construction →
+    * carries its DuckDB oracle verbatim: same answer, different
+    * physical path, both hash-verified. DedupSpec gates the
+    * bucketed-scan/no-Exchange shape mechanically. */
+  private def mhIndexProbe(s: SparkSession, tables: (String, String),
+      d: String): DataFrame = {
+    import s.implicits._
+    val k = 32; val bands = 8; val r = 4
+    val cap = s.conf.get("graft.dedup.maxBucket", "1000").toInt
+    val (tbl, sigTbl) = tables
+    val delta = CacheRegistry.cache(Tables.documents(s, d)
+      .filter($"doc_id" % 10 === 0)
+      .select($"doc_id", minhashSignature(shingleHashes($"text", 3), k).as("sig")))
+    val deltaKeys = delta
+      .select($"doc_id", explode(bandKeys($"sig", bands, r)).as("bk"))
+      .select($"doc_id", $"bk.band".as("band"), $"bk.bkey".as("bkey"))
+    val baseHits = s.table(tbl).hint("merge")
+      .join(deltaKeys.select($"band", $"bkey").distinct(),
+        Seq("band", "bkey"), "left_semi")
+    val members = baseHits
+      .select($"band", $"bkey", $"doc_id", lit(0).as("is_delta"))
+      .unionByName(deltaKeys
+        .select($"band", $"bkey", $"doc_id", lit(1).as("is_delta")))
+    val buckets = members
+      .groupBy($"band", $"bkey")
+      .agg(collect_list(struct($"doc_id", $"is_delta")).as("members"),
+        max($"is_delta").as("has_delta"))
+      .filter(size($"members") >= 2 && $"has_delta" === 1)
+      .observe(s"graft_bucket_pairs_${obsId.incrementAndGet()}",
+        sum(when(size(col("members")) > cap, 1).otherwise(0)).as("dropped_buckets"),
+        max(size(col("members"))).as("max_bucket"),
+        sum(when(size(col("members")) > cap, size(col("members"))).otherwise(0)).as("capped_ids"))
+      .filter(size($"members") <= cap)
+    val pairs = buckets
+      .select(explode($"members").as("a"), $"members")
+      .select($"a", explode($"members").as("b"))
+      .filter($"a.doc_id" < $"b.doc_id" &&
+        ($"a.is_delta" === 1 || $"b.is_delta" === 1))
+      .select(
+        when($"a.is_delta" === 1, $"a.doc_id").otherwise($"b.doc_id").as("probe_id"),
+        when($"a.is_delta" === 1, $"b.doc_id").otherwise($"a.doc_id").as("match_id"),
+        when($"a.is_delta" === 1 && $"b.is_delta" === 1, lit("delta"))
+          .otherwise(lit("base")).as("match_src"))
+      .distinct()
+    // index table as the join's LEFT child (a right-outer join is the
+    // probe's left-outer flipped): the bucketed scan feeds its SMJ
+    // directly, which is both the Exchange-free shape and what lets
+    // DedupSpec gate it textually (the ann_lsh_index idiom)
+    val scored = s.table(sigTbl).hint("merge")
+      .select($"doc_id".as("match_id"), $"sig".as("sig_b"))
+      .join(pairs
+        .join(delta.select($"doc_id".as("probe_id"), $"sig"), "probe_id"),
+        Seq("match_id"), "right")
+      .join(delta.select($"doc_id".as("match_id"), $"sig".as("sig_d")),
+        Seq("match_id"), "left")
+      .withColumn("sig2", coalesce($"sig_b", $"sig_d"))
+    scored
+      .select($"probe_id", $"match_id", $"match_src",
+        (aggregate(zip_with($"sig", $"sig2",
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / k).as("est_jaccard"))
+      .filter($"est_jaccard" >= 0.5)
+      .select($"probe_id", $"match_id", $"match_src",
+        round($"est_jaccard", 4).as("est_jaccard"))
+      .orderBy($"probe_id", $"match_id")
+  }
+
+  /** Delta probe against the PERSISTED corpus band index — the
+    * lifecycle [[dedup_incremental]] describes but computes in-query.
+    * See [[mhIndexProbe]]. */
+  def dedup_minhash_index(s: SparkSession, d: String): DataFrame =
+    mhIndexProbe(s, mhIndexTables(s, d), d)
+
+  /** Delta probe against the APPEND-GROWN band index (initial build +
+    * one appended batch — see [[mhDeltaIndexTables]]); the driver hash
+    * match proves append ≡ rebuild. */
+  def dedup_minhash_index_delta(s: SparkSession, d: String): DataFrame =
+    mhIndexProbe(s, mhDeltaIndexTables(s, d), d)
+
   /** SimHash near-dup: 64-bit simhash (single-pass codegen'd
     * expression); pair enumeration over DISTINCT simhash values via
     * combinatorial chunk blocking, then qualifying hash pairs mapped to
@@ -813,6 +999,8 @@ object Dedup {
     "dedup_cdc" -> dedup_cdc _,
     "dedup_minhash_lsh" -> dedup_minhash_lsh _,
     "dedup_incremental" -> dedup_incremental _,
+    "dedup_minhash_index" -> dedup_minhash_index _,
+    "dedup_minhash_index_delta" -> dedup_minhash_index_delta _,
     "dedup_simhash" -> dedup_simhash _,
     "dedup_ngram_jaccard" -> dedup_ngram_jaccard _,
     "dedup_containment" -> dedup_containment _,
@@ -1039,6 +1227,42 @@ object Dedup {
        |WHERE rn = 1 ORDER BY vec_id""".stripMargin
   }
 
+  /** Incremental probe on the SAME signature/band re-derivation
+    * (minhashSigSql): tag each band-key row with the delta split
+    * (doc_id % 10 = 0), qualify buckets of 2..1000 members holding at
+    * least one delta, enumerate only pairs touching a delta doc,
+    * canonicalize with the delta doc as probe_id, score by signature
+    * agreement. Hash-matching this verifies the delta-probe bucket
+    * semantics — base-only exclusion, mixed-pair orientation, cap —
+    * on a second engine. Shared by [[dedup_incremental]] and its
+    * persisted-index twins (identical output by construction). */
+  private lazy val incrementalOracleSql: String =
+    minhashSigSql(4) + "," + """
+        |tg AS (SELECT doc_id, band, key,
+        |         CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END AS is_delta
+        |       FROM bk),
+        |ok AS (SELECT band, key FROM tg GROUP BY 1, 2
+        |       HAVING count(*) BETWEEN 2 AND 1000 AND max(is_delta) = 1),
+        |pr AS (
+        |  SELECT DISTINCT
+        |    CASE WHEN a.is_delta = 1 THEN a.doc_id ELSE b.doc_id END AS probe_id,
+        |    CASE WHEN a.is_delta = 1 THEN b.doc_id ELSE a.doc_id END AS match_id,
+        |    CASE WHEN a.is_delta = 1 AND b.is_delta = 1
+        |         THEN 'delta' ELSE 'base' END AS match_src
+        |  FROM tg a JOIN ok ON a.band = ok.band AND a.key = ok.key
+        |  JOIN tg b ON b.band = ok.band AND b.key = ok.key AND a.doc_id < b.doc_id
+        |  WHERE a.is_delta = 1 OR b.is_delta = 1),
+        |sg AS (SELECT doc_id, list(sv ORDER BY p) AS s FROM sigv GROUP BY 1),
+        |sc AS (
+        |  SELECT pr.probe_id, pr.match_id, pr.match_src,
+        |    len(list_filter(range(32), i -> x.s[i + 1] = y.s[i + 1])) AS agree
+        |  FROM pr JOIN sg x ON pr.probe_id = x.doc_id
+        |  JOIN sg y ON pr.match_id = y.doc_id)
+        |SELECT probe_id, match_id, match_src,
+        |  round(CAST(agree AS DOUBLE) / 32, 4) AS est_jaccard
+        |FROM sc WHERE CAST(agree AS DOUBLE) / 32 >= 0.5
+        |ORDER BY 1, 2""".stripMargin
+
   /** def, not val: the dedup_semantic entry replays THIS run's
     * trained centroids ([[lastSemanticCents]]) — see
     * [[Similarity.oracle]] for the populate-before-dump contract. */
@@ -1077,39 +1301,14 @@ object Dedup {
         |  round(CAST(agree AS DOUBLE) / 32, 4) AS est_jaccard
         |FROM sc WHERE CAST(agree AS DOUBLE) / 32 >= 0.5
         |ORDER BY 1, 2""".stripMargin),
-    // Incremental probe on the SAME signature/band re-derivation
-    // (minhashSigSql): tag each band-key row with the delta split
-    // (doc_id % 10 = 0), qualify buckets of 2..1000 members holding at
-    // least one delta, enumerate only pairs touching a delta doc,
-    // canonicalize with the delta doc as probe_id, score by signature
-    // agreement. Hash-matching this verifies the delta-probe bucket
-    // semantics — base-only exclusion, mixed-pair orientation, cap —
-    // on a second engine.
-    "dedup_incremental" -> (minhashSigSql(4) + "," + """
-        |tg AS (SELECT doc_id, band, key,
-        |         CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END AS is_delta
-        |       FROM bk),
-        |ok AS (SELECT band, key FROM tg GROUP BY 1, 2
-        |       HAVING count(*) BETWEEN 2 AND 1000 AND max(is_delta) = 1),
-        |pr AS (
-        |  SELECT DISTINCT
-        |    CASE WHEN a.is_delta = 1 THEN a.doc_id ELSE b.doc_id END AS probe_id,
-        |    CASE WHEN a.is_delta = 1 THEN b.doc_id ELSE a.doc_id END AS match_id,
-        |    CASE WHEN a.is_delta = 1 AND b.is_delta = 1
-        |         THEN 'delta' ELSE 'base' END AS match_src
-        |  FROM tg a JOIN ok ON a.band = ok.band AND a.key = ok.key
-        |  JOIN tg b ON b.band = ok.band AND b.key = ok.key AND a.doc_id < b.doc_id
-        |  WHERE a.is_delta = 1 OR b.is_delta = 1),
-        |sg AS (SELECT doc_id, list(sv ORDER BY p) AS s FROM sigv GROUP BY 1),
-        |sc AS (
-        |  SELECT pr.probe_id, pr.match_id, pr.match_src,
-        |    len(list_filter(range(32), i -> x.s[i + 1] = y.s[i + 1])) AS agree
-        |  FROM pr JOIN sg x ON pr.probe_id = x.doc_id
-        |  JOIN sg y ON pr.match_id = y.doc_id)
-        |SELECT probe_id, match_id, match_src,
-        |  round(CAST(agree AS DOUBLE) / 32, 4) AS est_jaccard
-        |FROM sc WHERE CAST(agree AS DOUBLE) / 32 >= 0.5
-        |ORDER BY 1, 2""".stripMargin),
+    "dedup_incremental" -> incrementalOracleSql,
+    // The persisted-index twins return dedup_incremental's rows
+    // identically by construction (same semantics through the index
+    // physical path), so they carry its replay verbatim; for the
+    // append-grown index the shared hash additionally proves
+    // append ≡ rebuild.
+    "dedup_minhash_index" -> incrementalOracleSql,
+    "dedup_minhash_index_delta" -> incrementalOracleSql,
     "dedup_cdc" ->
       """WITH g0 AS (
         |  SELECT bv, xor((bv + 1)::HUGEINT, (bv + 1)::HUGEINT // 8589934592::HUGEINT) AS a

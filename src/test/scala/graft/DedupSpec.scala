@@ -431,4 +431,40 @@ class DedupSpec extends SparkSpec {
     assert(inc == deltaSubset,
       s"incremental != delta-touching subset: extra=${inc -- deltaSubset} missing=${deltaSubset -- inc}")
   }
+
+  test("dedup_minhash_index equals dedup_incremental and probes the index without a corpus-side Exchange") {
+    // same perms/bands/threshold/cap through the persisted-index
+    // physical path ⇒ identical rows
+    val viaIndex = Dedup.dedup_minhash_index(spark, corpusA).collect().toSeq
+    val inFlight = Dedup.dedup_incremental(spark, corpusA).collect().toSeq
+    assert(viaIndex.nonEmpty && viaIndex == inFlight)
+    // the lifecycle claim, held mechanically (the SimilaritySpec
+    // ann_lsh_index gate): both the band table's candidate semi-join
+    // and the signature table's rescore join read PRE-BUCKETED scans —
+    // no Exchange between the index scan and its SortMergeJoin; only
+    // the delta-sized probe side ever shuffles
+    val plan = Dedup.dedup_minhash_index(spark, corpusA)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"no SMJ:\n${plan.take(1200)}")
+    assert(plan.contains("Bucketed: true"),
+      s"index scan not bucketed:\n${plan.take(1200)}")
+    val lines = plan.linesIterator.toVector
+    for (tblPat <- Seq("default.mh_band", "default.mh_sig")) {
+      val idxLine = lines.indexWhere(_.contains(tblPat))
+      val smjLine = lines.lastIndexWhere(_.contains("SortMergeJoin"), idxLine)
+      assert(idxLine > smjLine && smjLine >= 0, s"plan shape unexpected at $tblPat")
+      val between = lines.slice(smjLine + 1, idxLine)
+      assert(!between.exists(_.contains("Exchange")),
+        s"Exchange on the $tblPat branch:\n${between.mkString("\n")}")
+    }
+  }
+
+  test("dedup_minhash_index_delta: append-grown index probe equals the full-rebuild probe") {
+    // base build (% 10 ∉ {0,5}) + appended batch (% 10 = 5) must hold
+    // exactly the rebuild's rows — one band row lost or doubled in the
+    // append shows up as a differing pair set or score
+    val merged = Dedup.dedup_minhash_index_delta(spark, corpusA).collect().toSeq
+    val rebuilt = Dedup.dedup_minhash_index(spark, corpusA).collect().toSeq
+    assert(merged.nonEmpty && merged == rebuilt)
+  }
 }
