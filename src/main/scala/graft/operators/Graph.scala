@@ -260,7 +260,14 @@ object Graph {
     import adj.sparkSession.implicits._
     // hint scoped to the join side only — hinting the whole frame
     // would warn on the non-join uses (the initial distinct) and
-    // force SMJ for the in-flight callers too
+    // force SMJ for the in-flight callers too. SMJ, not SHJ, is the
+    // right pin for THESE supersteps (measured r16: shuffle_hash on
+    // the state side ran 3.5 vs 3.1 s steady at sf0.1): the per-round
+    // sort of the EDGE-sized adjacency is cheap next to rebuilding a
+    // hash table per round, unlike the triangles closure whose
+    // streamed side is the O(E^1.5) wedge INTERMEDIATE — there the
+    // sort dominates and shuffle_hash wins 2x (see
+    // trianglesIndexPlan).
     val joinSide = if (mergeHint) adj.hint("merge") else adj
     var cached = materializeRound(
       adj.select($"node").distinct().withColumn("label", $"node"))
@@ -702,7 +709,10 @@ object Graph {
     * in-flight form's per-round outW join vanishes entirely. The
     * merge hint pins SMJ: rank state is node-sized but NOT broadcast —
     * the posture is a rank table too large to broadcast, where the
-    * write-time bucketing is what saves the per-round edge shuffle.
+    * write-time bucketing is what saves the per-round edge shuffle
+    * (an SHJ pin measured SLOWER on these node-sized-state
+    * supersteps — see the triangles index for the wedge-stream case
+    * where SHJ wins 2x).
     * Dangling mass uses the distinct-src table derived once before the
     * loop (node-sized, persisted — the same loop-invariant treatment
     * the in-flight form gives outW). */
@@ -869,7 +879,21 @@ object Graph {
     * never moves. The one shuffle left is the wedge stream re-keying
     * onto (x, y) for closure (wedges are born at their source vertex
     * and must meet the edge set at their far pair — that movement IS
-    * the algorithm). */
+    * the algorithm).
+    *
+    * Join strategy is SHUFFLED HASH, not sort-merge — the measured
+    * r16 lesson: an SMJ closure probe must SORT its streamed side,
+    * and here the streamed side is the O(E^{3/2}) wedge stream (the
+    * one operand strictly bigger than the graph); hashing the
+    * EDGE-sized build side per bucket instead cut the steady-state
+    * search 7.7 → 4.0 s at sf0.1/32 threads (the wedge self-join
+    * drops its per-bucket sorts the same way: multi-file buckets
+    * don't satisfy SMJ's sort requirement, so SMJ was re-sorting both
+    * legs). The asymptotic argument matches the measurement: SHJ
+    * buffers E/buckets rows per task — bounded by the bucket-count
+    * sizing knob above — while SMJ buffers/sorts E^{3/2}. An unhinted
+    * plan broadcasts the edge list (9.7 s at 32 threads, and
+    * impossible at corpus scale). */
   def graph_triangles_index(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val out = trianglesIndexPlan(s, d)
@@ -881,18 +905,18 @@ object Graph {
 
   /** The full indexed-triangles plan before materialization — the
     * spec's plan-gate handle: every scan of the edge index must feed
-    * its SortMergeJoin Exchange-free. */
+    * its ShuffledHashJoin Exchange-free. */
   private[graft] def trianglesIndexPlan(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val (wedgeTbl, closeTbl) = triIndexTables(s, d)
     val ed = s.table(wedgeTbl)
-    val wedges = ed.as("e1").hint("merge").join(ed.as("e2"),
+    val wedges = ed.as("e1").hint("shuffle_hash").join(ed.as("e2"),
         $"e1.src" === $"e2.src" &&
           struct($"e1.ddeg", $"e1.dst") < struct($"e2.ddeg", $"e2.dst"))
       .select($"e1.src".as("a"), $"e1.dst".as("x"), $"e2.dst".as("y"))
     val closing = s.table(closeTbl)
       .select($"src".as("cs"), $"dst".as("cd"))
-    val tri = closing.hint("merge")
+    val tri = closing.hint("shuffle_hash")
       .join(wedges, $"x" === $"cs" && $"y" === $"cd")
       .select($"a", $"x", $"y")
     tri.select(explode(array($"a", $"x", $"y")).as("s_suppkey"))

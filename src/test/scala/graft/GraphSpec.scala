@@ -336,17 +336,21 @@ class GraphSpec extends SparkSpec {
     // shuffle the algorithm genuinely needs)
     val plan = Graph.trianglesIndexPlan(spark, sf0001)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("SortMergeJoin") && plan.contains("Bucketed: true"),
-      s"expected bucketed SMJs:\n${plan.take(1500)}")
+    assert(plan.contains("ShuffledHashJoin") && plan.contains("Bucketed: true"),
+      s"expected bucketed SHJs:\n${plan.take(1500)}")
+    // no sort-merge anywhere: SMJ would sort the O(E^1.5) wedge
+    // stream (the measured 2x regression the shuffle_hash hints fix)
+    assert(!plan.contains("SortMergeJoin"),
+      s"SMJ re-appeared in the indexed-triangles plan:\n${plan.take(1500)}")
     val lines = plan.linesIterator.toVector
     val scans = lines.zipWithIndex.collect {
       case (l, i) if l.contains("default.tri_edges") ||
         l.contains("default.tri_close") => i }
     assert(scans.size == 3, s"expected 3 index scans, got ${scans.size}")
     scans.foreach { idxLine =>
-      val smjLine = lines.lastIndexWhere(_.contains("SortMergeJoin"), idxLine)
-      assert(smjLine >= 0, "no SMJ above an index scan")
-      val between = lines.slice(smjLine + 1, idxLine)
+      val shjLine = lines.lastIndexWhere(_.contains("ShuffledHashJoin"), idxLine)
+      assert(shjLine >= 0, "no SHJ above an index scan")
+      val between = lines.slice(shjLine + 1, idxLine)
       assert(!between.exists(_.contains("Exchange")),
         s"Exchange above the index scan at line $idxLine:\n${between.mkString("\n")}")
     }
