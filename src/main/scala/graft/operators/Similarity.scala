@@ -1117,6 +1117,91 @@ object Similarity {
       .orderBy($"qid", $"fused_rank")
   }
 
+  /** HYBRID RETRIEVAL OVER PERSISTED INDEXES — [[ann_hybrid_rrf]]'s
+    * reciprocal-rank fusion re-served so BOTH legs read build-once
+    * index tables instead of rescanning the corpus per query batch
+    * (the production serving shape: at 100 TB neither a brute-force
+    * cosine pass nor a full-text shingle pass is per-batch work).
+    * The vector leg probes the [[ann_ivf_index]] inverted lists
+    * (trained centroids memo'd per dir; vectors stored IN the lists,
+    * so the rescore never rejoins the raw embeddings; the probe join
+    * reads the cell-bucketed table Exchange-free) widened to rank ≤
+    * 50. The lexical leg is QUERY-BY-DOCUMENT over
+    * [[TextOps.text_search_index]]'s term-bucketed postings: the
+    * query docs' distinct terms get the capped idf-ratio ppm weight
+    * (document frequencies aggregate pre-partitioned on the bucketed
+    * term key — no Exchange), the tiny (query, term, weight) table
+    * broadcasts into the candidate fetch so non-query postings never
+    * leave the scan, and per-(query, doc) scores are
+    * Σ tf(t,d)·w_ppm(t), rank ≤ 50.
+    *
+    * The two universes deliberately differ — the text index covers
+    * ALL documents, the vector index only the embedded subset — the
+    * real hybrid posture (embedding coverage lags text coverage), and
+    * RRF fuses asymmetric legs natively: a doc absent from one leg
+    * carries no rank there (surfaced as -1), exactly as in the
+    * in-flight form. Scoring stays integer-exact per leg (floor-ppm
+    * cosine; capped idf-ratio ppm), fusion is the same integer
+    * 10^6 div (60 + rank) RRF, and the whole composition replays in
+    * DuckDB — the IVF leg over the inlined trained centroids
+    * (assignment, probe choice, candidate join re-derived), the
+    * lexical leg over a string_split re-derivation of the postings. */
+  def ann_hybrid_rrf_index(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wV = Window.partitionBy($"qid").orderBy($"score".desc, $"nid")
+
+    // vector leg over the persisted IVF index, widened to rank <= 50
+    val tbl = ivfIndexTable(s, d)
+    lastIvfIndexDir.set(d)
+    val cents = ivfIndexCents.get(d)
+    val e = Tables.embeddings(s, d)
+      .select($"vec_id", asDouble($"embedding").as("vec"))
+    val probes = e.filter($"vec_id" < 16)
+      .select($"vec_id".as("qid"), $"vec".as("qvec"),
+        explode(slice(array_sort(centroidDists(cents, $"vec")), 1, 8)).as("probe"))
+      .select($"qid", $"qvec", $"probe.cid".as("cell"))
+    val vecRanked = s.table(tbl).hint("merge").join(probes, "cell")
+      .filter($"nid" =!= $"qid")
+      .select($"qid", $"nid",
+        floor(cosine($"qvec", $"nvec") * 1e6).cast("long").as("score"))
+      .withColumn("rank", row_number().over(wV))
+      .filter($"rank" <= 50)
+      .select($"qid", $"nid", $"rank", lit("vec").as("leg"))
+
+    // lexical leg: query-by-document over the persisted inverted index
+    val post = s.table(TextOps.searchIndexTable(s, d))
+    val n = Tables.parquetRowCount(s, d, "documents")
+    val qTerms = Tables.documents(s, d).filter($"doc_id" < 16)
+      .select($"doc_id".as("qid"),
+        explode(graft.functions.TextFunctions.tokens($"text")).as("term"))
+      .distinct()
+    val dfreq = post.groupBy($"term").agg(count(lit(1)).as("df"))
+    val weights = dfreq.join(broadcast(qTerms), Seq("term"))
+      .withColumn("w_ppm", least(lit(1000000000000L),
+        expr(s"(${n}L div df) * 1000000 + ((${n}L % df) * 1000000) div df")))
+      .select($"term", $"qid", $"w_ppm")
+    val lexRanked = post.join(broadcast(weights), Seq("term"))
+      .filter($"doc_id" =!= $"qid")
+      .groupBy($"qid", $"doc_id")
+      .agg(sum(expr("tf * w_ppm")).as("score"))
+      .select($"qid", $"doc_id".as("nid"), $"score")
+      .withColumn("rank", row_number().over(wV))
+      .filter($"rank" <= 50)
+      .select($"qid", $"nid", $"rank", lit("lex").as("leg"))
+
+    // reciprocal-rank fusion + final top-10 (the ann_hybrid_rrf tail)
+    val fused = vecRanked.unionByName(lexRanked)
+      .groupBy($"qid", $"nid")
+      .agg(sum(expr("1000000 div (60 + rank)")).as("rrf_score"),
+        max(when($"leg" === "vec", $"rank").otherwise(-1L)).as("vec_rank"),
+        max(when($"leg" === "lex", $"rank").otherwise(-1L)).as("lex_rank"))
+    val wF = Window.partitionBy($"qid").orderBy($"rrf_score".desc, $"nid")
+    fused.withColumn("fused_rank", row_number().over(wF))
+      .filter($"fused_rank" <= 10)
+      .select($"qid", $"fused_rank", $"nid", $"rrf_score", $"vec_rank", $"lex_rank")
+      .orderBy($"qid", $"fused_rank")
+  }
+
   /** K-NN GRAPH construction — every vector's approximate top-5
     * neighbors over the WHOLE corpus, not just a query set: the
     * primitive under graph-based ANN indexes (HNSW/NN-descent start
@@ -1331,6 +1416,7 @@ object Similarity {
     "ann_lsh_index" -> ann_lsh_index _,
     "ann_lsh_index_probed" -> ann_lsh_index_probed _,
     "ann_ivf_index" -> ann_ivf_index _,
+    "ann_hybrid_rrf_index" -> ann_hybrid_rrf_index _,
     "ann_ivf_index_probed" -> ann_ivf_index_probed _,
     "ann_ivf_index_delta" -> ann_ivf_index_delta _,
     "ann_ivfpq_index" -> ann_ivfpq_index _,
@@ -1594,6 +1680,87 @@ object Similarity {
       |    ORDER BY rrf_score DESC, nid) AS fused_rank FROM fused)
       |WHERE fused_rank <= 10 ORDER BY qid, fused_rank""".stripMargin
 
+  /** DuckDB replay of [[ann_hybrid_rrf_index]]: the IVF leg re-derived
+    * from the inlined trained centroids (the [[annIvfOracleSql]]
+    * assignment/probe chain, scored floor-ppm, rank ≤ 50), the lexical
+    * leg from a string_split re-derivation of the postings (the
+    * text_search_index oracle's idf-ratio weighting, query terms =
+    * each query doc's distinct terms), fused with the same integer
+    * RRF tail as [[annHybridRrfOracleSql]]. */
+  private def annHybridRrfIndexOracleSql(cents: Array[Array[Double]]): String = {
+    val cl = cents.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd FROM embeddings),
+       |ce AS (SELECT CAST($cl AS DOUBLE[][]) AS cents),
+       |ad AS (
+       |  SELECT vec_id, vd, u.cid AS cid,
+       |    1.0 - list_cosine_similarity(vd, cents[CAST(u.cid + 1 AS BIGINT)])
+       |      AS dist
+       |  FROM v, ce, unnest(range(${cents.length})) AS u(cid)),
+       |rn AS (
+       |  SELECT vec_id, vd, cid, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY dist, cid) AS rn FROM ad),
+       |corpus AS (
+       |  SELECT vec_id AS nid, vd AS nvd, cid AS cell FROM rn WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS qid, vd AS qvd, cid AS cell FROM rn
+       |  WHERE vec_id < 16 AND rn <= 8),
+       |vsc AS (
+       |  SELECT p.qid, c.nid,
+       |    CAST(floor(list_cosine_similarity(p.qvd, c.nvd) * 1e6) AS BIGINT)
+       |      AS score
+       |  FROM corpus c JOIN probes p USING (cell) WHERE c.nid <> p.qid),
+       |vr AS (
+       |  SELECT qid, nid, rank FROM (
+       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+       |      ORDER BY score DESC, nid) AS rank FROM vsc)
+       |  WHERE rank <= 50),
+       |post AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+       |    SELECT doc_id,
+       |      unnest(list_filter(string_split(lower(text), ' '), w -> w <> ''))
+       |        AS term
+       |    FROM documents)
+       |  GROUP BY 1, 2),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |qt AS (SELECT DISTINCT doc_id AS qid, term FROM post WHERE doc_id < 16),
+       |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY 1),
+       |wq AS (
+       |  SELECT qt.qid, qt.term,
+       |    least(1000000000000,
+       |      (nn.n // df) * 1000000 + ((nn.n % df) * 1000000) // df) AS w_ppm
+       |  FROM qt JOIN dfreq USING (term) CROSS JOIN nn),
+       |lsc AS (
+       |  SELECT wq.qid, post.doc_id AS nid,
+       |    CAST(sum(post.tf * wq.w_ppm) AS BIGINT) AS score
+       |  FROM post JOIN wq USING (term)
+       |  WHERE post.doc_id <> wq.qid
+       |  GROUP BY 1, 2),
+       |lr AS (
+       |  SELECT qid, nid, rank FROM (
+       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+       |      ORDER BY score DESC, nid) AS rank FROM lsc)
+       |  WHERE rank <= 50),
+       |legs AS (
+       |  SELECT qid, nid, rank, 'vec' AS leg FROM vr
+       |  UNION ALL
+       |  SELECT qid, nid, rank, 'lex' AS leg FROM lr),
+       |fused AS (
+       |  SELECT qid, nid,
+       |    CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_score,
+       |    CAST(max(CASE WHEN leg = 'vec' THEN rank ELSE -1 END) AS BIGINT)
+       |      AS vec_rank,
+       |    CAST(max(CASE WHEN leg = 'lex' THEN rank ELSE -1 END) AS BIGINT)
+       |      AS lex_rank
+       |  FROM legs GROUP BY 1, 2)
+       |SELECT qid, CAST(fused_rank AS INTEGER) AS fused_rank, nid,
+       |  rrf_score, vec_rank, lex_rank
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY rrf_score DESC, nid) AS fused_rank FROM fused)
+       |WHERE fused_rank <= 10 ORDER BY qid, fused_rank""".stripMargin
+  }
+
   /** DuckDB literal-replay oracle for [[ann_ivf]] — the ann_lsh
     * playbook extended to TRAINED parameters: the centroids this run's
     * Lloyd pass produced are inlined as a DOUBLE[][] literal
@@ -1784,7 +1951,10 @@ object Similarity {
       .map(c => Map(
         "ann_ivf_index" -> annIvfOracleSql(c, nprobe = 8),
         // same index, same centroids, wider query-side probe set
-        "ann_ivf_index_probed" -> annIvfOracleSql(c, nprobe = 16)))
+        "ann_ivf_index_probed" -> annIvfOracleSql(c, nprobe = 16),
+        // hybrid fusion served from the same IVF index + the
+        // string_split postings re-derivation
+        "ann_hybrid_rrf_index" -> annHybridRrfIndexOracleSql(c)))
       .getOrElse(Map.empty) ++
     // the full-corpus replay over the DELTA index's frozen centroids:
     // hash-match here IS the merge-equals-recompute theorem

@@ -1544,7 +1544,7 @@ object TextOps {
     * (document frequencies, candidate fetch) reads pre-partitioned on
     * exactly its key. */
   private val searchIndexBuilt = new java.util.HashSet[String]()
-  private def searchIndexTable(s: SparkSession, d: String): String = {
+  private[graft] def searchIndexTable(s: SparkSession, d: String): String = {
     import s.implicits._
     val tag = java.security.MessageDigest.getInstance("SHA-256")
       .digest(d.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString

@@ -326,6 +326,43 @@ class SimilaritySpec extends SparkSpec {
       s"Exchange on the index branch:\n${between.mkString("\n")}")
   }
 
+  test("ann_hybrid_rrf_index fuses two persisted indexes; both corpus sides stay Exchange-free") {
+    val got = Similarity.ann_hybrid_rrf_index(spark, sf001).collect()
+    assert(got.nonEmpty, "hybrid index fusion returned no rows")
+    val byQ = got.groupBy(_.getLong(0))
+    assert(byQ.size == 16, s"expected 16 query groups, got ${byQ.size}")
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to 10),
+        s"qid $q fused ranks not 1..10")
+    }
+    got.foreach { r =>
+      val vr = r.getLong(4); val lr = r.getLong(5)
+      assert(vr == -1 || (vr >= 1 && vr <= 50), s"vec_rank $vr out of range")
+      assert(lr == -1 || (lr >= 1 && lr <= 50), s"lex_rank $lr out of range")
+      assert(vr != -1 || lr != -1, "row carried by neither leg")
+    }
+    // fusion actually fuses: some winner is carried by BOTH legs
+    assert(got.exists(r => r.getLong(4) != -1 && r.getLong(5) != -1),
+      "no fused row carries both leg ranks")
+    val plan = Similarity.ann_hybrid_rrf_index(spark, sf001)
+      .queryExecution.executedPlan.toString
+    val lines = plan.linesIterator.toVector
+    // IVF branch: pre-bucketed SMJ probe, no Exchange on the index side
+    val ivfLine = lines.indexWhere(_.contains("default.ivf_idx"))
+    assert(ivfLine >= 0, "no ivf index scan in the plan")
+    val smjLine = lines.lastIndexWhere(_.contains("SortMergeJoin"), ivfLine)
+    assert(smjLine >= 0, "no SMJ above the ivf index scan")
+    assert(!lines.slice(smjLine + 1, ivfLine).exists(_.contains("Exchange")),
+      "Exchange on the ivf index branch")
+    // lexical branch: postings never shuffle on term — document
+    // frequencies aggregate on the bucketed term key and the candidate
+    // fetch is a broadcast probe into the postings scan
+    assert(lines.count(_.contains("default.text_idx")) == 2,
+      "expected two postings scans (dfreq + candidate fetch)")
+    assert(!lines.exists(l => l.contains("Exchange hashpartitioning(term")),
+      "postings shuffled on term")
+  }
+
   test("ann_ivf_index_probed: widening nprobe on the SAME index raises recall, index stays Exchange-free") {
     val brute = Similarity.ann_topk_brute(spark, sf001)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
