@@ -215,7 +215,13 @@ object SqlSurface {
     * three `ed` references re-derive the oriented edge list — the
     * DataFrame form persists it once and [[Graph
     * .graph_triangles_index]] reads it prebuilt; this query exists to
-    * prove REACHABILITY from SQL text. */
+    * prove REACHABILITY from SQL text. The wedge and closure joins
+    * carry `/*+ SHUFFLE_HASH(...) */` hint comments — legal SQL
+    * comments any engine ignores, read by Spark as join-strategy
+    * pins: without them Catalyst sort-merges the closure probe and
+    * SORTS the O(E^{3/2}) wedge stream (measured 56.3 → 42.3 s
+    * min-of-2 at sf0.1/4 threads with the hints; the same lesson as
+    * Graph.trianglesIndexPlan, reachable from the SQL persona). */
   private val graphTrianglesSql =
     """WITH os AS (
       |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
@@ -239,12 +245,12 @@ object SqlSurface {
       |  JOIN deg du ON e0.u = du.node
       |  JOIN deg dv ON e0.v = dv.node),
       |wedges AS (
-      |  SELECT e1.src AS a, e1.dst AS x, e2.dst AS y
+      |  SELECT /*+ SHUFFLE_HASH(e1) */ e1.src AS a, e1.dst AS x, e2.dst AS y
       |  FROM ed e1 JOIN ed e2
       |    ON e1.src = e2.src
       |    AND struct(e1.ddeg, e1.dst) < struct(e2.ddeg, e2.dst)),
       |tri AS (
-      |  SELECT w.a, w.x, w.y
+      |  SELECT /*+ SHUFFLE_HASH(e) */ w.a, w.x, w.y
       |  FROM wedges w JOIN ed e ON w.x = e.src AND w.y = e.dst)
       |SELECT node AS s_suppkey, CAST(count(*) AS BIGINT) AS n_triangles
       |FROM (SELECT a AS node FROM tri UNION ALL
