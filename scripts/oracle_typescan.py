@@ -22,6 +22,7 @@ oracle = json.load(open(path))
 # contain them — only a full graft.Verify dump does. The runtime
 # HUGEINT gate in check.py covers them on every Verify run.
 DYNAMIC = {"ann_ivf", "ann_ivf_index", "ann_ivf_index_delta",
+           "ann_ivf_index_probed", "ann_hybrid_rrf_index",
            "ann_pq", "ann_ivfpq", "ann_ivfpq_index"}
 missing_dynamic = sorted(DYNAMIC - set(oracle))
 if missing_dynamic:
