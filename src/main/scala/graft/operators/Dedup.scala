@@ -261,15 +261,44 @@ object Dedup {
     * so parallelism never binds (the graph indexes' 32-bucket sizing
     * rule applies to compute-heavy supersteps, not point probes). */
   private def writeMhIndex(sigs: DataFrame, tbl: String, sigTbl: String,
-      mode: String): Unit = {
+      mode: String, ingested: Option[Int] = None): Unit = {
     import sigs.sparkSession.implicits._
-    sigs.select($"doc_id", explode(bandKeys($"sig", 8, 4)).as("bk"))
-      .select($"doc_id", $"bk.band".as("band"), $"bk.bkey".as("bkey"))
+    def flag(df: DataFrame): DataFrame =
+      ingested.fold(df)(v => df.withColumn("ingested", lit(v)))
+    flag(sigs.select($"doc_id", explode(bandKeys($"sig", 8, 4)).as("bk"))
+        .select($"doc_id", $"bk.band".as("band"), $"bk.bkey".as("bkey")))
       .write.mode(mode).bucketBy(8, "band", "bkey").sortBy("band", "bkey")
       .format("parquet").saveAsTable(tbl)
-    sigs.write.mode(mode).bucketBy(8, "doc_id").sortBy("doc_id")
+    flag(sigs).write.mode(mode).bucketBy(8, "doc_id").sortBy("doc_id")
       .format("parquet").saveAsTable(sigTbl)
   }
+
+  /** Stream-owned copy of the band index (base split, `ingested` = 0
+    * on every row) for [[graft.streaming.StreamingOps.dedupIndexStream]]
+    * — a continuous ingest MUTATES its index (probe-then-append per
+    * micro-batch), so it gets its own tables rather than sharing the
+    * batch queries' pristine build. Rebuilt on every call: a stream
+    * run wants a fresh generation, not a JVM memo. */
+  private[graft] def mhStreamIndexTables(s: SparkSession, d: String,
+      tag: String): (String, String) = {
+    import s.implicits._
+    val tbl = s"mhs_band_$tag"
+    val sigTbl = s"mhs_sig_$tag"
+    IndexUtil.dropIndexTable(s, tbl)
+    IndexUtil.dropIndexTable(s, sigTbl)
+    writeMhIndex(baseSigs(s, d).filter($"doc_id" % 10 =!= 0),
+      tbl, sigTbl, mode = "overwrite", ingested = Some(0))
+    (tbl, sigTbl)
+  }
+
+  /** Append one ingested micro-batch's band keys + signatures into a
+    * stream-owned index (flag = 1): each bucketed append job's files
+    * carry their bucket ids, so the probe scan stays `Bucketed: true`
+    * across generations — the [[mhDeltaIndexTables]] append play, per
+    * micro-batch. */
+  private[graft] def appendMhIndex(sigs: DataFrame, tbl: String,
+      sigTbl: String): Unit =
+    writeMhIndex(sigs, tbl, sigTbl, mode = "append", ingested = Some(1))
 
   /** The persisted-index delta probe, shared verbatim by
     * [[dedup_minhash_index]] and [[dedup_minhash_index_delta]] —
@@ -297,27 +326,51 @@ object Dedup {
   private def mhIndexProbe(s: SparkSession, tables: (String, String),
       d: String): DataFrame = {
     import s.implicits._
+    mhProbeCore(s, tables, CacheRegistry.cache(Tables.documents(s, d)
+      .filter($"doc_id" % 10 === 0)
+      .select($"doc_id", minhashSignature(shingleHashes($"text", 3), 32).as("sig"))))
+  }
+
+  /** The probe itself, parameterized on the arriving (doc_id, sig)
+    * slice so [[graft.streaming.StreamingOps.dedupIndexStream]] can
+    * run it per micro-batch against a MUTATING index. Member rows
+    * carry a 3-state flag: 0 = original corpus, 1 = ingested by an
+    * earlier batch (the stream tables' `ingested` column; absent on
+    * the batch queries' tables, where every index row is 0), 2 = this
+    * probe's own rows. A pair qualifies only if its max flag is 2
+    * (at least one CURRENT doc — a 0/1-only pair was either emitted
+    * when its later member arrived or predates the stream), which is
+    * exactly the exactly-once discovery argument: pair (x, y) with y
+    * arriving last is found in y's batch (x is then flag 0/1, or 2 if
+    * same batch) and in no other. With no flag-1 rows this reduces
+    * verbatim to the batch delta-probe semantics, so the registered
+    * queries are bit-unchanged. match_src reads "delta" when BOTH
+    * sides are ingest-set docs (min flag >= 1) — the stream's labels
+    * agree with the batch replay's by construction. */
+  private[graft] def mhProbeCore(s: SparkSession, tables: (String, String),
+      delta: DataFrame): DataFrame = {
+    import s.implicits._
     val k = 32; val bands = 8; val r = 4
     val cap = s.conf.get("graft.dedup.maxBucket", "1000").toInt
     val (tbl, sigTbl) = tables
-    val delta = CacheRegistry.cache(Tables.documents(s, d)
-      .filter($"doc_id" % 10 === 0)
-      .select($"doc_id", minhashSignature(shingleHashes($"text", 3), k).as("sig")))
     val deltaKeys = delta
       .select($"doc_id", explode(bandKeys($"sig", bands, r)).as("bk"))
       .select($"doc_id", $"bk.band".as("band"), $"bk.bkey".as("bkey"))
-    val baseHits = s.table(tbl).hint("merge")
+    val baseRaw = s.table(tbl)
+    val baseFlag =
+      if (baseRaw.columns.contains("ingested")) $"ingested" else lit(0)
+    val baseHits = baseRaw.hint("merge")
       .join(deltaKeys.select($"band", $"bkey").distinct(),
         Seq("band", "bkey"), "left_semi")
     val members = baseHits
-      .select($"band", $"bkey", $"doc_id", lit(0).as("is_delta"))
+      .select($"band", $"bkey", $"doc_id", baseFlag.as("flag"))
       .unionByName(deltaKeys
-        .select($"band", $"bkey", $"doc_id", lit(1).as("is_delta")))
+        .select($"band", $"bkey", $"doc_id", lit(2).as("flag")))
     val buckets = members
       .groupBy($"band", $"bkey")
-      .agg(collect_list(struct($"doc_id", $"is_delta")).as("members"),
-        max($"is_delta").as("has_delta"))
-      .filter(size($"members") >= 2 && $"has_delta" === 1)
+      .agg(collect_list(struct($"doc_id", $"flag")).as("members"),
+        max($"flag").as("max_flag"))
+      .filter(size($"members") >= 2 && $"max_flag" === 2)
       .observe(s"graft_bucket_pairs_${obsId.incrementAndGet()}",
         sum(when(size(col("members")) > cap, 1).otherwise(0)).as("dropped_buckets"),
         max(size(col("members"))).as("max_bucket"),
@@ -327,22 +380,38 @@ object Dedup {
       .select(explode($"members").as("a"), $"members")
       .select($"a", explode($"members").as("b"))
       .filter($"a.doc_id" < $"b.doc_id" &&
-        ($"a.is_delta" === 1 || $"b.is_delta" === 1))
+        greatest($"a.flag", $"b.flag") === 2)
       .select(
-        when($"a.is_delta" === 1, $"a.doc_id").otherwise($"b.doc_id").as("probe_id"),
-        when($"a.is_delta" === 1, $"b.doc_id").otherwise($"a.doc_id").as("match_id"),
-        when($"a.is_delta" === 1 && $"b.is_delta" === 1, lit("delta"))
+        when($"a.flag" >= 1, $"a.doc_id").otherwise($"b.doc_id").as("probe_id"),
+        when($"a.flag" >= 1, $"b.doc_id").otherwise($"a.doc_id").as("match_id"),
+        when(least($"a.flag", $"b.flag") >= 1, lit("delta"))
           .otherwise(lit("base")).as("match_src"))
       .distinct()
     // index table as the join's LEFT child (a right-outer join is the
     // probe's left-outer flipped): the bucketed scan feeds its SMJ
     // directly, which is both the Exchange-free shape and what lets
     // DedupSpec gate it textually (the ann_lsh_index idiom)
+    // probe-side signature: from the arriving slice in the batch
+    // queries (probe_id is always a delta doc there — inner join, the
+    // bit-pinned registered plan); on a stream's ingested-flagged
+    // tables a delta-delta pair spanning micro-batches orients its
+    // EARLIER (flag-1) member as probe_id, whose signature lives in
+    // the appended sig table, not the current batch — fall back to it
+    // (scores are symmetric, so which member contributes "sig" vs
+    // "sig2" cannot change est_jaccard)
+    val probeSigged =
+      if (baseRaw.columns.contains("ingested"))
+        s.table(sigTbl).hint("merge")
+          .select($"doc_id".as("probe_id"), $"sig".as("sig_pb"))
+          .join(pairs.join(
+            delta.select($"doc_id".as("probe_id"), $"sig".as("sig_pd")),
+            Seq("probe_id"), "left"), Seq("probe_id"), "right")
+          .withColumn("sig", coalesce($"sig_pd", $"sig_pb"))
+          .drop("sig_pd", "sig_pb")
+      else pairs.join(delta.select($"doc_id".as("probe_id"), $"sig"), "probe_id")
     val scored = s.table(sigTbl).hint("merge")
       .select($"doc_id".as("match_id"), $"sig".as("sig_b"))
-      .join(pairs
-        .join(delta.select($"doc_id".as("probe_id"), $"sig"), "probe_id"),
-        Seq("match_id"), "right")
+      .join(probeSigged, Seq("match_id"), "right")
       .join(delta.select($"doc_id".as("match_id"), $"sig".as("sig_d")),
         Seq("match_id"), "left")
       .withColumn("sig2", coalesce($"sig_b", $"sig_d"))

@@ -1063,4 +1063,58 @@ object StreamingOps extends Serializable {
           }
       }
   }
+  /** CONTINUOUS-INGEST DEDUP AGAINST A PERSISTED BAND INDEX — the
+    * streaming twin of [[graft.operators.Dedup.dedup_minhash_index]]
+    * and the third point in the dedup design space: [[nearDupStream]]
+    * keeps ALL candidate state inside the stream (keyed state, bounded
+    * by watermark retention — right when there is no pre-existing
+    * corpus), the batch delta probe re-runs per accepted batch; THIS
+    * is the posture for continuous ingest against an
+    * already-indexed corpus. Each micro-batch PROBES the bucketed
+    * band + signature tables with the batch probe kernel verbatim
+    * ([[graft.operators.Dedup.mhProbeCore]]) and then APPENDS its own
+    * band keys + signatures (rows flagged `ingested` = 1), so every
+    * later arrival dedups against the original corpus AND everything
+    * ingested before it.
+    *
+    * Probe-BEFORE-append makes pair discovery EXACTLY-ONCE under any
+    * split of the ingest into micro-batches: pair (x, y) with y
+    * arriving last is emitted precisely in y's batch (x is then in
+    * the index as flag 0/1 — or flag 2 if they share the batch), and
+    * never again, because a pair with no current-batch member fails
+    * the probe's max-flag-2 gate. StreamingSpec's gate is that
+    * theorem mechanically: union of per-batch outputs ≡ the one-shot
+    * probe's rows, under forward and reversed splits, planted
+    * same-batch and cross-batch duplicate pairs included.
+    *
+    * foreachBatch rather than a pure streaming plan, deliberately:
+    * the cycle reads AND appends the same bucketed tables per batch —
+    * a stream∪static union is illegal inside one streaming plan, and
+    * index mutation is exactly what foreachBatch exists for. Each
+    * append job's files carry their bucket ids, so the probe's
+    * merge-join scan stays `Bucketed: true` across all generations
+    * (the delta-index append play, per micro-batch). `onBatch`
+    * receives each batch's pair DataFrame and owns delivery; the
+    * standard sink contract is an idempotent upsert keyed by
+    * (probe_id, match_id) — on micro-batch REPLAY the probe re-emits
+    * the same rows (deterministic), but the append is NOT idempotent
+    * (a replayed batch would double its band rows), so an
+    * exactly-once deployment checkpoints the sink and index move
+    * together (e.g. both as one transactional table commit). */
+  def dedupIndexStream(docs: DataFrame, bandTbl: String, sigTbl: String,
+      onBatch: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.functions.TextFunctions.{minhashSignature, shingleHashes}
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val sigs = batch
+          .select(col("doc_id"),
+            minhashSignature(shingleHashes(col("text"), 3), 32).as("sig"))
+          .persist()
+        try {
+          onBatch(graft.operators.Dedup.mhProbeCore(s, (bandTbl, sigTbl), sigs))
+          graft.operators.Dedup.appendMhIndex(sigs, bandTbl, sigTbl)
+        } finally sigs.unpersist(blocking = false)
+    }.start()
+  }
 }

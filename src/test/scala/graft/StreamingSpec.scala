@@ -1211,4 +1211,78 @@ class StreamingSpec extends SparkSpec {
         "retraction should carry the new min click time")
     } finally q.stop()
   }
+  test("streaming index probe: per-batch probes against the mutating band index union to the one-shot probe") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Dedup
+    type Pair = (Long, Long, String, Double)
+    def collectPairs(df: org.apache.spark.sql.DataFrame): Set[Pair] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+
+    // gate A (natural fixture): streaming the %10 delta equals the
+    // registered batch query bit-for-bit
+    val expectedA = collectPairs(Dedup.dedup_minhash_index(spark, sf0001))
+    CacheRegistry.releaseAll()
+    assert(expectedA.nonEmpty, "fixture produced no batch pairs")
+    val naturalDelta = Tables.documents(spark, sf0001)
+      .filter($"doc_id" % 10 === 0)
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1).toSeq
+
+    // gate B (planted): add ingest-only duplicate pairs so the
+    // delta-delta paths are exercised — X1/X2 share a text and are
+    // ingested in DIFFERENT batches (cross-batch, found via the
+    // appended flag-1 rows), Y1/Y2 share a text inside ONE batch
+    // (found via the probe's own-rows path)
+    val donor = naturalDelta.head._2
+    val donor2 = naturalDelta(1)._2
+    val planted = Seq((900000L, donor), (900010L, donor),
+      (900020L, donor2), (900030L, donor2))
+
+    def sigsOf(docs: Seq[(Long, String)]) = {
+      import graft.functions.TextFunctions.{minhashSignature, shingleHashes}
+      docs.toDF("doc_id", "text").select($"doc_id",
+        minhashSignature(shingleHashes($"text", 3), 32).as("sig"))
+    }
+
+    def runStream(batches: Seq[Seq[(Long, String)]], tag: String): Set[Pair] = {
+      val (tbl, sigTbl) = Dedup.mhStreamIndexTables(spark, sf0001, tag)
+      val buf = scala.collection.mutable.Set.empty[Pair]
+      val ms = MemoryStream[(Long, String)]
+      val q = StreamingOps.dedupIndexStream(
+        ms.toDF().toDF("doc_id", "text"), tbl, sigTbl,
+        pairs => buf.synchronized { buf ++= collectPairs(pairs) })
+      try batches.foreach { b => ms.addData(b); drain(q) }
+      finally q.stop()
+      buf.toSet
+    }
+
+    // A: three forward splits of the natural delta
+    val a = runStream(naturalDelta.grouped(
+      math.max(1, naturalDelta.size / 3 + 1)).toSeq, "a")
+    assert(a == expectedA,
+      s"stream != batch on the natural delta: extra=${a -- expectedA} missing=${expectedA -- a}")
+
+    // B: natural delta + planted pairs, one-shot probe as the truth
+    val fullB = naturalDelta ++ planted
+    val (tblB, sigB) = Dedup.mhStreamIndexTables(spark, sf0001, "b_truth")
+    val expectedB = collectPairs(
+      Dedup.mhProbeCore(spark, (tblB, sigB), sigsOf(fullB)))
+    assert(expectedB.exists(_._3 == "delta"),
+      "planted docs produced no delta-delta pair — the plant failed")
+    assert(expectedB.contains((900000L, 900010L, "delta", 1.0)) &&
+      expectedB.contains((900020L, 900030L, "delta", 1.0)),
+      s"expected planted exact pairs in ${expectedB.filter(_._3 == "delta")}")
+    val half = naturalDelta.size / 2
+    val batchesB = Seq(
+      naturalDelta.take(half) :+ planted(0),                  // X1
+      (naturalDelta.drop(half) :+ planted(1)) ++ planted.drop(2)) // X2 + Y1,Y2
+    val b = runStream(batchesB, "b")
+    assert(b == expectedB,
+      s"stream != one-shot probe with plants: extra=${b -- expectedB} missing=${expectedB -- b}")
+
+    // reversed ingest: same union (exactly-once under any split)
+    val bRev = runStream(batchesB.reverse.map(_.reverse), "brev")
+    assert(bRev == expectedB, "pair set diverged under reversed ingest")
+  }
 }
