@@ -1546,25 +1546,48 @@ object TextOps {
   private val searchIndexBuilt = new java.util.HashSet[String]()
   private[graft] def searchIndexTable(s: SparkSession, d: String): String = {
     import s.implicits._
-    val tag = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(d.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
-    val tbl = s"text_idx_$tag"
+    val tbl = s"text_idx_${IndexUtil.dirTag(d)}"
     searchIndexBuilt.synchronized { if (!searchIndexBuilt.contains(d)) {
-      s.sql(s"DROP TABLE IF EXISTS $tbl")
-      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-      val loc = java.nio.file.Paths.get(wh, tbl)
-      if (java.nio.file.Files.exists(loc)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }
-      Tables.documents(s, d)
-        .select($"doc_id", explode(tokens($"text")).as("term"))
-        .groupBy($"term", $"doc_id").agg(count(lit(1)).as("tf"))
-        .write.mode("overwrite")
-        .bucketBy(8, "term").sortBy("term")
-        .format("parquet").saveAsTable(tbl)
+      IndexUtil.dropIndexTable(s, tbl)
+      writePostings(Tables.documents(s, d), tbl, mode = "overwrite")
       searchIndexBuilt.add(d)
+    } }
+    tbl
+  }
+
+  /** One bucketed postings write pass — shared by the full build and
+    * the delta append. */
+  private def writePostings(docs: DataFrame, tbl: String, mode: String): Unit = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id", explode(tokens($"text")).as("term"))
+      .groupBy($"term", $"doc_id").agg(count(lit(1)).as("tf"))
+      .write.mode(mode).bucketBy(8, "term").sortBy("term")
+      .format("parquet").saveAsTable(tbl)
+  }
+
+  private val searchDeltaBuilt = new java.util.HashSet[String]()
+  /** Incrementally-grown postings index for [[text_search_index_delta]]:
+    * the initial build indexes doc_id % 10 ≠ 0 and a second bucketed
+    * write APPENDS the % 10 = 0 slice ("today's accepted batch") —
+    * the [[graft.operators.Dedup]] band-index append play on the text
+    * tier. A document's postings depend on nothing but the document
+    * (term frequencies are per-doc), so append ≡ rebuild holds by
+    * construction — EXCEPT for the idf weights, which shift with N
+    * and df as the corpus grows: the search recomputes them from the
+    * merged index at query time (one pre-partitioned aggregate), so a
+    * grown index re-weights for free where a baked-weights design
+    * would rebuild. The driver hash gate proves the merge: same
+    * oracle as [[text_search_index]], one lost or doubled posting row
+    * shifts a tf, df or N and fails the hash. */
+  private def searchDeltaIndexTable(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val tbl = s"text_idxd_${IndexUtil.dirTag(d)}"
+    searchDeltaBuilt.synchronized { if (!searchDeltaBuilt.contains(d)) {
+      IndexUtil.dropIndexTable(s, tbl)
+      val docs = Tables.documents(s, d)
+      writePostings(docs.filter($"doc_id" % 10 =!= 0), tbl, mode = "overwrite")
+      writePostings(docs.filter($"doc_id" % 10 === 0), tbl, mode = "append")
+      searchDeltaBuilt.add(d)
     } }
     tbl
   }
@@ -1591,9 +1614,23 @@ object TextOps {
     * million-fold rarity the signal saturates; the cap keeps tf·w in
     * i64 at any corpus size). N comes from parquet footers — no count
     * scan. */
-  def text_search_index(s: SparkSession, d: String): DataFrame = {
+  def text_search_index(s: SparkSession, d: String): DataFrame =
+    searchIndexQuery(s, d, searchIndexTable(s, d))
+
+  /** The SAME search over the APPEND-GROWN postings index — identical
+    * rows to [[text_search_index]] by the append ≡ rebuild argument on
+    * [[searchDeltaIndexTable]], so it carries that oracle verbatim:
+    * same answer, two-generation physical layout, both hash-verified
+    * (each append job's files carry their bucket ids, so the scan
+    * stays `Bucketed: true` and the df aggregate stays
+    * pre-partitioned across generations — spec-gated). */
+  def text_search_index_delta(s: SparkSession, d: String): DataFrame =
+    searchIndexQuery(s, d, searchDeltaIndexTable(s, d))
+
+  /** The search path, table-parameterized so the one-shot and
+    * append-grown indexes share it verbatim. */
+  private def searchIndexQuery(s: SparkSession, d: String, tbl: String): DataFrame = {
     import s.implicits._
-    val tbl = searchIndexTable(s, d)
     val idx = s.table(tbl)
     val n = Tables.parquetRowCount(s, d, "documents")
     val qTerms = Seq(
@@ -1681,6 +1718,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_multi_route" -> text_multi_route _,
     "text_search_index" -> text_search_index _,
+    "text_search_index_delta" -> text_search_index_delta _,
     "text_classify_centroid" -> text_classify_centroid _,
     "text_window_chunks" -> text_window_chunks _,
     "text_curation_funnel" -> text_curation_funnel _,
@@ -1870,6 +1908,36 @@ object TextOps {
        |  score - runner_up AS margin, class = label AS correct
        |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin
   }
+
+  private def searchIndexOracleSql: String =
+    """WITH q(query_id, term) AS (VALUES
+        |  (0, 'spark'), (0, 'join'),
+        |  (1, 'window'), (1, 'stream'), (1, 'sort'),
+        |  (2, 'customer'), (2, 'merge')),
+        |post AS (
+        | SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS term
+        |  FROM documents)
+        | GROUP BY 1, 2),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY 1),
+        |wq AS (
+        | SELECT CAST(q.query_id AS BIGINT) AS query_id, q.term,
+        |  least(1000000000000,
+        |    (nn.n // df) * 1000000 + ((nn.n % df) * 1000000) // df) AS w_ppm
+        | FROM q JOIN dfreq USING (term) CROSS JOIN nn),
+        |sc AS (
+        | SELECT wq.query_id, post.doc_id,
+        |  CAST(sum(post.tf * wq.w_ppm) AS BIGINT) AS score_ppm,
+        |  CAST(count(*) AS BIGINT) AS terms_hit
+        | FROM post JOIN wq USING (term) GROUP BY 1, 2)
+        |SELECT query_id, rank, doc_id, score_ppm, terms_hit FROM (
+        | SELECT query_id, doc_id, score_ppm, terms_hit,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score_ppm DESC, doc_id) AS rank
+        | FROM sc)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "text_multi_route" ->
@@ -2098,36 +2166,10 @@ object TextOps {
         |FROM b WHERE bucket < rate_pm ORDER BY doc_id""".stripMargin,
     // logical re-derivation of the postings + the same ratio-weight
     // ranking — the physical bucketed-table round trip must be
-    // invisible to the result
-    "text_search_index" ->
-      """WITH q(query_id, term) AS (VALUES
-        |  (0, 'spark'), (0, 'join'),
-        |  (1, 'window'), (1, 'stream'), (1, 'sort'),
-        |  (2, 'customer'), (2, 'merge')),
-        |post AS (
-        | SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
-        |  SELECT doc_id,
-        |    unnest(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS term
-        |  FROM documents)
-        | GROUP BY 1, 2),
-        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY 1),
-        |wq AS (
-        | SELECT CAST(q.query_id AS BIGINT) AS query_id, q.term,
-        |  least(1000000000000,
-        |    (nn.n // df) * 1000000 + ((nn.n % df) * 1000000) // df) AS w_ppm
-        | FROM q JOIN dfreq USING (term) CROSS JOIN nn),
-        |sc AS (
-        | SELECT wq.query_id, post.doc_id,
-        |  CAST(sum(post.tf * wq.w_ppm) AS BIGINT) AS score_ppm,
-        |  CAST(count(*) AS BIGINT) AS terms_hit
-        | FROM post JOIN wq USING (term) GROUP BY 1, 2)
-        |SELECT query_id, rank, doc_id, score_ppm, terms_hit FROM (
-        | SELECT query_id, doc_id, score_ppm, terms_hit,
-        |  row_number() OVER (PARTITION BY query_id
-        |    ORDER BY score_ppm DESC, doc_id) AS rank
-        | FROM sc)
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // invisible to the result. The append-grown index carries the
+    // SAME replay: its hash match IS the append == rebuild theorem.
+    "text_search_index_delta" -> searchIndexOracleSql,
+    "text_search_index" -> searchIndexOracleSql,
     "text_tfidf" ->
       """WITH words AS (
         | SELECT lang, unnest(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS word

@@ -787,6 +787,27 @@ class TextPipelineSpec extends SparkSpec {
       "Exchange between the df aggregate and the bucketed index scan")
   }
 
+  test("text_search_index_delta: append-grown postings equal the one-shot index, scan stays bucketed") {
+    val oneShot = TextOps.text_search_index(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val grown = TextOps.text_search_index_delta(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(grown.nonEmpty && grown == oneShot,
+      "append-grown index diverged from the one-shot rebuild")
+    // both file generations feed the bucketed scan, df agg exchange-free
+    val plan = TextOps.text_search_index_delta(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"),
+      s"grown index scan not bucketed:\n${plan.take(1200)}")
+    val lines = plan.linesIterator.toVector
+    val idxLine = lines.indexWhere(_.contains("default.text_idxd"))
+    assert(idxLine >= 0, "no grown-index scan in the plan")
+    val aggAbove = lines.lastIndexWhere(_.contains("HashAggregate"), idxLine)
+    assert(aggAbove >= 0 && idxLine > aggAbove, "plan shape unexpected")
+    assert(!lines.slice(aggAbove + 1, idxLine).exists(_.contains("Exchange")),
+      "Exchange between the df aggregate and the grown bucketed scan")
+  }
+
   test("text_multi_route: one pass materializes disjoint curated/rejected plus an overlapping audit copy") {
     import spark.implicits._
     // run the registered query (builds the partitioned layout once)
