@@ -279,6 +279,69 @@ class GraphSpec extends SparkSpec {
       s"Exchange on the $tblPat branch:\n${between.mkString("\n")}")
   }
 
+  test("graph_kcore_index / graph_jaccard_index equal their in-flight forms; part-graph index scans stay Exchange-free") {
+    val kc = Graph.graph_kcore_index(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    CacheRegistry.releaseAll()
+    val kcFlight = Graph.graph_kcore(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    CacheRegistry.releaseAll()
+    assert(kc.nonEmpty && kc == kcFlight,
+      "indexed k-core peel diverged from the in-flight derivation")
+    val jc = Graph.graph_jaccard_index(spark, sf0001).collect().map(_.toSeq).toSeq
+    CacheRegistry.releaseAll()
+    val jcFlight = Graph.graph_jaccard_links(spark, sf0001).collect().map(_.toSeq).toSeq
+    CacheRegistry.releaseAll()
+    assert(jc.nonEmpty && jc == jcFlight,
+      "indexed jaccard top-100 diverged from the in-flight derivation")
+    // the lifecycle claims, held mechanically on the one inspectable
+    // plan (the kcore loop's rounds rebind to LogicalRDDs): the
+    // node-bucketed adjacency feeds the fan-cap window with no
+    // Exchange, and the (u,v)-bucketed edge set hash-builds its
+    // anti-join with no Exchange (and no SMJ sorting the wedge stream)
+    val plan = Graph.jaccardIndexPlan(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"), s"no bucketed scan:\n${plan.take(1200)}")
+    val lines = plan.linesIterator.toVector
+    val adjScans = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("default.pa_adj") => i }
+    assert(adjScans.nonEmpty, "no pa_adj scan in the plan")
+    adjScans.foreach { i =>
+      val wLine = lines.lastIndexWhere(_.contains("Window"), i)
+      assert(wLine >= 0, "no Window above the adjacency scan")
+      assert(!lines.slice(wLine + 1, i).exists(_.contains("Exchange")),
+        s"Exchange between the fan-cap window and the pa_adj scan:\n${lines.slice(wLine + 1, i).mkString("\n")}")
+    }
+    val edgeScan = lines.indexWhere(_.contains("default.pa_edges"))
+    assert(edgeScan >= 0, "no pa_edges scan in the plan")
+    // the scan's PARENT (nearest shallower node above — the streamed
+    // side's subtree sits between them at deeper/equal indent) must be
+    // the anti-join itself: the bucketed edge set feeds its SHJ with
+    // no Exchange on its own branch
+    def depth(l: String): Int = {
+      val m = Seq(l.indexOf("+- "), l.indexOf(":- ")).filter(_ >= 0)
+      if (m.isEmpty) -1 else m.min
+    }
+    val scanDepth = depth(lines(edgeScan))
+    assert(scanDepth >= 0, "unparseable scan line")
+    // walk ancestors (nearest shallower lines) through benign unary
+    // nodes until the first join/exchange — it must be the SHJ
+    var at = edgeScan
+    var cur = depth(lines(edgeScan))
+    var found = ""
+    while (found.isEmpty && at > 0) {
+      at = lines.lastIndexWhere(l => depth(l) >= 0 && depth(l) < cur, at)
+      assert(at >= 0, "ran out of ancestors above the pa_edges scan")
+      cur = depth(lines(at))
+      val l = lines(at)
+      if (l.contains("Join") || l.contains("Exchange")) found = l
+    }
+    assert(found.contains("ShuffledHashJoin"),
+      s"pa_edges branch hits a non-SHJ boundary first: $found")
+    assert(lines(edgeScan).contains("Bucketed: true"),
+      "pa_edges scan not bucketed")
+  }
+
   test("graph_pagerank_index equals graph_pagerank and joins the edge index without a corpus-side Exchange") {
     val viaIndex = Graph.graph_pagerank_index(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
