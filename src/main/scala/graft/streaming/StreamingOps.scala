@@ -1100,7 +1100,19 @@ object StreamingOps extends Serializable {
     * the same rows (deterministic), but the append is NOT idempotent
     * (a replayed batch would double its band rows), so an
     * exactly-once deployment checkpoints the sink and index move
-    * together (e.g. both as one transactional table commit). */
+    * together (e.g. both as one transactional table commit).
+    *
+    * Two contract caveats: (1) the pairs DataFrame is pinned
+    * (persist + count) BEFORE the append so its rows are fixed at
+    * probe time, but it is only valid DURING the onBatch call (the
+    * standard foreachBatch dataset contract) — consume it
+    * synchronously, don't store it; (2) the ≡-one-shot theorem holds
+    * while the hot-bucket cap (graft.dedup.maxBucket) stays silent:
+    * the cap applies to a bucket's membership AS OF each probe, so a
+    * bucket that only later outgrows the cap emits its early pairs
+    * where the one-shot probe drops the whole bucket — the same
+    * documented first-arrival-vs-retroactive-drop divergence as
+    * [[nearDupStream]]'s cap, observable via BucketCapMetrics. */
   def dedupIndexStream(docs: DataFrame, bandTbl: String, sigTbl: String,
       onBatch: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.functions.TextFunctions.{minhashSignature, shingleHashes}
@@ -1111,10 +1123,19 @@ object StreamingOps extends Serializable {
           .select(col("doc_id"),
             minhashSignature(shingleHashes(col("text"), 3), 32).as("sig"))
           .persist()
+        val pairs = graft.operators.Dedup.mhProbeCore(s, (bandTbl, sigTbl), sigs)
+          .persist()
         try {
-          onBatch(graft.operators.Dedup.mhProbeCore(s, (bandTbl, sigTbl), sigs))
+          // pin the probe result BEFORE the append mutates the tables
+          // it reads — lazy consumers inside onBatch would otherwise
+          // see their own batch's (or a later batch's) appended rows
+          pairs.count()
+          onBatch(pairs)
           graft.operators.Dedup.appendMhIndex(sigs, bandTbl, sigTbl)
-        } finally sigs.unpersist(blocking = false)
+        } finally {
+          pairs.unpersist(blocking = false)
+          sigs.unpersist(blocking = false)
+        }
     }.start()
   }
 }
