@@ -30,7 +30,36 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     BucketCapMetrics.register(spark)
 
-    def runOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+    // ── Memory-axis instrumentation (r16 verdict: the driver's run
+    // inflated persist-heavy graph-index queries 2–9× while BOTH
+    // existing canaries read flat — CPU and I/O don't measure heap
+    // pressure). Three additions close the axis: (a) task-metric
+    // totals (GC time, memory/disk spill) accumulated per query via a
+    // listener, so an inflated query carries its own diagnosis in the
+    // JSON tail; (b) -Xmx recorded so heap-config differences between
+    // environments are visible at all; (c) a persist-shaped third
+    // canary below, next to the CPU and I/O ones.
+    val accGc = new java.util.concurrent.atomic.AtomicLong(0L)
+    val accSpillMem = new java.util.concurrent.atomic.AtomicLong(0L)
+    val accSpillDisk = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          accGc.addAndGet(m.jvmGCTime)
+          accSpillMem.addAndGet(m.memoryBytesSpilled)
+          accSpillDisk.addAndGet(m.diskBytesSpilled)
+        }
+      }
+    })
+    // per-query WORST observed (gc ms, spill-mem B, spill-disk B,
+    // storage-used-after B) across every pass incl. warmup — the
+    // diagnostic wants the bad behavior, not the min
+    val qMem = scala.collection.mutable.HashMap.empty[String, (Long, Long, Long, Long)]
+    var storagePeak = 0L
+
+    def runOne(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Either[String, Double] = {
       // Queries that persist an intermediate stage (dedup signatures)
       // would otherwise serve the measured pass from the warmup pass's
@@ -39,19 +68,41 @@ object Bench {
       // tracked entries don't accumulate across 130+ query runs.
       CacheRegistry.releaseAll()
       spark.catalog.clearCache()
+      org.apache.spark.graft.ListenerFlush.flush(spark.sparkContext)
+      val (gc0, sm0, sd0) = (accGc.get(), accSpillMem.get(), accSpillDisk.get())
       val t0 = System.nanoTime()
-      try {
+      val r = try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         Right((System.nanoTime() - t0) / 1e9)
       } catch { case e: Throwable =>
         Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).takeWhile(_ != '\n').take(200)}")
       }
+      // storage-memory in use right after the run (caches the query
+      // left tracked), BEFORE the next run's clear — the high-water
+      // tells whether the suite ever approached the storage pool cap
+      val storageUsed = spark.sparkContext.getExecutorMemoryStatus.values
+        .map { case (max, rem) => max - rem }.sum
+      storagePeak = math.max(storagePeak, storageUsed)
+      org.apache.spark.graft.ListenerFlush.flush(spark.sparkContext)
+      val delta = (accGc.get() - gc0, accSpillMem.get() - sm0,
+        accSpillDisk.get() - sd0, storageUsed)
+      qMem.updateWith(name) {
+        case Some((g, m, dk, st)) => Some((math.max(g, delta._1),
+          math.max(m, delta._2), math.max(dk, delta._3), math.max(st, delta._4)))
+        case None => Some(delta)
+      }
+      r
     }
 
+    // Dev subset filter (regex on query name) — lets a perf
+    // investigation bench ONE family cold-JVM without the other 220
+    // queries' half hour; never set by the driver.
+    val onlyRe = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => onlyRe.forall(_.findFirstIn(n).isDefined) }
     def pass(label: String): Seq[(String, Either[String, Double])] =
       ordered.map { case (name, fn) =>
-        val r = runOne(fn)
+        val r = runOne(name, fn)
         System.err.println(f"[bench:$label] $name ${r.fold(e => s"ERR $e", t => f"$t%.2f s")}")
         name -> r
       }
@@ -137,6 +188,52 @@ object Bench {
     val ioSec = (1 to 3).map(_ => ioCanaryOnce()).min
     val driftIo = ioSec / ioPin
     System.err.println(f"[bench] io canary $ioSec%.3f s, drift ${driftIo}%.2fx vs idle pin $ioPin%.2f")
+    // MEMORY canary (r16 verdict): shaped exactly like the inflation
+    // victims — a persisted frame + three superstep join rounds, each
+    // round persisted MEMORY_AND_DISK and materialized, previous round
+    // dropped (the graph-loop cadence). Pure CPU work is trivial
+    // (xxhash + a join on a pre-cached frame), so on an idle host this
+    // tracks the CPU canary; under heap/GC/storage-pool pressure the
+    // persist churn pays eviction + spill + GC that neither the CPU
+    // canary (no allocation) nor the I/O canary (no persist) feels.
+    // drift_mem >> drift_cpu ⇒ memory-squeezed host; read the
+    // persist-heavy families (graph_*_index, dedup_minhash_index)
+    // against drift_mem. Pin = idle min-over-3 at the driver config
+    // (local[32], -Xmx8g, r17).
+    val memPin = sys.env.get("SPARK_GRAFT_CANARY_MEM_PIN")
+      .flatMap(_.toDoubleOption).getOrElse(1.31)
+    def memCanaryOnce(): Double = {
+      import org.apache.spark.storage.StorageLevel
+      val t0 = System.nanoTime()
+      val base = spark.range(0L, 4000000L, 1L, 32)
+        .selectExpr("id % 500000 AS k", "xxhash64(id) AS p1",
+          "xxhash64(id + 1) AS p2", "xxhash64(id + 2) AS p3")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        base.count()
+        var cached = base
+        var cur: org.apache.spark.sql.DataFrame = base
+        for (_ <- 1 to 3) {
+          // XOR mixing, never +: the payloads are full-range hashes
+          // and ANSI mode (Spark 4 default) faults long overflow
+          val agg = cur.groupBy("k")
+            .agg(org.apache.spark.sql.functions.expr("bit_xor(p1 ^ p2)").as("h"))
+          val nxt = base.join(agg, "k")
+            .selectExpr("k", "p1 ^ h AS p1", "p2", "p3")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          nxt.count()
+          if (cached ne base) cached.unpersist(blocking = false)
+          cached = nxt
+          cur = nxt
+        }
+        if (cached ne base) cached.unpersist(blocking = false)
+        (System.nanoTime() - t0) / 1e9
+      } finally base.unpersist(blocking = false)
+    }
+    memCanaryOnce()
+    val memSec = (1 to 3).map(_ => memCanaryOnce()).min
+    val driftMem = memSec / memPin
+    System.err.println(f"[bench] mem canary $memSec%.3f s, drift ${driftMem}%.2fx vs idle pin $memPin%.2f")
     // Drift-NORMALIZED round-over-round ratios (r13 verdict): with
     // drift_cpu emitted on both sides, per-query comparisons against
     // the last committed round stop eyeballing host speed —
@@ -170,7 +267,8 @@ object Bench {
           .sortBy(f => f.getName.replaceAll("\\D", "").toInt).lastOption)
       val reserved = Set("n", "rc", "cpus", "sf", "metric", "value",
         "canary_sec", "drift", "drift_cpu", "canary_io_sec", "drift_io",
-        "norm_median", "parsed")
+        "canary_mem_sec", "drift_mem", "xmx_mb", "gc_sec", "spill_mem_mb",
+        "spill_disk_mb", "storage_peak_mb", "norm_median", "parsed")
       cand.flatMap { f =>
         val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
           .replace("\\\"", "\"")
@@ -182,7 +280,8 @@ object Bench {
         // every name:number pair (truncated wrapper tails)
         val body = "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r
           .findFirstMatchIn(txt).map(_.group(1))
-          .getOrElse(txt.replaceAll("\"norm_ratios\"\\s*:\\s*\\{[^}]*\\}", ""))
+          .getOrElse(txt.replaceAll(
+            "\"(norm_ratios|gc_top|spill_top)\"\\s*:\\s*\\{[^}]*\\}", ""))
         val qs = "\"([^\"]+)\"\\s*:\\s*(-?[0-9.]+)".r.findAllMatchIn(body)
           .map(m => m.group(1) -> m.group(2).toDouble)
           .filter { case (k, v) => v > 0 && !reserved(k) && !k.startsWith("norm") }
@@ -228,10 +327,37 @@ object Bench {
       f""","norm_vs":${jstr(prevBench.get.name)},"norm_median":${sorted(sorted.size / 2)}%.3f,""" +
         s""""norm_ratios":$rs"""
     }
+    // Memory-axis tail: heap config + the suite's worst per-query GC
+    // and disk-spill observations (worst across all passes — the
+    // diagnostic wants the bad behavior, not the min). A driver-run
+    // inflation on persist-heavy queries now arrives with its own
+    // diagnosis: gc_top names the queries that burned heap, spill_top
+    // the ones that hit disk, drift_mem whether the HOST was squeezed.
+    val xmxMb = Runtime.getRuntime.maxMemory / (1024 * 1024)
+    val gcSecTotal = qMem.values.map(_._1).sum / 1e3
+    val spillMemMb = qMem.values.map(_._2).sum / (1024 * 1024)
+    val spillDiskMb = qMem.values.map(_._3).sum / (1024 * 1024)
+    val gcTop = qMem.toSeq.sortBy(-_._2._1).take(8)
+      .filter(_._2._1 > 0)
+      .map { case (n, (g, _, _, _)) => jstr(n) + ":" + f"${g / 1e3}%.2f" }
+      .mkString("{", ",", "}")
+    val spillTop = qMem.toSeq.sortBy(-_._2._3).take(8)
+      .filter(_._2._3 > 0)
+      .map { case (n, (_, _, dk, _)) => jstr(n) + ":" + (dk / (1024 * 1024)) }
+      .mkString("{", ",", "}")
+    qMem.toSeq.sortBy(-_._2._1).take(5).filter(_._2._1 > 500).foreach {
+      case (n, (g, m, dk, _)) => System.err.println(
+        f"[bench] mem-heavy $n: gc ${g / 1e3}%.2f s, spill mem ${m / 1048576}MB disk ${dk / 1048576}MB")
+    }
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,""" +
         f""""canary_sec":$canarySec%.3f,"drift":$drift%.3f,"drift_cpu":$drift%.3f,""" +
-        f""""canary_io_sec":$ioSec%.3f,"drift_io":$driftIo%.3f$normTail,"sf":"$sfDir"}"""
+        f""""canary_io_sec":$ioSec%.3f,"drift_io":$driftIo%.3f,""" +
+        f""""canary_mem_sec":$memSec%.3f,"drift_mem":$driftMem%.3f,""" +
+        f""""xmx_mb":$xmxMb,"gc_sec":$gcSecTotal%.1f,""" +
+        f""""spill_mem_mb":$spillMemMb,"spill_disk_mb":$spillDiskMb,""" +
+        s""""storage_peak_mb":${storagePeak / (1024 * 1024)},""" +
+        s""""gc_top":$gcTop,"spill_top":$spillTop$normTail,"sf":"$sfDir"}"""
     println(json)
     // Also drop the line in a file: harness log capture tends to prefix
     // stdout (e.g. sbt's "[info] "), which breaks parse-the-last-line

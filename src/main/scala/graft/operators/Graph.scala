@@ -113,7 +113,17 @@ object Graph {
         var cached = materializeRound(
           nodes.withColumn("rank", lit(1000000000L)))
         var ranks = rebind(cached)
-        for (_ <- 1 to iters) {
+        // r17 superstep fold: the round's LEFT side is the previous
+        // rank state itself (same node set as `nodes` — a loop
+        // invariant), so the old rank rides the round for free and the
+        // materializing action doubles as a FIXPOINT check (integer
+        // pagerank is a deterministic function of the rank table, so
+        // round i ≡ round i−1 implies every remaining round is
+        // identical — the lpaLoop argument; the oracle still unrolls
+        // all `iters` rounds and agreement proves any skip was sound).
+        var round = 1
+        var converged = false
+        while (round <= iters && !converged) {
           val inflow = edges
             .join(ranks, edges("src") === ranks("node"))
             .join(outW, Seq("src"))
@@ -122,17 +132,21 @@ object Graph {
           val dangling = ranks
             .join(outW, ranks("node") === outW("src"), "left_anti")
             .agg(coalesce(sum($"rank"), lit(0L)).as("dang"))
-          val next = nodes
-            .join(inflow, nodes("node") === inflow("dst"), "left")
+          val old = ranks.select($"node", $"rank".as("old"))
+          val next = old
+            .join(inflow, old("node") === inflow("dst"), "left")
             .crossJoin(broadcast(dangling))
-            .select(nodes("node"),
+            .select(old("node"),
               (lit(150000000L) +
                 expr(s"85 * (coalesce(inflow, 0L) + dang div ${n}L) div 100")
-              ).as("rank"))
-          val nextCached = materializeRound(next)
+              ).as("rank"), $"old")
+          val (nextCached, changed) = materializeWith(next,
+            sum(when($"rank" =!= $"old", lit(1L)).otherwise(lit(0L))))
+          converged = changed == 0
           cached.unpersist(blocking = false)
           cached = nextCached
-          ranks = rebind(cached)
+          ranks = rebind(cached).select($"node", $"rank")
+          round += 1
         }
         val out = ranks.select($"node".as("page"), $"rank")
         // materialize before releasing the loop caches the plan reads
@@ -552,35 +566,51 @@ object Graph {
     val s = adj.sparkSession
     import s.implicits._
     {
-      var cached = materializeRound(deg0)
+      // ONE materialization per peel round (r17 — the last of the
+      // superstep-count() folds): the round's removal set is a pure
+      // PROJECTION of its new degree state (`rm` = deg < k), so the
+      // flag is computed as a column when the state materializes and
+      // the removal count rides that same action — the previous shape
+      // paid a second job per round materializing the removed set as
+      // its own frame. Removed rows are then cache-local FILTERS of
+      // the flagged state; state frames stay persisted
+      // (CacheRegistry-tracked, node-sized × ≤ iters rounds) until the
+      // output below is materialized, exactly as the removed sets
+      // already did.
+      var (cached, nRemoved) = materializeWith(
+        deg0.withColumn("rm", $"deg" < k),
+        sum(when($"rm", lit(1L)).otherwise(lit(0L))))
+      graft.CacheRegistry.track(cached)
       var degState = rebind(cached)
       val peeled = scala.collection.mutable.ListBuffer.empty[DataFrame]
       var r = 1
       var converged = false
       while (r <= iters && !converged) {
-        val removed = degState.filter($"deg" < k)
+        peeled += degState.filter($"rm")
           .select($"node", lit(r.toLong).as("peel_round"))
-        // the materializing action doubles as the emptiness check —
-        // no second count() over the already-cached removal set
-        val (removedCached, nRemoved) = materializeWith(removed, count(lit(1)))
-        graft.CacheRegistry.track(removedCached)
-        peeled += rebind(removedCached)
         converged = nRemoved == 0
         if (!converged) {
           val drops = adj
-            .join(broadcast(removedCached.select($"node".as("nbr"))), Seq("nbr"))
+            .join(broadcast(degState.filter($"rm").select($"node".as("nbr"))),
+              Seq("nbr"))
             .groupBy($"node").agg(count(lit(1)).as("dropped"))
-          val next = degState
-            .join(removedCached.select($"node"), Seq("node"), "left_anti")
+          val next = degState.filter(!$"rm")
             .join(drops, Seq("node"), "left")
             .select($"node", ($"deg" - coalesce($"dropped", lit(0L))).as("deg"))
-          val nextCached = materializeRound(next)
-          cached.unpersist(blocking = false)
+            .withColumn("rm", $"deg" < k)
+          val (nextCached, nRem) = materializeWith(next,
+            sum(when($"rm", lit(1L)).otherwise(lit(0L))))
+          graft.CacheRegistry.track(nextCached)
+          nRemoved = nRem
           cached = nextCached
           degState = rebind(cached)
         }
         r += 1
       }
+      // remaining nodes (0-labeled) are the FULL final state — when
+      // iters exhausts mid-peel the state legitimately still carries
+      // rm=true nodes that round iters+1 would have removed, and the
+      // unrolled oracle labels them 0 the same way
       val out = peeled
         .reduce(_.unionByName(_))
         .unionByName(degState.select($"node", lit(0L).as("peel_round")))
@@ -588,7 +618,6 @@ object Graph {
       val rows = out.persist(StorageLevel.MEMORY_AND_DISK)
       rows.count()
       graft.CacheRegistry.track(rows)
-      cached.unpersist(blocking = false)
       rebind(rows).orderBy($"p_partkey")
     }
   }
@@ -930,6 +959,19 @@ object Graph {
     rows.count()
     graft.CacheRegistry.track(rows)
     rebind(rows).orderBy($"s_suppkey")
+  }
+
+  /** Ensure the oriented-edge index exists for `d` and expose it to
+    * the SQL-text persona as stable temp-view names —
+    * [[SqlSurface]] serves `sql_graph_triangles_index` over these
+    * (re-pointed on every call: createOrReplaceTempView is
+    * metadata-only, so a dir switch rebinds for free, and the view
+    * resolves to the catalog table's bucketed layout — the SQL plan
+    * gets the same Exchange-free scans the DataFrame form does). */
+  private[graft] def triIndexViews(s: SparkSession, d: String): Unit = {
+    val (wedgeTbl, closeTbl) = triIndexTables(s, d)
+    s.table(wedgeTbl).createOrReplaceTempView("tri_wedge_idx")
+    s.table(closeTbl).createOrReplaceTempView("tri_close_idx")
   }
 
   /** The full indexed-triangles plan before materialization — the

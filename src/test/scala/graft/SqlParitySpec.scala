@@ -36,6 +36,11 @@ class SqlParitySpec extends SparkSpec {
     // graph family from the SQL persona: the wedge algorithm as one
     // statement (struct comparisons for the degree-id orientation)
     "graph_triangles" -> graft.operators.Graph.graph_triangles _,
+    // the production SQL path: same statement shape served from the
+    // persisted oriented-edge views — parity against the DataFrame
+    // index form proves SQL users get the identical counts through
+    // the identical physical layout
+    "graph_triangles_index" -> graft.operators.Graph.graph_triangles_index _,
     "ev_funnel" -> EventOps.ev_funnel _,
     "ev_retention" -> EventOps.ev_retention _,
     "ev_heavy_hitters" -> EventOps.ev_heavy_hitters _)
