@@ -921,6 +921,114 @@ object MetadataOps {
       .unionByName(arrivals)
   }
 
+  /** Row-level MERGE INTO kernel (r17 — the keyed warehouse-maintenance
+    * primitive; reference analogue: DistCp `-update`'s
+    * copy-if-changed semantics applied to ROWS, hadoop-tools/
+    * hadoop-distcp/src/main/java/org/apache/hadoop/tools/DistCp.java:1):
+    *
+    *   MERGE INTO target t USING delta d ON t.doc_id = d.doc_id
+    *     WHEN MATCHED AND d.op = 'D' THEN DELETE
+    *     WHEN MATCHED AND d.op = 'U' THEN UPDATE SET *
+    *     WHEN NOT MATCHED AND d.op = 'I' THEN INSERT *
+    *
+    * as ONE full-outer equi-join on the key + a row-local CASE — no
+    * second pass, no driver-side state. Unmatched U/D delta rows are
+    * no-ops and matched I rows keep the target values (ANSI MERGE
+    * clause-gating). Precondition, as in every MERGE engine: the
+    * delta carries at most one row per key (enforced upstream by the
+    * delta derivation; a violating delta would fan the join out and
+    * the fingerprint verification downstream flags it). Explicit
+    * `in_t` marker, not value-null-ness, decides MATCHED — target
+    * columns may legitimately hold NULLs someday. */
+  def mergeUpsert(target: DataFrame, delta: DataFrame): DataFrame = {
+    import target.sparkSession.implicits._
+    val t = target.select($"doc_id", $"source".as("t_source"),
+      $"n_chars".as("t_n_chars"), lit(true).as("in_t"))
+    val dl = delta.select($"doc_id", $"source".as("d_source"),
+      $"n_chars".as("d_n_chars"), $"op")
+    // NULL-safe op: target rows with no delta match carry op = NULL,
+    // and three-valued logic would turn !(matched && op = 'D') into
+    // NULL — silently dropping every untouched target row
+    val op = coalesce($"op", lit(""))
+    val matched = coalesce($"in_t", lit(false))
+    val takeDelta = (op === "U" && matched) || (op === "I" && !matched)
+    t.join(dl, Seq("doc_id"), "full_outer")
+      .filter(!(matched && op === "D"))
+      .filter(matched || op === "I")
+      .select($"doc_id",
+        when(takeDelta, $"d_source").otherwise($"t_source").as("source"),
+        when(takeDelta, $"d_n_chars").otherwise($"t_n_chars").as("n_chars"))
+  }
+
+  /** Deterministic keyed delta over the inode table — one row per key,
+    * all three MERGE clauses exercised: updates (7-residue, size
+    * rewritten), deletes (19-residue of the non-updated keys), and
+    * inserts (13-residue, keys shifted past any real doc_id so the
+    * NOT-MATCHED clause is the one that fires). Pure integer
+    * arithmetic → DuckDB regenerates it exactly. */
+  private[graft] def mergeDelta(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val base = docs.select($"doc_id", $"source", $"n_chars")
+    val updates = base.filter($"doc_id" % 7 === 3)
+      .select($"doc_id", $"source", ($"n_chars" * 3 + 1).as("n_chars"),
+        lit("U").as("op"))
+    val deletes = base.filter($"doc_id" % 7 =!= 3 && $"doc_id" % 19 === 11)
+      .select($"doc_id", $"source", lit(0L).as("n_chars"), lit("D").as("op"))
+    val inserts = base.filter($"doc_id" % 13 === 7)
+      .select(($"doc_id" + lit(1L << 41)).as("doc_id"), $"source",
+        ($"n_chars" + 5).as("n_chars"), lit("I").as("op"))
+    updates.unionByName(deletes).unionByName(inserts)
+  }
+
+  private val mergeTargetBuilt = new java.util.HashSet[String]()
+
+  /** MERGE INTO-shaped table maintenance, end to end (r17): a
+    * PERSISTED doc_id-bucketed target table (built once per (JVM,
+    * dir) — the warehouse table being maintained), a deterministic
+    * keyed delta, the [[mergeUpsert]] kernel, a bucketed WRITE of the
+    * merged result as the new table version, and [[fnvFingerprints]]
+    * verification of the read-back against a LOGICAL recomputation
+    * of the merge from the raw inputs — one verified=true row per
+    * fingerprint bucket; a row lost, duplicated, or corrupted
+    * anywhere in the bucketed-scan → merge → write → read-back chain
+    * flips its bucket false (lost/duplicated-key tamper-gated in
+    * MetadataSpec). The DuckDB oracle recomputes the merged table AND
+    * the FNV fingerprints logically, so the driver hash-compare
+    * verifies the whole physical chain.
+    *
+    * Scale shape: the corpus-scale TARGET is read bucketed on the
+    * merge key — the full-outer join moves only the delta (one
+    * Exchange on the small side; at 100 TB the nightly delta is the
+    * operand that fits, the table is the one that doesn't) — and the
+    * merged write re-buckets on the same key so NEXT run's merge
+    * reads the new version Exchange-free too: the maintenance loop is
+    * closed under its own layout. */
+  def fs_table_merge(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tgtTbl = s"mt_target_${IndexUtil.dirTag(d)}"
+    mergeTargetBuilt.synchronized { if (!mergeTargetBuilt.contains(d)) {
+      IndexUtil.dropIndexTable(s, tgtTbl)
+      Tables.documents(s, d).select($"doc_id", $"source", $"n_chars")
+        .write.mode("overwrite").bucketBy(32, "doc_id").sortBy("doc_id")
+        .format("parquet").saveAsTable(tgtTbl)
+      mergeTargetBuilt.add(d)
+    } }
+    val delta = mergeDelta(Tables.documents(s, d))
+    val merged = mergeUpsert(s.table(tgtTbl), delta)
+    val outTbl = s"${tgtTbl}_m"
+    IndexUtil.dropIndexTable(s, outTbl)
+    merged.write.mode("overwrite").bucketBy(32, "doc_id").sortBy("doc_id")
+      .format("parquet").saveAsTable(outTbl)
+    val expected = mergeUpsert(
+      Tables.documents(s, d).select($"doc_id", $"source", $"n_chars"), delta)
+    fnvFingerprints(expected, "src")
+      .join(fnvFingerprints(s.table(outTbl), "dst"), Seq("bucket"), "full_outer")
+      .withColumn("verified",
+        $"src_rows" <=> $"dst_rows" && $"src_xor" <=> $"dst_xor" &&
+          $"src_sum" <=> $"dst_sum")
+      .orderBy($"bucket")
+  }
+
   /** Synthetic block-placement model shared by [[fs_balancer_plan]] and
     * [[fs_fsck]] — the inode table's files split into 64-"byte" blocks
     * and each block's three replicas land on nodes
@@ -1466,6 +1574,7 @@ object MetadataOps {
     "fs_compact" -> ((s, d) => fs_compact(s, d)),
     "fs_snapshot_diff" -> ((s, d) => fs_snapshot_diff(s, d)),
     "fs_snapshot_apply" -> ((s, d) => fs_snapshot_apply(s, d)),
+    "fs_table_merge" -> fs_table_merge _,
     "fs_balancer_plan" -> fs_balancer_plan _,
     "fs_fsck" -> fs_fsck _,
     "fs_mover_plan" -> fs_mover_plan _,
@@ -1769,6 +1878,44 @@ object MetadataOps {
         |    (acc, c) -> (xor(acc, c) * 1099511628211::HUGEINT)
         |                % 18446744073709551616::HUGEINT) AS h
         |  FROM b),
+        |sfp AS (
+        |  SELECT CAST(h % 64 AS BIGINT) AS bucket,
+        |    CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |         THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS fps,
+        |    CAST(h % 1099511627776::HUGEINT AS BIGINT) AS fpm
+        |  FROM fp),
+        |agg AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(bit_xor(fps) AS BIGINT) AS xr,
+        |    CAST(sum(fpm) AS BIGINT) AS sm
+        |  FROM sfp GROUP BY 1)
+        |SELECT bucket, n AS src_rows, xr AS src_xor, sm AS src_sum,
+        |       n AS dst_rows, xr AS dst_xor, sm AS dst_sum, TRUE AS verified
+        |FROM agg ORDER BY bucket""".stripMargin,
+    // The merged table recomputed logically (update-else-insert-else-
+    // delete arithmetic of mergeDelta + mergeUpsert), then the same
+    // FNV-1a fingerprint chain as fs_snapshot_apply — src_* = dst_* by
+    // construction; the Spark side only matches when the bucketed-scan
+    // → merge → bucketed-write → read-back chain reproduces the merge
+    // exactly.
+    "fs_table_merge" ->
+      """WITH m AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 7 = 3 THEN n_chars * 3 + 1 ELSE n_chars END AS n_chars
+        |  FROM documents
+        |  WHERE NOT (doc_id % 7 <> 3 AND doc_id % 19 = 11)
+        |  UNION ALL
+        |  SELECT doc_id + 2199023255552, source, n_chars + 5
+        |  FROM documents WHERE doc_id % 13 = 7),
+        |fp AS (
+        |  SELECT list_reduce(
+        |    list_prepend(1469598103934665603::HUGEINT,
+        |      list_transform(string_split(
+        |        CAST(doc_id AS VARCHAR) || chr(1) || CAST(n_chars AS VARCHAR)
+        |          || chr(1) || source, ''), ch -> ascii(ch)::HUGEINT)),
+        |    (acc, c) -> (xor(acc, c) * 1099511628211::HUGEINT)
+        |                % 18446744073709551616::HUGEINT) AS h
+        |  FROM m),
         |sfp AS (
         |  SELECT CAST(h % 64 AS BIGINT) AS bucket,
         |    CAST(CASE WHEN h >= 9223372036854775808::HUGEINT

@@ -492,6 +492,49 @@ class MetadataSpec extends SparkSpec {
       "lost diff row went undetected")
   }
 
+  test("fs_table_merge: clause gating, end-to-end verification, lost/duplicated-key tamper") {
+    import spark.implicits._
+    // clause gating on a hand-built frame: matched-U updates,
+    // matched-D deletes, UNMATCHED U/D are no-ops, matched-I keeps the
+    // target row (NOT MATCHED clause doesn't fire), unmatched-I inserts
+    val target = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("doc_id", "source", "n_chars")
+    val delta = Seq(
+      (1L, "a2", 11L, "U"),  // matched update
+      (2L, "b", 0L, "D"),    // matched delete
+      (3L, "cX", 99L, "I"),  // matched insert -> no-op, keeps (3,c,30)
+      (4L, "d", 40L, "I"),   // unmatched insert
+      (5L, "e", 50L, "U"),   // unmatched update -> no-op
+      (6L, "f", 60L, "D"))   // unmatched delete -> no-op
+      .toDF("doc_id", "source", "n_chars", "op")
+    val got = MetadataOps.mergeUpsert(target, delta)
+      .orderBy($"doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(got === Seq((1L, "a2", 11L), (3L, "c", 30L), (4L, "d", 40L)))
+
+    // end-to-end: bucketed target, write, read-back, all buckets verify
+    val v = MetadataOps.fs_table_merge(spark, sf0001).collect()
+    assert(v.nonEmpty)
+    assert(v.forall(_.getAs[Boolean]("verified")),
+      "merge write→read-back did not reproduce the logical merge")
+
+    // tamper gates: the fingerprint triple must catch a LOST key and a
+    // DUPLICATED key in the merged output (xor alone is blind to even
+    // duplication; count alone to swaps — the triple catches both)
+    val docs = Tables.documents(spark, sf0001).select($"doc_id", $"source", $"n_chars")
+    val expected = MetadataOps.mergeUpsert(docs, MetadataOps.mergeDelta(docs))
+    val victim = expected.orderBy($"doc_id").select($"doc_id").as[Long].head()
+    def report(tampered: org.apache.spark.sql.DataFrame) =
+      MetadataOps.fnvFingerprints(expected, "src")
+        .join(MetadataOps.fnvFingerprints(tampered, "dst"), Seq("bucket"), "full_outer")
+        .withColumn("verified",
+          $"src_rows" <=> $"dst_rows" && $"src_xor" <=> $"dst_xor" &&
+            $"src_sum" <=> $"dst_sum")
+    val lost = report(expected.filter($"doc_id" =!= victim))
+    assert(lost.filter(!$"verified").count() >= 1, "lost key went undetected")
+    val dup = report(expected.unionByName(expected.filter($"doc_id" === victim)))
+    assert(dup.filter(!$"verified").count() >= 1, "duplicated key went undetected")
+  }
+
   test("fs_copy_verify honors an explicit destination and keys the default by app+dataset") {
     import spark.implicits._
     val dest = java.nio.file.Files.createTempDirectory("graft_distcp_spec")
