@@ -282,8 +282,11 @@ object Dedup {
   private[graft] def mhStreamIndexTables(s: SparkSession, d: String,
       tag: String): (String, String) = {
     import s.implicits._
-    val tbl = s"mhs_band_$tag"
-    val sigTbl = s"mhs_sig_$tag"
+    // per-dir tag in the name like every other index builder (r16
+    // advice): two streams over different corpora reusing a caller
+    // tag must not share/clobber one index
+    val tbl = s"mhs_band_${IndexUtil.dirTag(d)}_$tag"
+    val sigTbl = s"mhs_sig_${IndexUtil.dirTag(d)}_$tag"
     IndexUtil.dropIndexTable(s, tbl)
     IndexUtil.dropIndexTable(s, sigTbl)
     writeMhIndex(baseSigs(s, d).filter($"doc_id" % 10 =!= 0),

@@ -1555,6 +1555,31 @@ object TextOps {
     tbl
   }
 
+  /** Stream-owned copy of the postings index (base split indexed,
+    * today's slice left for the stream to ingest) for
+    * [[graft.streaming.StreamingOps.searchIndexStream]] — a continuous
+    * ingest MUTATES its index (append per micro-batch), so it gets its
+    * own tables rather than sharing the batch queries' pristine build;
+    * rebuilt on every call (a stream run wants a fresh generation, not
+    * a JVM memo). Returns the table name and the base document count —
+    * the stream's running-N seed (idf weights need N of the INDEXED
+    * corpus as of each refresh). */
+  private[graft] def searchStreamIndexTable(s: SparkSession, d: String,
+      tag: String): (String, Long) = {
+    import s.implicits._
+    val tbl = s"txs_idx_${IndexUtil.dirTag(d)}_$tag"
+    IndexUtil.dropIndexTable(s, tbl)
+    val base = Tables.documents(s, d).filter($"doc_id" % 10 =!= 0)
+    writePostings(base, tbl, mode = "overwrite")
+    (tbl, base.count())
+  }
+
+  /** Append one ingested micro-batch's postings (bucketed append —
+    * each append job's files carry their bucket ids, so the df
+    * aggregate stays pre-partitioned across generations). */
+  private[graft] def appendPostings(docs: DataFrame, tbl: String): Unit =
+    writePostings(docs, tbl, mode = "append")
+
   /** One bucketed postings write pass — shared by the full build and
     * the delta append. */
   private def writePostings(docs: DataFrame, tbl: String, mode: String): Unit = {
@@ -1629,10 +1654,18 @@ object TextOps {
 
   /** The search path, table-parameterized so the one-shot and
     * append-grown indexes share it verbatim. */
-  private def searchIndexQuery(s: SparkSession, d: String, tbl: String): DataFrame = {
+  private def searchIndexQuery(s: SparkSession, d: String, tbl: String): DataFrame =
+    searchIndexQueryOver(s, tbl, Tables.parquetRowCount(s, d, "documents"))
+
+  /** The search path over an explicit (table, corpus-N) — the
+    * streaming twin refreshes standing queries per micro-batch with N
+    * = documents indexed SO FAR (idf re-derives from the merged index
+    * at every refresh; N arrives from the caller's running count, not
+    * a table scan). */
+  private[graft] def searchIndexQueryOver(s: SparkSession, tbl: String,
+      n: Long): DataFrame = {
     import s.implicits._
     val idx = s.table(tbl)
-    val n = Tables.parquetRowCount(s, d, "documents")
     val qTerms = Seq(
       (0L, "spark"), (0L, "join"),
       (1L, "window"), (1L, "stream"), (1L, "sort"),

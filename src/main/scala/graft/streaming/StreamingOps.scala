@@ -1112,12 +1112,25 @@ object StreamingOps extends Serializable {
     * bucket that only later outgrows the cap emits its early pairs
     * where the one-shot probe drops the whole bucket — the same
     * documented first-arrival-vs-retroactive-drop divergence as
-    * [[nearDupStream]]'s cap, observable via BucketCapMetrics. */
+    * [[nearDupStream]]'s cap, observable via BucketCapMetrics.
+    *
+    * REPLAY guard (r16 advice): foreachBatch may re-deliver a batch
+    * (sink failure, recovery), and the APPEND is the one non-idempotent
+    * leg — a replayed batch would double its band/sig rows and every
+    * later probe would emit its pairs twice. [[guardedAppend]] keys
+    * the append on the batchId: a batch is appended at most once per
+    * (table, id), replays re-probe and re-deliver (the sink contract
+    * is an idempotent upsert, so that's harmless) but never re-append.
+    * The guard's memory is per-JVM; a RESTART from a checkpoint onto
+    * an index that already took the append still needs the documented
+    * sink+index transactional-commit pairing — the guard closes the
+    * common in-process retry, the deployment contract closes the rest. */
   def dedupIndexStream(docs: DataFrame, bandTbl: String, sigTbl: String,
       onBatch: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.functions.TextFunctions.{minhashSignature, shingleHashes}
+    val guard = new AppendGuard(bandTbl)
     docs.writeStream.outputMode("append").foreachBatch {
-      (batch: DataFrame, _: Long) =>
+      (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         val sigs = batch
           .select(col("doc_id"),
@@ -1131,11 +1144,84 @@ object StreamingOps extends Serializable {
           // see their own batch's (or a later batch's) appended rows
           pairs.count()
           onBatch(pairs)
-          graft.operators.Dedup.appendMhIndex(sigs, bandTbl, sigTbl)
+          guard(batchId) {
+            graft.operators.Dedup.appendMhIndex(sigs, bandTbl, sigTbl)
+          }
         } finally {
           pairs.unpersist(blocking = false)
           sigs.unpersist(blocking = false)
         }
     }.start()
+  }
+
+  /** CONTINUOUS POSTINGS-INDEX GROWTH — the streaming twin of
+    * [[graft.operators.TextOps.text_search_index_delta]] (r17), the
+    * same probe-vs-mutate discipline as [[dedupIndexStream]] applied
+    * to the text tier: each micro-batch APPENDS its documents'
+    * postings to the term-bucketed index (bucketed append — the scan
+    * stays `Bucketed: true` across generations) and then re-serves the
+    * standing keyword queries from the MERGED index, with idf weights
+    * recomputed at refresh time over the documents indexed so far
+    * (running N rides a driver counter seeded with the base build's
+    * count — a scalar, never a table scan). Append-THEN-refresh, the
+    * opposite order from the dedup twin, because the semantics differ:
+    * dedup pairs must be discovered exactly once (probe before the
+    * batch joins the index), while a search refresh must REFLECT the
+    * batch that just landed.
+    *
+    * ≡-batch theorem (StreamingSpec's gate): after the %10 slice has
+    * fully streamed in — in any batch split, any order — the final
+    * refresh equals [[graft.operators.TextOps.text_search_index_delta]]
+    * row-for-row, because postings are per-document (append ≡ rebuild)
+    * and idf is derived from the merged index, not baked at build.
+    *
+    * Same replay guard as the dedup twin: the append is the
+    * non-idempotent leg, so it is keyed on the batchId; a replayed
+    * batch re-refreshes (harmless — the refresh is a pure read) but
+    * never re-appends. The running-N counter advances under the same
+    * guard so a skipped append can't double-count its documents. */
+  def searchIndexStream(docs: DataFrame, idxTbl: String, baseN: Long,
+      onBatch: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val guard = new AppendGuard(idxTbl)
+    val indexedN = new java.util.concurrent.atomic.AtomicLong(baseN)
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val b = batch.persist()
+        try {
+          guard(batchId) {
+            graft.operators.TextOps.appendPostings(b, idxTbl)
+            indexedN.addAndGet(b.count())
+          }
+          val res = graft.operators.TextOps
+            .searchIndexQueryOver(s, idxTbl, indexedN.get()).persist()
+          try {
+            // pin before delivery — the standard foreachBatch dataset
+            // contract: valid during the onBatch call only
+            res.count()
+            onBatch(res)
+          } finally res.unpersist(blocking = false)
+        } finally b.unpersist(blocking = false)
+    }.start()
+  }
+
+  /** At-most-once-per-batchId append guard for index-mutating
+    * foreachBatch bodies — see the [[dedupIndexStream]] replay note.
+    * PER-STREAM-INSTANCE (one guard per started query, not a JVM-wide
+    * table map): batchIds are monotonic within a stream's lifetime,
+    * and a fresh stream over a rebuilt table legitimately restarts
+    * its ids at 0 — a global map would wrongly block its appends. */
+  private final class AppendGuard(tbl: String) {
+    private var last = Long.MinValue
+    def apply(batchId: Long)(append: => Unit): Unit = synchronized {
+      if (batchId <= last) {
+        System.err.println(
+          s"[graft-stream] replayed batch $batchId on $tbl (last appended $last) — " +
+            "skipping the non-idempotent index append")
+      } else {
+        append
+        last = batchId
+      }
+    }
   }
 }

@@ -357,7 +357,10 @@ class SimilaritySpec extends SparkSpec {
     // lexical branch: postings never shuffle on term — document
     // frequencies aggregate on the bucketed term key and the candidate
     // fetch is a broadcast probe into the postings scan
-    assert(lines.count(_.contains("default.text_idx")) == 2,
+    // exact prefix with the trailing underscore (r16 advice): the bare
+    // "text_idx" substring also matches the delta table "text_idxd_…",
+    // which would let the gate pass against the wrong postings table
+    assert(lines.count(_.contains("default.text_idx_")) == 2,
       "expected two postings scans (dfreq + candidate fetch)")
     assert(!lines.exists(l => l.contains("Exchange hashpartitioning(term")),
       "postings shuffled on term")

@@ -1285,4 +1285,48 @@ class StreamingSpec extends SparkSpec {
     val bRev = runStream(batchesB.reverse.map(_.reverse), "brev")
     assert(bRev == expectedB, "pair set diverged under reversed ingest")
   }
+
+  test("streaming postings append: per-batch refresh over the growing index converges to the batch delta query") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.TextOps
+    type Hit = (Long, Int, Long, Long, Long)
+    def collectHits(df: org.apache.spark.sql.DataFrame): Seq[Hit] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+
+    // the batch truth: the append-grown index query (same oracle as
+    // text_search_index — append ≡ rebuild)
+    val expected = collectHits(TextOps.text_search_index_delta(spark, sf0001))
+    CacheRegistry.releaseAll()
+    assert(expected.nonEmpty, "batch delta query produced no hits")
+    val delta = Tables.documents(spark, sf0001).filter($"doc_id" % 10 === 0)
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(delta.nonEmpty)
+
+    def runStream(batches: Seq[Seq[(Long, String)]], tag: String): Seq[Hit] = {
+      val (tbl, baseN) = TextOps.searchStreamIndexTable(spark, sf0001, tag)
+      @volatile var last: Seq[Hit] = Nil
+      var refreshes = 0
+      val ms = MemoryStream[(Long, String)]
+      val q = StreamingOps.searchIndexStream(
+        ms.toDF().toDF("doc_id", "text"), tbl, baseN,
+        res => { last = collectHits(res); refreshes += 1 })
+      try batches.foreach { b => ms.addData(b); drain(q) }
+      finally q.stop()
+      assert(refreshes == batches.size,
+        s"expected ${batches.size} refreshes, saw $refreshes")
+      last
+    }
+
+    // forward three-way split and reversed ingest must BOTH land on the
+    // batch answer: postings are per-document (append ≡ rebuild) and
+    // idf re-derives from the merged index at each refresh
+    val fwd = runStream(delta.grouped(math.max(1, delta.size / 3 + 1)).toSeq, "f")
+    assert(fwd == expected,
+      s"final refresh != batch delta query (forward): got ${fwd.take(5)}… want ${expected.take(5)}…")
+    val rev = runStream(delta.reverse.grouped(
+      math.max(1, delta.size / 2 + 1)).toSeq, "r")
+    assert(rev == expected, "final refresh diverged under reversed ingest")
+  }
 }
