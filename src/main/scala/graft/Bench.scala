@@ -200,13 +200,20 @@ object Bench {
     // persist-heavy families (graph_*_index, dedup_minhash_index)
     // against drift_mem. Pin = idle min-over-3 at the driver config
     // (local[32], -Xmx8g, r17).
+    // pin = idle min at local[32]/-Xmx8g (measured r17: 5.78 s twice,
+    // reproducible to 1%). Sizing note (measured r17): 12M rows /
+    // 1.5M keys discriminates a 3g heap squeeze at 1.9x where an
+    // 8M-row variant read only 1.2x — the working set has to actually
+    // lean on the heap for the canary to feel it; the ~20 s the three
+    // iterations add to a bench run is the price of an adjudicable
+    // memory axis.
     val memPin = sys.env.get("SPARK_GRAFT_CANARY_MEM_PIN")
-      .flatMap(_.toDoubleOption).getOrElse(1.31)
+      .flatMap(_.toDoubleOption).getOrElse(5.78)
     def memCanaryOnce(): Double = {
       import org.apache.spark.storage.StorageLevel
       val t0 = System.nanoTime()
-      val base = spark.range(0L, 4000000L, 1L, 32)
-        .selectExpr("id % 500000 AS k", "xxhash64(id) AS p1",
+      val base = spark.range(0L, 12000000L, 1L, 32)
+        .selectExpr("id % 1500000 AS k", "xxhash64(id) AS p1",
           "xxhash64(id + 1) AS p2", "xxhash64(id + 2) AS p3")
         .persist(StorageLevel.MEMORY_AND_DISK)
       try {
@@ -333,6 +340,12 @@ object Bench {
     // inflation on persist-heavy queries now arrives with its own
     // diagnosis: gc_top names the queries that burned heap, spill_top
     // the ones that hit disk, drift_mem whether the HOST was squeezed.
+    // GC seconds are TASK-SUMMED jvmGCTime — one wall-clock pause
+    // counts once per concurrently-running task, so divide by ~cpus
+    // for wall intuition; the value's job is RELATIVE ranking across
+    // queries and rounds (measured r17: squeezing 8g→3g doubled
+    // gc_sec 95→204 while the victims inflated 1.3–1.6x and spill
+    // stayed zero — GC, not spill, is the heap-pressure signature).
     val xmxMb = Runtime.getRuntime.maxMemory / (1024 * 1024)
     val gcSecTotal = qMem.values.map(_._1).sum / 1e3
     val spillMemMb = qMem.values.map(_._2).sum / (1024 * 1024)

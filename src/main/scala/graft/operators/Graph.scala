@@ -1055,6 +1055,16 @@ object Graph {
   def graph_kcore_index(s: SparkSession, d: String, k: Int = 65, iters: Int = 6): DataFrame = {
     import s.implicits._
     val (adjTbl, _, degTbl) = partIndexTables(s, d)
+    // MEASURED DEAD END (r17, don't retry): dropping this persist and
+    // reading the bucketed table per peel round — the candidate fix
+    // for the r16 driver-run inflation — benched 5.3 vs 2.5 s at
+    // 8g/32t and didn't even help at a squeezed 3g heap (4.1 vs
+    // 2.7 s): six broadcast-join scans of the parquet cost more than
+    // the cache churn they save at either heap size. The r16
+    // inflation itself did not reproduce cold at 8g (2.5–3.6 s across
+    // four runs vs the driver's 25.5); the bench's memory tail
+    // (xmx_mb/gc_sec/drift_mem) now measures the axis the driver run
+    // was missing.
     val adj = s.table(adjTbl).persist(StorageLevel.MEMORY_AND_DISK)
     try kcorePeel(adj, s.table(degTbl).select($"node", $"deg"), k, iters)
     finally adj.unpersist(blocking = false)

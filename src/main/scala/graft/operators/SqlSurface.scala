@@ -270,7 +270,15 @@ object SqlSurface {
     * pins as the DataFrame form (never sort the O(E^{3/2}) wedge
     * stream; both wedge legs and the closure probe read their
     * bucketed layouts Exchange-free). Carries graph_triangles' oracle
-    * verbatim; SqlParitySpec gates SQL ≡ DataFrame-index parity. */
+    * verbatim; SqlParitySpec gates SQL ≡ DataFrame-index parity.
+    *
+    * The per-node readout is a LATERAL VIEW explode (HiveQL — exactly
+    * the dialect the persona speaks), NOT the oracle's three-way
+    * UNION ALL over `tri`: Catalyst inlines deterministic CTEs, so
+    * the UNION ALL form re-derives the wedge+closure joins three
+    * times (measured 9.1 vs 5.6 s for the DataFrame form at
+    * sf0.1/32t); the explode reads `tri` once, like the DataFrame
+    * form's explode(array(a, x, y)). */
   private val graphTrianglesIndexSql =
     """WITH wedges AS (
       |  SELECT /*+ SHUFFLE_HASH(e1) */ e1.src AS a, e1.dst AS x, e2.dst AS y
@@ -281,9 +289,7 @@ object SqlSurface {
       |  SELECT /*+ SHUFFLE_HASH(e) */ w.a, w.x, w.y
       |  FROM wedges w JOIN tri_close_idx e ON w.x = e.src AND w.y = e.dst)
       |SELECT node AS s_suppkey, CAST(count(*) AS BIGINT) AS n_triangles
-      |FROM (SELECT a AS node FROM tri UNION ALL
-      |      SELECT x FROM tri UNION ALL
-      |      SELECT y FROM tri)
+      |FROM tri LATERAL VIEW explode(array(a, x, y)) t AS node
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   private def sqlGraphTrianglesIndex(s: SparkSession, d: String): DataFrame = {
