@@ -429,6 +429,18 @@ object Dedup {
       .orderBy($"probe_id", $"match_id")
   }
 
+  /** Ensure the band index exists for `d` and expose it to the
+    * SQL-text persona as stable temp-view names — [[SqlSurface]]
+    * serves `sql_dedup_minhash_index` over these (the
+    * [[graft.operators.Graph.triIndexViews]] device on the dedup
+    * tier; createOrReplaceTempView is metadata-only and resolves to
+    * the catalog tables' bucketed layouts). */
+  private[graft] def mhIndexViews(s: SparkSession, d: String): Unit = {
+    val (tbl, sigTbl) = mhIndexTables(s, d)
+    s.table(tbl).createOrReplaceTempView("mh_band_idx")
+    s.table(sigTbl).createOrReplaceTempView("mh_sig_idx")
+  }
+
   /** Delta probe against the PERSISTED corpus band index — the
     * lifecycle [[dedup_incremental]] describes but computes in-query.
     * See [[mhIndexProbe]]. */

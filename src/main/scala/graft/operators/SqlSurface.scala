@@ -297,13 +297,129 @@ object SqlSurface {
     s.sql(graphTrianglesIndexSql)
   }
 
+  /** Keyword search from the SQL persona SERVED FROM THE PERSISTED
+    * POSTINGS INDEX (r17 — with [[graphTrianglesIndexSql]] this closes
+    * the r16 "SQL access to the index families" gap on the text
+    * tier): the statement is exactly the production search —
+    * document frequencies aggregated on the term-BUCKETED view (no
+    * Exchange), the tiny query×term weight table broadcast-pinned
+    * into the candidate fetch, integer idf-ratio ppm weights with the
+    * same 10^12 cap. Corpus N is baked in as a literal by the caller
+    * (parquet-footer count — the same no-scan source the DataFrame
+    * form uses). Carries text_search_index's oracle verbatim;
+    * SqlParitySpec gates SQL ≡ DataFrame parity. */
+  private def textSearchIndexSql(n: Long): String =
+    s"""WITH q AS (
+       |  SELECT CAST(query_id AS BIGINT) AS query_id, term
+       |  FROM VALUES (0, 'spark'), (0, 'join'), (1, 'window'),
+       |       (1, 'stream'), (1, 'sort'), (2, 'customer'), (2, 'merge')
+       |       AS t(query_id, term)),
+       |dfreq AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df
+       |  FROM text_search_idx GROUP BY 1),
+       |w AS (
+       |  SELECT query_id, q.term,
+       |    least(1000000000000L,
+       |      (${n}L div df) * 1000000 + ((${n}L % df) * 1000000) div df) AS w_ppm
+       |  FROM q JOIN dfreq ON q.term = dfreq.term),
+       |scored AS (
+       |  SELECT /*+ BROADCAST(w) */ query_id, doc_id,
+       |    sum(tf * w_ppm) AS score_ppm, count(*) AS terms_hit
+       |  FROM text_search_idx i JOIN w ON i.term = w.term
+       |  GROUP BY 1, 2)
+       |SELECT query_id, rank, doc_id, score_ppm, terms_hit FROM (
+       |  SELECT query_id, doc_id, score_ppm, terms_hit,
+       |    row_number() OVER (
+       |      PARTITION BY query_id ORDER BY score_ppm DESC, doc_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+
+  private def sqlTextSearchIndex(s: SparkSession, d: String): DataFrame = {
+    TextOps.searchIndexView(s, d)
+    s.sql(textSearchIndexSql(Tables.parquetRowCount(s, d, "documents")))
+  }
+
+  /** The LSH dedup probe from the SQL persona SERVED FROM THE
+    * PERSISTED BAND + SIGNATURE INDEX (r17 — the dedup tier of the
+    * same gap): one statement reproducing [[Dedup.dedup_minhash_index]]
+    * end to end through the extension-registered kernels — delta
+    * signatures via `graft_minhash_sig(graft_word_ngram_hashes(…))`,
+    * band keys via `graft_fnv64_fold` over signature slices (the
+    * exact band hash the index was built with), candidate buckets as
+    * a MERGE-pinned semi-join on the bucketed (band, bkey) layout
+    * (zero corpus-side Exchange — only delta-touched buckets leave
+    * the scan), pair enumeration as a double LATERAL VIEW explode of
+    * bucket members under the size-2..cap / has-delta gates, and
+    * rescore against the doc_id-bucketed signature view with the
+    * zip_with/aggregate agreement count. The bucket cap is the
+    * default 1000 as a literal (the batch form reads the same default
+    * from conf). Known single-statement cost, accepted: the `delta`
+    * CTE is referenced three times and Catalyst inlines it, so the
+    * delta slice's signatures compute thrice — delta-sized work (the
+    * corpus-side band scan still happens once); the DataFrame form
+    * caches the slice instead. Carries dedup_minhash_index's oracle
+    * verbatim; SqlParitySpec gates SQL ≡ DataFrame parity. */
+  private val dedupMinhashIndexSql =
+    """WITH delta AS (
+      |  SELECT doc_id,
+      |    graft_minhash_sig(graft_word_ngram_hashes(text, 3), 32) AS sig
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |dk AS (
+      |  SELECT doc_id, band,
+      |    graft_fnv64_fold(slice(sig, band * 4 + 1, 4)) AS bkey
+      |  FROM delta LATERAL VIEW explode(sequence(0, 7)) t AS band),
+      |hits AS (
+      |  SELECT /*+ MERGE(b) */ b.band, b.bkey, b.doc_id, 0 AS flag
+      |  FROM mh_band_idx b LEFT SEMI JOIN (
+      |    SELECT DISTINCT band, bkey FROM dk) p
+      |    ON b.band = p.band AND b.bkey = p.bkey),
+      |members AS (
+      |  SELECT band, bkey, doc_id, flag FROM hits
+      |  UNION ALL
+      |  SELECT band, bkey, doc_id, 2 AS flag FROM dk),
+      |buckets AS (
+      |  SELECT band, bkey, collect_list(struct(doc_id, flag)) AS ms
+      |  FROM members GROUP BY 1, 2
+      |  HAVING count(*) BETWEEN 2 AND 1000 AND max(flag) = 2),
+      |pairs AS (
+      |  SELECT DISTINCT
+      |    CASE WHEN a.flag >= 1 THEN a.doc_id ELSE b.doc_id END AS probe_id,
+      |    CASE WHEN a.flag >= 1 THEN b.doc_id ELSE a.doc_id END AS match_id,
+      |    CASE WHEN least(a.flag, b.flag) >= 1 THEN 'delta' ELSE 'base' END
+      |      AS match_src
+      |  FROM buckets
+      |  LATERAL VIEW explode(ms) ta AS a
+      |  LATERAL VIEW explode(ms) tb AS b
+      |  WHERE a.doc_id < b.doc_id AND greatest(a.flag, b.flag) = 2),
+      |scored AS (
+      |  SELECT /*+ MERGE(sg) */ p.probe_id, p.match_id, p.match_src,
+      |    CAST(aggregate(zip_with(d.sig, coalesce(sg.sig, d2.sig),
+      |        (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),
+      |      0, (acc, v) -> acc + v) AS DOUBLE) / 32 AS ej
+      |  FROM pairs p
+      |  JOIN delta d ON p.probe_id = d.doc_id
+      |  LEFT JOIN mh_sig_idx sg ON p.match_id = sg.doc_id
+      |  LEFT JOIN delta d2 ON p.match_id = d2.doc_id)
+      |SELECT probe_id, match_id, match_src, round(ej, 4) AS est_jaccard
+      |FROM scored WHERE ej >= 0.5
+      |ORDER BY probe_id, match_id""".stripMargin
+
+  private def sqlDedupMinhashIndex(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    Dedup.mhIndexViews(s, d)
+    s.sql(dedupMinhashIndexSql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     shared.map(k => s"sql_$k" -> viaSql(k) _).toMap ++
       crossFamily.map { case (k, sql) => s"sql_$k" -> viaText(sql) _ } +
       ("sql_ann_cos_range" -> (sqlAnnCosRange _)) +
       ("sql_text_dup_spans" -> (viaText(textDupSpansSql) _)) +
       ("sql_graph_triangles" -> (viaText(graphTrianglesSql) _)) +
-      ("sql_graph_triangles_index" -> (sqlGraphTrianglesIndex _))
+      ("sql_graph_triangles_index" -> (sqlGraphTrianglesIndex _)) +
+      ("sql_text_search_index" -> (sqlTextSearchIndex _)) +
+      ("sql_dedup_minhash_index" -> (sqlDedupMinhashIndex _))
 
   val oracle: Map[String, String] =
     shared.map(k => s"sql_$k" -> Relational.oracle(k)).toMap ++
@@ -311,5 +427,7 @@ object SqlSurface {
       ("sql_ann_cos_range" -> Similarity.oracle("ann_cos_range")) +
       ("sql_text_dup_spans" -> TextOps.oracle("text_dup_spans")) +
       ("sql_graph_triangles" -> Graph.oracle("graph_triangles")) +
-      ("sql_graph_triangles_index" -> Graph.oracle("graph_triangles"))
+      ("sql_graph_triangles_index" -> Graph.oracle("graph_triangles")) +
+      ("sql_text_search_index" -> TextOps.oracle("text_search_index")) +
+      ("sql_dedup_minhash_index" -> Dedup.oracle("dedup_minhash_index"))
 }

@@ -1555,6 +1555,12 @@ object TextOps {
     tbl
   }
 
+  /** Ensure the postings index exists for `d` and expose it to the
+    * SQL-text persona as a stable temp-view name — [[SqlSurface]]
+    * serves `sql_text_search_index` over it. */
+  private[graft] def searchIndexView(s: SparkSession, d: String): Unit =
+    s.table(searchIndexTable(s, d)).createOrReplaceTempView("text_search_idx")
+
   /** Stream-owned copy of the postings index (base split indexed,
     * today's slice left for the stream to ingest) for
     * [[graft.streaming.StreamingOps.searchIndexStream]] — a continuous

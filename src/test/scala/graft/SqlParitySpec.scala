@@ -41,6 +41,11 @@ class SqlParitySpec extends SparkSpec {
     // index form proves SQL users get the identical counts through
     // the identical physical layout
     "graph_triangles_index" -> graft.operators.Graph.graph_triangles_index _,
+    // SQL personas of the persisted text/dedup indexes (r17): the
+    // statement is the production path — postings served bucketed,
+    // the LSH probe through the extension-registered kernels
+    "text_search_index" -> graft.operators.TextOps.text_search_index _,
+    "dedup_minhash_index" -> graft.operators.Dedup.dedup_minhash_index _,
     "ev_funnel" -> EventOps.ev_funnel _,
     "ev_retention" -> EventOps.ev_retention _,
     "ev_heavy_hitters" -> EventOps.ev_heavy_hitters _)
