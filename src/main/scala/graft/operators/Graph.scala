@@ -952,14 +952,8 @@ object Graph {
     * sizing knob above — while SMJ buffers/sorts E^{3/2}. An unhinted
     * plan broadcasts the edge list (9.7 s at 32 threads, and
     * impossible at corpus scale). */
-  def graph_triangles_index(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val out = trianglesIndexPlan(s, d)
-    val rows = out.persist(StorageLevel.MEMORY_AND_DISK)
-    rows.count()
-    graft.CacheRegistry.track(rows)
-    rebind(rows).orderBy($"s_suppkey")
-  }
+  def graph_triangles_index(s: SparkSession, d: String): DataFrame =
+    trianglesIndexPlan(s, d)
 
   /** Ensure the oriented-edge index exists for `d` and expose it to
     * the SQL-text persona as stable temp-view names —
@@ -1080,14 +1074,8 @@ object Graph {
     * existing-edge anti-join hash-builds the (u,v)-bucketed edge
     * layout per bucket rather than sorting the wedge-aggregate
     * stream. */
-  def graph_jaccard_index(s: SparkSession, d: String, topN: Int = 100): DataFrame = {
-    import s.implicits._
-    val out = jaccardIndexPlan(s, d, topN)
-    val rows = out.persist(StorageLevel.MEMORY_AND_DISK)
-    rows.count()
-    graft.CacheRegistry.track(rows)
-    rebind(rows).orderBy($"jaccard_ppm".desc, $"common".desc, $"u", $"v")
-  }
+  def graph_jaccard_index(s: SparkSession, d: String, topN: Int = 100): DataFrame =
+    jaccardIndexPlan(s, d, topN)
 
   /** The full indexed-jaccard plan before materialization — the
     * spec's plan-gate handle (no Exchange between the adjacency scans
