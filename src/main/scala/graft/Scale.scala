@@ -344,6 +344,18 @@ object Scale {
       // exactly dedup_incremental's at every factor.
       "dedup_minhash_index" -> (Dedup.dedup_minhash_index _),
       "dedup_minhash_index_steady" -> (Dedup.dedup_minhash_index _),
+      // r17: MERGE INTO-shaped upsert — the warehouse-maintenance
+      // primitive under growth. The FIRST cell pays the bucketed
+      // target build (memoized) + merge + versioned write + verify;
+      // *_steady is merge + write + verify alone. Posture claims:
+      // the full-outer merge join reads the target PRE-BUCKETED on
+      // the key (only the delta side exchanges) and the verify is two
+      // map-side-combined fingerprint aggregates — so wall ~linear in
+      // N, and output stays EXACTLY the 64 fingerprint buckets (all
+      // verified=true) at every factor: growth changes how much is
+      // merged, never the report.
+      "fs_table_merge" -> (graft.operators.MetadataOps.fs_table_merge _),
+      "fs_table_merge_steady" -> (graft.operators.MetadataOps.fs_table_merge _),
       // r15: multi-destination write — the FIRST cell pays the one
       // partitionBy write of all three splits (memoized after), so its
       // wall measures single-pass multi-output throughput at N×;
