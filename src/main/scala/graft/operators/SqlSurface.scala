@@ -253,9 +253,7 @@ object SqlSurface {
       |  SELECT /*+ SHUFFLE_HASH(e) */ w.a, w.x, w.y
       |  FROM wedges w JOIN ed e ON w.x = e.src AND w.y = e.dst)
       |SELECT node AS s_suppkey, CAST(count(*) AS BIGINT) AS n_triangles
-      |FROM (SELECT a AS node FROM tri UNION ALL
-      |      SELECT x FROM tri UNION ALL
-      |      SELECT y FROM tri)
+      |FROM tri LATERAL VIEW explode(array(a, x, y)) t AS node
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Triangle counting from the SQL persona SERVED FROM THE PERSISTED
