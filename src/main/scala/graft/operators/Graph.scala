@@ -787,7 +787,13 @@ object Graph {
       var cached = materializeRound(
         nodes.withColumn("rank", lit(1000000000L)))
       var ranks = rebind(cached)
-      for (_ <- 1 to iters) {
+      // same r17 superstep fold + integer fixpoint early-exit as the
+      // in-flight form (see graph_pagerank): the previous rank rides
+      // the round on the state-side join input, exact by determinism,
+      // pinned by the unchanged unrolled oracle
+      var round = 1
+      var converged = false
+      while (round <= iters && !converged) {
         val inflow = idx.hint("merge")
           .join(ranks, idx("src") === ranks("node"))
           .select($"dst", expr("rank * w div out_w").as("contrib"))
@@ -795,17 +801,21 @@ object Graph {
         val dangling = ranks
           .join(srcs, ranks("node") === srcs("src"), "left_anti")
           .agg(coalesce(sum($"rank"), lit(0L)).as("dang"))
-        val next = nodes
-          .join(inflow, nodes("node") === inflow("dst"), "left")
+        val old = ranks.select($"node", $"rank".as("old"))
+        val next = old
+          .join(inflow, old("node") === inflow("dst"), "left")
           .crossJoin(broadcast(dangling))
-          .select(nodes("node"),
+          .select(old("node"),
             (lit(150000000L) +
               expr(s"85 * (coalesce(inflow, 0L) + dang div ${n}L) div 100")
-            ).as("rank"))
-        val nextCached = materializeRound(next)
+            ).as("rank"), $"old")
+        val (nextCached, changed) = materializeWith(next,
+          sum(when($"rank" =!= $"old", lit(1L)).otherwise(lit(0L))))
+        converged = changed == 0
         cached.unpersist(blocking = false)
         cached = nextCached
-        ranks = rebind(cached)
+        ranks = rebind(cached).select($"node", $"rank")
+        round += 1
       }
       val out = ranks.select($"node".as("page"), $"rank")
       val rows = out.persist(StorageLevel.MEMORY_AND_DISK)
