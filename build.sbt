@@ -26,5 +26,16 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // 8g default, MEASURED as the right setting (r17): a full
+  // 239-query bench in one JVM accumulates heap churn that taxes the
+  // persist/join-heavy graph family ~1.5x vs the same query in a
+  // cold subset JVM (graph_triangles_index 4.6 s subset vs 7.1 s
+  // full-suite, gc_top naming it at 28.7 task-seconds of GC) — so
+  // 16g was tried, and it is a DEAD END (don't retry): GC time
+  // dropped 40% and the taxed graph queries improved 10-20%, but the
+  // suite total went 263.9 -> 281.5 s, reproducible twice at ±0.1%
+  // (the broad mass of small queries pays a ~9-12% locality tax on
+  // the larger heap that outweighs the GC saving). Env-overridable
+  // via SPARK_DRIVER_MEM.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
