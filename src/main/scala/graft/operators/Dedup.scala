@@ -298,10 +298,24 @@ object Dedup {
     * stream-owned index (flag = 1): each bucketed append job's files
     * carry their bucket ids, so the probe scan stays `Bucketed: true`
     * across generations — the [[mhDeltaIndexTables]] append play, per
-    * micro-batch. */
-  private[graft] def appendMhIndex(sigs: DataFrame, tbl: String,
-      sigTbl: String): Unit =
-    writeMhIndex(sigs, tbl, sigTbl, mode = "append", ingested = Some(1))
+    * micro-batch. Exposed as TWO legs (r17 advice) so the streaming
+    * caller can guard each table's append independently — a retry
+    * after a partial failure (band committed, sig threw) must re-run
+    * only the failed leg, never duplicate the committed one. */
+  private[graft] def appendMhBands(sigs: DataFrame, tbl: String): Unit = {
+    import sigs.sparkSession.implicits._
+    sigs.select($"doc_id", explode(bandKeys($"sig", 8, 4)).as("bk"))
+      .select($"doc_id", $"bk.band".as("band"), $"bk.bkey".as("bkey"),
+        lit(1).as("ingested"))
+      .write.mode("append").bucketBy(8, "band", "bkey").sortBy("band", "bkey")
+      .format("parquet").saveAsTable(tbl)
+  }
+  private[graft] def appendMhSigs(sigs: DataFrame, sigTbl: String): Unit = {
+    import sigs.sparkSession.implicits._
+    sigs.withColumn("ingested", lit(1))
+      .write.mode("append").bucketBy(8, "doc_id").sortBy("doc_id")
+      .format("parquet").saveAsTable(sigTbl)
+  }
 
   /** The persisted-index delta probe, shared verbatim by
     * [[dedup_minhash_index]] and [[dedup_minhash_index_delta]] —
@@ -434,7 +448,13 @@ object Dedup {
     * serves `sql_dedup_minhash_index` over these (the
     * [[graft.operators.Graph.triIndexViews]] device on the dedup
     * tier; createOrReplaceTempView is metadata-only and resolves to
-    * the catalog tables' bucketed layouts). */
+    * the catalog tables' bucketed layouts). SINGLE-THREADED-HARNESS
+    * assumption (shared by every sql_*_index view binder): the names
+    * are session-global and rebound per call, so two sql_* queries
+    * over DIFFERENT dirs interleaved on one session would read each
+    * other's index — Bench/Verify run queries strictly sequentially;
+    * a concurrent embedding should use separate SparkSessions (views
+    * are session-scoped) or dir-tagged names. */
   private[graft] def mhIndexViews(s: SparkSession, d: String): Unit = {
     val (tbl, sigTbl) = mhIndexTables(s, d)
     s.table(tbl).createOrReplaceTempView("mh_band_idx")

@@ -581,6 +581,14 @@ object Graph {
         deg0.withColumn("rm", $"deg" < k),
         sum(when($"rm", lit(1L)).otherwise(lit(0L))))
       graft.CacheRegistry.track(cached)
+      // Every round's state frame, so the lot can be unpersisted the
+      // moment the output below materializes (r17 advice: holding all
+      // iters × node-state frames until the consumer's releaseAll
+      // grows peak storage in exactly the persist-heavy family the
+      // memory investigation flagged; after rows.count() nothing
+      // reads them again). CacheRegistry still tracks them — a second
+      // unpersist at releaseAll is a harmless no-op.
+      val roundStates = scala.collection.mutable.ListBuffer[DataFrame](cached)
       var degState = rebind(cached)
       val peeled = scala.collection.mutable.ListBuffer.empty[DataFrame]
       var r = 1
@@ -601,6 +609,7 @@ object Graph {
           val (nextCached, nRem) = materializeWith(next,
             sum(when($"rm", lit(1L)).otherwise(lit(0L))))
           graft.CacheRegistry.track(nextCached)
+          roundStates += nextCached
           nRemoved = nRem
           cached = nextCached
           degState = rebind(cached)
@@ -618,6 +627,7 @@ object Graph {
       val rows = out.persist(StorageLevel.MEMORY_AND_DISK)
       rows.count()
       graft.CacheRegistry.track(rows)
+      roundStates.foreach(_.unpersist(blocking = false))
       rebind(rows).orderBy($"p_partkey")
     }
   }

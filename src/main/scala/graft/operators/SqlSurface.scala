@@ -350,16 +350,20 @@ object SqlSurface {
     * the scan), pair enumeration as a double LATERAL VIEW explode of
     * bucket members under the size-2..cap / has-delta gates, and
     * rescore against the doc_id-bucketed signature view with the
-    * zip_with/aggregate agreement count. The bucket cap is the
-    * default 1000 as a literal (the batch form reads the same default
-    * from conf). Known single-statement cost, accepted: the `delta`
+    * zip_with/aggregate agreement count. The bucket cap is spliced
+    * from the same conf key the batch form reads
+    * (`graft.dedup.maxBucket`, default 1000) so SQL/DataFrame parity
+    * survives a conf override — the r17 literal silently diverged if
+    * the conf moved (the DuckDB oracle still hardcodes the default;
+    * an override is a perf knob for embedding pipelines, not an
+    * oracle path). Known single-statement cost, accepted: the `delta`
     * CTE is referenced three times and Catalyst inlines it, so the
     * delta slice's signatures compute thrice — delta-sized work (the
     * corpus-side band scan still happens once); the DataFrame form
     * caches the slice instead. Carries dedup_minhash_index's oracle
     * verbatim; SqlParitySpec gates SQL ≡ DataFrame parity. */
-  private val dedupMinhashIndexSql =
-    """WITH delta AS (
+  private def dedupMinhashIndexSql(cap: Int): String =
+    s"""WITH delta AS (
       |  SELECT doc_id,
       |    graft_minhash_sig(graft_word_ngram_hashes(text, 3), 32) AS sig
       |  FROM documents WHERE doc_id % 10 = 0),
@@ -379,7 +383,7 @@ object SqlSurface {
       |buckets AS (
       |  SELECT band, bkey, collect_list(struct(doc_id, flag)) AS ms
       |  FROM members GROUP BY 1, 2
-      |  HAVING count(*) BETWEEN 2 AND 1000 AND max(flag) = 2),
+      |  HAVING count(*) BETWEEN 2 AND $cap AND max(flag) = 2),
       |pairs AS (
       |  SELECT DISTINCT
       |    CASE WHEN a.flag >= 1 THEN a.doc_id ELSE b.doc_id END AS probe_id,
@@ -406,7 +410,8 @@ object SqlSurface {
   private def sqlDedupMinhashIndex(s: SparkSession, d: String): DataFrame = {
     registerViews(s, d)
     Dedup.mhIndexViews(s, d)
-    s.sql(dedupMinhashIndexSql)
+    s.sql(dedupMinhashIndexSql(
+      s.conf.get("graft.dedup.maxBucket", "1000").toInt))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1144,8 +1144,13 @@ object StreamingOps extends Serializable {
           // see their own batch's (or a later batch's) appended rows
           pairs.count()
           onBatch(pairs)
-          guard(batchId) {
-            graft.operators.Dedup.appendMhIndex(sigs, bandTbl, sigTbl)
+          // two guarded LEGS, one per table: a retry after a partial
+          // failure re-runs only the leg that didn't commit
+          guard(batchId, "band") {
+            graft.operators.Dedup.appendMhBands(sigs, bandTbl)
+          }
+          guard(batchId, "sig") {
+            graft.operators.Dedup.appendMhSigs(sigs, sigTbl)
           }
         } finally {
           pairs.unpersist(blocking = false)
@@ -1210,18 +1215,35 @@ object StreamingOps extends Serializable {
     * PER-STREAM-INSTANCE (one guard per started query, not a JVM-wide
     * table map): batchIds are monotonic within a stream's lifetime,
     * and a fresh stream over a rebuilt table legitimately restarts
-    * its ids at 0 — a global map would wrongly block its appends. */
+    * its ids at 0 — a global map would wrongly block its appends.
+    *
+    * PER-LEG (r17 advice): a batch whose append mutates TWO tables
+    * (dedupIndexStream's band + sig) guards each table as its own
+    * leg, because the failure that matters is the PARTIAL one — band
+    * append commits, sig append throws, foreachBatch retries the
+    * whole batchId. A single whole-block guard re-runs the
+    * already-committed band leg on that retry (batchId > last still
+    * holds) and duplicates its rows — the exact double-pair emission
+    * the guard exists to prevent. With per-leg memory the retry skips
+    * the committed band leg and runs only the failed sig leg, making
+    * the two-table append effectively atomic under in-process
+    * retries. (A JVM crash BETWEEN legs still needs the documented
+    * deployment contract — checkpoint the sink and index as one
+    * transactional commit — the guard's memory dies with the JVM.) */
   private final class AppendGuard(tbl: String) {
-    private var last = Long.MinValue
-    def apply(batchId: Long)(append: => Unit): Unit = synchronized {
-      if (batchId <= last) {
-        System.err.println(
-          s"[graft-stream] replayed batch $batchId on $tbl (last appended $last) — " +
-            "skipping the non-idempotent index append")
-      } else {
-        append
-        last = batchId
+    private val last = scala.collection.mutable.HashMap.empty[String, Long]
+    def apply(batchId: Long, leg: String = "")(append: => Unit): Unit =
+      synchronized {
+        val prev = last.getOrElse(leg, Long.MinValue)
+        if (batchId <= prev) {
+          System.err.println(
+            s"[graft-stream] replayed batch $batchId on $tbl${
+              if (leg.isEmpty) "" else s" leg=$leg"} (last appended $prev) — " +
+              "skipping the non-idempotent index append")
+        } else {
+          append
+          last(leg) = batchId
+        }
       }
-    }
   }
 }
