@@ -1029,6 +1029,37 @@ object MetadataOps {
       .orderBy($"bucket")
   }
 
+  /** Stream-owned generation-0 target table for
+    * [[graft.streaming.StreamingOps.tableMergeStream]] — the
+    * continuous form MUTATES its table (merge-then-swap per
+    * micro-batch), so it gets its own per-(dir, tag) generation chain
+    * rather than sharing [[fs_table_merge]]'s memoized target.
+    * Rebuilt on every call: a stream run wants a fresh generation 0,
+    * not a JVM memo. Returns the BASE name; generation `i` lives at
+    * `<base>_g<i>`. */
+  private[graft] def mergeStreamTarget(s: SparkSession, d: String,
+      tag: String): String = {
+    import s.implicits._
+    val base = s"mts_${IndexUtil.dirTag(d)}_$tag"
+    writeMergeGeneration(
+      Tables.documents(s, d).select($"doc_id", $"source", $"n_chars"),
+      s"${base}_g0")
+    base
+  }
+
+  /** Drop-then-write one bucketed generation of a maintained merge
+    * table — the copy-on-write commit unit of the streaming merge:
+    * same doc_id bucketing as [[fs_table_merge]]'s target so every
+    * generation reads back Exchange-free for the next merge. */
+  private[graft] def writeMergeGeneration(df: DataFrame, tbl: String): Unit = {
+    IndexUtil.dropIndexTable(df.sparkSession, tbl)
+    df.write.mode("overwrite").bucketBy(32, "doc_id").sortBy("doc_id")
+      .format("parquet").saveAsTable(tbl)
+  }
+
+  private[graft] def dropMergeGeneration(s: SparkSession, tbl: String): Unit =
+    IndexUtil.dropIndexTable(s, tbl)
+
   /** Synthetic block-placement model shared by [[fs_balancer_plan]] and
     * [[fs_fsck]] — the inode table's files split into 64-"byte" blocks
     * and each block's three replicas land on nodes

@@ -1210,6 +1210,89 @@ object StreamingOps extends Serializable {
     }.start()
   }
 
+  /** CONTINUOUS MERGE INTO — the streaming twin of
+    * [[graft.operators.MetadataOps.fs_table_merge]] (r18): each
+    * micro-batch is a keyed delta (doc_id, source, n_chars, op ∈
+    * {U, D, I}) MERGED into the current generation of a doc_id-
+    * bucketed target table via the same
+    * [[graft.operators.MetadataOps.mergeUpsert]] kernel, written as
+    * the NEXT generation (`<base>_g<n>`), fingerprint-verified, and
+    * only then swapped in — DistCp `-update`'s copy-if-changed row
+    * semantics made continuous (reference: hadoop-tools/hadoop-distcp/
+    * src/main/java/org/apache/hadoop/tools/DistCp.java:1), i.e. the
+    * canonical foreachBatch warehouse-maintenance sink.
+    *
+    * Per-batch FINGERPRINT VERIFICATION, same gate as the batch form:
+    * [[graft.operators.MetadataOps.fnvFingerprints]] of the read-back
+    * generation vs a logical recomputation of the merge over the
+    * previous generation — a row lost, duplicated, or corrupted in
+    * the merge → write → read-back chain flips its bucket and the
+    * batch FAILS before the swap, so a bad write can never become the
+    * table (the generation swap is the commit point; the half-written
+    * generation is dropped and rebuilt on retry).
+    *
+    * REPLAY guard: the merge-write leg is guarded per batchId like
+    * the index appends — a replayed batch re-delivers the current
+    * table (harmless read) but never re-merges. Unlike the band/sig
+    * appends the merge itself is semantically idempotent (U sets
+    * values the delta carries, D on a gone key and I on a present
+    * key are clause-gated no-ops), so the guard here saves the
+    * rewrite work and generation churn rather than correctness.
+    *
+    * ≡-batch theorem (StreamingSpec's gate): a keyed delta carrying
+    * AT MOST ONE ROW PER KEY, split into micro-batches any way at
+    * all, converges to the one-shot [[graft.operators.MetadataOps
+    * .mergeUpsert]] of the union — per-key clauses touch disjoint
+    * rows, so sequential merges commute across keys (forward and
+    * reversed splits asserted).
+    *
+    * Scale: copy-on-write per batch — each generation rewrite scans
+    * the table once, bucketed on the merge key, so the join moves
+    * only the delta (the Delta/Hudi CoW trade: batch cost ∝ table
+    * size, read cost zero). At 100 TB the same code runs with the
+    * target additionally partitioned (e.g. by date) so a batch
+    * rewrites only delta-touched partitions; the generation-swap +
+    * verify discipline is unchanged. `onBatch` receives the new
+    * generation read back (pinned for the duration of the call). */
+  def tableMergeStream(deltas: DataFrame, tgtBase: String,
+      onBatch: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.MetadataOps
+    val guard = new AppendGuard(tgtBase)
+    val curGen = new java.util.concurrent.atomic.AtomicLong(0L)
+    deltas.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val b = batch.persist()
+        try {
+          guard(batchId, "merge") {
+            val gen = curGen.get()
+            val cur = s"${tgtBase}_g$gen"
+            val next = s"${tgtBase}_g${gen + 1}"
+            MetadataOps.writeMergeGeneration(
+              MetadataOps.mergeUpsert(s.table(cur), b), next)
+            val bad = MetadataOps
+              .fnvFingerprints(MetadataOps.mergeUpsert(s.table(cur), b), "src")
+              .join(MetadataOps.fnvFingerprints(s.table(next), "dst"),
+                Seq("bucket"), "full_outer")
+              .filter(!(col("src_rows") <=> col("dst_rows") &&
+                col("src_xor") <=> col("dst_xor") &&
+                col("src_sum") <=> col("dst_sum")))
+              .count()
+            if (bad > 0) throw new IllegalStateException(
+              s"merge generation $next failed fingerprint verification " +
+                s"in $bad/64 buckets — batch $batchId not committed")
+            curGen.set(gen + 1) // commit point: the new generation is live
+            MetadataOps.dropMergeGeneration(s, cur)
+          }
+          val res = s.table(s"${tgtBase}_g${curGen.get()}").persist()
+          try {
+            res.count()
+            onBatch(res)
+          } finally res.unpersist(blocking = false)
+        } finally b.unpersist(blocking = false)
+    }.start()
+  }
+
   /** At-most-once-per-batchId append guard for index-mutating
     * foreachBatch bodies — see the [[dedupIndexStream]] replay note.
     * PER-STREAM-INSTANCE (one guard per started query, not a JVM-wide
