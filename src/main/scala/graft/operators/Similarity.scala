@@ -291,6 +291,22 @@ object Similarity {
     ivfIndexSearch(s, d, tbl, ivfIndexCents.get(d))
   }
 
+  /** Ensure the persisted IVF index exists for `d` and expose its
+    * inverted lists to the SQL-text persona as the `ivf_idx` temp
+    * view ([[graft.operators.Dedup.mhIndexViews]]'s device on the ANN
+    * tier; same single-threaded-harness view-name convention).
+    * Returns the trained centroids so [[SqlSurface]] can bake them
+    * into the statement as literals — the SQL re-expression of the
+    * DataFrame form's codegen'd literal argmin. Also marks this dir
+    * as last-searched so the literal-replay oracle renders over THE
+    * SAME centroids the persisted assignments were written with. */
+  private[graft] def ivfIndexViews(s: SparkSession, d: String): Array[Array[Double]] = {
+    val tbl = ivfIndexTable(s, d)
+    lastIvfIndexDir.set(d)
+    s.table(tbl).createOrReplaceTempView("ivf_idx")
+    ivfIndexCents.get(d)
+  }
+
   /** WIDER-PROBE search against the SAME persisted IVF index — the
     * query-time recall dial [[ann_lsh_index_probed]] gives the LSH
     * index, completing it for the trained family: doubling nprobe

@@ -414,6 +414,60 @@ object SqlSurface {
       s.conf.get("graft.dedup.maxBucket", "1000").toInt))
   }
 
+  /** VECTOR SEARCH from the SQL persona SERVED FROM THE PERSISTED IVF
+    * INDEX (r18 — the last index tier without a SQL statement): one
+    * query reproducing [[Similarity.ann_ivf_index]] end to end — the
+    * trained coarse-quantizer centroids baked into the statement as
+    * literals (each double rendered shortest-repr and string-cast, an
+    * exact round-trip, so the SQL probe ranking computes the SAME
+    * doubles as the DataFrame form's codegen'd literal argmin through
+    * the SAME registered `graft_cosine` kernel), probe cells as a
+    * sorted-slice over the centroid struct array (lexicographic
+    * (dist, cid) — identical tie-breaking), the candidate join
+    * MERGE-pinned on the index's cell-bucketed layout (zero
+    * corpus-side Exchange — only the 16-query probe side exchanges),
+    * exact-cosine rescore and per-query top-5 window. Built per call
+    * from the memo'd centroids (the statement depends on the trained
+    * model, so there is no static string); carries ann_ivf_index's
+    * literal-replay DuckDB oracle verbatim; SqlParitySpec gates
+    * SQL ≡ DataFrame parity. */
+  private def annIvfIndexSql(cents: Array[Array[Double]], nprobe: Int): String = {
+    val cl = cents
+      .map(_.map(x => s"CAST('$x' AS DOUBLE)").mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid, CAST(embedding AS ARRAY<DOUBLE>) AS qvec
+       |  FROM embeddings WHERE vec_id < 16),
+       |ce AS (SELECT $cl AS cents),
+       |pr AS (
+       |  SELECT qid, qvec, p.cid AS cell
+       |  FROM (
+       |    SELECT qid, qvec,
+       |      slice(array_sort(transform(sequence(0, ${cents.length - 1}),
+       |        cid -> named_struct(
+       |          'dist', CAST(1.0 AS DOUBLE) - graft_cosine(qvec, cents[cid]),
+       |          'cid', cid))), 1, $nprobe) AS probes
+       |    FROM q, ce)
+       |  LATERAL VIEW explode(probes) t AS p),
+       |scored AS (
+       |  SELECT /*+ MERGE(i) */ pr.qid, i.nid,
+       |    graft_cosine(pr.qvec, i.nvec) AS cos
+       |  FROM ivf_idx i JOIN pr ON i.cell = pr.cell
+       |  WHERE i.nid <> pr.qid)
+       |SELECT qid, rank, nid, round(cos, 6) AS cos_sim FROM (
+       |  SELECT qid, nid, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+  }
+
+  private def sqlAnnIvfIndex(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    val cents = Similarity.ivfIndexViews(s, d)
+    s.sql(annIvfIndexSql(cents, nprobe = 8))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     shared.map(k => s"sql_$k" -> viaSql(k) _).toMap ++
       crossFamily.map { case (k, sql) => s"sql_$k" -> viaText(sql) _ } +
@@ -422,9 +476,15 @@ object SqlSurface {
       ("sql_graph_triangles" -> (viaText(graphTrianglesSql) _)) +
       ("sql_graph_triangles_index" -> (sqlGraphTrianglesIndex _)) +
       ("sql_text_search_index" -> (sqlTextSearchIndex _)) +
-      ("sql_dedup_minhash_index" -> (sqlDedupMinhashIndex _))
+      ("sql_dedup_minhash_index" -> (sqlDedupMinhashIndex _)) +
+      ("sql_ann_ivf_index" -> (sqlAnnIvfIndex _))
 
-  val oracle: Map[String, String] =
+  // def, not val: sql_ann_ivf_index carries ann_ivf_index's
+  // literal-replay oracle, which renders over THIS run's trained
+  // centroids and so exists only after the query has executed
+  // (Verify/VerifySubset run every query before dumping oracle SQL;
+  // absent a run the entry is omitted → rows-only, never stale).
+  def oracle: Map[String, String] =
     shared.map(k => s"sql_$k" -> Relational.oracle(k)).toMap ++
       crossFamily.map { case (k, sql) => s"sql_$k" -> sql } +
       ("sql_ann_cos_range" -> Similarity.oracle("ann_cos_range")) +
@@ -432,5 +492,7 @@ object SqlSurface {
       ("sql_graph_triangles" -> Graph.oracle("graph_triangles")) +
       ("sql_graph_triangles_index" -> Graph.oracle("graph_triangles")) +
       ("sql_text_search_index" -> TextOps.oracle("text_search_index")) +
-      ("sql_dedup_minhash_index" -> Dedup.oracle("dedup_minhash_index"))
+      ("sql_dedup_minhash_index" -> Dedup.oracle("dedup_minhash_index")) ++
+      Similarity.oracle.get("ann_ivf_index")
+        .map("sql_ann_ivf_index" -> _)
 }

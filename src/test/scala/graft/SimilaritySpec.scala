@@ -326,6 +326,25 @@ class SimilaritySpec extends SparkSpec {
       s"Exchange on the index branch:\n${between.mkString("\n")}")
   }
 
+  test("sql_ann_ivf_index reads the same persisted lists Exchange-free (the SQL persona keeps the plan)") {
+    // result parity is SqlParitySpec's gate; this one holds the
+    // LIFECYCLE claim for the SQL-text user mechanically — the
+    // statement's MERGE-pinned join reads the cell-bucketed lists
+    // with no Exchange on the index branch, same as the DataFrame form
+    val plan = graft.operators.SqlSurface.queries("sql_ann_ivf_index")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"no SMJ:\n${plan.take(1200)}")
+    assert(plan.contains("Bucketed: true"),
+      s"index scan not bucketed:\n${plan.take(1200)}")
+    val lines = plan.linesIterator.toVector
+    val idxLine = lines.indexWhere(_.contains("default.ivf_idx"))
+    val smjLine = lines.lastIndexWhere(_.contains("SortMergeJoin"), idxLine)
+    assert(idxLine > smjLine && smjLine >= 0, "plan shape unexpected")
+    val between = lines.slice(smjLine + 1, idxLine)
+    assert(!between.exists(_.contains("Exchange")),
+      s"Exchange on the index branch:\n${between.mkString("\n")}")
+  }
+
   test("ann_hybrid_rrf_index fuses two persisted indexes; both corpus sides stay Exchange-free") {
     val got = Similarity.ann_hybrid_rrf_index(spark, sf001).collect()
     assert(got.nonEmpty, "hybrid index fusion returned no rows")

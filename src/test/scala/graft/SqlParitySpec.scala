@@ -46,6 +46,13 @@ class SqlParitySpec extends SparkSpec {
     // the LSH probe through the extension-registered kernels
     "text_search_index" -> graft.operators.TextOps.text_search_index _,
     "dedup_minhash_index" -> graft.operators.Dedup.dedup_minhash_index _,
+    // SQL persona of the persisted IVF index (r18 — completes SQL
+    // coverage of every index tier): centroids baked as exact
+    // round-trip literals, probe + rescore + top-5 as one statement
+    // through the registered graft_cosine kernel over the
+    // cell-bucketed view — both forms share the per-(JVM, dir) memo'd
+    // index, so rows must match exactly
+    "ann_ivf_index" -> graft.operators.Similarity.ann_ivf_index _,
     "ev_funnel" -> EventOps.ev_funnel _,
     "ev_retention" -> EventOps.ev_retention _,
     "ev_heavy_hitters" -> EventOps.ev_heavy_hitters _)
