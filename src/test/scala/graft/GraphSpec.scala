@@ -359,6 +359,41 @@ class GraphSpec extends SparkSpec {
       Graph.pagerankIndexRoundPlan(spark, sf0001), "default.pr_edges")
   }
 
+  test("graph_pagerank_index_delta: append-grown generations stay bucketed, out_w exact, ranks identical") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{pmod, lit, sum => fsum}
+    val viaDelta = Graph.graph_pagerank_index_delta(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    CacheRegistry.releaseAll()
+    val viaIndex = Graph.graph_pagerank_index(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    CacheRegistry.releaseAll()
+    assert(viaDelta.nonEmpty && viaDelta == viaIndex,
+      "append-grown index diverged from the build-once index (append != rebuild)")
+    val tag = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(sf0001.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+    val grown = spark.table(s"pr_edges_d_$tag")
+    val base = spark.table(s"pr_edges_$tag")
+    // both generations really landed, and they partition the edge set
+    assert(grown.filter($"gen" === 0).count() > 0, "base generation empty")
+    assert(grown.filter($"gen" === 1).count() > 0, "delta generation empty")
+    assert(grown.count() == base.count(),
+      "grown index must hold exactly the rebuild's edge set")
+    assert(grown.filter($"gen" === 1)
+      .filter(pmod($"src", lit(10L)) =!= 0).count() == 0,
+      "delta generation carries a base-slice src")
+    // the denormalized divisor survived the append exactly: every
+    // row's baked out_w equals the src's total weight across the
+    // WHOLE grown table
+    val badOutW = grown.groupBy($"src", $"out_w")
+      .agg(fsum($"w").as("tot"))
+      .filter($"out_w" =!= $"tot").count()
+    assert(badOutW == 0, s"$badOutW src groups carry a stale out_w")
+    // two write generations, one bucketed Exchange-free scan
+    assertIndexBranchExchangeFree(
+      Graph.pagerankDeltaIndexRoundPlan(spark, sf0001), "default.pr_edges_d")
+  }
+
   test("graph_lpa_index equals graph_label_prop and joins the adjacency index without a corpus-side Exchange") {
     val viaIndex = Graph.graph_lpa_index(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
