@@ -450,6 +450,52 @@ object Sources {
       .orderBy($"l_returnflag")
   }
 
+  /** lz4 BLOCK-compressed SequenceFile ingest — the remaining
+    * pure-Java cell of the compression × container matrix (reference:
+    * hadoop-common-project/hadoop-common/src/main/java/org/apache/
+    * hadoop/io/compress/Lz4Codec.java:1 — lz4-java-backed since
+    * Hadoop 3.3 / HADOOP-17292, so like SnappyCodec it needs no
+    * native libhadoop): the speed-biased codec point next to snappy
+    * (warehouse default), gzip (ratio) and bzip2 (splittable-ratio).
+    * ZStandardCodec is the one reference codec deliberately NOT
+    * covered: hadoop's zstd binding is native-only and this
+    * container's libhadoop ships without it (probed: "native
+    * zStandard library not available") — a documented gap, not a
+    * silent one. Same BLOCK-compression job keys + container-header
+    * assertions as the snappy cell (SourcesSpec), over the orders
+    * table; the parquet-side oracle proves the compressed Writable
+    * round-trip value-exact. */
+  def src_sequencefile_lz4_agg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.hadoop.io.{LongWritable, Text}
+    import org.apache.hadoop.io.compress.Lz4Codec
+    import org.apache.hadoop.mapred.{JobConf, SequenceFileOutputFormat}
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_seqlz4_${dirTag(d)}")
+    exportOnce(s"seqlz4:$d") {
+      deleteRecursively(dir)
+      val conf = new JobConf(s.sparkContext.hadoopConfiguration)
+      conf.set("mapreduce.output.fileoutputformat.compress", "true")
+      conf.set("mapreduce.output.fileoutputformat.compress.type", "BLOCK")
+      conf.set("mapreduce.output.fileoutputformat.compress.codec",
+        classOf[Lz4Codec].getName)
+      Tables.orders(s, d)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        .as[(Long, String, Double)]
+        .rdd.map { case (k, st, tp) => (new LongWritable(k), new Text(s"$st\t$tp")) }
+        .saveAsHadoopFile(dir.getPath, classOf[LongWritable], classOf[Text],
+          classOf[SequenceFileOutputFormat[LongWritable, Text]], conf)
+    }
+    s.sparkContext.sequenceFile[Long, String](dir.getPath)
+      .toDF("o_orderkey", "v")
+      .select(split($"v", "\t").getItem(0).as("o_orderstatus"),
+        split($"v", "\t").getItem(1).cast("double").as("o_totalprice"))
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round($"o_totalprice" * 100).cast("long")).as("totalprice_cents"))
+      .orderBy($"o_orderstatus")
+  }
+
   /** MapFile ingest — the SORTED-KEY sibling of SequenceFile and the
     * last io container the reference ships that a replacement engine
     * must read in place (hadoop-common-project/hadoop-common/src/main/
@@ -1009,6 +1055,7 @@ object Sources {
     "src_text_bz2_agg" -> src_text_bz2_agg _,
     "src_mapfile_agg" -> src_mapfile_agg _,
     "src_sequencefile_snappy_agg" -> src_sequencefile_snappy_agg _,
+    "src_sequencefile_lz4_agg" -> src_sequencefile_lz4_agg _,
     "src_bloommapfile_agg" -> src_bloommapfile_agg _,
     "src_jdbc_pageview" -> src_jdbc_pageview _,
     "src_jdbc_writeback" -> src_jdbc_writeback _,
@@ -1080,6 +1127,10 @@ object Sources {
       """SELECT l_returnflag, count(*) AS n_items,
         | CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src_sequencefile_lz4_agg" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS totalprice_cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "src_bloommapfile_agg" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
         | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS totalprice_cents

@@ -186,6 +186,35 @@ class SourcesSpec extends SparkSpec {
       "compress/blockCompress flags not both set (not BLOCK compression)")
   }
 
+  test("lz4 BLOCK SequenceFile really block-compresses and round-trips") {
+    import spark.implicits._
+    val via = Sources.src_sequencefile_lz4_agg(spark, sf0001).collect()
+    val direct = Tables.orders(spark, sf0001)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round($"o_totalprice" * 100).cast("long")).as("totalprice_cents"))
+      .orderBy($"o_orderstatus")
+      .collect()
+    assert(via.nonEmpty)
+    assert(via.toSeq == direct.toSeq)
+    // same v6-header check as the snappy cell: codec recorded AND
+    // both compress/blockCompress flags set
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().filter(_.getName.startsWith("graft_seqlz4_"))
+    assert(dir.nonEmpty)
+    val part = dir.head.listFiles().filter(_.getName.startsWith("part-")).head
+    val head = new Array[Byte](512)
+    val in = new java.io.FileInputStream(part)
+    try in.read(head) finally in.close()
+    val headStr = new String(head, "ISO-8859-1")
+    assert(headStr.startsWith("SEQ"), "not a SequenceFile")
+    assert(headStr.contains("org.apache.hadoop.io.compress.Lz4Codec"),
+      "header does not record Lz4Codec")
+    val codecIdx = headStr.indexOf("org.apache.hadoop.io.compress.Lz4Codec")
+    assert(head(codecIdx - 3) == 1 && head(codecIdx - 2) == 1,
+      "compress/blockCompress flags not both set (not BLOCK compression)")
+  }
+
   test("MapFile export is key-sorted per file, range-ordered across files, and seekable") {
     import org.apache.hadoop.fs.Path
     import org.apache.hadoop.io.{LongWritable, MapFile, Text}
