@@ -697,9 +697,26 @@ object Graph {
         Window.partitionBy($"node").orderBy($"nbr")))
       .filter($"rn" <= fanCap).drop("rn")
     val edges = if (edgeHint) e0.hint("shuffle_hash") else e0
-    val common = centers.as("a").join(centers.as("b"),
-        $"a.node" === $"b.node" && $"a.nbr" < $"b.nbr")
-      .groupBy($"a.nbr".as("u"), $"b.nbr".as("v"))
+    // Wedge enumeration WITHOUT the centers self-join (r18 — the GC
+    // lean the r17 verdict asked for): a self-join recomputes its
+    // lineage per leg, so the old shape paid the fan-cap window's
+    // full partition sort TWICE plus the join itself. Instead the
+    // capped fan collects into one ≤fanCap array per center (bounded
+    // per-group state — the window cap stays FIRST, so a power-law
+    // hub never materializes its raw degree; groupBy(node) rides the
+    // window's partitioning, no new Exchange) and the ordered pairs
+    // fan out of one nested-transform explode — (x at i, y after i)
+    // over the ascending array ≡ the join's a.nbr < b.nbr. Measured
+    // at sf0.1/32t: 3.1–3.8 → 2.3–2.6 s, identical top-100
+    // (JaccardExp; the persist-the-centers variant was SLOWER — the
+    // cache write costs more than the second window it saves).
+    val fans = centers.groupBy($"node")
+      .agg(sort_array(collect_list($"nbr")).as("ns"))
+    val common = fans.select(explode(expr(
+        "flatten(transform(ns, (x, i) -> " +
+          "transform(slice(ns, i + 2, size(ns)), y -> struct(x AS u, y AS v))))"
+      )).as("p"))
+      .groupBy($"p.u".as("u"), $"p.v".as("v"))
       .agg(count(lit(1)).as("common"))
       .join(edges, Seq("u", "v"), "left_anti")
     common
@@ -1058,7 +1075,18 @@ object Graph {
     * buffers E/buckets rows per task — bounded by the bucket-count
     * sizing knob above — while SMJ buffers/sorts E^{3/2}. An unhinted
     * plan broadcasts the edge list (9.7 s at 32 threads, and
-    * impossible at corpus scale). */
+    * impossible at corpus scale).
+    *
+    * MEASURED DEAD END (r18, don't retry): replacing the wedge
+    * SELF-join with per-src sorted arrays + nested-transform pair
+    * explode — the exact change that won jaccard 25% (see
+    * [[jaccardScore]]) — benched 7.0 vs 4.7 s steady (TriExp).
+    * The difference is the cap: jaccard's fans are ≤32 so its pair
+    * arrays are tiny, while the oriented out-degree here is uncapped
+    * (√(2E)-bounded but large) and flatten(transform(…)) must
+    * MATERIALIZE each src's whole O(out_deg²) pair array before
+    * exploding it — more allocation than the streaming SHJ it
+    * replaces, i.e. exactly the GC pressure it was meant to cut. */
   def graph_triangles_index(s: SparkSession, d: String): DataFrame =
     trianglesIndexPlan(s, d)
 
