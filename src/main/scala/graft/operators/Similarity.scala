@@ -329,6 +329,75 @@ object Similarity {
     * probe choice from the memo'd centroids, merge-hinted equi-join on
     * the bucketed cell key (no corpus-side Exchange), exact-cosine
     * rescore, per-query top-5. */
+  /** Frozen-centroid assignment of a (vec_id, vec: array&lt;double&gt;)
+    * batch to (nid, nvec, cell) — the shared write shape of every IVF
+    * generation (base build, delta append, streaming ingest). */
+  private[graft] def ivfAssign(df: DataFrame,
+      cents: Array[Array[Double]]): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select($"vec_id".as("nid"), $"vec".as("nvec"),
+      array_min(centroidDists(cents, $"vec")).getField("cid").as("cell"))
+  }
+
+  /** Stream-owned IVF index for
+    * [[graft.streaming.StreamingOps.annIndexStream]] — a continuous
+    * ingest MUTATES its lists (append per micro-batch), so it gets
+    * its own per-(dir, tag) table rather than sharing the batch
+    * queries' pristine build; rebuilt on every call (a stream run
+    * wants a fresh generation, not a JVM memo). Base = the 90% slice
+    * (vec_id % 10 ≠ 0); the coarse quantizer is trained on the base
+    * and FROZEN — returned so the caller can assign every later
+    * batch (and build the spec's one-shot truth) with the exact same
+    * model: two trainings have no cross-run bit determinism, so the
+    * append≡rebuild gate must share the centroids by value. */
+  private[graft] def ivfStreamIndexTable(s: SparkSession, d: String,
+      tag: String): (String, Array[Array[Double]]) = {
+    import s.implicits._
+    val tbl = s"ivfs_idx_${dirTag(d)}_$tag"
+    dropIndexTable(s, tbl)
+    val base = Tables.embeddings(s, d)
+      .select($"vec_id", asDouble($"embedding").as("vec"))
+      .filter(pmod($"vec_id", lit(10)) =!= 0)
+    val cents = kmeansCentroids(trainSlice(s, d, base), k = 32, iters = 1)
+    ivfAssign(base, cents).write.mode("overwrite")
+      .bucketBy(8, "cell").sortBy("cell")
+      .format("parquet").saveAsTable(tbl)
+    (tbl, cents)
+  }
+
+  /** ONE-SHOT rebuild of the full corpus under CALLER-SUPPLIED frozen
+    * centroids — the truth side of the streaming ≡-batch gate
+    * (StreamingSpec): union of per-batch appends must equal this
+    * table's search results exactly. */
+  private[graft] def ivfRebuildWith(s: SparkSession, d: String, tag: String,
+      cents: Array[Array[Double]]): String = {
+    import s.implicits._
+    val tbl = s"ivfs_truth_${dirTag(d)}_$tag"
+    dropIndexTable(s, tbl)
+    ivfAssign(Tables.embeddings(s, d)
+        .select($"vec_id", asDouble($"embedding").as("vec")), cents)
+      .write.mode("overwrite").bucketBy(8, "cell").sortBy("cell")
+      .format("parquet").saveAsTable(tbl)
+    tbl
+  }
+
+  /** Append one ingested micro-batch's assigned vectors into a
+    * stream-owned IVF index — a second (third, …) bucketed write job
+    * whose files carry their bucket ids, so the probe scan stays
+    * `Bucketed: true` across generations (the ann_ivf_index_delta
+    * append play, per micro-batch). */
+  private[graft] def appendIvfLists(batch: DataFrame, tbl: String,
+      cents: Array[Array[Double]]): Unit =
+    ivfAssign(batch, cents).write.mode("append")
+      .bucketBy(8, "cell").sortBy("cell")
+      .format("parquet").saveAsTable(tbl)
+
+  /** The index search path under caller-supplied centroids, exposed
+    * for the streaming refresh ([[ivfIndexSearch]] is the engine). */
+  private[graft] def ivfSearchOver(s: SparkSession, d: String, tbl: String,
+      cents: Array[Array[Double]]): DataFrame =
+    ivfIndexSearch(s, d, tbl, cents)
+
   private def ivfIndexSearch(s: SparkSession, d: String, tbl: String,
       cents: Array[Array[Double]], nprobe: Int = 8): DataFrame = {
     import s.implicits._

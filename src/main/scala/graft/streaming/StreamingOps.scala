@@ -1293,6 +1293,53 @@ object StreamingOps extends Serializable {
     }.start()
   }
 
+  /** CONTINUOUS IVF-LIST GROWTH — the streaming twin of
+    * [[graft.operators.Similarity.ann_ivf_index_delta]] (r18),
+    * completing streaming ingest across all four index tiers (dedup
+    * bands, text postings, merge table, and now the vector lists):
+    * each micro-batch of (vec_id, vec) is assigned under the FROZEN
+    * coarse quantizer (trained at base build — the production vector
+    * store's update path: re-training per batch is exactly the cost
+    * persisting the model avoids), APPENDED to the cell-bucketed
+    * lists (bucketed append — the probe scan stays `Bucketed: true`
+    * across generations), and then the standing query set re-serves
+    * from the grown lists. Append-THEN-refresh, the searchIndexStream
+    * order, because a search refresh must REFLECT the batch that just
+    * landed.
+    *
+    * ≡-batch theorem (StreamingSpec's gate): assignment is per-vector
+    * under a FIXED model, so after the delta has fully streamed in —
+    * any split, any order — the final refresh equals the one-shot
+    * rebuild under the SAME centroids row-for-row
+    * ([[graft.operators.Similarity.ivfRebuildWith]]; the centroids
+    * must be shared BY VALUE — two trainings have no cross-run bit
+    * determinism, which is why the builder returns them).
+    *
+    * Same replay guard as the other twins: the append is the one
+    * non-idempotent leg, keyed on batchId; a replayed batch
+    * re-refreshes (a pure read) but never re-appends. */
+  def annIndexStream(vecs: DataFrame, d: String, tbl: String,
+      cents: Array[Array[Double]],
+      onBatch: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val guard = new AppendGuard(tbl)
+    vecs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val b = batch.persist()
+        try {
+          guard(batchId, "lists") {
+            graft.operators.Similarity.appendIvfLists(b, tbl, cents)
+          }
+          val res = graft.operators.Similarity
+            .ivfSearchOver(s, d, tbl, cents).persist()
+          try {
+            res.count()
+            onBatch(res)
+          } finally res.unpersist(blocking = false)
+        } finally b.unpersist(blocking = false)
+    }.start()
+  }
+
   /** At-most-once-per-batchId append guard for index-mutating
     * foreachBatch bodies — see the [[dedupIndexStream]] replay note.
     * PER-STREAM-INSTANCE (one guard per started query, not a JVM-wide

@@ -1330,6 +1330,53 @@ class StreamingSpec extends SparkSpec {
     assert(rev == expected, "final refresh diverged under reversed ingest")
   }
 
+  test("streaming IVF ingest: per-batch refresh over the growing lists converges to the one-shot frozen-centroid build") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Similarity
+    import graft.functions.VectorFunctions.asDouble
+    type Hit = (Long, Int, Long, Double)
+    def collectHits(df: org.apache.spark.sql.DataFrame): Seq[Hit] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+
+    val delta = Tables.embeddings(spark, sf0001)
+      .filter(pmod($"vec_id", lit(10)) === 0)
+      .select($"vec_id", asDouble($"embedding").as("vec"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    assert(delta.nonEmpty)
+
+    def runStream(batches: Seq[Seq[(Long, Seq[Double])]],
+        tag: String): (Seq[Hit], Seq[Hit], Int) = {
+      // fresh stream-owned index; the FROZEN centroids come back so
+      // the one-shot truth can be rebuilt under the SAME model
+      val (tbl, cents) = Similarity.ivfStreamIndexTable(spark, sf0001, tag)
+      val truth = Similarity.ivfRebuildWith(spark, sf0001, tag, cents)
+      val expected = collectHits(
+        Similarity.ivfSearchOver(spark, sf0001, truth, cents))
+      assert(expected.nonEmpty, "one-shot truth produced no hits")
+      @volatile var last: Seq[Hit] = Nil
+      var refreshes = 0
+      val ms = MemoryStream[(Long, Seq[Double])]
+      val q = StreamingOps.annIndexStream(
+        ms.toDF().toDF("vec_id", "vec"), sf0001, tbl, cents,
+        res => { last = collectHits(res); refreshes += 1 })
+      try batches.foreach { b => ms.addData(b); drain(q) }
+      finally q.stop()
+      assert(refreshes == batches.size,
+        s"expected ${batches.size} refreshes, saw $refreshes")
+      (last, expected, refreshes)
+    }
+
+    val (fwd, expF, _) = runStream(
+      delta.grouped(math.max(1, delta.size / 3 + 1)).toSeq, "f")
+    assert(fwd == expF,
+      s"final refresh != one-shot rebuild (forward): got ${fwd.take(3)}… want ${expF.take(3)}…")
+    val (rev, expR, _) = runStream(
+      delta.reverse.grouped(math.max(1, delta.size / 2 + 1)).toSeq, "r")
+    assert(rev == expR, "final refresh diverged under reversed ingest")
+  }
+
   test("streaming merge: micro-batched keyed deltas converge to the one-shot MERGE, generations stay bucketed") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
