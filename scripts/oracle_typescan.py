@@ -23,7 +23,8 @@ oracle = json.load(open(path))
 # HUGEINT gate in check.py covers them on every Verify run.
 DYNAMIC = {"ann_ivf", "ann_ivf_index", "ann_ivf_index_delta",
            "ann_ivf_index_probed", "ann_hybrid_rrf_index",
-           "ann_pq", "ann_ivfpq", "ann_ivfpq_index"}
+           "ann_pq", "ann_ivfpq", "ann_ivfpq_index",
+           "sql_ann_ivf_index"}  # carries ann_ivf_index's replay (r18)
 missing_dynamic = sorted(DYNAMIC - set(oracle))
 if missing_dynamic:
     print(f"NOTE: {len(missing_dynamic)} dynamic literal-replay oracles "
