@@ -438,16 +438,15 @@ object SqlSurface {
     s"""WITH q AS (
        |  SELECT vec_id AS qid, CAST(embedding AS ARRAY<DOUBLE>) AS qvec
        |  FROM embeddings WHERE vec_id < 16),
-       |ce AS (SELECT $cl AS cents),
        |pr AS (
        |  SELECT qid, qvec, p.cid AS cell
        |  FROM (
        |    SELECT qid, qvec,
        |      slice(array_sort(transform(sequence(0, ${cents.length - 1}),
        |        cid -> named_struct(
-       |          'dist', CAST(1.0 AS DOUBLE) - graft_cosine(qvec, cents[cid]),
+       |          'dist', CAST(1.0 AS DOUBLE) - graft_cosine(qvec, $cl[cid]),
        |          'cid', cid))), 1, $nprobe) AS probes
-       |    FROM q, ce)
+       |    FROM q)
        |  LATERAL VIEW explode(probes) t AS p),
        |scored AS (
        |  SELECT /*+ MERGE(i) */ pr.qid, i.nid,
