@@ -881,6 +881,14 @@ object Graph {
   private def pagerankOverIndex(s: SparkSession, tbl: String,
       iters: Int): DataFrame = {
     import s.implicits._
+    // MEASURED DEAD END (r18, don't retry): persisting the index for
+    // the loop (the kcore-adjacency play) read 9.9/10.4 s steady vs
+    // 6.8/6.5 s re-scanning per round (PrExp, base/delta at
+    // sf0.1/32t) — the cache write + InMemoryRelation scans cost more
+    // than 8 page-cached bucketed parquet reads. kcore persists
+    // because its probe side is JOINED against a broadcast per round
+    // (tiny reads of a big frame); here each round consumes the WHOLE
+    // edge table once, which parquet already serves at decode speed.
     val idx = s.table(tbl)
     val srcs = idx.select($"src").distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
