@@ -1360,7 +1360,7 @@ object StreamingOps extends Serializable {
     * retries. (A JVM crash BETWEEN legs still needs the documented
     * deployment contract — checkpoint the sink and index as one
     * transactional commit — the guard's memory dies with the JVM.) */
-  private final class AppendGuard(tbl: String) {
+  private[graft] final class AppendGuard(tbl: String) {
     private val last = scala.collection.mutable.HashMap.empty[String, Long]
     def apply(batchId: Long, leg: String = "")(append: => Unit): Unit =
       synchronized {

@@ -535,6 +535,33 @@ class MetadataSpec extends SparkSpec {
     assert(dup.filter(!$"verified").count() >= 1, "duplicated key went undetected")
   }
 
+  test("mergeUpsert replay is idempotent and conserves exactly the clause-implied key set") {
+    import spark.implicits._
+    // the claim tableMergeStream's replay guard leans on ("the merge
+    // itself is semantically idempotent — U sets values the delta
+    // carries, D on a gone key and I on a present key are clause-gated
+    // no-ops"), gated on the natural fixture: applying the same keyed
+    // delta twice must be a fixed point
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"source", $"n_chars")
+    val delta = MetadataOps.mergeDelta(docs)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long)] =
+      df.as[(Long, String, Long)].collect().toSet
+    val once = MetadataOps.mergeUpsert(docs, delta)
+    val m1 = rows(once)
+    val m2 = rows(MetadataOps.mergeUpsert(once, delta))
+    assert(m1.nonEmpty && m2 == m1,
+      s"replayed merge moved the table: extra=${(m2 -- m1).take(3)} missing=${(m1 -- m2).take(3)}")
+    // key conservation: result keys = (target keys − matched-D keys)
+    //                                 ∪ unmatched-I keys
+    val targetKeys = rows(docs.select($"doc_id", $"source", $"n_chars")).map(_._1)
+    val dOps = delta.as[(Long, String, Long, String)].collect()
+    val delKeys = dOps.filter(r => r._4 == "D" && targetKeys(r._1)).map(_._1).toSet
+    val insKeys = dOps.filter(r => r._4 == "I" && !targetKeys(r._1)).map(_._1).toSet
+    assert(m1.map(_._1) == (targetKeys -- delKeys) ++ insKeys,
+      "merged key set diverged from the clause-implied set")
+  }
+
   test("fs_copy_verify honors an explicit destination and keys the default by app+dataset") {
     import spark.implicits._
     val dest = java.nio.file.Files.createTempDirectory("graft_distcp_spec")

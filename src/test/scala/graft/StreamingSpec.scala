@@ -1330,6 +1330,41 @@ class StreamingSpec extends SparkSpec {
     assert(rev == expected, "final refresh diverged under reversed ingest")
   }
 
+  test("AppendGuard: a retry after a partial two-leg failure re-runs only the failed leg") {
+    // the r17-advice gap, gated directly: band append commits, sig
+    // append throws, foreachBatch retries the whole batchId — the
+    // committed leg must be skipped, the failed leg must run, and a
+    // fully-replayed later delivery of the same batch must skip both
+    val g = new StreamingOps.AppendGuard("t")
+    var bandCommits = 0
+    var sigAttempts = 0
+    var sigCommits = 0
+    g(0, "band") { bandCommits += 1 }
+    intercept[RuntimeException] {
+      g(0, "sig") { sigAttempts += 1; throw new RuntimeException("boom") }
+    }
+    // in-process retry of batch 0
+    g(0, "band") { bandCommits += 1 } // must skip: already committed
+    g(0, "sig") { sigAttempts += 1; sigCommits += 1 } // must run
+    assert(bandCommits == 1, s"committed band leg re-ran ($bandCommits)")
+    assert(sigAttempts == 2 && sigCommits == 1,
+      s"sig leg should fail once then commit once ($sigAttempts/$sigCommits)")
+    // full replay of batch 0: both legs skip
+    g(0, "band") { bandCommits += 1 }
+    g(0, "sig") { sigCommits += 1 }
+    assert(bandCommits == 1 && sigCommits == 1, "replayed batch re-appended")
+    // the next batch runs both legs normally
+    g(1, "band") { bandCommits += 1 }
+    g(1, "sig") { sigCommits += 1 }
+    assert(bandCommits == 2 && sigCommits == 2)
+    // legs are independent: a single-leg guard (default leg) is
+    // unaffected by the named legs' progress
+    var merges = 0
+    g(1) { merges += 1 }
+    g(1) { merges += 1 }
+    assert(merges == 1, "default-leg guard did not dedupe its batch")
+  }
+
   test("streaming IVF ingest: per-batch refresh over the growing lists converges to the one-shot frozen-centroid build") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
