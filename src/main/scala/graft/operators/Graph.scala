@@ -853,6 +853,59 @@ object Graph {
       iters: Int = 8): DataFrame =
     pagerankOverIndex(s, pagerankDeltaIndexTable(s, d), iters)
 
+  /** Stream-owned generation-0 edge index for
+    * [[graft.streaming.StreamingOps.edgeIndexStream]] — the
+    * continuous ingest MUTATES its table, so it gets its own
+    * per-(dir, tag) copy (the mhStreamIndexTables posture on the
+    * graph tier); rebuilt on every call. Base = the edges of ~90% of
+    * source pages (src % 10 ≠ 0), out_w computed within the slice
+    * (exact globally — src-disjoint, the [[pagerankDeltaIndexTable]]
+    * argument). */
+  private[graft] def pagerankStreamIndexTable(s: SparkSession, d: String,
+      tag: String): String = {
+    import s.implicits._
+    val tbl = s"pr_edges_s_${IndexUtil.dirTag(d)}_$tag"
+    IndexUtil.dropIndexTable(s, tbl)
+    val base = pageEdges(s, d).filter(pmod($"src", lit(10L)) =!= 0)
+    base.join(base.groupBy($"src").agg(sum($"w").as("out_w")), "src")
+      .withColumn("gen", lit(0))
+      .write.mode("overwrite").bucketBy(32, "src").sortBy("src")
+      .format("parquet").saveAsTable(tbl)
+    tbl
+  }
+
+  /** The delta edge slice a stream run ingests (whole src groups —
+    * the append unit the denormalized out_w requires); exposed for
+    * StreamingSpec's batch construction. */
+  private[graft] def pagerankStreamDelta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    pageEdges(s, d).filter(pmod($"src", lit(10L)) === 0)
+  }
+
+  /** Append one micro-batch of WHOLE-SRC edge groups into a
+    * stream-owned edge index: out_w is computed within the batch,
+    * which equals the global per-src total exactly when the batch
+    * carries each arriving src's complete out-edge list — the
+    * append-friendly growth unit (a crawler emits a page's out-links
+    * as one record). A src split across batches would bake a stale
+    * out_w; that case is the keyed-merge play, not an append
+    * (the [[pagerankDeltaIndexTable]] boundary, unchanged). */
+  private[graft] def appendEdgeGroups(batch: DataFrame, tbl: String): Unit = {
+    import batch.sparkSession.implicits._
+    batch.join(batch.groupBy($"src").agg(sum($"w").as("out_w")), "src")
+      .select($"src", $"dst", $"w", $"out_w", lit(1).as("gen"))
+      .write.mode("append").bucketBy(32, "src").sortBy("src")
+      .format("parquet").saveAsTable(tbl)
+  }
+
+  /** The standing pagerank analytic over a (possibly mid-growth)
+    * stream-owned edge index — [[pagerankOverIndex]] exposed for the
+    * streaming refresh. Returns a materialized, CacheRegistry-tracked
+    * frame; the streaming caller releases it after delivery. */
+  private[graft] def pagerankOverGrownIndex(s: SparkSession, tbl: String,
+      iters: Int = 8): DataFrame =
+    pagerankOverIndex(s, tbl, iters)
+
   /** PAGERANK over the PERSISTED edge index — identical ranks to
     * [[graph_pagerank]] (same integer recurrence, same floored
     * divisions; the oracle is [[pagerankOracle]] verbatim) through the

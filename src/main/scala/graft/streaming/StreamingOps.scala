@@ -1340,6 +1340,51 @@ object StreamingOps extends Serializable {
     }.start()
   }
 
+  /** CONTINUOUS EDGE-INDEX GROWTH — the streaming twin of
+    * [[graft.operators.Graph.graph_pagerank_index_delta]] (r18),
+    * closing streaming ingest on the FIFTH and last index surface
+    * (dedup bands, text postings, merge table, vector lists, and now
+    * the graph's edge index): each micro-batch of WHOLE-SRC edge
+    * groups (a crawler emits a page's complete out-links as one
+    * record — the append unit the denormalized out_w requires, see
+    * [[graft.operators.Graph.appendEdgeGroups]]) is APPENDED to the
+    * src-bucketed edge index with its out-weights computed within the
+    * batch (exact globally under the whole-src contract), and the
+    * standing pagerank analytic re-serves from the grown index —
+    * append-THEN-refresh, the searchIndexStream order, because ranks
+    * must reflect the pages that just landed.
+    *
+    * ≡-batch theorem (StreamingSpec's gate): the edge derivation is
+    * deterministic and src groups are disjoint across batches, so
+    * after the delta has fully streamed in — any whole-group split,
+    * any order — the final refresh equals the batch index query
+    * row-for-row (append ≡ rebuild on the graph tier, continuously).
+    *
+    * Same per-leg batchId replay guard as the other twins on the
+    * non-idempotent append. Cache contract: each refresh is
+    * materialized and CacheRegistry-tracked by the pagerank loop;
+    * the stream releases the session's tracked intermediates after
+    * delivery, so it assumes the registry's single-consumer-per-
+    * session convention (run other graft batches on their own
+    * SparkSession while a stream is live — the documented
+    * CacheRegistry contract). */
+  def edgeIndexStream(edges: DataFrame, tbl: String,
+      onBatch: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val guard = new AppendGuard(tbl)
+    edges.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val b = batch.persist()
+        try {
+          guard(batchId, "edges") {
+            graft.operators.Graph.appendEdgeGroups(b, tbl)
+          }
+          try onBatch(graft.operators.Graph.pagerankOverGrownIndex(s, tbl))
+          finally graft.CacheRegistry.releaseAll(s)
+        } finally b.unpersist(blocking = false)
+    }.start()
+  }
+
   /** At-most-once-per-batchId append guard for index-mutating
     * foreachBatch bodies — see the [[dedupIndexStream]] replay note.
     * PER-STREAM-INSTANCE (one guard per started query, not a JVM-wide

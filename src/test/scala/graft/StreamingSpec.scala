@@ -1412,6 +1412,52 @@ class StreamingSpec extends SparkSpec {
     assert(rev == expR, "final refresh diverged under reversed ingest")
   }
 
+  test("streaming edge ingest: pagerank over the growing edge index converges to the batch index query") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Graph
+    type Rk = (Long, Long)
+    def collectRanks(df: org.apache.spark.sql.DataFrame): Seq[Rk] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    // the batch truth: deterministic edge derivation, so the grown
+    // stream index must reproduce the build-once index query exactly
+    val expected = collectRanks(Graph.graph_pagerank_index(spark, sf0001))
+    CacheRegistry.releaseAll()
+    assert(expected.nonEmpty)
+    // delta = whole src groups (the append unit out_w requires)
+    val deltaGroups: Seq[Seq[(Long, Long, Long)]] =
+      Graph.pagerankStreamDelta(spark, sf0001)
+        .as[(Long, Long, Long)].collect().toSeq
+        .groupBy(_._1).toSeq.sortBy(_._1).map(_._2.sortBy(_._2))
+    assert(deltaGroups.nonEmpty, "no delta src groups to stream")
+    CacheRegistry.releaseAll()
+
+    def runStream(groupBatches: Seq[Seq[Seq[(Long, Long, Long)]]],
+        tag: String): (Seq[Rk], Int) = {
+      val tbl = Graph.pagerankStreamIndexTable(spark, sf0001, tag)
+      @volatile var last: Seq[Rk] = Nil
+      var refreshes = 0
+      val ms = MemoryStream[(Long, Long, Long)]
+      val q = StreamingOps.edgeIndexStream(
+        ms.toDF().toDF("src", "dst", "w"), tbl,
+        res => { last = collectRanks(res); refreshes += 1 })
+      try groupBatches.foreach { gb => ms.addData(gb.flatten); drain(q) }
+      finally q.stop()
+      (last, refreshes)
+    }
+
+    val fwdBatches = deltaGroups.grouped(
+      math.max(1, deltaGroups.size / 3 + 1)).toSeq
+    val (fwd, nFwd) = runStream(fwdBatches, "f")
+    assert(nFwd == fwdBatches.size)
+    assert(fwd == expected,
+      s"final refresh != batch index query (forward): got ${fwd.take(3)}… want ${expected.take(3)}…")
+    val (rev, _) = runStream(deltaGroups.reverse.grouped(
+      math.max(1, deltaGroups.size / 2 + 1)).toSeq, "r")
+    assert(rev == expected, "ranks diverged under reversed group ingest")
+  }
+
   test("streaming merge: micro-batched keyed deltas converge to the one-shot MERGE, generations stay bucketed") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
