@@ -64,6 +64,38 @@ object CacheRegistry {
     if (q != null) drain(q)
   }
 
+  /** Run `body`, then unpersist ONLY the intermediates tracked for
+    * `session` DURING body — entries tracked before it stay tracked
+    * (r18 advice: a streaming micro-batch that called
+    * `releaseAll(session)` after each refresh also dropped every
+    * OTHER consumer's tracked caches on a shared session). This makes
+    * a repeated embedded consumer (a foreachBatch refresh, a pipeline
+    * stage) clean up after exactly itself. Entries tracked by a
+    * CONCURRENT third thread during body are swept with the scope's
+    * own — the registry's documented session-level single-consumer
+    * convention still applies to simultaneous use; this scopes the
+    * sequential-interleaving case. */
+  def scoped[T](session: SparkSession)(body: => T): T = {
+    val before = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[DataFrame, java.lang.Boolean]())
+    val q0 = live.get(session)
+    if (q0 != null) q0.forEach(df => before.add(df))
+    try body
+    finally {
+      val q = live.get(session)
+      if (q != null) {
+        val keep = new java.util.ArrayList[DataFrame]()
+        var d = q.poll()
+        while (d != null) {
+          if (before.contains(d)) keep.add(d)
+          else { try d.unpersist(blocking = false) catch { case _: Throwable => () } }
+          d = q.poll()
+        }
+        keep.forEach(df => q.add(df))
+      }
+    }
+  }
+
   /** Unpersist every tracked intermediate across ALL sessions. Single-
     * consumer convenience (Bench/Verify own their whole JVM); prefer
     * [[releaseAll(session*]] when other sessions may be mid-query. */

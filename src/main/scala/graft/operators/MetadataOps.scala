@@ -1044,6 +1044,11 @@ object MetadataOps {
     writeMergeGeneration(
       Tables.documents(s, d).select($"doc_id", $"source", $"n_chars"),
       s"${base}_g0")
+    // Defensive: the merge stream's guard is in-process only (its leg
+    // is idempotent, see AppendGuard) and writes no markers, but clear
+    // any BASE-keyed leftovers from older builds anyway — a rebuilt
+    // chain must never inherit commit history under any version skew.
+    IndexUtil.clearCommitMarkers(s, base)
     base
   }
 

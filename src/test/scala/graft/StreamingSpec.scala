@@ -1335,7 +1335,10 @@ class StreamingSpec extends SparkSpec {
     // append throws, foreachBatch retries the whole batchId — the
     // committed leg must be skipped, the failed leg must run, and a
     // fully-replayed later delivery of the same batch must skip both
-    val g = new StreamingOps.AppendGuard("t")
+    // markers persist in the warehouse since r19 — clear so a rerun
+    // of this suite in the same warehouse starts from a clean history
+    graft.operators.IndexUtil.clearCommitMarkers(spark, "t")
+    val g = new StreamingOps.AppendGuard(spark, "t")
     var bandCommits = 0
     var sigAttempts = 0
     var sigCommits = 0
@@ -1363,6 +1366,43 @@ class StreamingSpec extends SparkSpec {
     g(1) { merges += 1 }
     g(1) { merges += 1 }
     assert(merges == 1, "default-leg guard did not dedupe its batch")
+  }
+
+  test("AppendGuard is durable: a fresh guard (simulated JVM restart) skips the replayed batch") {
+    // the r18 verdict #2 gap, gated directly: the guard's in-memory
+    // batchId map used to die with the JVM, so a checkpoint restart
+    // after a crash replayed the last batch INTO an index that had
+    // already taken its append. Each committed (leg, batchId) is now
+    // recorded in a rename-committed sidecar marker; a brand-new
+    // guard instance over the same table — exactly what a restarted
+    // JVM constructs — must seed from it.
+    val tbl = "t_durable"
+    graft.operators.IndexUtil.clearCommitMarkers(spark, tbl)
+    var appends = 0
+    val g1 = new StreamingOps.AppendGuard(spark, tbl)
+    g1(0, "band") { appends += 1 }
+    g1(1, "band") { appends += 1 }
+    // "restart": fresh guard, empty in-memory state, same table
+    val g2 = new StreamingOps.AppendGuard(spark, tbl)
+    g2(1, "band") { appends += 1 } // checkpoint replay of the last batch
+    assert(appends == 2, "restart replay double-appended the committed leg")
+    g2(2, "band") { appends += 1 } // genuinely new batch: must run
+    assert(appends == 3)
+    // legs seed independently: a leg with no marker is unconstrained
+    g2(0, "sig") { appends += 1 }
+    assert(appends == 4, "marker for one leg wrongly constrained another")
+    // a FRESH query (batchIds restarting at 0) over a table with
+    // committed history is NOT a resume — silently skipping would
+    // lose its genuinely-new batches, so the guard fails loud
+    val gFresh = new StreamingOps.AppendGuard(spark, tbl)
+    intercept[IllegalStateException] { gFresh(0, "band") { appends += 1 } }
+    assert(appends == 4, "fresh-query batch was wrongly treated as a replay")
+    // a table REBUILD clears the history: a fresh stream over the
+    // rebuilt table legitimately restarts its batchIds at 0
+    graft.operators.IndexUtil.dropIndexTable(spark, tbl)
+    val g3 = new StreamingOps.AppendGuard(spark, tbl)
+    g3(0, "band") { appends += 1 }
+    assert(appends == 5, "stale marker blocked a rebuilt table's fresh stream")
   }
 
   test("streaming IVF ingest: per-batch refresh over the growing lists converges to the one-shot frozen-centroid build") {
@@ -1513,5 +1553,53 @@ class StreamingSpec extends SparkSpec {
     val (rev, _, _) = runStream(
       delta.reverse.grouped(math.max(1, delta.size / 2 + 1)).toSeq, "r")
     assert(rev == expected, "merged table diverged under reversed ingest")
+  }
+
+  test("streaming merge restart: a second query continues the DISCOVERED generation chain") {
+    // the r18-advice gap, gated directly: a restarted merge stream
+    // used to assume generation 0 — which its predecessor's swaps had
+    // already dropped — and die on a missing table. The live
+    // generation is now discovered from the catalog at query start,
+    // and because the merge leg is idempotent the guard accepts the
+    // new query's restarted batchIds (a new id chain, logged) instead
+    // of refusing the continuation.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.MetadataOps
+    type Row3 = (Long, String, Long)
+    def collectTbl(df: org.apache.spark.sql.DataFrame): Set[Row3] =
+      df.select($"doc_id", $"source", $"n_chars").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"source", $"n_chars")
+    val delta = MetadataOps.mergeDelta(Tables.documents(spark, sf0001))
+      .as[(Long, String, Long, String)].collect().sortBy(_._1).toSeq
+    val (firstHalf, secondHalf) = delta.splitAt(delta.size / 2)
+    assert(firstHalf.nonEmpty && secondHalf.nonEmpty)
+    val expected = collectTbl(MetadataOps.mergeUpsert(
+      docs, delta.toDF("doc_id", "source", "n_chars", "op")))
+
+    val base = MetadataOps.mergeStreamTarget(spark, sf0001, "restart")
+    def runOnce(batch: Seq[(Long, String, Long, String)]): Set[Row3] = {
+      @volatile var last: Set[Row3] = Set.empty
+      val ms = MemoryStream[(Long, String, Long, String)]
+      val q = StreamingOps.tableMergeStream(
+        ms.toDF().toDF("doc_id", "source", "n_chars", "op"), base,
+        res => { last = collectTbl(res) })
+      try { ms.addData(batch); drain(q) } finally q.stop()
+      last
+    }
+    runOnce(firstHalf) // predecessor run: g0 -> g1, g0 dropped
+    assert(!spark.catalog.tableExists(s"${base}_g0"),
+      "predecessor's swap should have dropped generation 0")
+    // "restart": a brand-new query over the same base, NO rebuild —
+    // must resume against g1 and commit g2 with the full merge
+    val resumed = runOnce(secondHalf)
+    assert(resumed == expected,
+      s"restarted chain != one-shot merge: extra=${(resumed -- expected).take(5)} " +
+        s"missing=${(expected -- resumed).take(5)}")
+    assert(spark.catalog.tableExists(s"${base}_g2"),
+      "restart did not continue the generation chain from the discovered g1")
   }
 }
