@@ -444,21 +444,25 @@ object Dedup {
   }
 
   /** Ensure the band index exists for `d` and expose it to the
-    * SQL-text persona as stable temp-view names — [[SqlSurface]]
+    * SQL-text persona as DIR-TAGGED temp-view names — [[SqlSurface]]
     * serves `sql_dedup_minhash_index` over these (the
     * [[graft.operators.Graph.triIndexViews]] device on the dedup
     * tier; createOrReplaceTempView is metadata-only and resolves to
-    * the catalog tables' bucketed layouts). SINGLE-THREADED-HARNESS
-    * assumption (shared by every sql_*_index view binder): the names
-    * are session-global and rebound per call, so two sql_* queries
-    * over DIFFERENT dirs interleaved on one session would read each
-    * other's index — Bench/Verify run queries strictly sequentially;
-    * a concurrent embedding should use separate SparkSessions (views
-    * are session-scoped) or dir-tagged names. */
-  private[graft] def mhIndexViews(s: SparkSession, d: String): Unit = {
+    * the catalog tables' bucketed layouts). The names carry the same
+    * per-dir SHA tag as the backing tables (r18 advice — previously
+    * session-global names rebound per call, which ASSUMED a strictly
+    * sequential harness: two sql_* queries over different dirs
+    * interleaved on one session could cross-read). Tagged names make
+    * views for any number of dirs coexist on one session; each SQL
+    * statement is rendered against the names returned here, so there
+    * is no bind-then-execute window to race. */
+  private[graft] def mhIndexViews(s: SparkSession, d: String): (String, String) = {
     val (tbl, sigTbl) = mhIndexTables(s, d)
-    s.table(tbl).createOrReplaceTempView("mh_band_idx")
-    s.table(sigTbl).createOrReplaceTempView("mh_sig_idx")
+    val (bandView, sigView) =
+      (s"mh_band_idx_${IndexUtil.dirTag(d)}", s"mh_sig_idx_${IndexUtil.dirTag(d)}")
+    s.table(tbl).createOrReplaceTempView(bandView)
+    s.table(sigTbl).createOrReplaceTempView(sigView)
+    (bandView, sigView)
   }
 
   /** Delta probe against the PERSISTED corpus band index — the

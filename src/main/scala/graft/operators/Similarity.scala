@@ -292,19 +292,21 @@ object Similarity {
   }
 
   /** Ensure the persisted IVF index exists for `d` and expose its
-    * inverted lists to the SQL-text persona as the `ivf_idx` temp
-    * view ([[graft.operators.Dedup.mhIndexViews]]'s device on the ANN
-    * tier; same single-threaded-harness view-name convention).
-    * Returns the trained centroids so [[SqlSurface]] can bake them
-    * into the statement as literals — the SQL re-expression of the
-    * DataFrame form's codegen'd literal argmin. Also marks this dir
-    * as last-searched so the literal-replay oracle renders over THE
-    * SAME centroids the persisted assignments were written with. */
-  private[graft] def ivfIndexViews(s: SparkSession, d: String): Array[Array[Double]] = {
+    * inverted lists to the SQL-text persona as a DIR-TAGGED temp view
+    * ([[graft.operators.Dedup.mhIndexViews]]'s device on the ANN
+    * tier; same tagged-name convention, so two dirs' views coexist).
+    * Returns the view name plus the trained centroids so
+    * [[SqlSurface]] can bake them into the statement as literals —
+    * the SQL re-expression of the DataFrame form's codegen'd literal
+    * argmin. Also marks this dir as last-searched so the
+    * literal-replay oracle renders over THE SAME centroids the
+    * persisted assignments were written with. */
+  private[graft] def ivfIndexViews(s: SparkSession, d: String): (String, Array[Array[Double]]) = {
     val tbl = ivfIndexTable(s, d)
     lastIvfIndexDir.set(d)
-    s.table(tbl).createOrReplaceTempView("ivf_idx")
-    ivfIndexCents.get(d)
+    val view = s"ivf_idx_v_${dirTag(d)}"
+    s.table(tbl).createOrReplaceTempView(view)
+    (view, ivfIndexCents.get(d))
   }
 
   /** WIDER-PROBE search against the SAME persisted IVF index — the

@@ -277,22 +277,22 @@ object SqlSurface {
     * times (measured 9.1 vs 5.6 s for the DataFrame form at
     * sf0.1/32t); the explode reads `tri` once, like the DataFrame
     * form's explode(array(a, x, y)). */
-  private val graphTrianglesIndexSql =
-    """WITH wedges AS (
+  private def graphTrianglesIndexSql(wedgeView: String, closeView: String) =
+    s"""WITH wedges AS (
       |  SELECT /*+ SHUFFLE_HASH(e1) */ e1.src AS a, e1.dst AS x, e2.dst AS y
-      |  FROM tri_wedge_idx e1 JOIN tri_wedge_idx e2
+      |  FROM $wedgeView e1 JOIN $wedgeView e2
       |    ON e1.src = e2.src
       |    AND struct(e1.ddeg, e1.dst) < struct(e2.ddeg, e2.dst)),
       |tri AS (
       |  SELECT /*+ SHUFFLE_HASH(e) */ w.a, w.x, w.y
-      |  FROM wedges w JOIN tri_close_idx e ON w.x = e.src AND w.y = e.dst)
+      |  FROM wedges w JOIN $closeView e ON w.x = e.src AND w.y = e.dst)
       |SELECT node AS s_suppkey, CAST(count(*) AS BIGINT) AS n_triangles
       |FROM tri LATERAL VIEW explode(array(a, x, y)) t AS node
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   private def sqlGraphTrianglesIndex(s: SparkSession, d: String): DataFrame = {
-    Graph.triIndexViews(s, d)
-    s.sql(graphTrianglesIndexSql)
+    val (wedgeView, closeView) = Graph.triIndexViews(s, d)
+    s.sql(graphTrianglesIndexSql(wedgeView, closeView))
   }
 
   /** Keyword search from the SQL persona SERVED FROM THE PERSISTED
@@ -306,7 +306,7 @@ object SqlSurface {
     * (parquet-footer count — the same no-scan source the DataFrame
     * form uses). Carries text_search_index's oracle verbatim;
     * SqlParitySpec gates SQL ≡ DataFrame parity. */
-  private def textSearchIndexSql(n: Long): String =
+  private def textSearchIndexSql(n: Long, idxView: String): String =
     s"""WITH q AS (
        |  SELECT CAST(query_id AS BIGINT) AS query_id, term
        |  FROM VALUES (0, 'spark'), (0, 'join'), (1, 'window'),
@@ -314,7 +314,7 @@ object SqlSurface {
        |       AS t(query_id, term)),
        |dfreq AS (
        |  SELECT term, CAST(count(*) AS BIGINT) AS df
-       |  FROM text_search_idx GROUP BY 1),
+       |  FROM $idxView GROUP BY 1),
        |w AS (
        |  SELECT query_id, q.term,
        |    least(1000000000000L,
@@ -323,7 +323,7 @@ object SqlSurface {
        |scored AS (
        |  SELECT /*+ BROADCAST(w) */ query_id, doc_id,
        |    sum(tf * w_ppm) AS score_ppm, count(*) AS terms_hit
-       |  FROM text_search_idx i JOIN w ON i.term = w.term
+       |  FROM $idxView i JOIN w ON i.term = w.term
        |  GROUP BY 1, 2)
        |SELECT query_id, rank, doc_id, score_ppm, terms_hit FROM (
        |  SELECT query_id, doc_id, score_ppm, terms_hit,
@@ -334,8 +334,8 @@ object SqlSurface {
        |ORDER BY query_id, rank""".stripMargin
 
   private def sqlTextSearchIndex(s: SparkSession, d: String): DataFrame = {
-    TextOps.searchIndexView(s, d)
-    s.sql(textSearchIndexSql(Tables.parquetRowCount(s, d, "documents")))
+    val idxView = TextOps.searchIndexView(s, d)
+    s.sql(textSearchIndexSql(Tables.parquetRowCount(s, d, "documents"), idxView))
   }
 
   /** The LSH dedup probe from the SQL persona SERVED FROM THE
@@ -362,7 +362,7 @@ object SqlSurface {
     * corpus-side band scan still happens once); the DataFrame form
     * caches the slice instead. Carries dedup_minhash_index's oracle
     * verbatim; SqlParitySpec gates SQL ≡ DataFrame parity. */
-  private def dedupMinhashIndexSql(cap: Int): String =
+  private def dedupMinhashIndexSql(cap: Int, bandView: String, sigView: String): String =
     s"""WITH delta AS (
       |  SELECT doc_id,
       |    graft_minhash_sig(graft_word_ngram_hashes(text, 3), 32) AS sig
@@ -373,7 +373,7 @@ object SqlSurface {
       |  FROM delta LATERAL VIEW explode(sequence(0, 7)) t AS band),
       |hits AS (
       |  SELECT /*+ MERGE(b) */ b.band, b.bkey, b.doc_id, 0 AS flag
-      |  FROM mh_band_idx b LEFT SEMI JOIN (
+      |  FROM $bandView b LEFT SEMI JOIN (
       |    SELECT DISTINCT band, bkey FROM dk) p
       |    ON b.band = p.band AND b.bkey = p.bkey),
       |members AS (
@@ -401,7 +401,7 @@ object SqlSurface {
       |      0, (acc, v) -> acc + v) AS DOUBLE) / 32 AS ej
       |  FROM pairs p
       |  JOIN delta d ON p.probe_id = d.doc_id
-      |  LEFT JOIN mh_sig_idx sg ON p.match_id = sg.doc_id
+      |  LEFT JOIN $sigView sg ON p.match_id = sg.doc_id
       |  LEFT JOIN delta d2 ON p.match_id = d2.doc_id)
       |SELECT probe_id, match_id, match_src, round(ej, 4) AS est_jaccard
       |FROM scored WHERE ej >= 0.5
@@ -409,9 +409,22 @@ object SqlSurface {
 
   private def sqlDedupMinhashIndex(s: SparkSession, d: String): DataFrame = {
     registerViews(s, d)
-    Dedup.mhIndexViews(s, d)
-    s.sql(dedupMinhashIndexSql(
-      s.conf.get("graft.dedup.maxBucket", "1000").toInt))
+    val (bandView, sigView) = Dedup.mhIndexViews(s, d)
+    // Defensive parse (r18 advice): the value is string-interpolated
+    // into SQL text, so reject anything that isn't a positive integer
+    // rather than letting a malformed conf throw a bare
+    // NumberFormatException (or worse, alter the statement), and say
+    // loudly when an override diverges from the DuckDB oracle's
+    // hardcoded 1000 — the hash gate WILL fail in that configuration
+    // (a perf knob for embedding pipelines, not an oracle path).
+    val raw = s.conf.get("graft.dedup.maxBucket", "1000")
+    val cap = raw.toIntOption.filter(_ > 0).getOrElse(sys.error(
+      s"graft.dedup.maxBucket must be a positive integer, got '$raw'"))
+    if (cap != 1000) System.err.println(
+      s"[graft] WARNING graft.dedup.maxBucket=$cap diverges from the " +
+        "DuckDB oracle's hardcoded 1000 — sql_dedup_minhash_index hash " +
+        "verification will not match under this override")
+    s.sql(dedupMinhashIndexSql(cap, bandView, sigView))
   }
 
   /** VECTOR SEARCH from the SQL persona SERVED FROM THE PERSISTED IVF
@@ -431,7 +444,8 @@ object SqlSurface {
     * model, so there is no static string); carries ann_ivf_index's
     * literal-replay DuckDB oracle verbatim; SqlParitySpec gates
     * SQL ≡ DataFrame parity. */
-  private def annIvfIndexSql(cents: Array[Array[Double]], nprobe: Int): String = {
+  private def annIvfIndexSql(cents: Array[Array[Double]], nprobe: Int,
+      idxView: String): String = {
     val cl = cents
       .map(_.map(x => s"CAST('$x' AS DOUBLE)").mkString("array(", ",", ")"))
       .mkString("array(", ",", ")")
@@ -451,7 +465,7 @@ object SqlSurface {
        |scored AS (
        |  SELECT /*+ MERGE(i) */ pr.qid, i.nid,
        |    graft_cosine(pr.qvec, i.nvec) AS cos
-       |  FROM ivf_idx i JOIN pr ON i.cell = pr.cell
+       |  FROM $idxView i JOIN pr ON i.cell = pr.cell
        |  WHERE i.nid <> pr.qid)
        |SELECT qid, rank, nid, round(cos, 6) AS cos_sim FROM (
        |  SELECT qid, nid, cos,
@@ -463,8 +477,8 @@ object SqlSurface {
 
   private def sqlAnnIvfIndex(s: SparkSession, d: String): DataFrame = {
     registerViews(s, d)
-    val cents = Similarity.ivfIndexViews(s, d)
-    s.sql(annIvfIndexSql(cents, nprobe = 8))
+    val (idxView, cents) = Similarity.ivfIndexViews(s, d)
+    s.sql(annIvfIndexSql(cents, nprobe = 8, idxView))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

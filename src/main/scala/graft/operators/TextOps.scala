@@ -1556,10 +1556,15 @@ object TextOps {
   }
 
   /** Ensure the postings index exists for `d` and expose it to the
-    * SQL-text persona as a stable temp-view name — [[SqlSurface]]
-    * serves `sql_text_search_index` over it. */
-  private[graft] def searchIndexView(s: SparkSession, d: String): Unit =
-    s.table(searchIndexTable(s, d)).createOrReplaceTempView("text_search_idx")
+    * SQL-text persona as a DIR-TAGGED temp-view name — [[SqlSurface]]
+    * serves `sql_text_search_index` over it; the tag lets two dirs'
+    * views coexist on one session (see
+    * [[graft.operators.Dedup.mhIndexViews]]). */
+  private[graft] def searchIndexView(s: SparkSession, d: String): String = {
+    val view = s"text_search_idx_${IndexUtil.dirTag(d)}"
+    s.table(searchIndexTable(s, d)).createOrReplaceTempView(view)
+    view
+  }
 
   /** Stream-owned copy of the postings index (base split indexed,
     * today's slice left for the stream to ingest) for

@@ -91,6 +91,29 @@ class SqlParitySpec extends SparkSpec {
     assert(sqlRows == api.collect().toSeq)
   }
 
+  test("sql_*_index views are dir-tagged: two dirs interleaved on one session") {
+    // r18 advice: the index views used to be session-global names
+    // rebound per call, which ASSUMED a strictly sequential single-dir
+    // harness — two dirs interleaved on one session could cross-read.
+    // Dir-tagged names remove the assumption: run the same sql_* index
+    // query over two dirs interleaved, re-run the first, and require
+    // (a) the re-run reproduces the first result exactly, (b) each
+    // result equals its own dir's DataFrame form, and (c) BOTH dirs'
+    // tagged views coexist in the catalog afterward (the old global
+    // name could only ever point at one dir at a time).
+    val q = SqlSurface.queries("sql_dedup_minhash_index")
+    val a1 = q(spark, sf0001).collect().toSeq
+    val b = q(spark, sf001).collect().toSeq
+    val a2 = q(spark, sf0001).collect().toSeq
+    assert(a1 == a2, "re-running dir1's SQL after dir2 changed its result")
+    assert(a1 == Dedup.dedup_minhash_index(spark, sf0001).collect().toSeq)
+    assert(b == Dedup.dedup_minhash_index(spark, sf001).collect().toSeq)
+    val bandViews = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("mh_band_idx_")).toSet
+    assert(bandViews.size >= 2,
+      s"expected tagged band views for both dirs to coexist, got $bandViews")
+  }
+
   test("spark.sql(ann_cos_range via graft_cosine) == DataFrame ann_cos_range") {
     // The graft-kernel SQL surface: the SQL text resolves the
     // extension-registered graft_cosine to the same codegen'd
