@@ -853,6 +853,107 @@ object Graph {
       iters: Int = 8): DataFrame =
     pagerankOverIndex(s, pagerankDeltaIndexTable(s, d), iters)
 
+  private val prMergeBuilt = new java.util.HashSet[String]()
+  /** KEYED-MERGE-GROWN edge index — the update case
+    * [[pagerankDeltaIndexTable]] explicitly defers (r18 verdict #3,
+    * Graph.scala's documented boundary): an EXISTING source page
+    * gaining out-edges invalidates the out_w denormalized onto rows
+    * already written, which no append can express. At 100 TB this is
+    * the COMMON case — a crawler re-visits pages daily; brand-new
+    * pages (the append leg) are the rare one.
+    *
+    * The split models it: the base generation carries every page's
+    * then-known out-links (the dst % 3 ≠ 0 slice — most srcs have a
+    * PARTIAL out-list), with out_w exact FOR THAT SNAPSHOT; the
+    * re-crawl delta carries the remaining links (dst % 3 = 0), almost
+    * all of them for srcs the base already holds. The merge leg is
+    * [[MetadataOps.fs_table_merge]]'s read-modify-write play applied
+    * to the touched src GROUPS (reference: DistCp `-update`'s
+    * copy-if-changed semantics, hadoop-tools/hadoop-distcp/src/main/
+    * java/org/apache/hadoop/tools/DistCp.java:1):
+    *
+    *   - untouched srcs' rows CARRY OVER byte-identical (anti-join on
+    *     the delta's distinct srcs — broadcast-sized: the touched key
+    *     set is delta-shaped, never table-shaped);
+    *   - each touched src's group is REBUILT from its base rows plus
+    *     its delta rows, with out_w recomputed over the merged group
+    *     (the Update leg — existing rows change value; the Insert leg
+    *     — the delta's new rows join the group);
+    *   - the result is written as the NEXT GENERATION of the same
+    *     src-bucketed layout, FINGERPRINT-VERIFIED against a logical
+    *     recomputation ([[MetadataOps.fnvFingerprints]], 64 buckets —
+    *     a row lost, duplicated, or corrupted in the write fails the
+    *     build before the swap), and only then swapped in (drop old
+    *     generation) — [[graft.streaming.StreamingOps
+    *     .tableMergeStream]]'s commit discipline on the graph tier.
+    *
+    * Scale: copy-on-write — the generation rewrite scans the table
+    * once (bucketed write, delta-sized Exchange only: the touched
+    * groups re-shuffle, the carry-over does not leave its buckets,
+    * and at 100 TB the table is additionally date/range-partitioned
+    * so only touched partitions rewrite — the Delta/Hudi CoW trade,
+    * same as the merge stream). The merged table holds the identical
+    * (src, dst, w, out_w) set as a full rebuild — GraphSpec gates the
+    * globally-correct out_w for srcs present in BOTH generations
+    * directly — so the registered query carries
+    * [[graph_pagerank_index]]'s unrolled oracle verbatim: the hash
+    * match IS merge ≡ rebuild. */
+  private def pagerankMergeIndexTable(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val base = s"pr_edges_k_${IndexUtil.dirTag(d)}"
+    val merged = s"${base}_m"
+    prMergeBuilt.synchronized { if (!prMergeBuilt.contains(d)) {
+      IndexUtil.dropIndexTable(s, base)
+      IndexUtil.dropIndexTable(s, merged)
+      val edges = pageEdges(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val snap = edges.filter(pmod($"dst", lit(3L)) =!= 0)
+        snap.join(snap.groupBy($"src").agg(sum($"w").as("out_w")), "src")
+          .select($"src", $"dst", $"w", $"out_w")
+          .write.mode("overwrite").bucketBy(32, "src").sortBy("src")
+          .format("parquet").saveAsTable(base)
+        val delta = edges.filter(pmod($"dst", lit(3L)) === 0)
+        def mergeOf(tgt: DataFrame): DataFrame = {
+          val touched = delta.select($"src").distinct()
+          val carryOver = tgt.join(touched, Seq("src"), "left_anti")
+          val grp = tgt.join(touched, Seq("src"), "left_semi")
+            .select($"src", $"dst", $"w")
+            .unionByName(delta.select($"src", $"dst", $"w"))
+          carryOver.unionByName(
+            grp.join(grp.groupBy($"src").agg(sum($"w").as("out_w")), "src")
+              .select($"src", $"dst", $"w", $"out_w"))
+        }
+        mergeOf(s.table(base))
+          .write.mode("overwrite").bucketBy(32, "src").sortBy("src")
+          .format("parquet").saveAsTable(merged)
+        // verify BEFORE the swap: logical merge vs read-back, 64
+        // fingerprint buckets — the tableMergeStream gate
+        val bad = MetadataOps
+          .fnvFingerprints(mergeOf(s.table(base)), "src")
+          .join(MetadataOps.fnvFingerprints(s.table(merged), "dst"),
+            Seq("bucket"), "full_outer")
+          .filter(!($"src_rows" <=> $"dst_rows" && $"src_xor" <=> $"dst_xor" &&
+            $"src_sum" <=> $"dst_sum"))
+          .count()
+        if (bad > 0) throw new IllegalStateException(
+          s"edge-index merge generation $merged failed fingerprint " +
+            s"verification in $bad/64 buckets — not swapped in")
+        IndexUtil.dropIndexTable(s, base) // commit point: merged is live
+      } finally edges.unpersist(blocking = false)
+      prMergeBuilt.add(d)
+    } }
+    merged
+  }
+
+  /** PAGERANK over the KEYED-MERGE-GROWN edge index (see
+    * [[pagerankMergeIndexTable]]) — registered so the driver's hash
+    * gate proves base-snapshot + keyed merge ≡ full recompute: the
+    * re-crawled-page update path, closing the last denormalization
+    * boundary the index lifecycle had left documented-but-unserved. */
+  def graph_pagerank_index_merge(s: SparkSession, d: String,
+      iters: Int = 8): DataFrame =
+    pagerankOverIndex(s, pagerankMergeIndexTable(s, d), iters)
+
   /** Stream-owned generation-0 edge index for
     * [[graft.streaming.StreamingOps.edgeIndexStream]] — the
     * continuous ingest MUTATES its table, so it gets its own
@@ -1008,6 +1109,9 @@ object Graph {
   private[graft] def pagerankDeltaIndexRoundPlan(s: SparkSession, d: String): DataFrame =
     pagerankRoundPlanOver(s, pagerankDeltaIndexTable(s, d))
 
+  private[graft] def pagerankMergeIndexRoundPlan(s: SparkSession, d: String): DataFrame =
+    pagerankRoundPlanOver(s, pagerankMergeIndexTable(s, d))
+
   private def pagerankRoundPlanOver(s: SparkSession, tbl: String): DataFrame = {
     import s.implicits._
     val idx = s.table(tbl)
@@ -1152,16 +1256,20 @@ object Graph {
     trianglesIndexPlan(s, d)
 
   /** Ensure the oriented-edge index exists for `d` and expose it to
-    * the SQL-text persona as stable temp-view names —
+    * the SQL-text persona as DIR-TAGGED temp-view names —
     * [[SqlSurface]] serves `sql_graph_triangles_index` over these
-    * (re-pointed on every call: createOrReplaceTempView is
-    * metadata-only, so a dir switch rebinds for free, and the view
-    * resolves to the catalog table's bucketed layout — the SQL plan
-    * gets the same Exchange-free scans the DataFrame form does). */
-  private[graft] def triIndexViews(s: SparkSession, d: String): Unit = {
+    * (createOrReplaceTempView is metadata-only, and the view resolves
+    * to the catalog table's bucketed layout — the SQL plan gets the
+    * same Exchange-free scans the DataFrame form does). Names carry
+    * the backing tables' per-dir SHA tag so two dirs' views coexist
+    * on one session (see [[graft.operators.Dedup.mhIndexViews]]). */
+  private[graft] def triIndexViews(s: SparkSession, d: String): (String, String) = {
     val (wedgeTbl, closeTbl) = triIndexTables(s, d)
-    s.table(wedgeTbl).createOrReplaceTempView("tri_wedge_idx")
-    s.table(closeTbl).createOrReplaceTempView("tri_close_idx")
+    val (wedgeView, closeView) =
+      (s"tri_wedge_idx_${IndexUtil.dirTag(d)}", s"tri_close_idx_${IndexUtil.dirTag(d)}")
+    s.table(wedgeTbl).createOrReplaceTempView(wedgeView)
+    s.table(closeTbl).createOrReplaceTempView(closeView)
+    (wedgeView, closeView)
   }
 
   /** The full indexed-triangles plan before materialization — the
@@ -1294,6 +1402,7 @@ object Graph {
     "graph_pagerank" -> ((s, d) => graph_pagerank(s, d)),
     "graph_pagerank_index" -> ((s, d) => graph_pagerank_index(s, d)),
     "graph_pagerank_index_delta" -> ((s, d) => graph_pagerank_index_delta(s, d)),
+    "graph_pagerank_index_merge" -> ((s, d) => graph_pagerank_index_merge(s, d)),
     "graph_label_prop" -> ((s, d) => graph_label_prop(s, d)),
     "graph_lpa_index" -> ((s, d) => graph_lpa_index(s, d)),
     "graph_triangles" -> graph_triangles _,
@@ -1531,6 +1640,11 @@ object Graph {
     // set (src-disjoint generations), so the identical unrolled
     // replay — the hash match IS the append≡rebuild theorem
     "graph_pagerank_index_delta" -> pagerankOracle(8),
+    // the keyed-merge-grown index rebuilds touched src groups with
+    // globally-correct out_w and carries untouched rows over, so it
+    // too holds the identical (src, dst, w, out_w) set — the hash
+    // match IS merge ≡ rebuild
+    "graph_pagerank_index_merge" -> pagerankOracle(8),
     "graph_label_prop" -> labelPropOracle(6),
     "graph_lpa_index" -> labelPropOracle(6),
     "graph_triangles" -> trianglesOracle,

@@ -394,6 +394,48 @@ class GraphSpec extends SparkSpec {
       Graph.pagerankDeltaIndexRoundPlan(spark, sf0001), "default.pr_edges_d")
   }
 
+  test("graph_pagerank_index_merge: a src in BOTH generations ends with the globally-correct out_w, ranks identical") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{pmod, lit, sum => fsum, countDistinct}
+    val viaMerge = Graph.graph_pagerank_index_merge(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    CacheRegistry.releaseAll()
+    val viaIndex = Graph.graph_pagerank_index(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    CacheRegistry.releaseAll()
+    assert(viaMerge.nonEmpty && viaMerge == viaIndex,
+      "keyed-merge-grown index diverged from the build-once index (merge != rebuild)")
+    val tag = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(sf0001.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+    val merged = spark.table(s"pr_edges_k_${tag}_m")
+    val full = spark.table(s"pr_edges_$tag")
+    // the merge models the RE-CRAWL case the append leg cannot: srcs
+    // present in BOTH the base snapshot (dst % 3 != 0 out-links) and
+    // the delta (dst % 3 = 0) — require the case to actually occur,
+    // otherwise this test gates nothing
+    val bothGens = merged.select($"src",
+        (pmod($"dst", lit(3L)) === 0).cast("int").as("isDelta"))
+      .groupBy($"src").agg(countDistinct($"isDelta").as("sides"))
+      .filter($"sides" === 2).count()
+    assert(bothGens > 0, "no src spans base and delta — the split gates nothing")
+    // the commit point dropped the pre-merge snapshot generation
+    assert(!spark.catalog.tableExists(s"pr_edges_k_$tag"),
+      "pre-merge base generation survived the swap")
+    // the merged table holds exactly the rebuild's edge set…
+    assert(merged.count() == full.count(),
+      "merged index must hold exactly the rebuild's edge set")
+    // …and every row's baked out_w equals its src's total weight over
+    // the WHOLE merged table — i.e. touched groups were recomputed,
+    // not carried stale (the denormalization boundary this leg closes)
+    val badOutW = merged.groupBy($"src", $"out_w")
+      .agg(fsum($"w").as("tot"))
+      .filter($"out_w" =!= $"tot").count()
+    assert(badOutW == 0, s"$badOutW src groups carry a stale out_w after the merge")
+    // the merged generation serves supersteps bucketed, Exchange-free
+    assertIndexBranchExchangeFree(
+      Graph.pagerankMergeIndexRoundPlan(spark, sf0001), "default.pr_edges_k")
+  }
+
   test("graph_lpa_index equals graph_label_prop and joins the adjacency index without a corpus-side Exchange") {
     val viaIndex = Graph.graph_lpa_index(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
