@@ -456,12 +456,11 @@ object Sources {
     * hadoop/io/compress/Lz4Codec.java:1 — lz4-java-backed since
     * Hadoop 3.3 / HADOOP-17292, so like SnappyCodec it needs no
     * native libhadoop): the speed-biased codec point next to snappy
-    * (warehouse default), gzip (ratio) and bzip2 (splittable-ratio).
-    * ZStandardCodec is the one reference codec deliberately NOT
-    * covered: hadoop's zstd binding is native-only and this
-    * container's libhadoop ships without it (probed: "native
-    * zStandard library not available") — a documented gap, not a
-    * silent one. Same BLOCK-compression job keys + container-header
+    * (warehouse default), gzip (ratio) and bzip2 (splittable-ratio);
+    * zstd — native-only in hadoop and absent from this container's
+    * libhadoop — is served by [[src_sequencefile_zstd_agg]] through
+    * the zstd-jni-backed [[GraftZstdCodec]] since r19. Same
+    * BLOCK-compression job keys + container-header
     * assertions as the snappy cell (SourcesSpec), over the orders
     * table; the parquet-side oracle proves the compressed Writable
     * round-trip value-exact. */
@@ -494,6 +493,52 @@ object Sources {
       .agg(count(lit(1)).as("n_orders"),
         sum(round($"o_totalprice" * 100).cast("long")).as("totalprice_cents"))
       .orderBy($"o_orderstatus")
+  }
+
+  /** zstd BLOCK-compressed SequenceFile ingest — the LAST codec of the
+    * reference's compression × container matrix (gzip, bzip2, snappy,
+    * lz4 covered; reference: hadoop-common-project/hadoop-common/src/
+    * main/java/org/apache/hadoop/io/compress/ZStandardCodec.java:1)
+    * and the one modern warehouses default to. Hadoop's own zstd
+    * binding is native-only and this container's libhadoop ships
+    * without it (probed r18), so the cell runs through
+    * [[GraftZstdCodec]] — zstd-jni behind hadoop's codec SPI, the
+    * HADOOP-17125/17292 pure-java move applied to zstd — proving the
+    * engine extends the codec matrix where the environment's native
+    * bindings end, rather than documenting a gap. Same BLOCK
+    * job keys + container-header assertions as the snappy/lz4 cells
+    * (SourcesSpec additionally round-trips a frame through zstd-jni
+    * directly to pin the format), over the customer table; the
+    * parquet-side oracle proves the compressed Writable round-trip
+    * value-exact. */
+  def src_sequencefile_zstd_agg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.hadoop.io.{LongWritable, Text}
+    import org.apache.hadoop.mapred.{JobConf, SequenceFileOutputFormat}
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_seqzstd_${dirTag(d)}")
+    exportOnce(s"seqzstd:$d") {
+      deleteRecursively(dir)
+      val conf = new JobConf(s.sparkContext.hadoopConfiguration)
+      conf.set("mapreduce.output.fileoutputformat.compress", "true")
+      conf.set("mapreduce.output.fileoutputformat.compress.type", "BLOCK")
+      conf.set("mapreduce.output.fileoutputformat.compress.codec",
+        classOf[GraftZstdCodec].getName)
+      Tables.customer(s, d)
+        .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+        .as[(Long, String, Double)]
+        .rdd.map { case (k, seg, bal) => (new LongWritable(k), new Text(s"$seg\t$bal")) }
+        .saveAsHadoopFile(dir.getPath, classOf[LongWritable], classOf[Text],
+          classOf[SequenceFileOutputFormat[LongWritable, Text]], conf)
+    }
+    s.sparkContext.sequenceFile[Long, String](dir.getPath)
+      .toDF("c_custkey", "v")
+      .select(split($"v", "\t").getItem(0).as("c_mktsegment"),
+        split($"v", "\t").getItem(1).cast("double").as("c_acctbal"))
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_custs"),
+        sum(round($"c_acctbal" * 100).cast("long")).as("acctbal_cents"))
+      .orderBy($"c_mktsegment")
   }
 
   /** MapFile ingest — the SORTED-KEY sibling of SequenceFile and the
@@ -1056,6 +1101,7 @@ object Sources {
     "src_mapfile_agg" -> src_mapfile_agg _,
     "src_sequencefile_snappy_agg" -> src_sequencefile_snappy_agg _,
     "src_sequencefile_lz4_agg" -> src_sequencefile_lz4_agg _,
+    "src_sequencefile_zstd_agg" -> src_sequencefile_zstd_agg _,
     "src_bloommapfile_agg" -> src_bloommapfile_agg _,
     "src_jdbc_pageview" -> src_jdbc_pageview _,
     "src_jdbc_writeback" -> src_jdbc_writeback _,
@@ -1131,6 +1177,10 @@ object Sources {
       """SELECT o_orderstatus, count(*) AS n_orders,
         | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS totalprice_cents
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src_sequencefile_zstd_agg" ->
+      """SELECT c_mktsegment, count(*) AS n_custs,
+        | CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
     "src_bloommapfile_agg" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
         | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS totalprice_cents

@@ -215,6 +215,49 @@ class SourcesSpec extends SparkSpec {
       "compress/blockCompress flags not both set (not BLOCK compression)")
   }
 
+  test("zstd BLOCK SequenceFile block-compresses through GraftZstdCodec and round-trips") {
+    import spark.implicits._
+    val via = Sources.src_sequencefile_zstd_agg(spark, sf0001).collect()
+    val direct = Tables.customer(spark, sf0001)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_custs"),
+        sum(round($"c_acctbal" * 100).cast("long")).as("acctbal_cents"))
+      .orderBy($"c_mktsegment")
+      .collect()
+    assert(via.nonEmpty)
+    assert(via.toSeq == direct.toSeq)
+    // same v6-header check as the snappy/lz4 cells: codec recorded AND
+    // both compress/blockCompress flags set
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().filter(_.getName.startsWith("graft_seqzstd_"))
+    assert(dir.nonEmpty)
+    val part = dir.head.listFiles().filter(_.getName.startsWith("part-")).head
+    val bytes = java.nio.file.Files.readAllBytes(part.toPath)
+    val headStr = new String(bytes.take(512), "ISO-8859-1")
+    assert(headStr.startsWith("SEQ"), "not a SequenceFile")
+    assert(headStr.contains("graft.sources.GraftZstdCodec"),
+      "header does not record GraftZstdCodec")
+    val codecIdx = headStr.indexOf("graft.sources.GraftZstdCodec")
+    assert(bytes(codecIdx - 3) == 1 && bytes(codecIdx - 2) == 1,
+      "compress/blockCompress flags not both set (not BLOCK compression)")
+    // the compressed payload is REAL zstd, not a renamed passthrough:
+    // every frame opens with the zstd magic 0x28 B5 2F FD (RFC 8878)
+    val magic = Array[Byte](0x28, 0xB5.toByte, 0x2F, 0xFD.toByte)
+    assert(bytes.sliding(4).exists(_.sameElements(magic)),
+      "no zstd frame magic in the container body")
+    // and the codec's stream pair round-trips a frame standalone (the
+    // SPI contract SequenceFile relies on: finish-one-frame, reset,
+    // read-until-EOF)
+    val codec = new graft.sources.GraftZstdCodec
+    val bo = new java.io.ByteArrayOutputStream()
+    val cos = codec.createOutputStream(bo)
+    val payload = ("graft zstd spi " * 100).getBytes("UTF-8")
+    cos.write(payload); cos.finish()
+    assert(bo.size() < payload.length, "frame did not compress repetitive input")
+    val cin = codec.createInputStream(new java.io.ByteArrayInputStream(bo.toByteArray))
+    assert(cin.readAllBytes().sameElements(payload), "frame did not round-trip")
+  }
+
   test("MapFile export is key-sorted per file, range-ordered across files, and seekable") {
     import org.apache.hadoop.fs.Path
     import org.apache.hadoop.io.{LongWritable, MapFile, Text}
