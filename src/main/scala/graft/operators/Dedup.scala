@@ -477,6 +477,118 @@ object Dedup {
   def dedup_minhash_index_delta(s: SparkSession, d: String): DataFrame =
     mhIndexProbe(s, mhDeltaIndexTables(s, d), d)
 
+  private val mhMergeBuilt = new java.util.HashSet[String]()
+  /** KEYED-MERGE-GROWN band index — the update case
+    * [[mhDeltaIndexTables]]'s pure-append growth cannot express, on
+    * the DEDUP tier (the Graph edge-index / TextOps postings-index
+    * keyed-merge play, same round): a RE-CRAWLED document whose
+    * content CHANGED invalidates index rows already written — its old
+    * signature is wrong and its old band keys hash elsewhere, so rows
+    * must be DELETED and REWRITTEN, which no append can express (an
+    * append would leave the doc enrolled under both its old and new
+    * band keys, surfacing phantom candidates and scoring probes
+    * against a stale signature). At 100 TB re-crawls are the common
+    * case; brand-new documents (the append leg) are the rare one.
+    *
+    * The split models it: the base generations index the corpus split
+    * (doc_id % 10 ≠ 0), but the touched slice (doc_id % 10 = 7)
+    * carries its FIRST-crawl text — the true content plus a
+    * cookie-banner suffix the re-crawl drops, so its signature and
+    * band keys are stale. The merge is the read-modify-write play on
+    * BOTH index tables (reference: DistCp `-update` copy-if-changed,
+    * hadoop-tools/hadoop-distcp/src/main/java/org/apache/hadoop/
+    * tools/DistCp.java:1):
+    *
+    *   - untouched docs' rows CARRY OVER byte-identical (anti-join on
+    *     the delta's distinct doc_ids — broadcast-sized);
+    *   - each touched doc's band rows and signature are REBUILT from
+    *     its re-crawled text (the exact [[writeMhIndex]] expressions);
+    *   - each table's result is written as the NEXT GENERATION of its
+    *     own bucketed layout ((band, bkey) for the band table, doc_id
+    *     for the signatures), FINGERPRINT-VERIFIED against the
+    *     logical merge ([[MetadataOps.fnvFingerprints]], 64 buckets)
+    *     BEFORE the swap — the tableMergeStream commit discipline,
+    *     applied per table.
+    *
+    * Scale: copy-on-write, one bucketed rewrite per table with a
+    * delta-sized Exchange. The same key asymmetry as the postings
+    * tier, doubled: the band table is bucketed on (band, bkey) but
+    * deletes key on doc_id — a touched doc's 8 stale band rows live
+    * in up to 8 different buckets, so the delete rides a full-scan
+    * anti-join (or tombstones + merge-on-read); the signature table
+    * is doc_id-bucketed, so ITS delete IS bucket-local — one merge,
+    * two delete shapes, which is exactly why real stores keep the
+    * posting/banding and the per-key record in separate tables.
+    *
+    * The merged tables hold the identical (band rows, signatures) as
+    * [[mhIndexTables]]'s build over the true corpus — spec-gated
+    * directly — so the probe result matches [[dedup_minhash_index]]
+    * bit-for-bit and carries [[dedup_incremental]]'s oracle verbatim:
+    * the hash match IS merge ≡ rebuild. */
+  private def mhMergeIndexTables(s: SparkSession, d: String): (String, String) = {
+    import s.implicits._
+    val baseB = s"mhk_band_${IndexUtil.dirTag(d)}"
+    val baseS = s"mhk_sig_${IndexUtil.dirTag(d)}"
+    val (mergB, mergS) = (s"${baseB}_m", s"${baseS}_m")
+    mhMergeBuilt.synchronized { if (!mhMergeBuilt.contains(d)) {
+      Seq(baseB, baseS, mergB, mergS).foreach(IndexUtil.dropIndexTable(s, _))
+      val docs = Tables.documents(s, d).filter($"doc_id" % 10 =!= 0)
+      // first-crawl snapshot: the touched slice was indexed with
+      // boilerplate the re-crawl removes — stale sig AND band keys
+      val firstCrawl = docs.withColumn("text",
+        when($"doc_id" % 10 === 7,
+          concat($"text", lit(" accept all cookies to continue")))
+          .otherwise($"text"))
+      writeMhIndex(firstCrawl.select($"doc_id",
+          minhashSignature(shingleHashes($"text", 3), 32).as("sig")),
+        baseB, baseS, mode = "overwrite")
+      val reSigs = docs.filter($"doc_id" % 10 === 7)
+        .select($"doc_id", minhashSignature(shingleHashes($"text", 3), 32).as("sig"))
+      val touched = reSigs.select($"doc_id").distinct()
+      def mergeBand(tgt: DataFrame): DataFrame =
+        tgt.join(touched, Seq("doc_id"), "left_anti")
+          .unionByName(reSigs
+            .select($"doc_id", explode(bandKeys($"sig", 8, 4)).as("bk"))
+            .select($"doc_id", $"bk.band".as("band"), $"bk.bkey".as("bkey")))
+      def mergeSig(tgt: DataFrame): DataFrame =
+        tgt.join(touched, Seq("doc_id"), "left_anti").unionByName(reSigs)
+      mergeBand(s.table(baseB)).write.mode("overwrite")
+        .bucketBy(8, "band", "bkey").sortBy("band", "bkey")
+        .format("parquet").saveAsTable(mergB)
+      mergeSig(s.table(baseS)).write.mode("overwrite")
+        .bucketBy(8, "doc_id").sortBy("doc_id")
+        .format("parquet").saveAsTable(mergS)
+      // verify each generation BEFORE its swap: logical merge vs
+      // read-back, 64 fingerprint buckets — the tableMergeStream gate
+      def verify(logical: DataFrame, tbl: String): Unit = {
+        val bad = MetadataOps.fnvFingerprints(logical, "src")
+          .join(MetadataOps.fnvFingerprints(s.table(tbl), "dst"),
+            Seq("bucket"), "full_outer")
+          .filter(!($"src_rows" <=> $"dst_rows" && $"src_xor" <=> $"dst_xor" &&
+            $"src_sum" <=> $"dst_sum"))
+          .count()
+        if (bad > 0) throw new IllegalStateException(
+          s"band-index merge generation $tbl failed fingerprint " +
+            s"verification in $bad/64 buckets — not swapped in")
+      }
+      verify(mergeBand(s.table(baseB)), mergB)
+      verify(mergeSig(s.table(baseS)), mergS)
+      // commit point: both generations verified, the stale pair drops
+      IndexUtil.dropIndexTable(s, baseB)
+      IndexUtil.dropIndexTable(s, baseS)
+      mhMergeBuilt.add(d)
+    } }
+    (mergB, mergS)
+  }
+
+  /** Delta probe against the KEYED-MERGE-GROWN band index (see
+    * [[mhMergeIndexTables]]) — registered so the driver's hash gate
+    * proves stale-snapshot + keyed merge ≡ rebuild over the
+    * re-crawled corpus: the changed-document update path on the dedup
+    * tier. */
+  def dedup_minhash_index_merge(s: SparkSession, d: String): DataFrame =
+    mhIndexProbe(s, mhMergeIndexTables(s, d), d)
+
   /** SimHash near-dup: 64-bit simhash (single-pass codegen'd
     * expression); pair enumeration over DISTINCT simhash values via
     * combinatorial chunk blocking, then qualifying hash pairs mapped to
@@ -1109,6 +1221,7 @@ object Dedup {
     "dedup_incremental" -> dedup_incremental _,
     "dedup_minhash_index" -> dedup_minhash_index _,
     "dedup_minhash_index_delta" -> dedup_minhash_index_delta _,
+    "dedup_minhash_index_merge" -> dedup_minhash_index_merge _,
     "dedup_simhash" -> dedup_simhash _,
     "dedup_ngram_jaccard" -> dedup_ngram_jaccard _,
     "dedup_containment" -> dedup_containment _,
@@ -1417,6 +1530,11 @@ object Dedup {
     // append ≡ rebuild.
     "dedup_minhash_index" -> incrementalOracleSql,
     "dedup_minhash_index_delta" -> incrementalOracleSql,
+    // the keyed-merge generations hold the identical band rows and
+    // signatures as a rebuild over the re-crawled corpus, so the
+    // identical replay: its hash match IS merge == rebuild (stale
+    // band keys deleted, stale signatures rewritten)
+    "dedup_minhash_index_merge" -> incrementalOracleSql,
     "dedup_cdc" ->
       """WITH g0 AS (
         |  SELECT bv, xor((bv + 1)::HUGEINT, (bv + 1)::HUGEINT // 8589934592::HUGEINT) AS a

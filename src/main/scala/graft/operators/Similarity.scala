@@ -480,6 +480,113 @@ object Similarity {
     ivfIndexSearch(s, d, tbl, ivfDeltaCents.get(d))
   }
 
+  private val ivfMergeBuilt = new java.util.HashSet[String]()
+  private[graft] val ivfMergeCents =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+  private[graft] val lastIvfMergeDir =
+    new java.util.concurrent.atomic.AtomicReference[String]()
+  /** KEYED-MERGE-GROWN IVF index — the update case
+    * [[ivfDeltaIndexTable]]'s pure-append growth cannot express, on
+    * the VECTOR tier (the Graph / TextOps / Dedup keyed-merge play,
+    * same round): a RE-EMBEDDED document — its content changed, or
+    * the embedding model was partially re-run — lands in a DIFFERENT
+    * cell than the vector already in the lists, so the old list entry
+    * must be DELETED and the new one inserted, which no append can
+    * express (an append would leave the doc searchable under both its
+    * old and new embedding — phantom neighbors from a vector that no
+    * longer exists). Production vector stores hit this daily: upserts
+    * are the API, and under the hood they are exactly this
+    * read-modify-write.
+    *
+    * The split models it: the base generation assigns every vector,
+    * but the touched slice (vec_id % 9 = 4) carries its FIRST-run
+    * embedding (modeled as the reversed vector — a deterministic
+    * stand-in for the old model's output); the coarse quantizer is
+    * trained on that snapshot and stays FROZEN through the re-embed
+    * (re-training per upsert batch is the cost the persisted model
+    * avoids — the [[ivfDeltaIndexTable]] posture). The merge:
+    *
+    *   - untouched vectors' list entries CARRY OVER byte-identical
+    *     (anti-join on the delta's nids — broadcast-sized);
+    *   - each touched vector is RE-ASSIGNED under the frozen
+    *     quantizer from its re-embedded value ([[ivfAssign]] — the
+    *     shared write shape of every IVF generation);
+    *   - the result is written as the NEXT GENERATION of the same
+    *     cell-bucketed layout, FINGERPRINT-VERIFIED against the
+    *     logical merge BEFORE the swap ([[MetadataOps
+    *     .fnvFingerprints]], 64 buckets — the tableMergeStream
+    *     commit discipline on the vector tier).
+    *
+    * Scale: copy-on-write with a delta-sized Exchange (carry-over
+    * rows never leave their cell buckets; only the re-embedded
+    * vectors re-shuffle to their new cells). The key asymmetry again:
+    * lists are bucketed on CELL but the upsert keys on NID, and a
+    * re-embed MOVES rows between buckets — the delete scans, the
+    * insert is bucket-local, which is why real stores pair the lists
+    * with an nid→cell lookup (here the anti-join plays that role).
+    *
+    * The merged lists hold exactly assign(re-embedded corpus, frozen
+    * centroids) — spec-gated directly — so the search result matches
+    * the full-corpus literal replay over THESE centroids: the
+    * driver's hash match IS merge ≡ rebuild. */
+  private def ivfMergeIndexTable(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val base = s"ivfk_idx_${dirTag(d)}"
+    val merged = s"${base}_m"
+    ivfMergeBuilt.synchronized { if (!ivfMergeBuilt.contains(d)) {
+      dropIndexTable(s, base)
+      dropIndexTable(s, merged)
+      val e = Tables.embeddings(s, d)
+        .select($"vec_id", asDouble($"embedding").as("vec"))
+      // first-run snapshot: the touched slice carries the OLD model's
+      // embedding (deterministic stand-in: the reversed vector)
+      val firstEmbed = e.withColumn("vec",
+        when(pmod($"vec_id", lit(9)) === 4, reverse($"vec"))
+          .otherwise($"vec"))
+      // quantizer trained at snapshot time, FROZEN through the merge
+      val cents = kmeansCentroids(trainSlice(s, d, firstEmbed), k = 32, iters = 1)
+      ivfMergeCents.put(d, cents)
+      ivfAssign(firstEmbed, cents).write.mode("overwrite")
+        .bucketBy(8, "cell").sortBy("cell")
+        .format("parquet").saveAsTable(base)
+      val reEmbedded = e.filter(pmod($"vec_id", lit(9)) === 4)
+      def mergeOf(tgt: DataFrame): DataFrame = {
+        val touched = reEmbedded.select($"vec_id".as("nid")).distinct()
+        tgt.join(touched, Seq("nid"), "left_anti")
+          .unionByName(ivfAssign(reEmbedded, cents))
+      }
+      mergeOf(s.table(base)).write.mode("overwrite")
+        .bucketBy(8, "cell").sortBy("cell")
+        .format("parquet").saveAsTable(merged)
+      // verify BEFORE the swap: logical merge vs read-back, 64
+      // fingerprint buckets — the tableMergeStream gate
+      val bad = MetadataOps
+        .fnvFingerprints(mergeOf(s.table(base)), "src")
+        .join(MetadataOps.fnvFingerprints(s.table(merged), "dst"),
+          Seq("bucket"), "full_outer")
+        .filter(!($"src_rows" <=> $"dst_rows" && $"src_xor" <=> $"dst_xor" &&
+          $"src_sum" <=> $"dst_sum"))
+        .count()
+      if (bad > 0) throw new IllegalStateException(
+        s"IVF-list merge generation $merged failed fingerprint " +
+          s"verification in $bad/64 buckets — not swapped in")
+      dropIndexTable(s, base) // commit point: merged is live
+      ivfMergeBuilt.add(d)
+    } }
+    merged
+  }
+
+  /** Search over the KEYED-MERGE-GROWN IVF index (see
+    * [[ivfMergeIndexTable]]) — registered so the driver's hash gate
+    * proves stale-snapshot + keyed merge ≡ assign(re-embedded corpus,
+    * frozen centroids): the vector-upsert path, closing the
+    * changed-record boundary on the last index tier. */
+  def ann_ivf_index_merge(s: SparkSession, d: String): DataFrame = {
+    val tbl = ivfMergeIndexTable(s, d)
+    lastIvfMergeDir.set(d)
+    ivfIndexSearch(s, d, tbl, ivfMergeCents.get(d))
+  }
+
   /** IVF (inverted-file) ANN — the coarse-quantizer scale path: K
     * centroids partition the corpus into cells (inverted lists); a
     * query probes only its `nprobe` nearest cells and brute-forces
@@ -1506,6 +1613,7 @@ object Similarity {
     "ann_hybrid_rrf_index" -> ann_hybrid_rrf_index _,
     "ann_ivf_index_probed" -> ann_ivf_index_probed _,
     "ann_ivf_index_delta" -> ann_ivf_index_delta _,
+    "ann_ivf_index_merge" -> ann_ivf_index_merge _,
     "ann_ivfpq_index" -> ann_ivfpq_index _,
     "ann_ivf" -> ann_ivf _,
     "ann_pq" -> ann_pq _,
@@ -2047,6 +2155,13 @@ object Similarity {
     // hash-match here IS the merge-equals-recompute theorem
     Option(lastIvfDeltaDir.get()).flatMap(dd => Option(ivfDeltaCents.get(dd)))
       .map(c => Map("ann_ivf_index_delta" -> annIvfOracleSql(c, nprobe = 8)))
+      .getOrElse(Map.empty) ++
+    // the full-corpus replay over the MERGE leg's frozen snapshot
+    // centroids: the merged lists hold exactly assign(re-embedded
+    // corpus, cents), so hash-match IS merge-equals-rebuild on the
+    // vector tier (stale list entries deleted, moved cells rewritten)
+    Option(lastIvfMergeDir.get()).flatMap(dd => Option(ivfMergeCents.get(dd)))
+      .map(c => Map("ann_ivf_index_merge" -> annIvfOracleSql(c, nprobe = 8)))
       .getOrElse(Map.empty) ++
     Option(lastPqTrained.get())
       .map { case (b, t) => Map("ann_pq" -> annPqOracleSql(b, t, rerank = 64)) }

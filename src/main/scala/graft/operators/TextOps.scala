@@ -1593,12 +1593,19 @@ object TextOps {
 
   /** One bucketed postings write pass — shared by the full build and
     * the delta append. */
-  private def writePostings(docs: DataFrame, tbl: String, mode: String): Unit = {
+  private def writePostings(docs: DataFrame, tbl: String, mode: String): Unit =
+    postingsOf(docs)
+      .write.mode(mode).bucketBy(8, "term").sortBy("term")
+      .format("parquet").saveAsTable(tbl)
+
+  /** The (term, doc_id, tf) postings derivation shared by every index
+    * generation writer — full build, delta append, and the keyed-merge
+    * insert leg, which needs the FRAME (to union with the carry-over)
+    * rather than a direct write. */
+  private def postingsOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     docs.select($"doc_id", explode(tokens($"text")).as("term"))
       .groupBy($"term", $"doc_id").agg(count(lit(1)).as("tf"))
-      .write.mode(mode).bucketBy(8, "term").sortBy("term")
-      .format("parquet").saveAsTable(tbl)
   }
 
   private val searchDeltaBuilt = new java.util.HashSet[String]()
@@ -1662,6 +1669,108 @@ object TextOps {
     * pre-partitioned across generations — spec-gated). */
   def text_search_index_delta(s: SparkSession, d: String): DataFrame =
     searchIndexQuery(s, d, searchDeltaIndexTable(s, d))
+
+  private val searchMergeBuilt = new java.util.HashSet[String]()
+  /** KEYED-MERGE-GROWN postings index — the update case the append
+    * legs cannot express, on the TEXT tier (the
+    * [[graft.operators.Graph]] edge-index keyed-merge play, same
+    * round): a RE-CRAWLED document whose content CHANGED invalidates
+    * postings already written — rows must be deleted (terms the new
+    * version dropped) and rewritten (tf shifts), which no append can
+    * express. At 100 TB this is the COMMON case — a crawler re-visits
+    * pages daily and boilerplate comes and goes; brand-new documents
+    * (the append leg) are the rare one.
+    *
+    * The split models it: the base generation indexes every document,
+    * but the touched slice (doc_id % 10 = 4) carries its FIRST-crawl
+    * text — the true content plus a cookie-banner boilerplate suffix
+    * the re-crawl later drops (so stale postings contain term rows the
+    * final index must NOT have: a pure-append design can never remove
+    * them). The merge is [[MetadataOps.fs_table_merge]]'s
+    * read-modify-write applied to the touched doc GROUPS (reference:
+    * DistCp `-update` copy-if-changed, hadoop-tools/hadoop-distcp/src/
+    * main/java/org/apache/hadoop/tools/DistCp.java:1):
+    *
+    *   - untouched docs' postings CARRY OVER byte-identical (anti-join
+    *     on the delta's distinct doc_ids — broadcast-sized: the
+    *     touched key set is delta-shaped, never index-shaped);
+    *   - each touched doc's postings are REBUILT from its re-crawled
+    *     text ([[postingsOf]] — the exact build expression);
+    *   - the result is written as the NEXT GENERATION of the same
+    *     term-bucketed layout, FINGERPRINT-VERIFIED against the
+    *     logical merge ([[MetadataOps.fnvFingerprints]], 64 buckets —
+    *     a posting row lost, doubled or corrupted in the write fails
+    *     the build BEFORE the swap), and only then swapped in (drop
+    *     the stale generation) — the tableMergeStream commit
+    *     discipline on the text tier.
+    *
+    * Scale: copy-on-write — one bucketed rewrite whose Exchange is
+    * delta-sized (carry-over rows never leave their term buckets; the
+    * touched docs' postings re-shuffle); at 100 TB the postings table
+    * is additionally range-partitioned on term so only touched
+    * partitions rewrite (the Delta/Hudi CoW trade). Note the key
+    * asymmetry this tier adds: the table is bucketed on TERM but the
+    * delete key is DOC_ID, so a touched doc's stale rows live in many
+    * buckets — exactly why the delete must ride a full-scan anti-join
+    * (or tombstones + merge-on-read) rather than a bucket-local drop.
+    *
+    * The merged table holds the identical (term, doc_id, tf) set as a
+    * full rebuild over the re-crawled corpus — spec-gated directly —
+    * so the registered query carries [[text_search_index]]'s oracle
+    * verbatim: the hash match IS merge ≡ rebuild. */
+  private def searchMergeIndexTable(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val base = s"text_idxk_${IndexUtil.dirTag(d)}"
+    val merged = s"${base}_m"
+    searchMergeBuilt.synchronized { if (!searchMergeBuilt.contains(d)) {
+      IndexUtil.dropIndexTable(s, base)
+      IndexUtil.dropIndexTable(s, merged)
+      val docs = Tables.documents(s, d)
+      // first-crawl snapshot: the touched slice carries boilerplate
+      // the re-crawl removes (stale postings the merge must DELETE)
+      val firstCrawl = docs.withColumn("text",
+        when($"doc_id" % 10 === 4,
+          concat($"text", lit(" accept all cookies to continue")))
+          .otherwise($"text"))
+      writePostings(firstCrawl, base, mode = "overwrite")
+      val recrawled = docs.filter($"doc_id" % 10 === 4)
+      def mergeOf(tgt: DataFrame): DataFrame = {
+        val touched = recrawled.select($"doc_id").distinct()
+        // re-select: the USING-column anti-join moves doc_id first;
+        // the next generation must keep the base schema order
+        tgt.join(touched, Seq("doc_id"), "left_anti")
+          .unionByName(postingsOf(recrawled))
+          .select($"term", $"doc_id", $"tf")
+      }
+      mergeOf(s.table(base))
+        .write.mode("overwrite").bucketBy(8, "term").sortBy("term")
+        .format("parquet").saveAsTable(merged)
+      // verify BEFORE the swap: logical merge vs read-back, 64
+      // fingerprint buckets — the tableMergeStream gate
+      val bad = MetadataOps
+        .fnvFingerprints(mergeOf(s.table(base)), "src")
+        .join(MetadataOps.fnvFingerprints(s.table(merged), "dst"),
+          Seq("bucket"), "full_outer")
+        .filter(!($"src_rows" <=> $"dst_rows" && $"src_xor" <=> $"dst_xor" &&
+          $"src_sum" <=> $"dst_sum"))
+        .count()
+      if (bad > 0) throw new IllegalStateException(
+        s"postings merge generation $merged failed fingerprint " +
+          s"verification in $bad/64 buckets — not swapped in")
+      IndexUtil.dropIndexTable(s, base) // commit point: merged is live
+      searchMergeBuilt.add(d)
+    } }
+    merged
+  }
+
+  /** The SAME search over the KEYED-MERGE-GROWN postings index (see
+    * [[searchMergeIndexTable]]) — registered so the driver's hash gate
+    * proves stale-snapshot + keyed merge ≡ rebuild over the re-crawled
+    * corpus: the changed-document update path, closing on the text
+    * tier the boundary the graph tier's merge leg closed for
+    * denormalized out-weights. */
+  def text_search_index_merge(s: SparkSession, d: String): DataFrame =
+    searchIndexQuery(s, d, searchMergeIndexTable(s, d))
 
   /** The search path, table-parameterized so the one-shot and
     * append-grown indexes share it verbatim. */
@@ -1763,6 +1872,7 @@ object TextOps {
     "text_multi_route" -> text_multi_route _,
     "text_search_index" -> text_search_index _,
     "text_search_index_delta" -> text_search_index_delta _,
+    "text_search_index_merge" -> text_search_index_merge _,
     "text_classify_centroid" -> text_classify_centroid _,
     "text_window_chunks" -> text_window_chunks _,
     "text_curation_funnel" -> text_curation_funnel _,
@@ -2214,6 +2324,11 @@ object TextOps {
     // SAME replay: its hash match IS the append == rebuild theorem.
     "text_search_index_delta" -> searchIndexOracleSql,
     "text_search_index" -> searchIndexOracleSql,
+    // the keyed-merge generation holds the identical postings set as
+    // a rebuild over the re-crawled corpus, so the identical replay:
+    // its hash match IS merge == rebuild (stale boilerplate postings
+    // deleted, shifted tfs rewritten)
+    "text_search_index_merge" -> searchIndexOracleSql,
     "text_tfidf" ->
       """WITH words AS (
         | SELECT lang, unnest(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS word

@@ -467,4 +467,47 @@ class DedupSpec extends SparkSpec {
     val rebuilt = Dedup.dedup_minhash_index(spark, corpusA).collect().toSeq
     assert(merged.nonEmpty && merged == rebuilt)
   }
+
+  test("dedup_minhash_index_merge: keyed-merge replaces stale band keys and signatures, probe equals rebuild") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{concat, explode, lit, when}
+    import graft.functions.TextFunctions.{bandKeys, minhashSignature, shingleHashes}
+    val viaMerge = Dedup.dedup_minhash_index_merge(spark, corpusA).collect().toSeq
+    val rebuilt = Dedup.dedup_minhash_index(spark, corpusA).collect().toSeq
+    assert(viaMerge.nonEmpty && viaMerge == rebuilt,
+      "keyed-merge-grown index probe diverged from the build-once probe (merge != rebuild)")
+    // premise: the first-crawl boilerplate actually CHANGED at least
+    // one touched doc's signature — otherwise the merge gates nothing
+    val docs = Tables.documents(spark, corpusA).filter($"doc_id" % 10 =!= 0)
+    val touched = docs.filter($"doc_id" % 10 === 7)
+    val changed = touched
+      .select($"doc_id",
+        minhashSignature(shingleHashes($"text", 3), 32).as("sig_true"),
+        minhashSignature(shingleHashes(
+          concat($"text", lit(" accept all cookies to continue")), 3), 32).as("sig_stale"))
+      .filter(!($"sig_true" <=> $"sig_stale")).count()
+    assert(changed > 0, "boilerplate left every touched signature unchanged — the split gates nothing")
+    val tag = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(corpusA.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+    // the commit point dropped both pre-merge generations
+    assert(!spark.catalog.tableExists(s"mhk_band_$tag") &&
+      !spark.catalog.tableExists(s"mhk_sig_$tag"),
+      "pre-merge base generation survived the swap")
+    // the merged tables hold exactly the true-corpus derivation: stale
+    // band keys deleted, stale signatures rewritten, carry-over intact
+    val expBand = docs
+      .select($"doc_id", explode(bandKeys(
+        minhashSignature(shingleHashes($"text", 3), 32), 8, 4)).as("bk"))
+      .select($"doc_id", $"bk.band".as("band"), $"bk.bkey".as("bkey"))
+    val gotBand = spark.table(s"mhk_band_${tag}_m")
+    assert(gotBand.count() == expBand.count() &&
+      gotBand.except(expBand).count() == 0 && expBand.except(gotBand).count() == 0,
+      "merged band table diverged from the true-corpus band derivation")
+    val expSig = docs.select($"doc_id",
+      minhashSignature(shingleHashes($"text", 3), 32).as("sig"))
+    val gotSig = spark.table(s"mhk_sig_${tag}_m")
+    assert(gotSig.count() == expSig.count() &&
+      gotSig.except(expSig).count() == 0 && expSig.except(gotSig).count() == 0,
+      "merged signature table diverged from the true-corpus signatures")
+  }
 }

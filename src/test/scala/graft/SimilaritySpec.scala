@@ -451,6 +451,53 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"delta-grown IVF recall@5 $recall < 0.6")
   }
 
+  test("ann_ivf_index_merge: re-embedded vectors move cells, merged lists equal assign(true corpus, frozen centroids)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array_min, lit, pmod, reverse, when}
+    import graft.functions.VectorFunctions.asDouble
+    val result = Similarity.ann_ivf_index_merge(spark, sf001)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(result.nonEmpty, "ann_ivf_index_merge returned no rows")
+    val tag = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(sf001.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+    // the commit point dropped the stale first-embed generation
+    assert(!spark.catalog.tableExists(s"ivfk_idx_$tag"),
+      "pre-merge base generation survived the swap")
+    val cents = Similarity.ivfMergeCents.get(sf001)
+    assert(cents != null, "merge leg left no frozen-centroid memo")
+    val e = Tables.embeddings(spark, sf001)
+      .select($"vec_id", asDouble($"embedding").as("vec"))
+    // premise: at least one re-embedded vector actually MOVED cells
+    // under the frozen quantizer — otherwise a pure append would have
+    // sufficed and the merge gates nothing
+    val moved = e.filter(pmod($"vec_id", lit(9)) === 4)
+      .select(
+        array_min(Similarity.centroidDists(cents, $"vec")).getField("cid").as("cell_true"),
+        array_min(Similarity.centroidDists(cents, reverse($"vec"))).getField("cid").as("cell_stale"))
+      .filter($"cell_true" =!= $"cell_stale").count()
+    assert(moved > 0, "no re-embedded vector changed cell — the split gates nothing")
+    // the merged lists hold exactly assign(re-embedded corpus, frozen
+    // centroids): stale entries deleted, moved cells rewritten,
+    // carry-over intact — merge == rebuild at the table level
+    val expected = e.select($"vec_id".as("nid"), $"vec".as("nvec"),
+      array_min(Similarity.centroidDists(cents, $"vec")).getField("cid").as("cell"))
+    val got = spark.table(s"ivfk_idx_${tag}_m")
+    assert(got.count() == expected.count() &&
+      got.except(expected).count() == 0 && expected.except(got).count() == 0,
+      "merged IVF lists diverged from assign(true corpus, frozen centroids)")
+    // the merged generation serves the probe join bucketed,
+    // Exchange-free on the corpus side
+    val plan = Similarity.ann_ivf_index_merge(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") && plan.contains("Bucketed: true"))
+    val lines = plan.linesIterator.toVector
+    val idxLine = lines.indexWhere(_.contains("default.ivfk_idx"))
+    val smjLine = lines.lastIndexWhere(_.contains("SortMergeJoin"), idxLine)
+    assert(idxLine > smjLine && smjLine >= 0, "plan shape unexpected")
+    assert(!lines.slice(smjLine + 1, idxLine).exists(_.contains("Exchange")),
+      s"Exchange on the index branch:\n${lines.slice(smjLine + 1, idxLine).mkString("\n")}")
+  }
+
   test("ann_ivfpq_index holds IVF-PQ recall and searches compressed lists without a corpus-side Exchange") {
     val brute = Similarity.ann_topk_brute(spark, sf001)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

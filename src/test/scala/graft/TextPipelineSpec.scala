@@ -808,6 +808,54 @@ class TextPipelineSpec extends SparkSpec {
       "Exchange between the df aggregate and the grown bucketed scan")
   }
 
+  test("text_search_index_merge: keyed-merge deletes stale boilerplate postings, search equals the one-shot index") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{concat, count, explode, lit, when}
+    import graft.functions.TextFunctions.tokens
+    val viaMerge = TextOps.text_search_index_merge(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val oneShot = TextOps.text_search_index(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(viaMerge.nonEmpty && viaMerge == oneShot,
+      "keyed-merge-grown postings diverged from the one-shot index (merge != rebuild)")
+    val tag = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(sf0001.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+    // the commit point dropped the stale first-crawl generation
+    assert(!spark.catalog.tableExists(s"text_idxk_$tag"),
+      "pre-merge base generation survived the swap")
+    // the merged table holds exactly the re-crawled corpus's postings:
+    // stale rows DELETED (terms only the boilerplate contributed must
+    // be gone — the case no append can express), shifted tfs rewritten
+    val docs = Tables.documents(spark, sf0001)
+    val expected = docs
+      .select($"doc_id", explode(tokens($"text")).as("term"))
+      .groupBy($"term", $"doc_id").agg(count(lit(1)).as("tf"))
+    val got = spark.table(s"text_idxk_${tag}_m")
+    assert(got.count() == expected.count() &&
+      got.except(expected).count() == 0 && expected.except(got).count() == 0,
+      "merged postings diverged from the re-crawled corpus derivation")
+    // premise: the boilerplate really added postings to the touched
+    // slice (the stale generation had rows to delete)
+    val staleExtra = docs.filter($"doc_id" % 10 === 4)
+      .select($"doc_id", explode(tokens(
+        concat($"text", lit(" accept all cookies to continue")))).as("term"))
+      .groupBy($"term", $"doc_id").agg(count(lit(1)).as("tf"))
+      .except(expected).count()
+    assert(staleExtra > 0, "boilerplate added no postings — the split gates nothing")
+    // the merged generation serves the search bucketed, Exchange-free
+    val plan = TextOps.text_search_index_merge(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"),
+      s"merged index scan not bucketed:\n${plan.take(1200)}")
+    val lines = plan.linesIterator.toVector
+    val idxLine = lines.indexWhere(_.contains("default.text_idxk"))
+    assert(idxLine >= 0, "no merged-index scan in the plan")
+    val aggAbove = lines.lastIndexWhere(_.contains("HashAggregate"), idxLine)
+    assert(aggAbove >= 0 && idxLine > aggAbove, "plan shape unexpected")
+    assert(!lines.slice(aggAbove + 1, idxLine).exists(_.contains("Exchange")),
+      "Exchange between the df aggregate and the merged bucketed scan")
+  }
+
   test("text_multi_route: one pass materializes disjoint curated/rejected plus an overlapping audit copy") {
     import spark.implicits._
     // run the registered query (builds the partitioned layout once)
