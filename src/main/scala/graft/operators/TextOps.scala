@@ -1772,6 +1772,49 @@ object TextOps {
   def text_search_index_merge(s: SparkSession, d: String): DataFrame =
     searchIndexQuery(s, d, searchMergeIndexTable(s, d))
 
+  private val searchCompactBuilt = new java.util.HashSet[String]()
+  /** COMPACTED postings index — the maintenance op that closes the
+    * generation lifecycle: build → append (delta) → merge (update) →
+    * COMPACT (fold the accreted generations back to one). The
+    * fragmented history here is five bucketed write jobs (one per
+    * doc_id % 5 arrival slice — a week of accepted batches), each
+    * adding a file set per bucket; [[IndexUtil.compactTable]] folds
+    * them into one generation with one Exchange-free job (see its
+    * scaladoc for the mechanism and the FSDirConcatOp / Hadoop
+    * Archives reference anchors), fingerprint-verifies, and swaps.
+    * The search is [[searchIndexQuery]] verbatim over the compacted
+    * table — identical rows to [[text_search_index]] because
+    * compaction holds the contents fixed by construction (and by the
+    * 64-bucket fingerprint gate), so it carries that oracle verbatim:
+    * the hash match IS compaction-is-invisible. TextPipelineSpec
+    * additionally gates the part the oracle cannot see: the file
+    * count strictly shrinks and the compacted scan still serves
+    * `Bucketed: true`, Exchange-free. */
+  private def searchCompactIndexTable(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val frag = s"text_idxf_${IndexUtil.dirTag(d)}"
+    val compacted = s"${frag}_c"
+    searchCompactBuilt.synchronized { if (!searchCompactBuilt.contains(d)) {
+      IndexUtil.dropIndexTable(s, frag)
+      IndexUtil.dropIndexTable(s, compacted)
+      val docs = Tables.documents(s, d)
+      writePostings(docs.filter($"doc_id" % 5 === 0), frag, mode = "overwrite")
+      (1 to 4).foreach(i =>
+        writePostings(docs.filter($"doc_id" % 5 === i), frag, mode = "append"))
+      IndexUtil.compactTable(s, frag, compacted,
+        buckets = 8, bucketCols = Seq("term"), sortCols = Seq("term"))
+      searchCompactBuilt.add(d)
+    } }
+    compacted
+  }
+
+  /** The SAME search over the COMPACTED postings index (see
+    * [[searchCompactIndexTable]]) — registered so the driver's hash
+    * gate proves five fragmented generations folded to one serve
+    * bit-identical results. */
+  def text_search_index_compact(s: SparkSession, d: String): DataFrame =
+    searchIndexQuery(s, d, searchCompactIndexTable(s, d))
+
   /** The search path, table-parameterized so the one-shot and
     * append-grown indexes share it verbatim. */
   private def searchIndexQuery(s: SparkSession, d: String, tbl: String): DataFrame =
@@ -1873,6 +1916,7 @@ object TextOps {
     "text_search_index" -> text_search_index _,
     "text_search_index_delta" -> text_search_index_delta _,
     "text_search_index_merge" -> text_search_index_merge _,
+    "text_search_index_compact" -> text_search_index_compact _,
     "text_classify_centroid" -> text_classify_centroid _,
     "text_window_chunks" -> text_window_chunks _,
     "text_curation_funnel" -> text_curation_funnel _,
@@ -2329,6 +2373,9 @@ object TextOps {
     // its hash match IS merge == rebuild (stale boilerplate postings
     // deleted, shifted tfs rewritten)
     "text_search_index_merge" -> searchIndexOracleSql,
+    // compaction holds contents fixed (fingerprint-gated), so the
+    // identical replay: hash match IS compaction-is-invisible
+    "text_search_index_compact" -> searchIndexOracleSql,
     "text_tfidf" ->
       """WITH words AS (
         | SELECT lang, unnest(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS word

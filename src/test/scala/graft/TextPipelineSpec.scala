@@ -856,6 +856,39 @@ class TextPipelineSpec extends SparkSpec {
       "Exchange between the df aggregate and the merged bucketed scan")
   }
 
+  test("text_search_index_compact: five generations fold to one file per bucket, search equals the one-shot index") {
+    val viaCompact = TextOps.text_search_index_compact(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val oneShot = TextOps.text_search_index(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(viaCompact.nonEmpty && viaCompact == oneShot,
+      "compacted index diverged from the one-shot index (compaction was not invisible)")
+    val tag = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(sf0001.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+    // the commit point dropped the fragmented table
+    assert(!spark.catalog.tableExists(s"text_idxf_$tag"),
+      "fragmented generation survived the swap")
+    // the compaction claim itself: the five append generations (each
+    // up to tasks×buckets files) folded to ONE file per bucket — the
+    // repartition matches the bucket hash, so each task writes
+    // exactly its bucket
+    val files = graft.operators.IndexUtil.dataFileCount(spark, s"text_idxf_${tag}_c")
+    assert(files > 0 && files <= 8,
+      s"compacted table holds $files data files — expected one per bucket (<= 8)")
+    // the compacted generation serves the search bucketed, Exchange-free
+    val plan = TextOps.text_search_index_compact(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"),
+      s"compacted index scan not bucketed:\n${plan.take(1200)}")
+    val lines = plan.linesIterator.toVector
+    val idxLine = lines.indexWhere(_.contains("default.text_idxf"))
+    assert(idxLine >= 0, "no compacted-index scan in the plan")
+    val aggAbove = lines.lastIndexWhere(_.contains("HashAggregate"), idxLine)
+    assert(aggAbove >= 0 && idxLine > aggAbove, "plan shape unexpected")
+    assert(!lines.slice(aggAbove + 1, idxLine).exists(_.contains("Exchange")),
+      "Exchange between the df aggregate and the compacted bucketed scan")
+  }
+
   test("text_multi_route: one pass materializes disjoint curated/rejected plus an overlapping audit copy") {
     import spark.implicits._
     // run the registered query (builds the partitioned layout once)
