@@ -1815,6 +1815,30 @@ object TextOps {
   def text_search_index_compact(s: SparkSession, d: String): DataFrame =
     searchIndexQuery(s, d, searchCompactIndexTable(s, d))
 
+  /** Stream-owned generation-0 postings index for
+    * [[graft.streaming.StreamingOps.compactingIndexStream]] — the
+    * generation-chain posture ([[MetadataOps.mergeStreamTarget]]'s
+    * naming: `<base>_g<n>`, maintenance advances n) applied to the
+    * postings tier: the stream appends into the CURRENT generation
+    * and periodically compacts it forward. Rebuilt on every call (a
+    * fresh chain), dropping any same-tag generations a previous run
+    * of this JVM left and the chain's commit markers — a rebuilt
+    * chain must never inherit append history. Returns the chain BASE
+    * name and the indexed document count (the running-N seed). */
+  private[graft] def searchCompactStreamTable(s: SparkSession, d: String,
+      tag: String): (String, Long) = {
+    import s.implicits._
+    val base = s"txc_idx_${IndexUtil.dirTag(d)}_$tag"
+    s.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith(s"${base}_g"))
+      .foreach(IndexUtil.dropIndexTable(s, _))
+    IndexUtil.dropIndexTable(s, s"${base}_g0")
+    IndexUtil.clearCommitMarkers(s, base)
+    val docs = Tables.documents(s, d).filter($"doc_id" % 10 =!= 0)
+    writePostings(docs, s"${base}_g0", mode = "overwrite")
+    (base, docs.count())
+  }
+
   /** The search path, table-parameterized so the one-shot and
     * append-grown indexes share it verbatim. */
   private def searchIndexQuery(s: SparkSession, d: String, tbl: String): DataFrame =

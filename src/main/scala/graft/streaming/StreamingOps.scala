@@ -1211,6 +1211,95 @@ object StreamingOps extends Serializable {
     }.start()
   }
 
+  /** CONTINUOUS INGEST WITH PERIODIC COMPACTION — the LSM posture on
+    * the postings tier, closing the maintenance loop UNDER the ingest
+    * it maintains: [[searchIndexStream]] grows its index by one file
+    * generation per micro-batch forever, which is exactly the
+    * small-files accretion [[graft.operators.IndexUtil.compactTable]]
+    * exists to undo — a real serving index runs both at once (ingest
+    * appends, a maintenance tick folds), the way an LSM tree flushes
+    * memtables AND compacts levels concurrently. Each micro-batch:
+    *
+    *   1. APPENDS its postings to the chain's CURRENT generation
+    *      (`<base>_g<n>` — the tableMergeStream naming; durable
+    *      per-batchId replay guard, the append is the non-idempotent
+    *      leg);
+    *   2. every `every` batches, COMPACTS the current generation
+    *      forward: the zero-shuffle bucketed fold of compactTable,
+    *      fingerprint-verified BEFORE the swap, then `n` advances and
+    *      the fragmented predecessor drops (generation-swap commit
+    *      discipline). The compact leg's guard is in-process only
+    *      (`idempotent = true` — the dedupIndexStream carve-out):
+    *      compaction is content-idempotent, so on any replay the
+    *      always-correct answer is to re-run it, at worst burning one
+    *      extra fold;
+    *   3. re-serves the standing queries from the post-maintenance
+    *      generation (append-then-refresh, the searchIndexStream
+    *      order — a refresh must reflect the batch that landed, and
+    *      must be INVISIBLE to maintenance: compaction holds contents
+    *      fixed, so a refresh before or after the fold reads the same
+    *      rows, which is precisely what the spec's mid-stream
+    *      compaction gate proves).
+    *
+    * RESTART: the live generation is DISCOVERED from the catalog at
+    * query start (highest `<base>_g<n>` — the tableMergeStream r18
+    * device; same in-memory-catalog scope caveat). A fresh chain goes
+    * through [[graft.operators.TextOps.searchCompactStreamTable]],
+    * which rebuilds generation 0 and clears the chain's markers.
+    *
+    * ≡-batch theorem (StreamingSpec's gate): after the delta has
+    * fully streamed in — any split, any order, any number of
+    * mid-stream compactions — the final refresh equals
+    * [[graft.operators.TextOps.text_search_index_delta]] row-for-row:
+    * appends preserve contents by the per-document postings argument,
+    * compactions preserve contents by the fingerprint gate, so the
+    * chain's final generation holds exactly the one-shot index.
+    *
+    * Scale: the fold cost is ∝ current index size, paid every
+    * `every` batches — at 100 TB the chain is partitioned and only
+    * partitions past a generation-count threshold fold (incremental
+    * compaction), and `every` trades read amplification (sorted runs
+    * per bucket ≤ every) against write amplification (each row
+    * rewritten once per fold) — the classic LSM dial. */
+  def compactingIndexStream(docs: DataFrame, idxBase: String, baseN: Long,
+      every: Int, onBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(every >= 1, s"compaction period must be >= 1, got $every")
+    val sess = docs.sparkSession
+    val appendGuard = new AppendGuard(sess, idxBase)
+    val compactGuard = new AppendGuard(sess, idxBase, idempotent = true)
+    val startGen = sess.catalog.listTables().collect().iterator
+      .map(_.name).filter(_.startsWith(s"${idxBase}_g"))
+      .flatMap(n => n.stripPrefix(s"${idxBase}_g").toLongOption)
+      .foldLeft(0L)(math.max)
+    val curGen = new java.util.concurrent.atomic.AtomicLong(startGen)
+    val indexedN = new java.util.concurrent.atomic.AtomicLong(baseN)
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val b = batch.persist()
+        try {
+          appendGuard(batchId) {
+            graft.operators.TextOps.appendPostings(b, s"${idxBase}_g${curGen.get()}")
+            indexedN.addAndGet(b.count())
+          }
+          if ((batchId + 1) % every == 0) compactGuard(batchId, "compact") {
+            val gen = curGen.get()
+            graft.operators.IndexUtil.compactTable(s,
+              s"${idxBase}_g$gen", s"${idxBase}_g${gen + 1}",
+              buckets = 8, bucketCols = Seq("term"), sortCols = Seq("term"))
+            curGen.set(gen + 1) // commit point: compactTable verified+swapped
+          }
+          val res = graft.operators.TextOps.searchIndexQueryOver(s,
+            s"${idxBase}_g${curGen.get()}", indexedN.get()).persist()
+          try {
+            res.count()
+            onBatch(res)
+          } finally res.unpersist(blocking = false)
+        } finally b.unpersist(blocking = false)
+    }.start()
+  }
+
   /** CONTINUOUS MERGE INTO — the streaming twin of
     * [[graft.operators.MetadataOps.fs_table_merge]] (r18): each
     * micro-batch is a keyed delta (doc_id, source, n_chars, op ∈

@@ -1330,6 +1330,59 @@ class StreamingSpec extends SparkSpec {
     assert(rev == expected, "final refresh diverged under reversed ingest")
   }
 
+  test("compacting postings stream: mid-stream compactions are invisible, generations advance, final gen is one file per bucket") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.TextOps
+    type Hit = (Long, Int, Long, Long, Long)
+    def collectHits(df: org.apache.spark.sql.DataFrame): Seq[Hit] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+
+    // the batch truth: contents must match the append-grown index
+    // query regardless of how many folds happened along the way
+    val expected = collectHits(TextOps.text_search_index_delta(spark, sf0001))
+    CacheRegistry.releaseAll()
+    assert(expected.nonEmpty, "batch delta query produced no hits")
+    val delta = Tables.documents(spark, sf0001).filter($"doc_id" % 10 === 0)
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(delta.size >= 4, "need >= 4 delta docs for a 4-batch split")
+
+    def runStream(batches: Seq[Seq[(Long, String)]], tag: String): (Seq[Hit], String) = {
+      val (base, baseN) = TextOps.searchCompactStreamTable(spark, sf0001, tag)
+      @volatile var last: Seq[Hit] = Nil
+      val ms = MemoryStream[(Long, String)]
+      // every = 2: with 4 batches the fold fires TWICE mid-stream
+      val q = StreamingOps.compactingIndexStream(
+        ms.toDF().toDF("doc_id", "text"), base, baseN, every = 2,
+        res => last = collectHits(res))
+      try batches.foreach { b => ms.addData(b); drain(q) }
+      finally q.stop()
+      (last, base)
+    }
+
+    val batches = delta.grouped(math.max(1, delta.size / 4 + 1)).toSeq
+    val (fwd, base) = runStream(batches, "cf")
+    assert(fwd == expected,
+      s"final refresh != batch delta query: got ${fwd.take(5)}… want ${expected.take(5)}…")
+    // two folds ran: the chain advanced to g2 and dropped g0/g1
+    assert(spark.catalog.tableExists(s"${base}_g2"),
+      "chain did not reach generation 2 after two folds")
+    assert(!spark.catalog.tableExists(s"${base}_g0") &&
+      !spark.catalog.tableExists(s"${base}_g1"),
+      "superseded generations survived their swaps")
+    // the last batch's append folded too (append-then-compact order),
+    // so the live generation is fully compacted: one file per bucket
+    val files = graft.operators.IndexUtil.dataFileCount(spark, s"${base}_g2")
+    assert(files > 0 && files <= 8,
+      s"final generation holds $files data files — expected <= 8 after the fold")
+
+    // reversed ingest: same final contents under any split order
+    val (rev, _) = runStream(
+      delta.reverse.grouped(math.max(1, delta.size / 4 + 1)).toSeq, "cr")
+    assert(rev == expected, "final refresh diverged under reversed ingest")
+  }
+
   test("AppendGuard: a retry after a partial two-leg failure re-runs only the failed leg") {
     // the r17-advice gap, gated directly: band append commits, sig
     // append throws, foreachBatch retries the whole batchId — the
