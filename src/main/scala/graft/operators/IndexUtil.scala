@@ -87,6 +87,11 @@ private[graft] object IndexUtil {
     * rewrite (the Delta OPTIMIZE / LSM-compaction posture). */
   def compactTable(s: SparkSession, frag: String, compacted: String,
       buckets: Int, bucketCols: Seq[String], sortCols: Seq[String]): Unit = {
+    // drop the TARGET first, catalog AND disk (the writeMergeGeneration
+    // discipline): a previous JVM's run may have left the location
+    // behind with no in-memory catalog entry, and saveAsTable fails on
+    // an existing location it doesn't know about
+    dropIndexTable(s, compacted)
     val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val prevAuto = s.conf.getOption(autoKey)
     s.conf.set(autoKey, "false")
