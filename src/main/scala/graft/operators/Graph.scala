@@ -96,13 +96,28 @@ object Graph {
     val ev = Tables.events(s, d)
       .select($"user_id", $"ts", $"event_id",
         get_json_object($"props", "$.k").cast("long").as("page"))
+    // r19: the superstep join key is src, but the groupBy above leaves
+    // the cached edges hash-partitioned on (src, dst) — which does NOT
+    // satisfy a join on src, so every one of the 8 rounds re-Exchanged
+    // (and re-sorted) the corpus-scale edge table. One repartition +
+    // sortWithinPartitions on src at build time makes the cached
+    // partitioning/ordering exactly what the per-round SortMergeJoin
+    // needs: the edge side joins Exchange-free and sort-free all 8
+    // rounds, only the node-sized rank state moves (guide §2.4 —
+    // "two operations keyed the same way share one exchange"; the
+    // same layout the bucketed index twin gets at write time).
     val edges = ev.withColumn("next_page", lead($"page", 1).over(w))
       .filter($"next_page".isNotNull && $"next_page" =!= $"page")
       .groupBy($"page".as("src"), $"next_page".as("dst"))
       .agg(count(lit(1)).as("w"))
+      .repartition($"src").sortWithinPartitions($"src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // outW inherits hash(src) from its groupBy — co-partitioned with
+      // the repartitioned edges, so the per-round 3-way join needs no
+      // corpus-side Exchange at all; sorted so SMJ skips its sort too.
       val outW = edges.groupBy($"src").agg(sum($"w").as("out_w"))
+        .sortWithinPartitions($"src")
         .persist(StorageLevel.MEMORY_AND_DISK)
       val nodes = edges.select($"src".as("node"))
         .union(edges.select($"dst".as("node"))).distinct()
@@ -193,39 +208,83 @@ object Graph {
     * explode) replays verbatim in DuckDB. */
   def graph_triangles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val e0 = coSupplierEdges(s, d)
-    val deg = e0.select(explode(array($"u", $"v")).as("node"))
-      .groupBy($"node").agg(count(lit(1)).as("deg"))
-    // orient each edge low→high by (deg, id); carry the dst's order
-    // key so the wedge join can order its two legs without another
-    // degree lookup
-    val ed = e0
-      .join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), Seq("u"))
-      .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), Seq("v"))
-      .select(
-        when(struct($"du", $"u") < struct($"dv", $"v"), $"u").otherwise($"v").as("src"),
-        when(struct($"du", $"u") < struct($"dv", $"v"), $"v").otherwise($"u").as("dst"),
-        when(struct($"du", $"u") < struct($"dv", $"v"), $"dv").otherwise($"du").as("ddeg"))
+    val ed = orientedCoSupplierEdges(s, d)
+      // r19: hash(src) at build — both wedge self-join legs read the
+      // cache co-partitioned on the join key, dropping two Exchanges
+      // of the oriented edge list (the src-bucketed layout the index
+      // twin persists, applied to the in-flight cache).
+      .repartition($"src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val wedges = ed.as("e1").join(ed.as("e2"),
-          $"e1.src" === $"e2.src" &&
-            struct($"e1.ddeg", $"e1.dst") < struct($"e2.ddeg", $"e2.dst"))
-        .select($"e1.src".as("a"), $"e1.dst".as("x"), $"e2.dst".as("y"))
-      // closure probe under fresh aliases — ed appears three times in
-      // this plan and unaliased references would be ambiguous
-      val closing = ed.select($"src".as("cs"), $"dst".as("cd"))
-      val tri = wedges.join(closing, $"x" === $"cs" && $"y" === $"cd")
-        .select($"a", $"x", $"y")
-      val out = tri.select(explode(array($"a", $"x", $"y")).as("s_suppkey"))
-        .groupBy($"s_suppkey").agg(count(lit(1)).as("n_triangles"))
-        .orderBy($"s_suppkey")
+      val out = trianglesBody(ed)
       val rows = out.persist(StorageLevel.MEMORY_AND_DISK)
       rows.count()
       graft.CacheRegistry.track(rows)
       rows.sparkSession.createDataFrame(rows.rdd, rows.schema)
         .orderBy($"s_suppkey")
     } finally ed.unpersist(blocking = false)
+  }
+
+  /** The degree-ordered oriented edge list (src, dst, ddeg) — the
+    * expensive derivation stage of [[graph_triangles]] (also built
+    * once at index time by [[triIndexTables]]): orient each edge
+    * low→high by (deg, id); carry the dst's order key so the wedge
+    * join can order its two legs without another degree lookup. */
+  private def orientedCoSupplierEdges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e0 = coSupplierEdges(s, d)
+    val deg = e0.select(explode(array($"u", $"v")).as("node"))
+      .groupBy($"node").agg(count(lit(1)).as("deg"))
+    e0
+      .join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), Seq("u"))
+      .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), Seq("v"))
+      .select(
+        when(struct($"du", $"u") < struct($"dv", $"v"), $"u").otherwise($"v").as("src"),
+        when(struct($"du", $"u") < struct($"dv", $"v"), $"v").otherwise($"u").as("dst"),
+        when(struct($"du", $"u") < struct($"dv", $"v"), $"dv").otherwise($"du").as("ddeg"))
+  }
+
+  /** Wedge enumeration + closure + per-node readout over a caller-
+    * managed oriented edge frame — the shared back half of
+    * [[graph_triangles]] and the r19 plan handle
+    * [[trianglesInflightPlan]].
+    *
+    * SHUFFLE_HASH pins on both joins (r19 — the trianglesIndexPlan
+    * lesson applied to the in-flight form, which had been left on
+    * planner defaults): an unhinted plan sort-merges the closure
+    * probe, and SMJ must SORT its streamed side — here the
+    * O(E^{3/2}) wedge stream, the one operand strictly bigger than
+    * the graph. Hashing the edge-sized build side instead bounds
+    * per-task state at E/partitions rows and never materializes an
+    * ordering of the wedge stream (measured on the index twin:
+    * 7.7 → 4.0 s; this form: 11.9 → 7.4 s with the hash(src) cache
+    * layout above, OPTIMIZATION_r19.md). */
+  private def trianglesBody(ed: DataFrame): DataFrame = {
+    import ed.sparkSession.implicits._
+    val wedges = ed.as("e1").hint("shuffle_hash").join(ed.as("e2"),
+        $"e1.src" === $"e2.src" &&
+          struct($"e1.ddeg", $"e1.dst") < struct($"e2.ddeg", $"e2.dst"))
+      .select($"e1.src".as("a"), $"e1.dst".as("x"), $"e2.dst".as("y"))
+    // closure probe under fresh aliases — ed appears three times in
+    // this plan and unaliased references would be ambiguous
+    val closing = ed.select($"src".as("cs"), $"dst".as("cd"))
+    val tri = closing.hint("shuffle_hash")
+      .join(wedges, $"x" === $"cs" && $"y" === $"cd")
+      .select($"a", $"x", $"y")
+    tri.select(explode(array($"a", $"x", $"y")).as("s_suppkey"))
+      .groupBy($"s_suppkey").agg(count(lit(1)).as("n_triangles"))
+      .orderBy($"s_suppkey")
+  }
+
+  /** The full in-flight triangles composition over the SAME cached
+    * layout [[graph_triangles]] builds, pre-materialization — the r19
+    * plan-capture handle (the registered query materializes its
+    * result, so its final explain is a LogicalRDD scan). Input cache
+    * is CacheRegistry-tracked; callers release after explaining. */
+  private[graft] def trianglesInflightPlan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    trianglesBody(graft.CacheRegistry.cache(
+      orientedCoSupplierEdges(s, d).repartition($"src")))
   }
 
   /** LABEL-PROPAGATION COMMUNITIES (synchronous LPA, Raghavan et al.
@@ -255,11 +314,25 @@ object Graph {
     * persistence. */
   private def coSupplierEdges(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val os = Tables.lineitem(s, d)
-      .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk")).distinct()
-    os.as("a").join(os.as("b"),
-        $"a.ok" === $"b.ok" && $"a.sk" < $"b.sk")
-      .groupBy($"a.sk".as("u"), $"b.sk".as("v"))
+    // r19: per-order sorted-array pair enumeration replaces the os
+    // self-join. The self-join recomputed its whole lineage per leg
+    // (two lineitem scans, two distincts) and paid a third Exchange
+    // for the join itself; collect_set(sk) per order is the same
+    // distinct, delivered in ONE scan + ONE Exchange, and the ordered
+    // pairs (x at i, y after i over the ascending array) are exactly
+    // the a.sk < b.sk join output. Unlike the triangles wedge-array
+    // dead end (uncapped fans, TriExp), the fan here is the ORDER'S
+    // line count — bounded at 7 by the data model — so each pair
+    // array is ≤ C(7,2) = 21 entries: no GC hazard at any scale.
+    // Identical e0 rows ⇒ every downstream oracle unchanged.
+    Tables.lineitem(s, d)
+      .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk"))
+      .groupBy($"ok").agg(sort_array(collect_set($"sk")).as("ss"))
+      .select(explode(expr(
+        "flatten(transform(ss, (x, i) -> " +
+          "transform(slice(ss, i + 2, size(ss)), y -> struct(x AS u, y AS v))))"
+      )).as("p"))
+      .groupBy($"p.u".as("u"), $"p.v".as("v"))
       .agg(count(lit(1)).as("support"))
       .filter($"support" >= 2)
       .select($"u", $"v")
@@ -322,8 +395,14 @@ object Graph {
   def graph_label_prop(s: SparkSession, d: String, iters: Int = 6): DataFrame = {
     import s.implicits._
     val e0 = coSupplierEdges(s, d)
+    // r19: partition + sort the cached adjacency on nbr — the vote
+    // join's key — so all 6 rounds read it Exchange-free and
+    // sort-free; the union otherwise left it unpartitioned and every
+    // round re-shuffled the corpus-scale side (guide §2.4; the layout
+    // graph_lpa_index gets from its bucketed write, for free here).
     val adj = e0.select($"u".as("node"), $"v".as("nbr"))
       .union(e0.select($"v".as("node"), $"u".as("nbr")))
+      .repartition($"nbr").sortWithinPartitions($"nbr")
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val labels = lpaLoop(adj, iters)
@@ -364,8 +443,11 @@ object Graph {
   def graph_bfs_layers(s: SparkSession, d: String, iters: Int = 6): DataFrame = {
     import s.implicits._
     val e0 = coSupplierEdges(s, d)
+    // r19: same nbr-keyed layout as graph_label_prop — the relaxation
+    // join reads the cached adjacency Exchange-free every round.
     val adj = e0.select($"u".as("node"), $"v".as("nbr"))
       .union(e0.select($"v".as("node"), $"u".as("nbr")))
+      .repartition($"nbr").sortWithinPartitions($"nbr")
       .persist(StorageLevel.MEMORY_AND_DISK)
     try bfsLoop(adj, iters)
     finally adj.unpersist(blocking = false)
@@ -464,9 +546,17 @@ object Graph {
   def graph_modularity(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e0 = coSupplierEdges(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+    val adj = e0.select($"u".as("node"), $"v".as("nbr"))
+      .union(e0.select($"v".as("node"), $"u".as("nbr")))
+      // r19: the adjacency was REBUILT (union + Exchange) from the
+      // cached e0 inside every LPA round here — label_prop persists
+      // it, modularity didn't. Persist it once, nbr-keyed and sorted
+      // like the siblings, so the 6 vote rounds are Exchange-free on
+      // the corpus-scale side; the degree rollup below reads the same
+      // cache.
+      .repartition($"nbr").sortWithinPartitions($"nbr")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val adj = e0.select($"u".as("node"), $"v".as("nbr"))
-        .union(e0.select($"v".as("node"), $"u".as("nbr")))
       // labels over the SAME persisted edge list — the report doesn't
       // pay the co-occurrence derivation twice
       val lab = lpaLoop(adj, 6)
@@ -492,7 +582,10 @@ object Graph {
       rows.count()
       graft.CacheRegistry.track(rows)
       rebind(rows).orderBy($"community")
-    } finally e0.unpersist(blocking = false)
+    } finally {
+      adj.unpersist(blocking = false)
+      e0.unpersist(blocking = false)
+    }
   }
 
   /** K-CORE PEELING (k=65) on the part CO-PURCHASE graph (parts
@@ -537,8 +630,14 @@ object Graph {
   def graph_kcore(s: SparkSession, d: String, k: Int = 65, iters: Int = 6): DataFrame = {
     import s.implicits._
     val e0 = partEdges(s, d)
+    // r19: node-keyed cache layout — the initial degree count and
+    // every peel round's decrement aggregate group on node, and the
+    // broadcast probe join preserves partitioning, so hash(node) at
+    // build time makes each round's groupBy Exchange-free AND
+    // co-partitions it with the cached deg state it joins.
     val adj = e0.select($"u".as("node"), $"v".as("nbr"))
       .union(e0.select($"v".as("node"), $"u".as("nbr")))
+      .repartition($"node")
       .persist(StorageLevel.MEMORY_AND_DISK)
     try kcorePeel(adj, adj.groupBy($"node").agg(count(lit(1)).as("deg")), k, iters)
     finally adj.unpersist(blocking = false)
@@ -550,11 +649,18 @@ object Graph {
     * SF). Caller manages persistence. */
   private def partEdges(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val os = Tables.lineitem(s, d)
-      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
-    os.as("a").join(os.as("b"),
-        $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
-      .select($"a.pk".as("u"), $"b.pk".as("v")).distinct()
+    // r19: same per-order array-pair derivation as [[coSupplierEdges]]
+    // (one scan + one Exchange replaces the two-scan self-join; fan
+    // bounded by the order's ≤7 lines); the trailing groupBy IS the
+    // distinct. Identical edge set ⇒ downstream oracles unchanged.
+    Tables.lineitem(s, d)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+      .groupBy($"ok").agg(sort_array(collect_set($"pk")).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"
+      )).as("p"))
+      .select($"p.u".as("u"), $"p.v".as("v")).distinct()
   }
 
   /** The synchronous delta-peel loop over a caller-managed adjacency
@@ -668,16 +774,30 @@ object Graph {
   def graph_jaccard_links(s: SparkSession, d: String, topN: Int = 100): DataFrame = {
     import s.implicits._
     val e0 = partEdges(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+    // r19: the adjacency feeds TWO node-keyed consumers (the fan-cap
+    // window and the degree rollup), and was re-derived (union +
+    // Exchange + sort) for each. Persist it once, hash(node)-
+    // partitioned and (node, nbr)-sorted: the window's Exchange AND
+    // Sort both elide (its required ordering is exactly the cached
+    // layout), the degree aggregate reads the same cache Exchange-
+    // free, and the anti-join gets the index twin's shuffle_hash pin
+    // (hash-build the edge set; never sort the wedge-aggregate
+    // stream).
+    val adj = e0.select($"u".as("node"), $"v".as("nbr"))
+      .union(e0.select($"v".as("node"), $"u".as("nbr")))
+      .repartition($"node").sortWithinPartitions($"node", $"nbr")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val adj = e0.select($"u".as("node"), $"v".as("nbr"))
-        .union(e0.select($"v".as("node"), $"u".as("nbr")))
       val deg = adj.groupBy($"node").agg(count(lit(1)).as("deg"))
-      val rows = jaccardScore(adj, e0, deg, topN)
+      val rows = jaccardScore(adj, e0, deg, topN, edgeHint = true)
         .persist(StorageLevel.MEMORY_AND_DISK)
       rows.count()
       graft.CacheRegistry.track(rows)
       rebind(rows).orderBy($"jaccard_ppm".desc, $"common".desc, $"u", $"v")
-    } finally e0.unpersist(blocking = false)
+    } finally {
+      adj.unpersist(blocking = false)
+      e0.unpersist(blocking = false)
+    }
   }
 
   /** The fan-capped wedge/score plan over caller-provided adjacency,
@@ -1193,16 +1313,7 @@ object Graph {
     triIndexBuilt.synchronized { if (!triIndexBuilt.contains(d)) {
       IndexUtil.dropIndexTable(s, tbl)
       IndexUtil.dropIndexTable(s, tbl2)
-      val e0 = coSupplierEdges(s, d)
-      val deg = e0.select(explode(array($"u", $"v")).as("node"))
-        .groupBy($"node").agg(count(lit(1)).as("deg"))
-      val ed = e0
-        .join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), Seq("u"))
-        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), Seq("v"))
-        .select(
-          when(struct($"du", $"u") < struct($"dv", $"v"), $"u").otherwise($"v").as("src"),
-          when(struct($"du", $"u") < struct($"dv", $"v"), $"v").otherwise($"u").as("dst"),
-          when(struct($"du", $"u") < struct($"dv", $"v"), $"dv").otherwise($"du").as("ddeg"))
+      val ed = orientedCoSupplierEdges(s, d)
         .persist(StorageLevel.MEMORY_AND_DISK)
       try {
         ed.write.mode("overwrite").bucketBy(32, "src").sortBy("src")
@@ -1389,6 +1500,113 @@ object Graph {
     val (adjTbl, edgeTbl, degTbl) = partIndexTables(s, d)
     jaccardScore(s.table(adjTbl), s.table(edgeTbl),
       s.table(degTbl).select($"node", $"deg"), topN, edgeHint = true)
+  }
+
+  // ───────────────────────────────────────────────────────────────────
+  // r19 in-flight plan handles (plans/r19 + OPTIMIZATION_r19.md): the
+  // in-flight loop queries materialize per round, so their final
+  // explain shows only a LogicalRDD scan; these expose ONE
+  // representative superstep round over the SAME cached layout the
+  // query builds — the unit the r19 partitioning changes act on. Each
+  // handle persists via CacheRegistry.cache; callers releaseAll after
+  // explaining. (Index-form precedent: pagerankIndexRoundPlan /
+  // lpaIndexRoundPlan / trianglesIndexPlan.)
+  // ───────────────────────────────────────────────────────────────────
+
+  /** One LPA vote round over the in-flight adjacency cache (the
+    * nbr-keyed, sorted layout [[graph_label_prop]] /
+    * [[graph_modularity]] persist). The label state goes through the
+    * same LogicalRDD rebind as the real loop — the rebind is what
+    * erases its stats, so the round plans SMJ (state side shuffled,
+    * adjacency side Exchange-free), exactly like round 2..k. */
+  private[graft] def lpaInflightRoundPlan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e0 = coSupplierEdges(s, d)
+    val adj = graft.CacheRegistry.cache(
+      e0.select($"u".as("node"), $"v".as("nbr"))
+        .union(e0.select($"v".as("node"), $"u".as("nbr")))
+        .repartition($"nbr").sortWithinPartitions($"nbr"))
+    val labels = rebind(graft.CacheRegistry.cache(
+      adj.select($"node").distinct().withColumn("label", $"node")))
+    adj.join(labels.select($"node".as("nbr"), $"label"), "nbr")
+      .groupBy($"node", $"label").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** One BFS relaxation round over the in-flight adjacency cache (the
+    * nbr-keyed, sorted layout [[graph_bfs_layers]] persists). */
+  private[graft] def bfsInflightRoundPlan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e0 = coSupplierEdges(s, d)
+    val adj = graft.CacheRegistry.cache(
+      e0.select($"u".as("node"), $"v".as("nbr"))
+        .union(e0.select($"v".as("node"), $"u".as("nbr")))
+        .repartition($"nbr").sortWithinPartitions($"nbr"))
+    val state = rebind(graft.CacheRegistry.cache(
+      adj.select($"node").distinct()
+        .filter($"node" % 10 === 0)
+        .select($"node", lit(0L).as("dist"), $"node".as("seed"))))
+    adj.join(state.select($"node".as("nbr"), ($"dist" + 1L).as("dist"),
+        $"seed"), "nbr")
+      .select($"node", $"dist", $"seed", lit(false).as("own"))
+      .union(state.withColumn("own", lit(true)))
+      .groupBy($"node")
+      .agg(min(struct($"dist", $"seed")).as("m"),
+        min(when($"own", struct($"dist", $"seed"))).as("old"))
+  }
+
+  /** One pagerank inflow round over the in-flight edge cache (the
+    * src-keyed, sorted layout [[graph_pagerank]] persists, out-weights
+    * co-partitioned). */
+  private[graft] def pagerankInflightRoundPlan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val edges = graft.CacheRegistry.cache(
+      pageEdges(s, d).repartition($"src").sortWithinPartitions($"src"))
+    val outW = graft.CacheRegistry.cache(
+      edges.groupBy($"src").agg(sum($"w").as("out_w"))
+        .sortWithinPartitions($"src"))
+    val ranks = rebind(graft.CacheRegistry.cache(
+      edges.select($"src".as("node")).distinct()
+        .withColumn("rank", lit(1000000000L))))
+    edges.join(ranks, edges("src") === ranks("node"))
+      .join(outW, Seq("src"))
+      .select($"dst", expr("rank * w div out_w").as("contrib"))
+      .groupBy($"dst").agg(sum($"contrib").as("inflow"))
+  }
+
+  /** One k-core decrement round over the in-flight adjacency cache
+    * (the node-keyed layout [[graph_kcore]] persists): the broadcast
+    * removal probe preserves partitioning, so the decrement aggregate
+    * and the deg-state join are both Exchange-free. */
+  private[graft] def kcoreInflightRoundPlan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e0 = partEdges(s, d)
+    val adj = graft.CacheRegistry.cache(
+      e0.select($"u".as("node"), $"v".as("nbr"))
+        .union(e0.select($"v".as("node"), $"u".as("nbr")))
+        .repartition($"node"))
+    val deg0 = rebind(graft.CacheRegistry.cache(
+      adj.groupBy($"node").agg(count(lit(1)).as("deg"))
+        .withColumn("rm", $"deg" < 65)))
+    val drops = adj
+      .join(broadcast(deg0.filter($"rm").select($"node".as("nbr"))), Seq("nbr"))
+      .groupBy($"node").agg(count(lit(1)).as("dropped"))
+    deg0.filter(!$"rm")
+      .join(drops, Seq("node"), "left")
+      .select($"node", ($"deg" - coalesce($"dropped", lit(0L))).as("deg"))
+  }
+
+  /** The full in-flight jaccard composition over the cached layouts
+    * [[graph_jaccard_links]] builds (node-keyed sorted adjacency,
+    * SHJ-pinned edge anti-join), pre-materialization. */
+  private[graft] def jaccardInflightPlan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e0 = graft.CacheRegistry.cache(partEdges(s, d))
+    val adj = graft.CacheRegistry.cache(
+      e0.select($"u".as("node"), $"v".as("nbr"))
+        .union(e0.select($"v".as("node"), $"u".as("nbr")))
+        .repartition($"node").sortWithinPartitions($"node", $"nbr"))
+    jaccardScore(adj, e0, adj.groupBy($"node").agg(count(lit(1)).as("deg")),
+      100, edgeHint = true)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
