@@ -952,6 +952,11 @@ object Graph {
           val e = edges.filter(pred)
           e.join(e.groupBy($"src").agg(sum($"w").as("out_w")), "src")
             .withColumn("gen", lit(g))
+            // r19: one file per bucket per generation (repartition on
+            // the bucket mapping — see pagerankMergeIndexTable); the
+            // un-aligned write emitted ~150 files/gen that every
+            // superstep re-opened
+            .repartition(32, $"src")
         }
         gen(0, pmod($"src", lit(10L)) =!= 0).write.mode("overwrite")
           .bucketBy(32, "src").sortBy("src")
@@ -1043,7 +1048,18 @@ object Graph {
             grp.join(grp.groupBy($"src").agg(sum($"w").as("out_w")), "src")
               .select($"src", $"dst", $"w", $"out_w"))
         }
+        // r19 (guide §6 — small files hurt twice): the merge plan's
+        // union (carry-over ⋈ anti-join side + rebuilt groups) reaches
+        // the bucketed write with ~60 upstream tasks, and a bucketed
+        // write emits one file per (task, bucket) — 890 files for 32
+        // buckets, which every one of the 8 pagerank rounds then
+        // re-opens (measured 7.8 s vs 5.6 s for the 30-file base
+        // index, same loop). repartition(32, src) IS the bucket-id
+        // mapping (HashPartitioning = pmod(murmur3(src), 32), exactly
+        // what bucketBy computes), so each task holds exactly one
+        // bucket and the table lands as one file per bucket.
         mergeOf(s.table(base))
+          .repartition(32, $"src")
           .write.mode("overwrite").bucketBy(32, "src").sortBy("src")
           .format("parquet").saveAsTable(merged)
         // verify BEFORE the swap: logical merge vs read-back, 64
@@ -1255,6 +1271,11 @@ object Graph {
       val e0 = coSupplierEdges(s, d)
       e0.select($"u".as("node"), $"v".as("nbr"))
         .union(e0.select($"v".as("node"), $"u".as("nbr")))
+        // r19: one file per bucket (the union reached the bucketed
+        // write with 64 tasks -> 512 files that EVERY lpa/bfs round
+        // re-opened; repartition on the bucket mapping — see
+        // pagerankMergeIndexTable)
+        .repartition(32, $"nbr")
         .write.mode("overwrite").bucketBy(32, "nbr").sortBy("nbr")
         .format("parquet").saveAsTable(tbl)
       adjIndexBuilt.add(d)
@@ -1316,9 +1337,13 @@ object Graph {
       val ed = orientedCoSupplierEdges(s, d)
         .persist(StorageLevel.MEMORY_AND_DISK)
       try {
-        ed.write.mode("overwrite").bucketBy(32, "src").sortBy("src")
+        // r19: one file per bucket each (was 1024 per table — one
+        // per (task, bucket); see pagerankMergeIndexTable)
+        ed.repartition(32, $"src")
+          .write.mode("overwrite").bucketBy(32, "src").sortBy("src")
           .format("parquet").saveAsTable(tbl)
         ed.select($"src", $"dst")
+          .repartition(32, $"src", $"dst")
           .write.mode("overwrite").bucketBy(32, "src", "dst").sortBy("src", "dst")
           .format("parquet").saveAsTable(tbl2)
       } finally ed.unpersist(blocking = false)
@@ -1441,6 +1466,9 @@ object Graph {
           .format("parquet").saveAsTable(edgeTbl)
         e0.select($"u".as("node"), $"v".as("nbr"))
           .union(e0.select($"v".as("node"), $"u".as("nbr")))
+          // r19: one file per bucket (was 2048; see
+          // pagerankMergeIndexTable)
+          .repartition(32, $"node")
           .write.mode("overwrite").bucketBy(32, "node").sortBy("node", "nbr")
           .format("parquet").saveAsTable(adjTbl)
         s.table(adjTbl).groupBy($"node").agg(count(lit(1)).as("deg"))

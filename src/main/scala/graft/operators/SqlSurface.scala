@@ -221,13 +221,26 @@ object SqlSurface {
     * pins: without them Catalyst sort-merges the closure probe and
     * SORTS the O(E^{3/2}) wedge stream (measured 56.3 → 42.3 s
     * min-of-2 at sf0.1/4 threads with the hints; the same lesson as
-    * Graph.trianglesIndexPlan, reachable from the SQL persona). */
+    * Graph.trianglesIndexPlan, reachable from the SQL persona).
+    *
+    * r19: e0 derives via the per-order sorted-array pair enumeration
+    * (collect_set + nested-transform explode — HiveQL LATERAL VIEW,
+    * exactly the persona's dialect), the same rewrite as
+    * [[Graph.coSupplierEdges]]: the os self-join form paid two
+    * lineitem scans + three Exchanges per inlined copy, and Catalyst
+    * inlines e0 several times here; the array form pays one scan + one
+    * Exchange per copy with the fan bounded by the order's ≤7 lines.
+    * Identical e0 rows — the DuckDB oracle text is untouched and still
+    * derives e0 via its self-join. */
   private val graphTrianglesSql =
     """WITH os AS (
-      |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+      |  SELECT sort_array(collect_set(l_suppkey)) AS ss
+      |  FROM lineitem GROUP BY l_orderkey),
       |e0 AS (
-      |  SELECT a.sk AS u, b.sk AS v
-      |  FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk
+      |  SELECT p.u, p.v
+      |  FROM os LATERAL VIEW explode(flatten(transform(ss, (x, i) ->
+      |    transform(slice(ss, i + 2, size(ss)),
+      |      y -> struct(x AS u, y AS v))))) t AS p
       |  GROUP BY 1, 2 HAVING count(*) >= 2),
       |deg AS (
       |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
