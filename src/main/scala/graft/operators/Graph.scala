@@ -238,10 +238,15 @@ object Graph {
     e0
       .join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), Seq("u"))
       .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), Seq("v"))
+      // (deg, id) tuple order as the expanded boolean — allocation-free
+      // (see trianglesBody), and evaluated once per edge instead of
+      // once per output column
+      .withColumn("fwd",
+        $"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"))
       .select(
-        when(struct($"du", $"u") < struct($"dv", $"v"), $"u").otherwise($"v").as("src"),
-        when(struct($"du", $"u") < struct($"dv", $"v"), $"v").otherwise($"u").as("dst"),
-        when(struct($"du", $"u") < struct($"dv", $"v"), $"dv").otherwise($"du").as("ddeg"))
+        when($"fwd", $"u").otherwise($"v").as("src"),
+        when($"fwd", $"v").otherwise($"u").as("dst"),
+        when($"fwd", $"dv").otherwise($"du").as("ddeg"))
   }
 
   /** Wedge enumeration + closure + per-node readout over a caller-
@@ -261,9 +266,15 @@ object Graph {
     * layout above, OPTIMIZATION_r19.md). */
   private def trianglesBody(ed: DataFrame): DataFrame = {
     import ed.sparkSession.implicits._
+    // r19: the (ddeg, dst) tuple order is spelled as the expanded
+    // boolean, not struct(...) < struct(...) — codegen materializes a
+    // named_struct PER COMPARISON, i.e. two InternalRow allocations
+    // per candidate pair at O(E^{3/2}) volume; the expanded form is
+    // allocation-free and identical for these non-null ints.
     val wedges = ed.as("e1").hint("shuffle_hash").join(ed.as("e2"),
         $"e1.src" === $"e2.src" &&
-          struct($"e1.ddeg", $"e1.dst") < struct($"e2.ddeg", $"e2.dst"))
+          ($"e1.ddeg" < $"e2.ddeg" ||
+            ($"e1.ddeg" === $"e2.ddeg" && $"e1.dst" < $"e2.dst")))
       .select($"e1.src".as("a"), $"e1.dst".as("x"), $"e2.dst".as("y"))
     // closure probe under fresh aliases — ed appears three times in
     // this plan and unaliased references would be ambiguous
@@ -1106,6 +1117,7 @@ object Graph {
     val base = pageEdges(s, d).filter(pmod($"src", lit(10L)) =!= 0)
     base.join(base.groupBy($"src").agg(sum($"w").as("out_w")), "src")
       .withColumn("gen", lit(0))
+      .repartition(32, $"src") // r19: one file per bucket (see above)
       .write.mode("overwrite").bucketBy(32, "src").sortBy("src")
       .format("parquet").saveAsTable(tbl)
     tbl
@@ -1131,6 +1143,10 @@ object Graph {
     import batch.sparkSession.implicits._
     batch.join(batch.groupBy($"src").agg(sum($"w").as("out_w")), "src")
       .select($"src", $"dst", $"w", $"out_w", lit(1).as("gen"))
+      // r19: one file per bucket per micro-batch (see
+      // pagerankMergeIndexTable) — the standing pagerank refresh
+      // re-opens every appended file each round
+      .repartition(32, $"src")
       .write.mode("append").bucketBy(32, "src").sortBy("src")
       .format("parquet").saveAsTable(tbl)
   }
@@ -1417,7 +1433,10 @@ object Graph {
     val ed = s.table(wedgeTbl)
     val wedges = ed.as("e1").hint("shuffle_hash").join(ed.as("e2"),
         $"e1.src" === $"e2.src" &&
-          struct($"e1.ddeg", $"e1.dst") < struct($"e2.ddeg", $"e2.dst"))
+          // expanded (ddeg, dst) tuple order — allocation-free per
+          // candidate pair (see trianglesBody)
+          ($"e1.ddeg" < $"e2.ddeg" ||
+            ($"e1.ddeg" === $"e2.ddeg" && $"e1.dst" < $"e2.dst")))
       .select($"e1.src".as("a"), $"e1.dst".as("x"), $"e2.dst".as("y"))
     val closing = s.table(closeTbl)
       .select($"src".as("cs"), $"dst".as("cd"))

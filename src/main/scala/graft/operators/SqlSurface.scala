@@ -248,20 +248,21 @@ object SqlSurface {
       |  GROUP BY 1),
       |ed AS (
       |  SELECT
-      |    CASE WHEN struct(du.deg, e0.u) < struct(dv.deg, e0.v)
-      |         THEN e0.u ELSE e0.v END AS src,
-      |    CASE WHEN struct(du.deg, e0.u) < struct(dv.deg, e0.v)
-      |         THEN e0.v ELSE e0.u END AS dst,
-      |    CASE WHEN struct(du.deg, e0.u) < struct(dv.deg, e0.v)
-      |         THEN dv.deg ELSE du.deg END AS ddeg
-      |  FROM e0
-      |  JOIN deg du ON e0.u = du.node
-      |  JOIN deg dv ON e0.v = dv.node),
+      |    CASE WHEN fwd THEN u ELSE v END AS src,
+      |    CASE WHEN fwd THEN v ELSE u END AS dst,
+      |    CASE WHEN fwd THEN dv ELSE du END AS ddeg
+      |  FROM (
+      |    SELECT e0.u, e0.v, du.deg AS du, dv.deg AS dv,
+      |      du.deg < dv.deg OR (du.deg = dv.deg AND e0.u < e0.v) AS fwd
+      |    FROM e0
+      |    JOIN deg du ON e0.u = du.node
+      |    JOIN deg dv ON e0.v = dv.node)),
       |wedges AS (
       |  SELECT /*+ SHUFFLE_HASH(e1) */ e1.src AS a, e1.dst AS x, e2.dst AS y
       |  FROM ed e1 JOIN ed e2
       |    ON e1.src = e2.src
-      |    AND struct(e1.ddeg, e1.dst) < struct(e2.ddeg, e2.dst)),
+      |    AND (e1.ddeg < e2.ddeg
+      |      OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst))),
       |tri AS (
       |  SELECT /*+ SHUFFLE_HASH(e) */ w.a, w.x, w.y
       |  FROM wedges w JOIN ed e ON w.x = e.src AND w.y = e.dst)
@@ -295,7 +296,8 @@ object SqlSurface {
       |  SELECT /*+ SHUFFLE_HASH(e1) */ e1.src AS a, e1.dst AS x, e2.dst AS y
       |  FROM $wedgeView e1 JOIN $wedgeView e2
       |    ON e1.src = e2.src
-      |    AND struct(e1.ddeg, e1.dst) < struct(e2.ddeg, e2.dst)),
+      |    AND (e1.ddeg < e2.ddeg
+      |      OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst))),
       |tri AS (
       |  SELECT /*+ SHUFFLE_HASH(e) */ w.a, w.x, w.y
       |  FROM wedges w JOIN $closeView e ON w.x = e.src AND w.y = e.dst)
