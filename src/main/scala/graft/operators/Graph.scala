@@ -125,8 +125,17 @@ object Graph {
       try {
         // the one driver scalar: N for the teleport term (loop-invariant)
         val n = nodes.count()
+        // r19: the DANGLING SET (nodes with no out-edges) is a loop
+        // invariant — only its rank MASS changes per round. Flag it
+        // once on the rank state; each round's dangling term is then
+        // a filter + 1-row aggregate over the state instead of a
+        // ranks-vs-srcs anti-join (at scale: one fewer Exchange+sort
+        // of the node-sized state per round, 8 rounds).
         var cached = materializeRound(
-          nodes.withColumn("rank", lit(1000000000L)))
+          nodes.withColumn("rank", lit(1000000000L))
+            .join(outW.select($"src".as("node"), lit(true).as("has_out")),
+              Seq("node"), "left")
+            .select($"node", $"rank", coalesce($"has_out", lit(false)).as("has_out")))
         var ranks = rebind(cached)
         // r17 superstep fold: the round's LEFT side is the previous
         // rank state itself (same node set as `nodes` — a loop
@@ -144,23 +153,22 @@ object Graph {
             .join(outW, Seq("src"))
             .select($"dst", expr("rank * w div out_w").as("contrib"))
             .groupBy($"dst").agg(sum($"contrib").as("inflow"))
-          val dangling = ranks
-            .join(outW, ranks("node") === outW("src"), "left_anti")
+          val dangling = ranks.filter(!$"has_out")
             .agg(coalesce(sum($"rank"), lit(0L)).as("dang"))
-          val old = ranks.select($"node", $"rank".as("old"))
+          val old = ranks.select($"node", $"rank".as("old"), $"has_out")
           val next = old
             .join(inflow, old("node") === inflow("dst"), "left")
             .crossJoin(broadcast(dangling))
             .select(old("node"),
               (lit(150000000L) +
                 expr(s"85 * (coalesce(inflow, 0L) + dang div ${n}L) div 100")
-              ).as("rank"), $"old")
+              ).as("rank"), $"old", $"has_out")
           val (nextCached, changed) = materializeWith(next,
             sum(when($"rank" =!= $"old", lit(1L)).otherwise(lit(0L))))
           converged = changed == 0
           cached.unpersist(blocking = false)
           cached = nextCached
-          ranks = rebind(cached).select($"node", $"rank")
+          ranks = rebind(cached).select($"node", $"rank", $"has_out")
           round += 1
         }
         val out = ranks.select($"node".as("page"), $"rank")
@@ -1203,8 +1211,14 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val n = nodes.count()
+      // r19: loop-invariant dangling flag on the state (see
+      // graph_pagerank) — the per-round anti-join against the srcs
+      // table becomes a filter + 1-row aggregate.
       var cached = materializeRound(
-        nodes.withColumn("rank", lit(1000000000L)))
+        nodes.withColumn("rank", lit(1000000000L))
+          .join(srcs.select($"src".as("node"), lit(true).as("has_out")),
+            Seq("node"), "left")
+          .select($"node", $"rank", coalesce($"has_out", lit(false)).as("has_out")))
       var ranks = rebind(cached)
       // same r17 superstep fold + integer fixpoint early-exit as the
       // in-flight form (see graph_pagerank): the previous rank rides
@@ -1217,23 +1231,22 @@ object Graph {
           .join(ranks, idx("src") === ranks("node"))
           .select($"dst", expr("rank * w div out_w").as("contrib"))
           .groupBy($"dst").agg(sum($"contrib").as("inflow"))
-        val dangling = ranks
-          .join(srcs, ranks("node") === srcs("src"), "left_anti")
+        val dangling = ranks.filter(!$"has_out")
           .agg(coalesce(sum($"rank"), lit(0L)).as("dang"))
-        val old = ranks.select($"node", $"rank".as("old"))
+        val old = ranks.select($"node", $"rank".as("old"), $"has_out")
         val next = old
           .join(inflow, old("node") === inflow("dst"), "left")
           .crossJoin(broadcast(dangling))
           .select(old("node"),
             (lit(150000000L) +
               expr(s"85 * (coalesce(inflow, 0L) + dang div ${n}L) div 100")
-            ).as("rank"), $"old")
+            ).as("rank"), $"old", $"has_out")
         val (nextCached, changed) = materializeWith(next,
           sum(when($"rank" =!= $"old", lit(1L)).otherwise(lit(0L))))
         converged = changed == 0
         cached.unpersist(blocking = false)
         cached = nextCached
-        ranks = rebind(cached).select($"node", $"rank")
+        ranks = rebind(cached).select($"node", $"rank", $"has_out")
         round += 1
       }
       val out = ranks.select($"node".as("page"), $"rank")

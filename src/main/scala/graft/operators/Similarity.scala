@@ -1447,15 +1447,23 @@ object Similarity {
         .agg(count(lit(1)).as("n")).filter($"n" <= cap)
         .select($"band", $"bkey")
       val capped = bk.join(okBuckets, Seq("band", "bkey"), "left_semi")
+      // r19: enumerate each unordered pair ONCE (a < b — half the
+      // self-join output, half the distinct, half the exact-cosine
+      // work) and mirror AFTER scoring: cosine is symmetric, so the
+      // mirrored rows carry identical scores and the per-node top-k
+      // is unchanged. The half-volume scored set is persisted so the
+      // mirror reads the cache instead of re-running the join lineage.
       val cand = capped.as("a").join(capped.as("b"),
           $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
-            $"a.vec_id" =!= $"b.vec_id")
+            $"a.vec_id" < $"b.vec_id")
         .select($"a.vec_id".as("nid"), $"b.vec_id".as("nbr")).distinct()
-      val scored = cand
+      val scoredHalf = graft.CacheRegistry.cache(cand
         .join(e.select($"vec_id".as("nid"), $"embedding".as("v1")), "nid")
         .join(e.select($"vec_id".as("nbr"), $"embedding".as("v2")), "nbr")
         .select($"nid", $"nbr",
-          floor(cosine($"v1", $"v2") * 1e6).cast("long").as("cos_ppm"))
+          floor(cosine($"v1", $"v2") * 1e6).cast("long").as("cos_ppm")))
+      val scored = scoredHalf.unionByName(
+        scoredHalf.select($"nbr".as("nid"), $"nid".as("nbr"), $"cos_ppm"))
       val out = scored.withColumn("rank", row_number().over(
           Window.partitionBy($"nid").orderBy($"cos_ppm".desc, $"nbr")))
         .filter($"rank" <= k)
