@@ -1626,11 +1626,23 @@ object Graph {
         .sortWithinPartitions($"src"))
     val ranks = rebind(graft.CacheRegistry.cache(
       edges.select($"src".as("node")).distinct()
-        .withColumn("rank", lit(1000000000L))))
-    edges.join(ranks, edges("src") === ranks("node"))
+        .withColumn("rank", lit(1000000000L))
+        .withColumn("has_out", lit(true))))
+    val inflow = edges.join(ranks, edges("src") === ranks("node"))
       .join(outW, Seq("src"))
       .select($"dst", expr("rank * w div out_w").as("contrib"))
       .groupBy($"dst").agg(sum($"contrib").as("inflow"))
+    // full round incl. the r19 dangling term: a filter + 1-row
+    // aggregate over the flagged state (was a ranks-vs-srcs anti-join)
+    val dangling = ranks.filter(!$"has_out")
+      .agg(coalesce(sum($"rank"), lit(0L)).as("dang"))
+    val old = ranks.select($"node", $"rank".as("old"), $"has_out")
+    old.join(inflow, old("node") === inflow("dst"), "left")
+      .crossJoin(broadcast(dangling))
+      .select(old("node"),
+        (lit(150000000L) +
+          expr("85 * (coalesce(inflow, 0L) + dang div 1000L) div 100")
+        ).as("rank"))
   }
 
   /** One k-core decrement round over the in-flight adjacency cache

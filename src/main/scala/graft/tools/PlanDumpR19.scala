@@ -160,10 +160,20 @@ object PlanDumpR19 {
       val ranks = rebind(graft.CacheRegistry.cache(
         edges.select($"src".as("node")).distinct()
           .withColumn("rank", lit(1000000000L))))
-      edges.join(ranks, edges("src") === ranks("node"))
+      val inflow = edges.join(ranks, edges("src") === ranks("node"))
         .join(outW, Seq("src"))
         .select($"dst", expr("rank * w div out_w").as("contrib"))
         .groupBy($"dst").agg(sum($"contrib").as("inflow"))
+      val dangling = ranks
+        .join(outW, ranks("node") === outW("src"), "left_anti")
+        .agg(coalesce(sum($"rank"), lit(0L)).as("dang"))
+      val old = ranks.select($"node", $"rank".as("old"))
+      old.join(inflow, old("node") === inflow("dst"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(old("node"),
+          (lit(150000000L) +
+            expr("85 * (coalesce(inflow, 0L) + dang div 1000L) div 100")
+          ).as("rank"))
     }
     dump("graph_pagerank_after") {
       graft.operators.Graph.pagerankInflightRoundPlan(spark, d)
@@ -219,6 +229,144 @@ object PlanDumpR19 {
     }
     dump("graph_jaccard_links_after") {
       graft.operators.Graph.jaccardInflightPlan(spark, d)
+    }
+
+    // ── triangles index: struct-compare wedge join (pre-r19) vs the
+    // live SHJ + expanded-boolean plan over the same bucketed tables ─
+    dump("graph_triangles_index_before") {
+      val (wedgeTbl, closeTbl) = {
+        // same dir-tagged names the builder uses
+        val tag = graft.operators.IndexUtil.dirTag(d)
+        (s"tri_edges_$tag", s"tri_close_$tag")
+      }
+      // ensure built
+      graft.operators.Graph.trianglesIndexPlan(spark, d)
+      val ed = spark.table(wedgeTbl)
+      val wedges = ed.as("e1").hint("shuffle_hash").join(ed.as("e2"),
+          $"e1.src" === $"e2.src" &&
+            struct($"e1.ddeg", $"e1.dst") < struct($"e2.ddeg", $"e2.dst"))
+        .select($"e1.src".as("a"), $"e1.dst".as("x"), $"e2.dst".as("y"))
+      val closing = spark.table(closeTbl)
+        .select($"src".as("cs"), $"dst".as("cd"))
+      val tri = closing.hint("shuffle_hash")
+        .join(wedges, $"x" === $"cs" && $"y" === $"cd")
+        .select($"a", $"x", $"y")
+      tri.select(explode(array($"a", $"x", $"y")).as("s_suppkey"))
+        .groupBy($"s_suppkey").agg(count(lit(1)).as("n_triangles"))
+        .orderBy($"s_suppkey")
+    }
+    dump("graph_triangles_index_after") {
+      graft.operators.Graph.trianglesIndexPlan(spark, d)
+    }
+
+    // ── SQL persona forms: registered queries return the un-
+    // materialized spark.sql frame, so the AFTER plans are the live
+    // code paths; BEFORE replicates the pre-r19 statement texts ──────
+    val sqlTriBefore =
+      """WITH os AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+        |e0 AS (
+        |  SELECT a.sk AS u, b.sk AS v
+        |  FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+        |  GROUP BY 1),
+        |ed AS (
+        |  SELECT
+        |    CASE WHEN struct(du.deg, e0.u) < struct(dv.deg, e0.v)
+        |         THEN e0.u ELSE e0.v END AS src,
+        |    CASE WHEN struct(du.deg, e0.u) < struct(dv.deg, e0.v)
+        |         THEN e0.v ELSE e0.u END AS dst,
+        |    CASE WHEN struct(du.deg, e0.u) < struct(dv.deg, e0.v)
+        |         THEN dv.deg ELSE du.deg END AS ddeg
+        |  FROM e0
+        |  JOIN deg du ON e0.u = du.node
+        |  JOIN deg dv ON e0.v = dv.node),
+        |wedges AS (
+        |  SELECT /*+ SHUFFLE_HASH(e1) */ e1.src AS a, e1.dst AS x, e2.dst AS y
+        |  FROM ed e1 JOIN ed e2
+        |    ON e1.src = e2.src
+        |    AND struct(e1.ddeg, e1.dst) < struct(e2.ddeg, e2.dst)),
+        |tri AS (
+        |  SELECT /*+ SHUFFLE_HASH(e) */ w.a, w.x, w.y
+        |  FROM wedges w JOIN ed e ON w.x = e.src AND w.y = e.dst)
+        |SELECT node AS s_suppkey, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM tri LATERAL VIEW explode(array(a, x, y)) t AS node
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    dump("sql_graph_triangles_before") {
+      graft.operators.SqlSurface.registerViews(spark, d)
+      spark.sql(sqlTriBefore)
+    }
+    dump("sql_graph_triangles_after") {
+      graft.SparkEntry.queries("sql_graph_triangles")(spark, d)
+    }
+    dump("sql_graph_triangles_index_after") {
+      graft.SparkEntry.queries("sql_graph_triangles_index")(spark, d)
+    }
+
+    // ── ann_knn_graph: both-directions candidate enumeration (pre-
+    // r19) vs the live halved enumeration + post-score mirror. Both
+    // sides replicate the composition pre-materialization (the
+    // registered query materializes its result). ───────────────────
+    def knnSetup(): (org.apache.spark.sql.DataFrame, Long) = {
+      val planes = graft.functions.VectorFunctions.randomPlanes(64, 64)
+      val e = graft.CacheRegistry.cache(graft.Tables.embeddings(spark, d)
+        .select($"vec_id", $"embedding",
+          graft.functions.VectorFunctions
+            .hyperplaneSignature($"embedding", planes).as("sig")))
+      (e, (1L << 4) - 1)
+    }
+    def knnBands(e: org.apache.spark.sql.DataFrame, mask: Long): DataFrame = {
+      val keys = (0 until 16).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned($"sig", b * 4).bitwiseAND(lit(mask)).as("bkey"))
+      }
+      val bk = e.select($"vec_id", explode(array(keys: _*)).as("bk"))
+        .select($"vec_id", $"bk.band".as("band"), $"bk.bkey".as("bkey"))
+      val okBuckets = bk.groupBy($"band", $"bkey")
+        .agg(count(lit(1)).as("n")).filter($"n" <= 500L)
+        .select($"band", $"bkey")
+      bk.join(okBuckets, Seq("band", "bkey"), "left_semi")
+    }
+    dump("ann_knn_graph_before") {
+      val (e, mask) = knnSetup()
+      val capped = knnBands(e, mask)
+      val cand = capped.as("a").join(capped.as("b"),
+          $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
+            $"a.vec_id" =!= $"b.vec_id")
+        .select($"a.vec_id".as("nid"), $"b.vec_id".as("nbr")).distinct()
+      val scored = cand
+        .join(e.select($"vec_id".as("nid"), $"embedding".as("v1")), "nid")
+        .join(e.select($"vec_id".as("nbr"), $"embedding".as("v2")), "nbr")
+        .select($"nid", $"nbr",
+          floor(graft.functions.VectorFunctions.cosine($"v1", $"v2") * 1e6)
+            .cast("long").as("cos_ppm"))
+      scored.withColumn("rank", row_number().over(
+          Window.partitionBy($"nid").orderBy($"cos_ppm".desc, $"nbr")))
+        .filter($"rank" <= 5)
+        .select($"nid", $"rank", $"nbr", $"cos_ppm")
+    }
+    dump("ann_knn_graph_after") {
+      val (e, mask) = knnSetup()
+      val capped = knnBands(e, mask)
+      val cand = capped.as("a").join(capped.as("b"),
+          $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
+            $"a.vec_id" < $"b.vec_id")
+        .select($"a.vec_id".as("nid"), $"b.vec_id".as("nbr")).distinct()
+      val scoredHalf = graft.CacheRegistry.cache(cand
+        .join(e.select($"vec_id".as("nid"), $"embedding".as("v1")), "nid")
+        .join(e.select($"vec_id".as("nbr"), $"embedding".as("v2")), "nbr")
+        .select($"nid", $"nbr",
+          floor(graft.functions.VectorFunctions.cosine($"v1", $"v2") * 1e6)
+            .cast("long").as("cos_ppm")))
+      val scored = scoredHalf.unionByName(
+        scoredHalf.select($"nbr".as("nid"), $"nid".as("nbr"), $"cos_ppm"))
+      scored.withColumn("rank", row_number().over(
+          Window.partitionBy($"nid").orderBy($"cos_ppm".desc, $"nbr")))
+        .filter($"rank" <= 5)
+        .select($"nid", $"rank", $"nbr", $"cos_ppm")
     }
 
     spark.stop()
