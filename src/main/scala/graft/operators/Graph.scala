@@ -331,7 +331,7 @@ object Graph {
     * substrate of [[graph_label_prop]], [[graph_modularity]],
     * [[graph_triangles]] and [[graph_bfs_layers]]. Caller manages
     * persistence. */
-  private def coSupplierEdges(s: SparkSession, d: String): DataFrame = {
+  private[graft] def coSupplierEdges(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // r19: per-order sorted-array pair enumeration replaces the os
     // self-join. The self-join recomputed its whole lineage per leg
@@ -666,7 +666,7 @@ object Graph {
     * substrate of [[graph_kcore]] and [[graph_jaccard_links]] (the
     * co-supplier graph the other operators use is a clique at small
     * SF). Caller manages persistence. */
-  private def partEdges(s: SparkSession, d: String): DataFrame = {
+  private[graft] def partEdges(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // r19: same per-order array-pair derivation as [[coSupplierEdges]]
     // (one scan + one Exchange replaces the two-scan self-join; fan

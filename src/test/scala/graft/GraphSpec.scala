@@ -495,4 +495,51 @@ class GraphSpec extends SparkSpec {
         s"Exchange above the index scan at line $idxLine:\n${between.mkString("\n")}")
     }
   }
+
+  test("r19 array-pair edge derivations equal the os self-join they replaced") {
+    // the r19 rewrite: per-order sorted-array pair enumeration must
+    // produce EXACTLY the rows of the pre-r19 distinct self-join, for
+    // both the co-supplier (support >= 2) and part (distinct) graphs
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val osS = Tables.lineitem(spark, sf0001)
+      .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk")).distinct()
+    val oldSupp = osS.as("a").join(osS.as("b"),
+        $"a.ok" === $"b.ok" && $"a.sk" < $"b.sk")
+      .groupBy($"a.sk".as("u"), $"b.sk".as("v"))
+      .agg(count(lit(1)).as("support"))
+      .filter($"support" >= 2).select($"u", $"v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val newSupp = Graph.coSupplierEdges(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(newSupp == oldSupp)
+    val osP = Tables.lineitem(spark, sf0001)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+    val oldPart = osP.as("a").join(osP.as("b"),
+        $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+      .select($"a.pk".as("u"), $"b.pk".as("v")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val newPart = Graph.partEdges(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(newPart == oldPart)
+  }
+
+  test("r19 aligned bucketed writes land one file per bucket") {
+    // the r19 small-files fix: builders repartition on the bucket
+    // mapping before their bucketed writes, so each of the 32 buckets
+    // gets at most ONE data file (was one per (task, bucket): 512-2048
+    // files that every superstep scan re-opened)
+    Graph.graph_triangles_index(spark, sf0001).count()
+    graft.CacheRegistry.releaseAll(); spark.catalog.clearCache()
+    val tag = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(sf0001.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+    for (tbl <- Seq(s"tri_edges_$tag", s"tri_close_$tag")) {
+      val loc = new java.io.File(new java.net.URI(
+        spark.sql(s"DESCRIBE TABLE EXTENDED $tbl")
+          .filter("col_name = 'Location'").head().getString(1)))
+      val files = Option(loc.listFiles()).getOrElse(Array.empty)
+        .count(_.getName.endsWith(".parquet"))
+      assert(files <= 32, s"$tbl has $files data files for 32 buckets")
+    }
+  }
 }
