@@ -383,10 +383,19 @@ object Bench {
     // tail is self-adjudicating regardless of where truncation lands.
     val gcTop5 = qMem.toSeq.sortBy(-_._2._1).take(5).filter(_._2._1 > 0)
       .map { case (n, (g, _, _, _)) => f"$n=${g / 1e3}%.1f" }.mkString(";")
+    // r20 (r19 verdict ask #2): the driver keeps only the final ~2000
+    // chars of stdout and its per-query parser has returned null two
+    // rounds running (the full 248-query JSON line cannot fit the
+    // tail). The slowest-20 walls are the only per-query numbers whose
+    // round-over-round movement matters — put them in the recap so
+    // they survive truncation. Output-only; timed regions unchanged.
+    val timeTop = results.collect { case (n, Right(t)) => (n, t) }
+      .sortBy(-_._2).take(20)
+      .map { case (n, t) => f"$n=$t%.2f" }.mkString(";")
     val recap = f"total=$total%.1f xmx_mb=$xmxMb gc_sec=$gcSecTotal%.1f " +
       f"drift_cpu=$drift%.2f drift_io=$driftIo%.2f drift_mem=$driftMem%.2f" +
       normMedian.map(m => f" norm_median=$m%.3f").getOrElse("") +
-      s" gc_top=[$gcTop5]"
+      s" gc_top=[$gcTop5] time_top=[$timeTop]"
     System.err.println(s"[bench] recap $recap")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,""" +

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 
 /** Single-pass JVM kernels backing the custom Catalyst expressions in
@@ -263,12 +264,20 @@ object ExprKernels {
     val s = text.toString
     val len = s.length
     if (len == 0) return Array.empty[Long]
-    val out = new scala.collection.mutable.ArrayBuffer[Long](24)
+    // r20 (dedup_cdc was the suite's gc_top leader, 21.8 GC-task-s for
+    // a 1.8 s wall): the old ArrayBuffer[Long] boxed EVERY appended
+    // long (generic collection) — ~90 java.lang.Long allocations per
+    // 1–3 KB doc per pass. Primitive array + manual doubling is
+    // allocation-free per element; identical output.
+    var out = new Array[Long](72) // 24 chunks before first growth
+    var n = 0
     def emit(start: Int, end: Int): Unit = {
       var h = 1469598103934665603L
       var j = start
       while (j <= end) { h = (h ^ (s.charAt(j) & 0xff)) * 1099511628211L; j += 1 }
-      out += start.toLong; out += (end - start + 1).toLong; out += h
+      if (n + 3 > out.length) out = java.util.Arrays.copyOf(out, out.length * 2)
+      out(n) = start.toLong; out(n + 1) = (end - start + 1).toLong; out(n + 2) = h
+      n += 3
     }
     var start = 0
     var S = 0L
@@ -279,7 +288,7 @@ object ExprKernels {
       i += 1
     }
     if (start < len) emit(start, len - 1)
-    out.toArray
+    if (n == out.length) out else java.util.Arrays.copyOf(out, n)
   }
 
   /** FNV-1a 64-bit over a string's UTF-8 bytes (wrapping multiply) —
@@ -412,6 +421,117 @@ object ExprKernels {
       i += 1
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Cosine against a DRIVER-CONSTANT centroid — bit-identical to
+    * [[cosineDD]] with the centroid as a literal array (same
+    * left-to-right accumulation, same skip-null-left rule; the
+    * constant side is never null). Backbone of the r20 constant-size
+    * ANN kernels below. */
+  private def cosineVsConst(a: ArrayData, c: Array[Double]): Double = {
+    val n = math.min(a.numElements(), c.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val x = a.getDouble(i); val y = c(i)
+        dot += x * y; na += x * x; nb += y * y
+      }
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** r20 constant-size argmin over a centroid matrix: (dist, cid) of
+    * the nearest centroid by (1 − cosine), ties to the smaller cid —
+    * exactly `array_min(array(struct(1.0 − cosine(v, c_i), i)…))` over
+    * per-centroid literals (SimilaritySpec gates the equivalence), but
+    * ONE plan node and one generated call instead of k dot-kernel
+    * expression trees, so plan size and codegen compile time stop
+    * growing with k (the ann_pq/ann_ivfpq planning overhead named in
+    * the r19 verdict). Double comparison via java.lang.Double.compare:
+    * NaN sorts largest, matching Spark's ordering (−0.0 is unreachable
+    * here — 1.0 − x never yields it). */
+  def bestCentroid(v: ArrayData, cents: Array[Array[Double]]): InternalRow = {
+    var bestD = 0.0; var bestC = 0; var first = true
+    var i = 0
+    while (i < cents.length) {
+      val d = 1.0 - cosineVsConst(v, cents(i))
+      if (first || java.lang.Double.compare(d, bestD) < 0) {
+        bestD = d; bestC = i; first = false
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestD, bestC))
+  }
+
+  /** r20: the nprobe nearest centroids as sorted (dist, cid) structs —
+    * `slice(array_sort(array(struct(…)…)), 1, nprobe)` in one node
+    * (same (dist asc, cid asc) order; cids are distinct so the sort is
+    * total). */
+  def probeCells(v: ArrayData, cents: Array[Array[Double]],
+      nprobe: Int): ArrayData = {
+    val k = cents.length
+    val order = new Array[Integer](k)
+    val dists = new Array[Double](k)
+    var i = 0
+    while (i < k) {
+      dists(i) = 1.0 - cosineVsConst(v, cents(i)); order(i) = i; i += 1
+    }
+    java.util.Arrays.sort(order, (a: Integer, b: Integer) => {
+      val c = java.lang.Double.compare(dists(a), dists(b))
+      if (c != 0) c else Integer.compare(a, b)
+    })
+    val n = math.min(nprobe, k)
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](dists(order(i)), order(i).intValue()))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** r20: all m PQ subspace code assignments in one pass — for each
+    * subspace mi, argmin over its codebook of |c|² − 2·⟨sub, c⟩ (the
+    * row-constant |sub|² cancels inside argmin), ties to the smaller
+    * code. Bit-identical to the per-centroid literal formulation
+    * (`lit(sumsq) − lit(2.0) * dot(slice(vec), lit(c))` — same
+    * left-to-right dot, same driver-side sumsq fold, same subtraction
+    * order), collapsed from m·ks dot-kernel trees into one node. */
+  def pqCodes(v: ArrayData, books: Array[Array[Array[Double]]],
+      sumsq: Array[Array[Double]]): ArrayData = {
+    val m = books.length
+    val ds = books(0)(0).length
+    val total = v.numElements()
+    val out = new Array[Int](m)
+    var mi = 0
+    while (mi < m) {
+      val base = mi * ds
+      val n = math.max(0, math.min(total - base, ds))
+      val bk = books(mi)
+      var bestD = 0.0; var bestC = 0; var first = true
+      var ci = 0
+      while (ci < bk.length) {
+        val c = bk(ci)
+        var dot = 0.0
+        var j = 0
+        while (j < n) {
+          if (!v.isNullAt(base + j)) dot += v.getDouble(base + j) * c(j)
+          j += 1
+        }
+        val dist = sumsq(mi)(ci) - 2.0 * dot
+        if (first || java.lang.Double.compare(dist, bestD) < 0) {
+          bestD = dist; bestC = ci; first = false
+        }
+        ci += 1
+      }
+      out(mi) = bestC
+      mi += 1
+    }
+    new GenericArrayData(out)
   }
 
   def cosineDD(a: ArrayData, b: ArrayData): Double = {

@@ -335,6 +335,98 @@ case class HyperplaneSigExpr(child: Expression, planes: Array[Array[Double]])
   override def prettyName: String = "graft_hyperplane_sig"
 }
 
+/** r20 constant-size ANN assignment kernels (the r19 verdict's ann_pq /
+  * ann_ivfpq planning-overhead item): the per-centroid literal argmin
+  * formulations built k (or m·ks) dot-kernel expression trees per
+  * assignment — plan size, analysis time and per-stage codegen compile
+  * all grew with k. Each expression below is ONE plan node generating
+  * one static kernel call with the matrix as a codegen reference
+  * object (the HyperplaneSigExpr pattern); the kernels replicate the
+  * literal formulations' float semantics bit-for-bit (left-to-right
+  * accumulation, same subtraction order, ties to the smaller cid —
+  * equivalence spec-gated in SimilaritySpec). */
+
+/** best_centroid(vec) -> struct(dist double, cid int): the nearest
+  * centroid by (1 − cosine), ≡ array_min(centroidDists(cents, v)). */
+case class BestCentroidExpr(child: Expression, cents: Array[Array[Double]])
+    extends UnaryExpression {
+  require(cents.nonEmpty, "best_centroid requires at least one centroid")
+  override def dataType: DataType = StructType(Seq(
+    StructField("dist", DoubleType, nullable = false),
+    StructField("cid", IntegerType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.catalogString}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    ExprKernels.bestCentroid(input.asInstanceOf[ArrayData], cents)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cents", cents, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprKernels.bestCentroid($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BestCentroidExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_best_centroid"
+}
+
+/** probe_cells(vec) -> array<struct(dist double, cid int)>: the nprobe
+  * nearest centroids in (dist, cid) order, ≡
+  * slice(array_sort(centroidDists(cents, v)), 1, nprobe). */
+case class ProbeCellsExpr(child: Expression, cents: Array[Array[Double]],
+    nprobe: Int) extends UnaryExpression {
+  require(cents.nonEmpty && nprobe >= 1,
+    "probe_cells requires centroids and nprobe >= 1")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("dist", DoubleType, nullable = false),
+    StructField("cid", IntegerType, nullable = false))), containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.catalogString}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    ExprKernels.probeCells(input.asInstanceOf[ArrayData], cents, nprobe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cents", cents, "double[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ExprKernels.probeCells($c, $ref, $nprobe)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): ProbeCellsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_probe_cells"
+}
+
+/** pq_codes(vec) -> array<int>: all m product-quantizer subspace code
+  * assignments (argmin of |c|² − 2⟨sub, c⟩ per codebook) in one pass,
+  * ≡ array(argmin-literal-per-subspace…) over slice()d subvectors. */
+case class PqCodesExpr(child: Expression, books: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  require(books.nonEmpty && books.forall(_.nonEmpty),
+    "pq_codes requires at least one non-empty codebook")
+  // the same driver-side left-to-right |c|² fold the literal
+  // formulation baked in as lit(c.map(x => x*x).sum)
+  @transient private lazy val sumsq: Array[Array[Double]] =
+    books.map(_.map(c => c.map(x => x * x).sum))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.catalogString}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    ExprKernels.pqCodes(input.asInstanceOf[ArrayData], books, sumsq)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bRef = ctx.addReferenceObj("books", books, "double[][][]")
+    val sRef = ctx.addReferenceObj("sumsq", sumsq, "double[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ExprKernels.pqCodes($c, $bRef, $sRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqCodesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_pq_codes"
+}
+
 /** bloom_might_contain_long(hash) — Bloom-filter membership probe over
   * a 64-bit hash, the mass-kill prefilter for set-membership joins
   * whose build side is too large to broadcast as rows (TextOps.

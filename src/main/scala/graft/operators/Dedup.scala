@@ -918,15 +918,19 @@ object Dedup {
     val cap = s.conf.get("graft.dedup.maxBucket", "1000").toInt
     val chunkCol = GraftExpressions.toColumn(
       CdcChunksExpr(GraftExpressions.toExpr($"text")))
+    // r20 (gc_top leader): explode the chunk INDEX and subscript into
+    // the flat triple array, instead of transform(...)-materializing an
+    // array of structs per row — each struct was an InternalRow
+    // allocation (the graph_triangles named_struct fingerprint, r19),
+    // ~30 per doc per pass. Same (doc_id, len, h) rows.
     val chunks = CacheRegistry.cache(
       Tables.documents(s, d)
         .select($"doc_id", chunkCol.as("c"))
         .filter(size($"c") > 0)
-        .select($"doc_id", explode(expr(
-          "transform(sequence(0, size(c) div 3 - 1), " +
-            "i -> struct(c[3*i+1] AS len, c[3*i+2] AS h))")).as("ch"))
-        .filter($"ch.len" >= minChunk)
-        .select($"doc_id", $"ch.len".as("len"), $"ch.h".as("h"))
+        .select($"doc_id", $"c",
+          explode(expr("sequence(0, size(c) div 3 - 1)")).as("i"))
+        .select($"doc_id", expr("c[3*i+1]").as("len"), expr("c[3*i+2]").as("h"))
+        .filter($"len" >= minChunk)
         .distinct())
     val byChunk = chunks
       .groupBy($"h", $"len")
@@ -1069,7 +1073,11 @@ object Dedup {
         // the jump self-join otherwise doubles the logical-plan TREE
         // every round — RDD lineage is a shared DAG, but plan trees
         // are not, and by round ~10 plan stringification alone OOMs.
-        labels = pairs.sparkSession.createDataFrame(cached.rdd, cached.schema)
+        // r20: partitioning-preserving rebind (Rebind.preserving — no
+        // InternalRow→Row→InternalRow round-trip, and the hash(node)
+        // layout of the round cache survives into the next round's
+        // joins; see Graph.rebind).
+        labels = org.apache.spark.sql.graft.Rebind.preserving(cached)
           .select(col("node"), col("label"))
         dropRound(hooked)
         dropRound(prev)

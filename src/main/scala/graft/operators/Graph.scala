@@ -52,8 +52,16 @@ object Graph {
     (cached, n)
   }
 
+  /** r20: partitioning-preserving rebind (see
+    * [[org.apache.spark.sql.graft.Rebind]]). The old
+    * `createDataFrame(cached.rdd, schema)` form erased the cached
+    * round's hash partitioning — so every superstep re-Exchanged the
+    * node-sized state (r19 verdict #7) — and paid an InternalRow →
+    * Row → InternalRow conversion per row per consumer. The caller
+    * must have materialized `cached` first (persist + count), which
+    * every loop here does via [[materializeRound]]/[[materializeWith]]. */
   private def rebind(cached: DataFrame): DataFrame =
-    cached.sparkSession.createDataFrame(cached.rdd, cached.schema)
+    org.apache.spark.sql.graft.Rebind.preserving(cached)
 
   /** PAGERANK over the page-transition graph the event log implies —
     * the graph-centrality quality signal web-scale curation pipelines
@@ -224,6 +232,15 @@ object Graph {
       .repartition($"src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // r20 (r19 verdict #1a): MATERIALIZE the cache before composing
+      // the wedge join. Planned against an unmaterialized cache, the
+      // cached plan is still AQE-wrapped and its partitioning invisible
+      // — the r19 after-plan still showed ENSURE_REQUIREMENTS Exchanges
+      // above both wedge IMTS legs. Planning after this count() sees
+      // hash(src, n) and both SHJ legs read the cache Exchange-free
+      // (the same reason the superstep loops' round ≥1 plans already
+      // did — they always plan post-materialization).
+      ed.count()
       val out = trianglesBody(ed)
       val rows = out.persist(StorageLevel.MEMORY_AND_DISK)
       rows.count()
@@ -238,7 +255,7 @@ object Graph {
     * once at index time by [[triIndexTables]]): orient each edge
     * low→high by (deg, id); carry the dst's order key so the wedge
     * join can order its two legs without another degree lookup. */
-  private def orientedCoSupplierEdges(s: SparkSession, d: String): DataFrame = {
+  private[graft] def orientedCoSupplierEdges(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e0 = coSupplierEdges(s, d)
     val deg = e0.select(explode(array($"u", $"v")).as("node"))
@@ -279,17 +296,32 @@ object Graph {
     // named_struct PER COMPARISON, i.e. two InternalRow allocations
     // per candidate pair at O(E^{3/2}) volume; the expanded form is
     // allocation-free and identical for these non-null ints.
+    // r20 (r19 verdict #1b — guide §2.3, shuffle fewer bytes): the
+    // closure probe key (x, y) packs into ONE long — suppkeys are
+    // non-negative and < 2^31 at any TPC-H scale (s_suppkey ≤ 10^4·SF;
+    // SF 10^5 ≈ 100 TB gives 10^9 < 2^31), so shiftleft(x,32)|y is
+    // injective and exactly invertible (top bit stays 0, so the
+    // sign-propagating >> 32 returns x; & 0xffffffff returns y).
+    // The O(E^{3/2}) wedge stream — the one operand strictly bigger
+    // than the graph — shuffles (a, xy) = 16 bytes/row instead of
+    // (a, x, y) = 24, and the SHJ hashes/compares ONE key column
+    // instead of two. x/y are unpacked only per TRIANGLE (closure
+    // output, far smaller than the wedge stream). Row-for-row
+    // equality with the unpacked form is spec-gated (GraphSpec r20).
     val wedges = ed.as("e1").hint("shuffle_hash").join(ed.as("e2"),
         $"e1.src" === $"e2.src" &&
           ($"e1.ddeg" < $"e2.ddeg" ||
             ($"e1.ddeg" === $"e2.ddeg" && $"e1.dst" < $"e2.dst")))
-      .select($"e1.src".as("a"), $"e1.dst".as("x"), $"e2.dst".as("y"))
-    // closure probe under fresh aliases — ed appears three times in
-    // this plan and unaliased references would be ambiguous
-    val closing = ed.select($"src".as("cs"), $"dst".as("cd"))
+      .select($"e1.src".as("a"),
+        shiftleft($"e1.dst", 32).bitwiseOR($"e2.dst").as("xy"))
+    // closure probe under a fresh projection — ed appears three times
+    // in this plan and unaliased references would be ambiguous
+    val closing = ed.select(
+      shiftleft($"src", 32).bitwiseOR($"dst").as("cxy"))
     val tri = closing.hint("shuffle_hash")
-      .join(wedges, $"x" === $"cs" && $"y" === $"cd")
-      .select($"a", $"x", $"y")
+      .join(wedges, $"xy" === $"cxy")
+      .select($"a", shiftright($"xy", 32).as("x"),
+        $"xy".bitwiseAND(lit(0xFFFFFFFFL)).as("y"))
     tri.select(explode(array($"a", $"x", $"y")).as("s_suppkey"))
       .groupBy($"s_suppkey").agg(count(lit(1)).as("n_triangles"))
       .orderBy($"s_suppkey")
@@ -302,8 +334,14 @@ object Graph {
     * is CacheRegistry-tracked; callers release after explaining. */
   private[graft] def trianglesInflightPlan(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    trianglesBody(graft.CacheRegistry.cache(
-      orientedCoSupplierEdges(s, d).repartition($"src")))
+    val ed = graft.CacheRegistry.cache(
+      orientedCoSupplierEdges(s, d).repartition($"src"))
+    // r20: materialize before composing, exactly like the registered
+    // query — the r19 dump planned against an unmaterialized cache and
+    // showed ENSURE_REQUIREMENTS Exchanges the production query no
+    // longer pays (r19 verdict, What's wrong #1).
+    ed.count()
+    trianglesBody(ed)
   }
 
   /** LABEL-PROPAGATION COMMUNITIES (synchronous LPA, Raghavan et al.
@@ -807,6 +845,12 @@ object Graph {
       .repartition($"node").sortWithinPartitions($"node", $"nbr")
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // r20 (the graph_triangles materialize-before-compose fix): the
+      // single action otherwise plans against the unmaterialized cache
+      // and cannot see its hash(node) layout — the fan-cap window and
+      // degree rollup re-Exchange. One cheap count makes the plan read
+      // both consumers Exchange-free off the cache.
+      adj.count()
       val deg = adj.groupBy($"node").agg(count(lit(1)).as("deg"))
       val rows = jaccardScore(adj, e0, deg, topN, edgeHint = true)
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -826,7 +870,7 @@ object Graph {
     * side when it reads the (u,v)-bucketed index layout (hash-build
     * the edge set per bucket; never sort the wedge-aggregate stream —
     * the triangles-closure lesson). */
-  private def jaccardScore(adj: DataFrame, e0: DataFrame, deg: DataFrame,
+  private[graft] def jaccardScore(adj: DataFrame, e0: DataFrame, deg: DataFrame,
       topN: Int, edgeHint: Boolean = false): DataFrame = {
     val s = adj.sparkSession
     import s.implicits._
@@ -919,7 +963,7 @@ object Graph {
   /** The weighted page-transition edge list (src, dst, w) — the shared
     * substrate of [[pagerankIndexTable]] and the delta builder below
     * (and the same derivation [[graph_pagerank]] computes in-flight). */
-  private def pageEdges(s: SparkSession, d: String): DataFrame = {
+  private[graft] def pageEdges(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     val ev = Tables.events(s, d)
@@ -1586,8 +1630,11 @@ object Graph {
       e0.select($"u".as("node"), $"v".as("nbr"))
         .union(e0.select($"v".as("node"), $"u".as("nbr")))
         .repartition($"nbr").sortWithinPartitions($"nbr"))
-    val labels = rebind(graft.CacheRegistry.cache(
-      adj.select($"node").distinct().withColumn("label", $"node")))
+    adj.count() // r20: plan handles materialize like the real loop does
+    val labelCache = graft.CacheRegistry.cache(
+      adj.select($"node").distinct().withColumn("label", $"node"))
+    labelCache.count()
+    val labels = rebind(labelCache)
     adj.join(labels.select($"node".as("nbr"), $"label"), "nbr")
       .groupBy($"node", $"label").agg(count(lit(1)).as("cnt"))
   }
@@ -1601,10 +1648,13 @@ object Graph {
       e0.select($"u".as("node"), $"v".as("nbr"))
         .union(e0.select($"v".as("node"), $"u".as("nbr")))
         .repartition($"nbr").sortWithinPartitions($"nbr"))
-    val state = rebind(graft.CacheRegistry.cache(
+    adj.count() // r20: plan handles materialize like the real loop does
+    val stateCache = graft.CacheRegistry.cache(
       adj.select($"node").distinct()
         .filter($"node" % 10 === 0)
-        .select($"node", lit(0L).as("dist"), $"node".as("seed"))))
+        .select($"node", lit(0L).as("dist"), $"node".as("seed")))
+    stateCache.count()
+    val state = rebind(stateCache)
     adj.join(state.select($"node".as("nbr"), ($"dist" + 1L).as("dist"),
         $"seed"), "nbr")
       .select($"node", $"dist", $"seed", lit(false).as("own"))
@@ -1621,13 +1671,27 @@ object Graph {
     import s.implicits._
     val edges = graft.CacheRegistry.cache(
       pageEdges(s, d).repartition($"src").sortWithinPartitions($"src"))
+    edges.count()
     val outW = graft.CacheRegistry.cache(
       edges.groupBy($"src").agg(sum($"w").as("out_w"))
         .sortWithinPartitions($"src"))
-    val ranks = rebind(graft.CacheRegistry.cache(
-      edges.select($"src".as("node")).distinct()
-        .withColumn("rank", lit(1000000000L))
-        .withColumn("has_out", lit(true))))
+    outW.count()
+    // r20 (r19 advice): the dumped round previously faked its state —
+    // src-only nodes with has_out=lit(true) (a constant-folded,
+    // trivially-empty dangling branch) and a hardcoded n=1000 teleport
+    // denominator. Build it exactly like graph_pagerank's init (full
+    // node set, has_out via the outW left join, n from nodes.count())
+    // so the captured plan IS the production round shape.
+    val nodes = edges.select($"src".as("node"))
+      .union(edges.select($"dst".as("node"))).distinct()
+    val n = nodes.count()
+    val rankCache = graft.CacheRegistry.cache(
+      nodes.withColumn("rank", lit(1000000000L))
+        .join(outW.select($"src".as("node"), lit(true).as("has_out")),
+          Seq("node"), "left")
+        .select($"node", $"rank", coalesce($"has_out", lit(false)).as("has_out")))
+    rankCache.count()
+    val ranks = rebind(rankCache)
     val inflow = edges.join(ranks, edges("src") === ranks("node"))
       .join(outW, Seq("src"))
       .select($"dst", expr("rank * w div out_w").as("contrib"))
@@ -1641,7 +1705,7 @@ object Graph {
       .crossJoin(broadcast(dangling))
       .select(old("node"),
         (lit(150000000L) +
-          expr("85 * (coalesce(inflow, 0L) + dang div 1000L) div 100")
+          expr(s"85 * (coalesce(inflow, 0L) + dang div ${n}L) div 100")
         ).as("rank"))
   }
 
@@ -1656,9 +1720,12 @@ object Graph {
       e0.select($"u".as("node"), $"v".as("nbr"))
         .union(e0.select($"v".as("node"), $"u".as("nbr")))
         .repartition($"node"))
-    val deg0 = rebind(graft.CacheRegistry.cache(
+    adj.count() // r20: plan handles materialize like the real loop does
+    val degCache = graft.CacheRegistry.cache(
       adj.groupBy($"node").agg(count(lit(1)).as("deg"))
-        .withColumn("rm", $"deg" < 65)))
+        .withColumn("rm", $"deg" < 65))
+    degCache.count()
+    val deg0 = rebind(degCache)
     val drops = adj
       .join(broadcast(deg0.filter($"rm").select($"node".as("nbr"))), Seq("nbr"))
       .groupBy($"node").agg(count(lit(1)).as("dropped"))
@@ -1673,10 +1740,12 @@ object Graph {
   private[graft] def jaccardInflightPlan(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e0 = graft.CacheRegistry.cache(partEdges(s, d))
+    e0.count() // r20: plan handles materialize like the real query does
     val adj = graft.CacheRegistry.cache(
       e0.select($"u".as("node"), $"v".as("nbr"))
         .union(e0.select($"v".as("node"), $"u".as("nbr")))
         .repartition($"node").sortWithinPartitions($"node", $"nbr"))
+    adj.count()
     jaccardScore(adj, e0, adj.groupBy($"node").agg(count(lit(1)).as("deg")),
       100, edgeHint = true)
   }

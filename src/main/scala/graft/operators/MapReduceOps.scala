@@ -115,7 +115,16 @@ object MapReduceOps {
     */
   def mr_sort_validate(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sorted = mr_sort(s, d)
+    // r20: ONE sort, two consumers. The TeraChecksum leg (added r13)
+    // re-ran the full mr_sort from scratch for its output fingerprint —
+    // the bisected cause of this query's "creep" vs its pre-r13 self
+    // (r19 verdict #4; SCALE.md r20 addendum): the 2×-sort shape was a
+    // feature addition, not a regression. Persisting the sorted frame
+    // lets the validation pass populate the cache and the fingerprint
+    // leg read it — same rows, same boundaries (cache preserves the
+    // range partitions and per-partition order), one sort paid.
+    val sortedDf = graft.CacheRegistry.cache(mr_sort(s, d))
+    val sorted = sortedDf
       .select($"l_extendedprice", $"l_orderkey", $"l_linenumber")
       .as[(Double, Long, Long)]
     // sort key: price DESC, then orderkey ASC, linenumber ASC
@@ -163,7 +172,7 @@ object MapReduceOps {
       .select($"l_orderkey", $"l_linenumber",
         round($"l_extendedprice", 2).as("l_extendedprice"))
     val inFp = MetadataOps.fnvFingerprints(proj, "in", buckets = 1)
-    val outFp = MetadataOps.fnvFingerprints(mr_sort(s, d), "out", buckets = 1)
+    val outFp = MetadataOps.fnvFingerprints(sortedDf, "out", buckets = 1)
     Seq((totalRows, totalInv, firstPrice, lastPrice))
       .toDF("total_rows", "n_inversions", "first_price", "last_price")
       .crossJoin(broadcast(inFp.select($"in_rows", $"in_xor", $"in_sum")))

@@ -355,7 +355,9 @@ object MetadataOps {
         // one job materializes the round AND returns the convergence
         // count (nodes still carrying a non-null ancestor pointer)
         pending = cached.filter(col("anc").isNotNull).count()
-        state = s.createDataFrame(cached.rdd, cached.schema)
+        // r20: partitioning-preserving rebind (see Graph.rebind) — the
+        // cached round is materialized by the pending count above
+        state = org.apache.spark.sql.graft.Rebind.preserving(cached)
         prevCached.foreach(dropRound)
         prevCached = Some(cached)
         i += 1

@@ -399,10 +399,42 @@ object Relational {
     * downstream aggregate is map-side combined. */
   def q27_ntile(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"l_returnflag")
-      .orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")
-    Tables.lineitem(s, d)
-      .withColumn("tile", ntile(4).over(w).cast("long"))
+    // r20 (guide §2.5 — the named skew case): ntile over 3 returnflag
+    // groups serialized the whole table into 3 window tasks. TWO-PHASE
+    // equal-depth bucketing instead: (1) bucket rows by a MONOTONE
+    // function of the sort key prefix (floor(price/1024) — IEEE double
+    // division by a positive constant preserves order, equal prices
+    // share a bucket), count per (flag, bucket), and turn the tiny
+    // (flags × ~100 buckets) count table into per-flag prefix OFFSETS
+    // + group totals n; (2) global rank = offset + row_number within
+    // (flag, bucket) — a window over ~300 groups instead of 3 — and
+    // the tile comes from rank by exactly ntile's bucket arithmetic
+    // (n div k per tile, first n mod k tiles one extra; replay-gated
+    // in RelationalSpec, CASE short-circuit guards the div when
+    // n < k). Same rows as ntile(4) — the oracle text is untouched.
+    val k = 4
+    val base = Tables.lineitem(s, d)
+      .select($"l_returnflag", $"l_extendedprice", $"l_orderkey",
+        $"l_linenumber")
+      .withColumn("bkt", floor($"l_extendedprice" / 1024.0).cast("long"))
+    val offs = base.groupBy($"l_returnflag", $"bkt")
+      .agg(count(lit(1)).as("c"))
+      .select($"l_returnflag", $"bkt",
+        coalesce(sum($"c").over(Window.partitionBy($"l_returnflag")
+            .orderBy($"bkt").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)).as("off"),
+        sum($"c").over(Window.partitionBy($"l_returnflag")).as("n"))
+    base
+      .join(broadcast(offs), Seq("l_returnflag", "bkt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"l_returnflag", $"bkt")
+          .orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")))
+      .withColumn("rank", $"off" + $"rn")
+      .withColumn("tile", expr(
+        s"""CASE WHEN rank <= (n % $k) * (n div $k + 1)
+           |     THEN (rank - 1) div (n div $k + 1) + 1
+           |     ELSE (n % $k) + (rank - (n % $k) * (n div $k + 1) - 1) div (n div $k) + 1
+           |END""".stripMargin))
       .groupBy($"l_returnflag", $"tile")
       .agg(count(lit(1)).as("n_rows"),
         expr("sum(bigint(floor(l_extendedprice * 100 + 0.5)))").as("price_centi"))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.GraftExpressions
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -257,7 +258,7 @@ object Similarity {
       val cents = kmeansCentroids(trainSlice(s, d, e), k = 32, iters = 1)
       ivfIndexCents.put(d, cents)
       e.select($"vec_id".as("nid"), $"vec".as("nvec"),
-          array_min(centroidDists(cents, $"vec")).getField("cid").as("cell"))
+          bestCell(cents, $"vec").getField("cid").as("cell"))
         .write.mode("overwrite")
         .bucketBy(8, "cell").sortBy("cell")
         .format("parquet").saveAsTable(tbl)
@@ -338,7 +339,7 @@ object Similarity {
       cents: Array[Array[Double]]): DataFrame = {
     import df.sparkSession.implicits._
     df.select($"vec_id".as("nid"), $"vec".as("nvec"),
-      array_min(centroidDists(cents, $"vec")).getField("cid").as("cell"))
+      bestCell(cents, $"vec").getField("cid").as("cell"))
   }
 
   /** Stream-owned IVF index for
@@ -407,7 +408,7 @@ object Similarity {
       .select($"vec_id", asDouble($"embedding").as("vec"))
     val probes = e.filter($"vec_id" < 16)
       .select($"vec_id".as("qid"), $"vec".as("qvec"),
-        explode(slice(array_sort(centroidDists(cents, $"vec")), 1, nprobe)).as("probe"))
+        explode(probeCells(cents, $"vec", nprobe)).as("probe"))
       .select($"qid", $"qvec", $"probe.cid".as("cell"))
     val idx = s.table(tbl)
     val scored = idx.hint("merge").join(probes, "cell")
@@ -456,7 +457,7 @@ object Similarity {
       ivfDeltaCents.put(d, cents)
       def assigned(df: org.apache.spark.sql.DataFrame) =
         df.select($"vec_id".as("nid"), $"vec".as("nvec"),
-          array_min(centroidDists(cents, $"vec")).getField("cid").as("cell"))
+          bestCell(cents, $"vec").getField("cid").as("cell"))
       assigned(base).write.mode("overwrite")
         .bucketBy(8, "cell").sortBy("cell")
         .format("parquet").saveAsTable(tbl)
@@ -645,27 +646,29 @@ object Similarity {
         lit(i).as("cid"))
     }: _*)
 
-  /** Nearest-centroid assignment at ANY k. For k ≤ 64 the centroids
-    * bake into the codegen'd literal argmin ([[centroidDists]] — one
-    * struct per centroid; fastest, but GENERATED-CODE SIZE grows with
-    * k, and a k ∝ corpus deployment pushes k into the hundreds or
-    * thousands). Past 64 the centroid matrix becomes ONE
-    * array-of-arrays literal and the argmin is a transform + array_min
-    * HOF over it — constant code size at any k, same lexicographic
-    * (dist, cid) result (equivalence spec-gated in SimilaritySpec);
-    * the fused cosine kernel keeps its interpreted eval inside the
-    * lambda. This is what lets [[Dedup.dedup_semantic]]'s documented
-    * "k grows with the corpus" posture actually run. */
+  /** Nearest-centroid assignment at ANY k — r20: ONE custom codegen'd
+    * expression ([[graft.functions.BestCentroidExpr]], the centroid
+    * matrix riding along as a codegen reference object) instead of the
+    * k-literal-structs argmin the r19 profile blamed for ann planning
+    * overhead (plan size, analysis and per-stage codegen compile all
+    * grew with k; the HOF fallback this replaces paid interpreted eval
+    * inside the lambda instead). Constant plan/code size at ANY k —
+    * the ≤64 split disappears — and bit-identical (dist, cid) results
+    * to the literal argmin (same fused-cosine accumulation order, ties
+    * to the smaller cid; equivalence spec-gated in SimilaritySpec).
+    * This is what lets [[Dedup.dedup_semantic]]'s documented "k grows
+    * with the corpus" posture actually run. */
   private[graft] def bestCell(cents: Array[Array[Double]], v: Column): Column =
-    if (cents.length <= 64) array_min(centroidDists(cents, v))
-    else {
-      val centsLit = typedLit(cents.map(_.toSeq).toSeq)
-      // inside a lambda, Column.as aliases don't survive analysis —
-      // the struct cast is what names the fields
-      array_min(transform(centsLit, (c, i) =>
-        struct(lit(1.0) - cosine(v, c), i)
-          .cast("struct<dist:double,cid:int>")))
-    }
+    GraftExpressions.toColumn(graft.functions.BestCentroidExpr(
+      GraftExpressions.toExpr(v), cents))
+
+  /** The nprobe nearest centroids as (dist, cid) structs in ascending
+    * (dist, cid) order — r20 constant-size form of
+    * `slice(array_sort(centroidDists(cents, v)), 1, nprobe)`. */
+  private[graft] def probeCells(cents: Array[Array[Double]], v: Column,
+      nprobe: Int): Column =
+    GraftExpressions.toColumn(graft.functions.ProbeCellsExpr(
+      GraftExpressions.toExpr(v), cents, nprobe))
 
   /** Sample-bounded training slice for centroid training: corpora at or
     * under the cap train on everything; larger ones on a deterministic
@@ -736,10 +739,10 @@ object Similarity {
     if (memo != null) memo.set(cents)
 
     val corpus = e.select($"vec_id".as("nid"), $"vec".as("nvec"),
-      array_min(centroidDists(cents, $"vec")).getField("cid").as("cell"))
+      bestCell(cents, $"vec").getField("cid").as("cell"))
     val probes = e.filter($"vec_id" < 16)
       .select($"vec_id".as("qid"), $"vec".as("qvec"),
-        explode(slice(array_sort(centroidDists(cents, $"vec")), 1, nprobe)).as("probe"))
+        explode(probeCells(cents, $"vec", nprobe)).as("probe"))
       .select($"qid", $"qvec", $"probe.cid".as("cell"))
     val scored = corpus.join(broadcast(probes), "cell")
       .filter($"nid" =!= $"qid")
@@ -882,17 +885,15 @@ object Similarity {
       Array.tabulate(m)(mi => seeds.map(_.slice(mi * ds, (mi + 1) * ds)))
     }
     // argmin cell per subspace: |c|² − 2⟨sub,c⟩ ranks identically to
-    // squared L2 (the row-constant |sub|² cancels), so the per-centroid
-    // work is one fused dot.
-    def cellCol(mi: Int, sub: Column): Column =
-      array_min(array(books(mi).toIndexedSeq.zipWithIndex.map { case (c, i) =>
-        struct((lit(c.map(x => x * x).sum) - lit(2.0) * dot(sub, typedLit(c.toSeq)))
-          .as("dist"), lit(i).as("cid"))
-      }: _*)).getField("cid")
+    // squared L2 (the row-constant |sub|² cancels). r20: all m
+    // subspaces assign in ONE codegen'd kernel (PqCodesExpr — the m·ks
+    // per-centroid literal dot trees were the ann_pq planning/compile
+    // overhead the r19 profile named; bit-identical codes,
+    // SimilaritySpec-gated).
     def withCells(df: DataFrame): DataFrame =
       df.select($"vec_id", $"vec",
-        array((0 until m).map(mi =>
-          cellCol(mi, slice($"vec", mi * ds + 1, ds))): _*).as("cells"))
+        GraftExpressions.toColumn(graft.functions.PqCodesExpr(
+          GraftExpressions.toExpr($"vec"), books)).as("cells"))
 
     // One Lloyd round, all subspaces in one distributed pass: the
     // element mean for (pos, cell) updates codebook[pos/ds][cell][pos%ds].
@@ -1024,7 +1025,7 @@ object Similarity {
     val centsLit = typedLit(cents.map(_.toSeq).toSeq)
     def withCellRes(df: DataFrame): DataFrame =
       df.select($"vec_id", $"vec",
-          array_min(centroidDists(cents, $"vec")).getField("cid").as("cell"))
+          bestCell(cents, $"vec").getField("cid").as("cell"))
         .withColumn("res",
           zip_with($"vec", element_at(centsLit, $"cell" + 1), (x, c) => x - c))
 
@@ -1038,14 +1039,11 @@ object Similarity {
         .map(_.getSeq[Double](1).toArray)
       Array.tabulate(m)(mi => seeds.map(_.slice(mi * ds, (mi + 1) * ds)))
     }
-    def codeCol(mi: Int, sub: Column): Column =
-      array_min(array(books(mi).toIndexedSeq.zipWithIndex.map { case (c, i) =>
-        struct((lit(c.map(x => x * x).sum) - lit(2.0) * dot(sub, typedLit(c.toSeq)))
-          .as("dist"), lit(i).as("cid"))
-      }: _*)).getField("cid")
+    // r20: one codegen'd kernel for all m residual subspaces (see
+    // annPq.withCells — same PqCodesExpr, over the residual column)
     def withCodes(df: DataFrame): DataFrame =
-      df.withColumn("codes", array((0 until m).map(mi =>
-        codeCol(mi, slice($"res", mi * ds + 1, ds))): _*))
+      df.withColumn("codes", GraftExpressions.toColumn(
+        graft.functions.PqCodesExpr(GraftExpressions.toExpr($"res"), books)))
     withCodes(trainRes)
       .select(posexplode($"res").as(Seq("pos", "x")), $"codes")
       .select($"pos",
@@ -1352,7 +1350,7 @@ object Similarity {
       .select($"vec_id", asDouble($"embedding").as("vec"))
     val probes = e.filter($"vec_id" < 16)
       .select($"vec_id".as("qid"), $"vec".as("qvec"),
-        explode(slice(array_sort(centroidDists(cents, $"vec")), 1, 8)).as("probe"))
+        explode(probeCells(cents, $"vec", 8)).as("probe"))
       .select($"qid", $"qvec", $"probe.cid".as("cell"))
     val vecRanked = s.table(tbl).hint("merge").join(probes, "cell")
       .filter($"nid" =!= $"qid")
@@ -1462,17 +1460,24 @@ object Similarity {
         .join(e.select($"vec_id".as("nbr"), $"embedding".as("v2")), "nbr")
         .select($"nid", $"nbr",
           floor(cosine($"v1", $"v2") * 1e6).cast("long").as("cos_ppm")))
-      val scored = scoredHalf.unionByName(
-        scoredHalf.select($"nbr".as("nid"), $"nid".as("nbr"), $"cos_ppm"))
-      val out = scored.withColumn("rank", row_number().over(
-          Window.partitionBy($"nid").orderBy($"cos_ppm".desc, $"nbr")))
-        .filter($"rank" <= k)
-        .select($"nid", $"rank", $"nbr", $"cos_ppm")
-      val rows = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      rows.count()
-      graft.CacheRegistry.track(rows)
-      rows.sparkSession.createDataFrame(rows.rdd, rows.schema)
-        .orderBy($"nid", $"rank")
+      try {
+        val scored = scoredHalf.unionByName(
+          scoredHalf.select($"nbr".as("nid"), $"nid".as("nbr"), $"cos_ppm"))
+        val out = scored.withColumn("rank", row_number().over(
+            Window.partitionBy($"nid").orderBy($"cos_ppm".desc, $"nbr")))
+          .filter($"rank" <= k)
+          .select($"nid", $"rank", $"nbr", $"cos_ppm")
+        val rows = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        rows.count()
+        graft.CacheRegistry.track(rows)
+        rows.sparkSession.createDataFrame(rows.rdd, rows.schema)
+          .orderBy($"nid", $"rank")
+      } finally
+        // r20 (r19 advice): scoredHalf is only needed until rows.count()
+        // materializes the output — release it here instead of holding
+        // MEMORY_AND_DISK until the harness's next releaseAll (the
+        // registry's duplicate unpersist at release is a no-op)
+        scoredHalf.unpersist(blocking = false)
     } finally e.unpersist(blocking = false)
   }
 

@@ -134,10 +134,12 @@ object TextOps {
     Tables.documents(s, d)
       .select($"source", chunks.as("c"))
       .filter(size($"c") > 0)
-      .select($"source", explode(expr(
-        "transform(sequence(0, size(c) div 3 - 1), " +
-          "i -> struct(c[3*i+1] AS len, c[3*i+2] AS h))")).as("ch"))
-      .select($"source", $"ch.len".as("len"), $"ch.h".as("h"))
+      // r20: index explode + subscript instead of an array-of-structs
+      // transform — one InternalRow allocation per chunk removed (the
+      // dedup_cdc gc_top fix; same rows)
+      .select($"source", $"c",
+        explode(expr("sequence(0, size(c) div 3 - 1)")).as("i"))
+      .select($"source", expr("c[3*i+1]").as("len"), expr("c[3*i+2]").as("h"))
       .groupBy($"source", $"h", $"len")
       .agg(count(lit(1)).as("cnt"))
       .groupBy($"source")
@@ -474,7 +476,8 @@ object TextOps {
         val next = graft.CacheRegistry.cache(
           cur.select(applyBpeMerge($"toks", a, b).as("toks"), $"freq")
             .filter(size($"toks") >= 2))
-        cur = s.createDataFrame(next.rdd, next.schema)
+        // r20: InternalRow rebind (no Row round-trip; see Graph.rebind)
+        cur = org.apache.spark.sql.graft.Rebind.preserving(next)
         r += 1
       }
     }

@@ -524,6 +524,53 @@ class GraphSpec extends SparkSpec {
     assert(newPart == oldPart)
   }
 
+  test("r20 packed closure key: injective and exactly invertible on the edge domain") {
+    // trianglesBody's closure probe packs (x, y) into one long via
+    // shiftleft(x, 32) | y. Precondition: suppkeys non-negative and
+    // < 2^31 (TPC-H: s_suppkey <= 10^4 * SF; SF 10^5 ~ 100 TB gives
+    // 10^9 < 2^31). Gate the precondition on the actual data and the
+    // round-trip/injectivity on every oriented pair, both directions —
+    // a violation would silently merge distinct probe keys.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val mm = Tables.lineitem(spark, sf0001)
+      .agg(min($"l_suppkey"), max($"l_suppkey")).head()
+    assert(mm.getLong(0) >= 0L && mm.getLong(1) < (1L << 31),
+      s"suppkey domain [${mm.getLong(0)}, ${mm.getLong(1)}] breaks 31-bit packing")
+    val e = Graph.coSupplierEdges(spark, sf0001)
+    val pairs = e.select($"u", $"v").union(e.select($"v".as("u"), $"u".as("v")))
+    val bad = pairs
+      .select($"u", $"v", shiftleft($"u", 32).bitwiseOR($"v").as("p"))
+      .filter(!(shiftright($"p", 32) === $"u" &&
+        $"p".bitwiseAND(lit(0xFFFFFFFFL)) === $"v"))
+      .count()
+    assert(bad == 0L, s"$bad pairs fail the pack/unpack round-trip")
+    assert(pairs.distinct().count() ===
+      pairs.select(shiftleft($"u", 32).bitwiseOR($"v")).distinct().count(),
+      "packing merged distinct pairs")
+  }
+
+  test("r20 partitioning-preserving rebind: identical rows, layout survives the rebind") {
+    // the superstep loops rebind each round's materialized state to a
+    // constant-size leaf; the r20 rebind (Rebind.preserving, the
+    // localCheckpoint device) must return the same rows AND advertise
+    // the cache's hash partitioning so the next round's node-keyed
+    // aggregate/join stops re-Exchanging the state.
+    import spark.implicits._
+    val df = spark.range(0L, 1000L).selectExpr("id % 37 AS k", "id AS v")
+      .repartition($"k")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      df.count()
+      val rb = org.apache.spark.sql.graft.Rebind.preserving(df)
+      assert(rb.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+      val plan = rb.groupBy($"k").count().queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"node-keyed aggregate over the rebound state still shuffles:\n$plan")
+    } finally df.unpersist(blocking = true)
+  }
+
   test("r19 aligned bucketed writes land one file per bucket") {
     // the r19 small-files fix: builders repartition on the bucket
     // mapping before their bucketed writes, so each of the 32 buckets

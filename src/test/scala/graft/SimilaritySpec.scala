@@ -180,12 +180,12 @@ class SimilaritySpec extends SparkSpec {
       s"pair volume should fall with width: $byR")
   }
 
-  test("bestCell HOF assignment (k > 64) equals the literal-argmin form and a naive reference") {
+  test("bestCell kernel (r20 BestCentroidExpr) equals the literal-argmin form and a naive reference") {
     import spark.implicits._
     val e = Tables.embeddings(spark, sf0001)
       .select($"vec_id", graft.functions.VectorFunctions.asDouble($"embedding").as("vec"))
-    // 70 centroids forces the constant-code-size HOF path; the same 70
-    // through centroidDists is the codegen'd form it must agree with
+    // 70 centroids (the old >64 HOF regime); the same 70 through
+    // centroidDists is the literal-argmin form it must agree with
     val cents = Similarity.kmeansCentroids(
       Similarity.trainSlice(spark, sf0001, e), k = 70, iters = 1)
     assert(cents.length == 70)
@@ -209,6 +209,44 @@ class SimilaritySpec extends SparkSpec {
         .map { case (c, i) => (1.0 - cos(v, c), i) }.min._2
       assert(r.getInt(2) == naive, s"vec ${r.getLong(0)}: ${r.getInt(2)} != naive $naive")
     }
+  }
+
+  test("r20 probeCells / pqCodes kernels equal their literal formulations bit-for-bit") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", graft.functions.VectorFunctions.asDouble($"embedding").as("vec"))
+    val cents = Similarity.kmeansCentroids(
+      Similarity.trainSlice(spark, sf0001, e), k = 16, iters = 1)
+    // probeCells ≡ slice(array_sort(centroidDists), 1, nprobe) — full
+    // struct equality (dist doubles bit-compare via ===)
+    val probes = e.select($"vec_id",
+        Similarity.probeCells(cents, $"vec", 4).as("knl"),
+        slice(array_sort(Similarity.centroidDists(cents, $"vec")), 1, 4).as("lit"))
+      .filter(!($"knl" === $"lit"))
+      .count()
+    assert(probes == 0L, s"$probes vectors diverge on probeCells")
+    // pqCodes ≡ the per-subspace literal argmin over slice()d subvectors
+    val m = 8; val ds = 8
+    val books: Array[Array[Array[Double]]] = {
+      val seeds = e.orderBy(xxhash64($"vec_id"), $"vec_id").limit(16)
+        .select($"vec_id", $"vec").collect()
+        .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+      Array.tabulate(m)(mi => seeds.map(_.slice(mi * ds, (mi + 1) * ds)))
+    }
+    def cellLit(mi: Int, sub: org.apache.spark.sql.Column) =
+      array_min(array(books(mi).toIndexedSeq.zipWithIndex.map { case (c, i) =>
+        struct((lit(c.map(x => x * x).sum) -
+          lit(2.0) * graft.functions.VectorFunctions.dot(sub, typedLit(c.toSeq)))
+          .as("dist"), lit(i).as("cid"))
+      }: _*)).getField("cid")
+    val codes = e.select($"vec_id",
+        graft.functions.GraftExpressions.toColumn(graft.functions.PqCodesExpr(
+          graft.functions.GraftExpressions.toExpr($"vec"), books)).as("knl"),
+        array((0 until m).map(mi =>
+          cellLit(mi, slice($"vec", mi * ds + 1, ds))): _*).as("lit"))
+      .filter(!($"knl" === $"lit"))
+      .count()
+    assert(codes == 0L, s"$codes vectors diverge on pqCodes")
   }
 
   test("ann_lsh_index equals ann_lsh and searches the index without a corpus-side Exchange") {
